@@ -1,0 +1,136 @@
+"""Shared column-expression helpers (all JVM-side, codegen-friendly).
+
+These encode the engine's oracle-parity conventions (see ``registry``):
+exact decimal aggregation for 2-dp money columns, string-formatted
+date/timestamp outputs, and a deterministic 60-bit md5-derived hash that is
+expressible identically in DuckDB (``('0x'||substr(md5(x),1,15))::BIGINT``)
+— the foundation of the oracle-checkable MinHash / fingerprint operators.
+
+Everything here is a composition of built-in ``pyspark.sql.functions`` —
+no Python UDFs — so whole-stage codegen and columnar execution apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def dec2(c: Column | str) -> Column:
+    """Exact decimal view of a 2-dp double column (testdata invariant)."""
+    return F.col(c).cast(DEC) if isinstance(c, str) else c.cast(DEC)
+
+
+def sum_dbl(c: Column | str) -> Column:
+    """Exact sum of a 2-dp double column, returned as double.
+
+    Decimal accumulation is associative/exact, so Spark's partial+final
+    aggregation and DuckDB's vectorized sum produce the *same* decimal, and
+    the final double cast is bitwise identical in both engines.
+    """
+    return F.sum(dec2(c)).cast("double")
+
+
+def avg_dbl(c: Column | str) -> Column:
+    """Exact-sum-based average: CAST(sum_dec AS DOUBLE) / COUNT(c).
+
+    A single IEEE-754 division on identical inputs — bitwise-stable across
+    engines, unlike native AVG over doubles (summation-order dependent).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(dec2(col)).cast("double") / F.count(col)
+
+
+def fmt_date(c: Column | str) -> Column:
+    """Date/timestamp → 'yyyy-MM-dd' string (hash-stable output form)."""
+    return F.date_format(c, "yyyy-MM-dd")
+
+
+def fmt_ts(c: Column | str) -> Column:
+    """Timestamp → microsecond string (DuckDB strftime '%f' equivalent)."""
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+def md5_long60(c: Column) -> Column:
+    """Deterministic 60-bit non-negative hash: first 15 hex digits of md5.
+
+    Oracle equivalent: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    Used as the base hash for MinHash signatures, fingerprints and SimHash —
+    md5 is identical in every engine, unlike xxhash64/murmur.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# Universal-hash family over the md5 base hash, mod p = 2^31 - 1 (Mersenne).
+# h_i(x) = (A_i * (x mod p) + B_i) mod p ; A_i,B_i < p so products fit in
+# 62 bits — no BIGINT overflow in either engine (both are ANSI-strict).
+MINHASH_P = 2_147_483_647
+MINHASH_COEF = (
+    (1_103_515_245, 12_345),
+    (1_566_083_941, 1_013_904_223),
+    (1_812_433_253, 314_159_265),
+    (69_069, 362_437),
+    (1_229_782_938, 2_147_483_587),
+    (747_796_405, 1_181_783_497),
+    (214_013, 2_531_011),
+    (134_775_813, 1),
+)
+
+
+def universal_hash(base: Column, i: int) -> Column:
+    """i-th universal hash of a non-negative base hash column."""
+    a, b = MINHASH_COEF[i]
+    return (F.lit(a) * (base % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def universal_hash_sql(base_sql: str, i: int) -> str:
+    """DuckDB SQL text for ``universal_hash`` over a base-hash expression."""
+    a, b = MINHASH_COEF[i]
+    return f"(({a} * (({base_sql}) % {MINHASH_P}) + {b}) % {MINHASH_P})"
+
+
+def tokens(c: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization (oracle: str_split)."""
+    return F.split(F.col(c) if isinstance(c, str) else c, sep)
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """n-gram shingles of a token array, joined with spaces.
+
+    Oracle: ``list_transform(range(len(t)-n+1), i -> array_to_string(t[i+1:i+n], ' '))``
+    (DuckDB slices are 1-based inclusive).  Empty when fewer than n tokens.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+    )
+
+
+def shingles_sql(tok_sql: str, n: int = 3) -> str:
+    """DuckDB SQL for ``shingles`` over a token-list expression."""
+    return (
+        f"list_transform(range(0, greatest(len({tok_sql}) - {n} + 1, 0)), "
+        f"i -> array_to_string(({tok_sql})[i+1:i+{n}], ' '))"
+    )
+
+
+MD5_LONG60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side.
+
+    Sequential left-fold sums (``F.aggregate``) match DuckDB's
+    ``list_dot_product`` evaluation order, giving bitwise-identical doubles.
+    """
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))

@@ -1,0 +1,52 @@
+"""Partitioned columnar sinks (SURVEY.md §2.1 S4-S8).
+
+The reference writes Delta everywhere (``src/data/ingestion_pyspark.py:53-59``,
+``src/data/silver.py:56-59``, ``src/data/gold.py:57-60``); this engine makes
+the format pluggable (Parquet default — the delta-spark jars are not baked
+into this environment) so nothing hard-depends on Delta.  Partition columns
+give hive-style layouts that Catalyst prunes automatically at read time.
+
+Scale note: partition by low-cardinality derived date columns (the
+reference's ``ingestion_date`` / ``year,month`` pattern) — never by
+high-cardinality keys, which would create millions of tiny files at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
+    """S5/S8: plain sink (append quarantine / overwrite gold)."""
+    writer = df.write.format(fmt).mode(mode)
+    for key, value in (options or {}).items():
+        writer = writer.option(key, value)
+    writer.save(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
+    """S4/S6/S7: hive-partitioned overwrite sink.
+
+    Mirrors reference ``src/data/ingestion.py:85`` (``partitionBy("year",
+    "month")``) and ``src/data/ingestion_pyspark.py:53-59``
+    (``partitionBy("ingestion_date")``).
+    """
+    writer = df.write.format(fmt).mode(mode).partitionBy(*partition_by)
+    for key, value in (options or {}).items():
+        writer = writer.option(key, value)
+    writer.save(path)

@@ -1,0 +1,69 @@
+"""Query registry — the engine's public query surface.
+
+Every operator from SURVEY.md §2 is exposed as a named query: a function
+``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) an equivalent
+ANSI-SQL oracle string that DuckDB runs over the same Parquet for the
+driver's correctness gate.
+
+Oracle-parity conventions (SURVEY.md §5.2 / §7.4), applied to EVERY pair:
+
+* Session timezone UTC; dates/timestamps in output columns are formatted to
+  strings (``date_format`` / ``strftime``) so value hashing is
+  representation-independent.
+* Money/metric doubles are aggregated through ``DECIMAL(18,2)`` (exact — the
+  testdata carries 2-dp values) and cast back to double, so Spark and DuckDB
+  produce bitwise-identical float64 outputs regardless of summation order.
+  Ratios/averages are computed as ``CAST(exact_sum AS DOUBLE) / count`` —
+  a single identical IEEE-754 division in both engines.  ``ROUND`` on
+  doubles is avoided (Spark rounds the shortest-decimal representation,
+  DuckDB the binary value — they disagree on half-way reprs).
+* Integer sums are cast to BIGINT in the oracle (DuckDB's SUM(BIGINT)
+  returns HUGEINT, which pandas can't hash consistently).
+* Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: QueryFn
+    oracle: str | None  # None → driver records a weaker rows-only check
+    headline: bool = False  # include in bench.py's timed suite
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False):
+    """Decorator: register a named query with its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    """Import every query module (self-registering) and return the registry."""
+    # Imports deferred to avoid circulars; each module registers on import.
+    import pyspark_anomaly_detection_spark.events.time_windows  # noqa: F401
+    import pyspark_anomaly_detection_spark.quality.gates  # noqa: F401
+    import pyspark_anomaly_detection_spark.relational.queries  # noqa: F401
+    import pyspark_anomaly_detection_spark.relational.setops  # noqa: F401
+    import pyspark_anomaly_detection_spark.similarity.ann  # noqa: F401
+    import pyspark_anomaly_detection_spark.text.dedup  # noqa: F401
+    import pyspark_anomaly_detection_spark.text.stats  # noqa: F401
+    import pyspark_anomaly_detection_spark.windows.features  # noqa: F401
+
+    return dict(REGISTRY)

@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Replicates the reference's session knobs (reference
+``config/spark_config.py:19-38``): AQE on, Kryo serializer, UTC session
+timezone (mandatory for oracle parity), ``local[*]`` default master — while
+adding the settings this engine needs:
+
+* ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events`` testdata
+  table stores ``timestamp[ns]`` which Spark's vectorized Parquet reader
+  rejects by default; we read it as nanosecond longs and convert exactly
+  (see ``io.readers.load_table``).
+* Arrow execution enabled — all Python UDF paths in this engine are
+  vectorized (pandas_udf / mapInPandas); row-at-a-time UDFs are banned.
+
+At cluster scale the same factory applies; only ``master`` and the
+memory/shuffle sizing change (pass ``extra_conf``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark_session(
+    app_name: str = "pyspark-analytics-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine.
+
+    Parity-critical settings: UTC timezone (reference
+    ``config/spark_config.py:37``), adaptive query execution (reference
+    ``config/spark_config.py:28``).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # oracle parity: DuckDB computes in UTC-naive timestamps
+        .config("spark.sql.session.timeZone", "UTC")
+        # runtime re-planning: partition coalescing, broadcast demotion, skew splits
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # events.parquet is timestamp[ns]; read as long, convert exactly in reader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Arrow for every pandas_udf / mapInPandas / toPandas path
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -1,0 +1,201 @@
+"""Similarity search over the ``embeddings`` table (north-star operators).
+
+* Brute-force cosine top-k — the exactness baseline.  Dot products are
+  computed with ``F.zip_with`` + ``F.aggregate`` (sequential left-fold in
+  double precision), which matches DuckDB's ``list_dot_product`` evaluation
+  order bitwise → exact oracle comparison, no tolerance needed.
+* Sign-LSH bucketed variant — the scale path: deterministic random
+  hyperplanes (seeded numpy, inlined as literals into BOTH the Spark plan
+  and the oracle SQL), bucket by sign bits, search within bucket only.
+
+Scale design (100 TB): brute force is O(Q×N) — usable when the query set is
+broadcast-small (it is here: queries are a keyed sample joined via
+broadcast, so the big candidate side never shuffles).  The LSH variant cuts
+candidates by ~2^planes; at cluster scale the bucket id becomes the shuffle
+/ bucketing key and hot buckets are AQE-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_anomaly_detection_spark.functions import cosine
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
+
+EMBED_DIM = 64
+N_PLANES = 4
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side, rank per query.
+
+    Deterministic tie-break on candidate id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+@register(
+    "q37_ann_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    c AS (
+      SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cvec FROM embeddings
+    ),
+    scored AS (
+      SELECT
+        query_id,
+        cand_id,
+        list_dot_product(qvec, cvec)
+          / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec)))
+          AS cos_sim
+      FROM c JOIN q ON query_id <> cand_id
+    )
+    SELECT query_id, cand_id, cos_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
+      ) AS rk
+      FROM scored
+    )
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    headline=True,
+)
+def q37_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return brute_force_topk(queries, emb).orderBy("query_id", "rk")
+
+
+def _hyperplanes(n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic hyperplanes: seeded numpy, rounded to 6dp so the SQL
+    literal text and the float64 value are the same number."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return [[round(float(x), 6) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def sign_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = (vec · plane_i) >= 0."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+def _bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    parts = [
+        f"(CASE WHEN list_dot_product({vec_sql}, {_plane_sql(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _q38_oracle() -> str:
+    planes = _hyperplanes()
+    bucket = _bucket_sql("embedding::DOUBLE[]", planes)
+    return f"""
+    SELECT {bucket} AS bucket, COUNT(*) AS n_vectors,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM embeddings
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+
+
+@register("q38_lsh_bucket_profile", oracle=_q38_oracle())
+def q38_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy profile of the sign-LSH index (the scale path's
+    partitioning key).  Checks the bucketing function end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    return (
+        emb.select(
+            sign_lsh_bucket(_as_double(F.col("embedding")), planes).alias("bucket"),
+            "vec_id",
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within each LSH bucket.
+
+    Recall < 1 by construction; verified against ``brute_force_topk`` by
+    set-containment in tests (SURVEY §7.4), not hash equality.
+    """
+    planes = _hyperplanes(n_planes)
+    vec = _as_double(F.col(vec_col))
+    bucketed = df.select(
+        F.col(id_col), vec.alias("vec"), sign_lsh_bucket(vec, planes).alias("bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias("cand_id"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -1,0 +1,295 @@
+"""Deduplication operators over ``documents`` (north-star, SURVEY §2.10 ext).
+
+* Exact dedup: content hashing (sha256 group-by) — reference analogue
+  ``dropDuplicates`` (none in reference; standard pattern).
+* MinHash: deterministic md5-based signatures (NOT MLlib's MinHashLSH, whose
+  seeds are engine-private) — every stage is SQL-expressible, so even the
+  LSH banding join has an exact DuckDB oracle.
+* n-gram Jaccard: exact set similarity on candidate pairs.
+* SimHash: vectorized pandas_udf (numpy bit-twiddling) — rows-only check.
+
+Scale design (100 TB):
+
+* Exact dedup is a hash group-by on a 32-byte digest — shuffles digests,
+  not documents.
+* MinHash-LSH: signature computation is embarrassingly parallel; the
+  band-bucket self-join shuffles only (band_id, band_hash, doc_id) triples
+  and AQE handles hot buckets.  Brute-force pair scans are confined to
+  within-bucket candidates.
+* The n-gram Jaccard brute-force variant is quadratic — exposed only over
+  a keyed sample here; at scale it runs as the LSH verification stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_anomaly_detection_spark.functions import (
+    MD5_LONG60_SQL,
+    MINHASH_P,
+    md5_long60,
+    shingles,
+    shingles_sql,
+    tokens,
+    universal_hash,
+    universal_hash_sql,
+)
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
+
+N_MINHASH = 8
+SHINGLE_N = 3
+
+
+def content_digest(text: Column) -> Column:
+    """Normalized content digest for exact dedup: sha256 of trimmed,
+    whitespace-collapsed, lowercased text."""
+    return F.sha2(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")), 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct content digest."""
+    w = Window.partitionBy("_digest").orderBy(id_col)
+    return (
+        df.withColumn("_digest", content_digest(F.col(text_col)))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_digest", "_rk")
+    )
+
+
+@register(
+    "q32_exact_dedup_stats",
+    oracle="""
+    SELECT
+      source,
+      COUNT(*) AS n_docs,
+      COUNT(DISTINCT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS n_unique,
+      CAST(COUNT(*) - COUNT(DISTINCT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS BIGINT) AS n_dup_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q32_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup profile per source: documents minus distinct digests."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = content_digest(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(digest).alias("n_unique"),
+            (F.count("*") - F.countDistinct(digest)).alias("n_dup_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def minhash_signature(text: Column, n_hashes: int = N_MINHASH) -> Column:
+    """MinHash signature as array<bigint>.
+
+    Pipeline: tokens → 3-gram shingles → 60-bit md5 base hash per shingle →
+    n universal hashes (mod 2^31-1) → min per hash.  Every step is exact
+    integer arithmetic available in both Spark and DuckDB.  Empty shingle
+    sets (short docs) get sentinel p (= MINHASH_P, larger than any hash).
+    """
+    sh = shingles(tokens(text), SHINGLE_N)
+    base = F.transform(sh, md5_long60)
+
+    def min_hash_i(i: int):
+        def apply(b):  # single-arg lambda: Spark must not pass the index
+            return universal_hash(b, i)
+
+        return F.coalesce(F.array_min(F.transform(base, apply)), F.lit(MINHASH_P))
+
+    return F.array(*[min_hash_i(i) for i in range(n_hashes)])
+
+
+def _minhash_sql(n_hashes: int = N_MINHASH) -> str:
+    base = (
+        f"list_transform({shingles_sql('str_split(text, chr(32))', SHINGLE_N)}, "
+        f"s -> {MD5_LONG60_SQL.format(x='s')})"
+    )
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform(base, b -> {universal_hash_sql('b', i)})), {MINHASH_P})"
+        for i in range(n_hashes)
+    )
+    return f"(SELECT doc_id, [{mins}] AS sig FROM (SELECT doc_id, {base} AS base FROM documents))"
+
+
+@register(
+    "q33_minhash_signatures",
+    oracle=f"""
+    SELECT doc_id, sig AS minhash_sig
+    FROM {_minhash_sql()}
+    WHERE doc_id % 11 = 0
+    ORDER BY doc_id
+    """,
+)
+def q33_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    return docs.select(
+        "doc_id", minhash_signature(F.col("text")).alias("minhash_sig")
+    ).orderBy("doc_id")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one (band, band-signature).
+
+    bands=4 over 8 hashes → rows-per-band r=2 → collision prob ≈ 1-(1-s²)⁴
+    for Jaccard s.  Shuffles only (band, hash-slice, id) — never the text.
+    """
+    rows_per_band = n_hashes // bands
+    sig = docs.select(
+        F.col(id_col), minhash_signature(F.col(text_col), n_hashes).alias("sig")
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band).alias(
+                            "band_sig"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select(id_col, "bd.band", "bd.band_sig")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q34_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, sig FROM {_minhash_sql()}
+    ),
+    banded AS (
+      SELECT doc_id, k AS band, sig[k*2+1 : k*2+2] AS band_sig
+      FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS k)
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q34_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q35_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct({shingles_sql("str_split(text, chr(32))", SHINGLE_N)}) AS sset
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+        / (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sset, b.sset)) > 0
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over a keyed sample (brute-force verification
+    stage of the LSH pipeline).  jaccard = |∩| / (|A|+|B|-|∩|)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_N)).alias("sset"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
+    union = F.size(F.col("a.sset")) + F.size(F.col("b.sset")) - inter
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+            inter.alias("_inter"),
+        )
+        .filter(F.col("_inter") > 0)
+        .drop("_inter")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document via an Arrow-vectorized pandas UDF.
+
+    Python is justified here: per-bit weighted majority over token hashes is
+    a bit-parallel numpy job, not a relational expression.  Hashes use
+    blake2b(token) for determinism across runs/partitions.  Rows-only
+    correctness check (no SQL oracle).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: no type annotations — PEP 563 stringized hints break pyspark's
+    # pandas_udf eval-type inference; the explicit SCALAR default applies.
+    def _simhash_batch(texts):
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            tokens_ = (text or "").split()
+            if not tokens_:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tk in tokens_:
+                h = int.from_bytes(
+                    hashlib.blake2b(tk.encode(), digest_size=8).digest(), "big"
+                )
+                bits = (h >> np.arange(64)) & 1
+                acc += np.where(bits == 1, 1, -1)
+            sim = 0
+            for bit in np.nonzero(acc > 0)[0]:
+                sim |= 1 << int(bit)
+            # keep in signed-64 range
+            out[i] = sim - (1 << 64) if sim >= (1 << 63) else sim
+        return pd.Series(out)
+
+    _simhash = pandas_udf(_simhash_batch, "long")
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+@register("q36_simhash")  # rows-only: python-side hash, no SQL oracle
+def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return simhash64(docs).orderBy("doc_id")

@@ -1,0 +1,200 @@
+"""Text analysis over the ``documents`` table (north-star operators).
+
+Language-ID (stopword heuristic), quality scoring (length / token / stopword
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (min-hash of shingles — a winnowing-style rolling hash).
+
+Everything is built-in Spark SQL functions (split / regexp / higher-order
+array lambdas) — no Python UDFs — so the hot path stays inside whole-stage
+codegen and scales linearly with document bytes.  Each operator has an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.functions import (
+    MD5_LONG60_SQL,
+    md5_long60,
+    shingles,
+    shingles_sql,
+    tokens,
+)
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+}
+
+#: BPE-ish token regex: words, numbers, or single non-space symbols.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def stopword_count(tok: Column, words: tuple[str, ...]) -> Column:
+    """# tokens that are stopwords (higher-order filter, JVM-side)."""
+    return F.size(F.filter(tok, lambda t: t.isin(*words)))
+
+
+def quality_columns(text: Column) -> list[Column]:
+    """Quality-scoring columns: lengths, token stats, ratios."""
+    tok = tokens(text)
+    n_tok = F.size(tok)
+    n_chars = F.length(text)
+    stop_en = stopword_count(tok, STOPWORDS["en"])
+    return [
+        n_chars.alias("n_chars_computed"),
+        n_tok.alias("n_tokens"),
+        F.regexp_count(text, F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
+        (n_chars.cast("double") / n_tok).alias("avg_token_len"),
+        (stop_en.cast("double") / n_tok).alias("stopword_ratio"),
+        F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(tok)).cast("double") / n_tok).alias("lexical_diversity"),
+    ]
+
+
+@register(
+    "q28_doc_stats",
+    oracle=f"""
+    SELECT
+      doc_id,
+      length(text) AS n_chars_computed,
+      len(str_split(text, ' ')) AS n_tokens,
+      len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+      CAST(length(text) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
+      CAST(len(list_filter(str_split(text, ' '),
+        t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        / len(str_split(text, ' ')) AS stopword_ratio,
+      len(list_distinct(str_split(text, ' '))) AS n_distinct_tokens,
+      CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+        / len(str_split(text, ' ')) AS lexical_diversity
+    FROM documents
+    WHERE doc_id % 5 = 0
+    ORDER BY doc_id
+    """,
+    headline=True,
+)
+def q28_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return docs.select("doc_id", *quality_columns(F.col("text"))).orderBy("doc_id")
+
+
+@register(
+    "q29_lang_quality_agg",
+    oracle="""
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+      CAST(SUM(length(text)) AS DOUBLE) / SUM(len(str_split(text, ' '))) AS chars_per_token,
+      CAST(SUM(len(list_distinct(str_split(text, ' ')))) AS BIGINT) AS sum_distinct_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q29_lang_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.size(tok)).alias("total_tokens"),
+            (F.sum(F.length("text")).cast("double") / F.sum(F.size(tok))).alias(
+                "chars_per_token"
+            ),
+            F.sum(F.size(F.array_distinct(tok))).alias("sum_distinct_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _lang_guess_sql() -> str:
+    cases = []
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        cases.append(
+            f"len(list_filter(str_split(text, ' '), t -> t IN ({words}))) AS c_{lang}"
+        )
+    return ", ".join(cases)
+
+
+@register(
+    "q30_lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang, {_lang_guess_sql()} FROM documents
+    ),
+    guessed AS (
+      SELECT lang,
+        CASE
+          WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+          WHEN c_de >= greatest(c_en, c_es, c_fr) THEN 'de'
+          WHEN c_en >= greatest(c_es, c_fr) THEN 'en'
+          WHEN c_es >= c_fr THEN 'es'
+          ELSE 'fr'
+        END AS lang_guess
+      FROM scored
+    )
+    SELECT lang, lang_guess, COUNT(*) AS n_docs
+    FROM guessed
+    GROUP BY lang, lang_guess
+    ORDER BY lang, lang_guess
+    """,
+)
+def q30_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix: labeled ``lang`` vs stopword-heuristic guess.
+
+    Ties resolve to the alphabetically-first language (de > en > es > fr
+    priority order in the CASE chain) — encoded identically on both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    c = {lang: stopword_count(tok, words) for lang, words in STOPWORDS.items()}
+    guess = (
+        F.when(F.greatest(c["de"], c["en"], c["es"], c["fr"]) == 0, F.lit("und"))
+        .when(c["de"] >= F.greatest(c["en"], c["es"], c["fr"]), F.lit("de"))
+        .when(c["en"] >= F.greatest(c["es"], c["fr"]), F.lit("en"))
+        .when(c["es"] >= c["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        docs.select("lang", guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+@register(
+    "q31_doc_fingerprint",
+    oracle=f"""
+    SELECT
+      doc_id,
+      list_min(list_transform(
+        {shingles_sql("str_split(text, ' ')", 5)},
+        s -> {MD5_LONG60_SQL.format(x="s")}
+      )) AS fingerprint
+    FROM documents
+    WHERE doc_id % 7 = 0
+    ORDER BY doc_id
+    """,
+)
+def q31_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min 60-bit hash over 5-gram
+    shingles — deterministic and engine-independent (md5-based)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    sh = shingles(tokens(F.col("text")), 5)
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(sh, md5_long60)).alias("fingerprint"),
+    ).orderBy("doc_id")
