@@ -1,0 +1,139 @@
+"""ML scoring pipeline (SURVEY.md §2.10 M1-M9) — the reference's learned
+scoring operator, rebuilt on public MLlib primitives.
+
+Mirrors ``src/models/train.py:14-93`` / ``src/models/predict.py:8-54``:
+stratified negative downsample (``sampleBy``, M1) → ``VectorAssembler``
+(M2) → ``StandardScaler`` (M3) → ``RandomForestClassifier`` (M4) composed
+in a ``Pipeline`` (M5), optional ``CrossValidator`` grid (M6), ROC-AUC
+evaluation (M7), and batch inference via ``PipelineModel.transform`` (M8).
+Persistence uses MLlib's native ``save``/``load`` (M9 without the MLflow
+dependency — experiment tracking is pluggable, not assumed).
+
+Everything is seeded (seed=42, reference src/models/train.py:37,48,66) so
+training is deterministic at a fixed partitioning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.evaluation import BinaryClassificationEvaluator
+from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: The reference's 8 behavioral/numeric features (src/models/train.py:40-45),
+#: mapped to this engine's column names.
+DEFAULT_FEATURES = [
+    "amount",
+    "velocity_1h",
+    "avg_diff_24h",
+    "merchant_diversity",
+    "spending_deviation_score",
+    "velocity_score",
+    "geo_anomaly_score",
+    "is_weekend",
+]
+
+SEED = 42
+
+
+@dataclass
+class TrainConfig:
+    feature_cols: list[str] = field(default_factory=lambda: list(DEFAULT_FEATURES))
+    label_col: str = "label"
+    negative_fraction: float = 0.1  # sampleBy fractions {0: 0.1, 1: 1.0}
+    num_trees: int = 20
+    max_depth: int = 5
+    cross_validate: bool = False
+    cv_num_trees: tuple[int, ...] = (20, 50)
+    cv_max_depth: tuple[int, ...] = (5, 10)
+    cv_folds: int = 3
+    cv_parallelism: int = 2
+
+
+def prepare_training_frame(df: DataFrame, config: TrainConfig) -> DataFrame:
+    """fillna(0) on window features + stratified downsample of negatives
+    (reference src/models/train.py:31-37)."""
+    filled = df.fillna(0, subset=[c for c in config.feature_cols if c in df.columns])
+    return filled.sampleBy(
+        config.label_col,
+        fractions={0: config.negative_fraction, 1: 1.0},
+        seed=SEED,
+    )
+
+
+def build_pipeline(config: TrainConfig) -> Pipeline:
+    assembler = VectorAssembler(
+        inputCols=config.feature_cols,
+        outputCol="raw_features",
+        handleInvalid="skip",
+    )
+    scaler = StandardScaler(
+        inputCol="raw_features", outputCol="features", withStd=True, withMean=True
+    )
+    rf = RandomForestClassifier(
+        featuresCol="features",
+        labelCol=config.label_col,
+        numTrees=config.num_trees,
+        maxDepth=config.max_depth,
+        seed=SEED,
+    )
+    return Pipeline(stages=[assembler, scaler, rf])
+
+
+def train_model(train_df: DataFrame, config: TrainConfig | None = None) -> PipelineModel:
+    """Fit the scoring pipeline; with ``cross_validate`` runs the reference's
+    3-fold grid (numTrees × maxDepth, parallelism 2, src/models/train.py:53-67)."""
+    config = config or TrainConfig()
+    prepared = prepare_training_frame(train_df, config)
+    pipeline = build_pipeline(config)
+    if not config.cross_validate:
+        return pipeline.fit(prepared)
+    rf = pipeline.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, list(config.cv_num_trees))
+        .addGrid(rf.maxDepth, list(config.cv_max_depth))
+        .build()
+    )
+    evaluator = BinaryClassificationEvaluator(
+        labelCol=config.label_col, metricName="areaUnderROC"
+    )
+    cv = CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=config.cv_folds,
+        parallelism=config.cv_parallelism,
+        seed=SEED,
+    )
+    return cv.fit(prepared).bestModel
+
+
+def evaluate_auc(model: PipelineModel, test_df: DataFrame, label_col: str = "label") -> float:
+    """Held-out ROC-AUC (reference src/models/train.py:87-91)."""
+    scored = model.transform(test_df.fillna(0))
+    evaluator = BinaryClassificationEvaluator(
+        labelCol=label_col, metricName="areaUnderROC"
+    )
+    return float(evaluator.evaluate(scored))
+
+
+def run_batch_inference(
+    model: PipelineModel, df: DataFrame, id_cols: tuple[str, ...] = ("transaction_id",)
+) -> DataFrame:
+    """Batch scoring projection (reference src/models/predict.py:36-44):
+    ids + prediction + fraud probability (vector component extracted via
+    ``vector_to_array`` — stays columnar, no Python UDF)."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df.fillna(0))
+    return scored.select(
+        *id_cols,
+        F.col("prediction").cast("double").alias("prediction"),
+        vector_to_array("probability").getItem(1).alias("fraud_probability"),
+    )

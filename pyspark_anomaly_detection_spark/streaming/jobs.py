@@ -1,0 +1,95 @@
+"""Structured Streaming surface (SURVEY.md §2.12 stretch goal).
+
+The reference is batch-only; this engine exposes its event-time
+aggregations under ``readStream`` as well — the transformation code is the
+*same DataFrame logic* as ``events.time_windows`` (batch/streaming unified
+API), plus watermarks for late-data state eviction.
+
+Scale notes: streaming state (window aggregates, sessions) lives in the
+state store keyed by (window, group key); the watermark bounds state size —
+without it a 100 TB/day stream grows state forever.  ``availableNow``
+triggers give batch-equivalent replay semantics, which is exactly how the
+tests verify parity: stream the same parquet through the streaming plan and
+compare to the batch result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from pyspark_anomaly_detection_spark.functions import sum_dbl
+
+#: Schema of the events stream as the ns-normalized reader presents it.
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType = EVENTS_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source event stream (schema mandatory for streaming reads)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling window counts per event type — identical logic
+    to the batch ``q24_tumbling_hourly``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_dbl("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked session windows per user — streaming form of
+    ``q26_session_windows``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Execute a streaming plan to completion with the availableNow trigger
+    (batch-equivalent replay) into an in-memory table named ``query_name``."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -1,0 +1,91 @@
+"""ML scoring pipeline: train → evaluate → batch inference → persistence."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.ml.pipeline import (
+    TrainConfig,
+    evaluate_auc,
+    run_batch_inference,
+    train_model,
+)
+
+
+@pytest.fixture(scope="module")
+def labeled_frame(spark):
+    """Synthetic labeled features with real signal (fraud ⇒ higher
+    velocity/deviation) so AUC is meaningfully > 0.5."""
+    rng = random.Random(42)
+    rows = []
+    for i in range(2000):
+        is_fraud = rng.random() < 0.08
+        boost = 3.0 if is_fraud else 0.0
+        rows.append(
+            (
+                f"T{i}",
+                round(rng.uniform(1, 5000) + boost * 500, 2),
+                rng.randint(1, 3) + (3 if is_fraud else 0),
+                rng.gauss(0, 100) + boost * 100,
+                rng.randint(1, 4) + (2 if is_fraud else 0),
+                rng.gauss(0, 1) + boost,
+                rng.randint(0, 5) + (8 if is_fraud else 0),
+                rng.random() * (0.5 + 0.5 * (1 if is_fraud else 0)),
+                rng.choice([0, 1]),
+                1 if is_fraud else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "transaction_id string, amount double, velocity_1h int, avg_diff_24h double,"
+        "merchant_diversity int, spending_deviation_score double, velocity_score int,"
+        "geo_anomaly_score double, is_weekend int, label int",
+    ).persist()
+
+
+def test_train_and_evaluate(labeled_frame):
+    train, test = labeled_frame.randomSplit([0.7, 0.3], seed=42)
+    model = train_model(train, TrainConfig(num_trees=10, max_depth=4))
+    auc = evaluate_auc(model, test)
+    assert 0.8 < auc <= 1.0, f"AUC {auc} — synthetic signal should be learnable"
+
+
+def test_batch_inference_schema(labeled_frame):
+    model = train_model(labeled_frame, TrainConfig(num_trees=5, max_depth=3))
+    scored = run_batch_inference(model, labeled_frame)
+    assert scored.columns == ["transaction_id", "prediction", "fraud_probability"]
+    row = scored.agg(
+        F.min("fraud_probability").alias("lo"), F.max("fraud_probability").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= row.lo <= row.hi <= 1.0
+    assert scored.count() == labeled_frame.count()
+
+
+def test_model_persistence_roundtrip(labeled_frame, tmp_path):
+    model = train_model(labeled_frame, TrainConfig(num_trees=5, max_depth=3))
+    path = str(tmp_path / "model")
+    model.write().overwrite().save(path)
+    from pyspark.ml import PipelineModel
+
+    reloaded = PipelineModel.load(path)
+    a = run_batch_inference(model, labeled_frame).orderBy("transaction_id").toPandas()
+    b = run_batch_inference(reloaded, labeled_frame).orderBy("transaction_id").toPandas()
+    assert (a["prediction"] == b["prediction"]).all()
+    assert (a["fraud_probability"] - b["fraud_probability"]).abs().max() < 1e-12
+
+
+def test_stratified_downsample(labeled_frame):
+    from pyspark_anomaly_detection_spark.ml.pipeline import prepare_training_frame
+
+    prepared = prepare_training_frame(labeled_frame, TrainConfig())
+    counts = dict(
+        prepared.groupBy("label").count().rdd.map(lambda r: (r["label"], r["count"])).collect()
+    )
+    full = dict(
+        labeled_frame.groupBy("label").count().rdd.map(lambda r: (r["label"], r["count"])).collect()
+    )
+    assert counts[1] == full[1]  # keep all fraud
+    assert counts[0] < full[0] * 0.2  # ~10% of negatives

@@ -1,0 +1,210 @@
+"""End-to-end Medallion pipeline parity against hand-computed expectations.
+
+Replays the reference's bronze→silver→features→gold semantics
+(SURVEY.md §2 / FIXTURES.md §A) on a deterministic synthetic CSV fixture
+with deliberate malformed rows, and checks every layer against independent
+pandas recomputations.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.pipeline.medallion import (
+    PipelinePaths,
+    run_full_pipeline,
+    silver_expectations,
+)
+from pyspark_anomaly_detection_spark.quality.gates import enforce
+
+N_CLEAN = 1200
+N_CORRUPT = 7
+CUTOFF = datetime(2023, 10, 20, 12, 0, 0)
+
+
+def _make_fixture_csv(path: str) -> pd.DataFrame:
+    """Deterministic transactions CSV spanning the reference's split point,
+    with malformed rows (bad amount / bad timestamp) for quarantine."""
+    rng = random.Random(42)
+    start = datetime(2023, 9, 1)
+    rows = []
+    for i in range(N_CLEAN):
+        ts = start + timedelta(
+            seconds=rng.randint(0, 86400 * 90), microseconds=rng.randint(0, 999999)
+        )
+        is_fraud = rng.random() < 0.03
+        rows.append(
+            {
+                "transaction_id": f"T{100000 + i}",
+                "timestamp": ts,
+                "sender_account": f"ACC{rng.randint(1, 40):03d}",
+                "receiver_account": f"ACC{rng.randint(1, 200):03d}",
+                "amount": round(rng.uniform(1, 5000), 2),
+                "transaction_type": rng.choice(
+                    ["deposit", "withdrawal", "payment", "transfer"]
+                ),
+                "merchant_category": rng.choice(
+                    ["entertainment", "restaurant", "travel", "retail"]
+                ),
+                "location": rng.choice(["Austin", "Berlin", "Tokyo", "Lima"]),
+                "device_used": rng.choice(["mobile", "pos", "web", "atm"]),
+                "is_fraud": is_fraud,
+                "fraud_type": rng.choice(["card", "account"]) if is_fraud else None,
+                "time_since_last_transaction": round(rng.uniform(0, 86400), 1),
+                "spending_deviation_score": round(rng.gauss(0, 1), 4),
+                "velocity_score": rng.randint(0, 20),
+                "geo_anomaly_score": round(rng.random(), 4),
+                "payment_channel": rng.choice(["ACH", "card", "UPI", "wire"]),
+                "ip_address": f"10.0.{rng.randint(0,255)}.{rng.randint(0,255)}",
+                "device_hash": f"D{rng.randint(1000000, 9999999)}",
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    header = ",".join(pdf.columns)
+    lines = [header]
+    for _, r in pdf.iterrows():
+        ts = r["timestamp"].strftime("%Y-%m-%dT%H:%M:%S.%f")
+        vals = [
+            r["transaction_id"],
+            ts,
+            r["sender_account"],
+            r["receiver_account"],
+            f'{r["amount"]:.2f}',
+            r["transaction_type"],
+            r["merchant_category"],
+            r["location"],
+            r["device_used"],
+            str(r["is_fraud"]).lower(),
+            "" if r["fraud_type"] is None else r["fraud_type"],
+            str(r["time_since_last_transaction"]),
+            str(r["spending_deviation_score"]),
+            str(r["velocity_score"]),
+            str(r["geo_anomaly_score"]),
+            r["payment_channel"],
+            r["ip_address"],
+            r["device_hash"],
+        ]
+        lines.append(",".join(vals))
+    # malformed rows: non-numeric amount or unparsable timestamp
+    for j in range(N_CORRUPT):
+        bad = lines[1 + j].split(",")
+        if j % 2 == 0:
+            bad[4] = "not-a-number"
+        else:
+            bad[1] = "garbage-timestamp"
+        bad[0] = f"TBAD{j}"
+        lines.append(",".join(bad))
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("medallion")
+    csv_path = str(root / "raw.csv")
+    expected = _make_fixture_csv(csv_path)
+    stats = run_full_pipeline(spark, csv_path, str(root / "data"))
+    return expected, stats, PipelinePaths(str(root / "data"))
+
+
+def test_quarantine_and_counts(pipeline_run):
+    expected, stats, _ = pipeline_run
+    assert stats["quarantined_rows"] == N_CORRUPT
+    assert stats["bronze_rows"] == N_CLEAN
+    n_train_expected = int((expected["timestamp"] < CUTOFF).sum())
+    assert stats["train_rows"] == n_train_expected
+    assert stats["test_rows"] == N_CLEAN - n_train_expected
+
+
+def test_silver_derived_columns(spark, pipeline_run):
+    expected, _, paths = pipeline_run
+    silver = (
+        spark.read.parquet(paths.silver_train)
+        .unionByName(spark.read.parquet(paths.silver_test))
+        .select(
+            "transaction_id",
+            "timestamp",
+            "txn_hour",
+            "txn_day_of_week",
+            "is_weekend",
+            "label",
+            "fraud_type",
+        )
+        .toPandas()
+        .set_index("transaction_id")
+        .sort_index()
+    )
+    exp = expected.set_index("transaction_id").sort_index()
+    assert (silver["txn_hour"] == exp["timestamp"].dt.hour).all()
+    # Spark dayofweek: Sunday=1..Saturday=7; pandas dayofweek: Monday=0
+    expected_dow = (exp["timestamp"].dt.dayofweek + 1) % 7 + 1
+    assert (silver["txn_day_of_week"] == expected_dow).all()
+    assert (silver["is_weekend"] == expected_dow.isin([1, 7]).astype(int)).all()
+    assert (silver["label"] == exp["is_fraud"].astype(int)).all()
+    assert (silver["fraud_type"] == exp["fraud_type"].fillna("none")).all()
+
+
+def test_behavioral_features_brute_force(spark, pipeline_run):
+    _, _, paths = pipeline_run
+    feats = (
+        spark.read.parquet(paths.features_train)
+        .select(
+            "transaction_id",
+            "sender_account",
+            "receiver_account",
+            "timestamp",
+            "amount",
+            "velocity_1h",
+            "avg_diff_24h",
+            "merchant_diversity",
+        )
+        .toPandas()
+    )
+    # brute-force recompute per row over the same (train) rows
+    by_sender = {k: g for k, g in feats.groupby("sender_account")}
+    for _, row in feats.sample(n=150, random_state=7).iterrows():
+        grp = by_sender[row["sender_account"]]
+        t = row["timestamp"]
+        w1 = grp[(grp["timestamp"] >= t - timedelta(hours=1)) & (grp["timestamp"] <= t)]
+        w24 = grp[(grp["timestamp"] >= t - timedelta(hours=24)) & (grp["timestamp"] <= t)]
+        w6 = grp[(grp["timestamp"] >= t - timedelta(hours=6)) & (grp["timestamp"] <= t)]
+        assert row["velocity_1h"] == len(w1), row["transaction_id"]
+        assert row["merchant_diversity"] == w6["receiver_account"].nunique()
+        expected_diff = row["amount"] - w24["amount"].mean()
+        assert abs(row["avg_diff_24h"] - expected_diff) < 1e-9
+
+
+def test_gold_daily_recompute(spark, pipeline_run, duck):
+    _, _, paths = pipeline_run
+    daily = spark.read.parquet(paths.gold_daily).toPandas()
+    silver = (
+        spark.read.parquet(paths.silver_train)
+        .unionByName(spark.read.parquet(paths.silver_test))
+        .select("timestamp", "label", "amount")
+        .toPandas()
+    )
+    silver["d"] = silver["timestamp"].dt.date
+    grouped = silver.groupby("d")
+    assert len(daily) == len(grouped)
+    exp = grouped.agg(n=("label", "size"), fraud=("label", "sum")).reset_index()
+    merged = daily.merge(exp, left_on="ingestion_date", right_on="d")
+    assert (merged["total_transactions"] == merged["n"]).all()
+    assert (merged["fraud_cases"] == merged["fraud"]).all()
+    assert (
+        (merged["fraud_rate"] - (merged["fraud"] / merged["n"]).round(4)).abs() < 1e-12
+    ).all()
+
+
+def test_dq_gate_raises_on_violation(spark):
+    bad = spark.createDataFrame(
+        [("T1", -5.0, 3, 1), ("T2", 10.0, 99, 0)],
+        "transaction_id string, amount double, txn_hour int, label int",
+    )
+    with pytest.raises(ValueError, match="amount_out_of_range"):
+        enforce(bad, silver_expectations()[1:])

@@ -1,0 +1,63 @@
+"""Streaming/batch parity: the same event-time aggregations produce the
+same results under Structured Streaming (availableNow replay) as in batch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.streaming.jobs import (
+    read_event_stream,
+    run_to_memory_sink,
+    session_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Re-materialize events as a multi-file parquet dir (streaming file
+    source needs a directory it can incrementally list)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, event_stream_dir):
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=2)
+    run_to_memory_sink(tumbling_counts(stream), "tumbling_sink")
+    streamed = (
+        spark.table("tumbling_sink")
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    batch = (
+        tumbling_counts(load_table(spark, sf_dir, "events").withWatermark("ts", "2 hours"))
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    assert streamed.equals(batch)
+
+
+def test_session_stream_matches_batch(spark, sf_dir, event_stream_dir):
+    stream = read_event_stream(spark, event_stream_dir)
+    run_to_memory_sink(session_counts(stream), "session_sink")
+    streamed = (
+        spark.table("session_sink").orderBy("user_id", "session_start").toPandas()
+    )
+    batch = (
+        session_counts(load_table(spark, sf_dir, "events"))
+        .orderBy("user_id", "session_start")
+        .toPandas()
+    )
+    assert streamed.equals(batch)
+
+
+def test_watermark_present_in_plan(spark, event_stream_dir):
+    stream = tumbling_counts(read_event_stream(spark, event_stream_dir))
+    assert stream.isStreaming
+    assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
