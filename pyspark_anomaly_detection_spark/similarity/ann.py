@@ -33,6 +33,13 @@ def _as_double(c: Column) -> Column:
     return c.cast("array<double>")
 
 
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (matches DuckDB list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -42,21 +49,26 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query side, rank per query.
 
-    Deterministic tie-break on candidate id.
+    Norms are precomputed once per vector (N+Q sqrt/folds) instead of per
+    pair (2·N·Q) — same bitwise result (sqrt of the identical dot), ~2× less
+    work in the pair loop.  Deterministic tie-break on candidate id.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
-    )
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
     c = candidates.select(
         F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
-    )
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+            (
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos_sim"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)

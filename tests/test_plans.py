@@ -1,0 +1,104 @@
+"""Scale guardrails: physical-plan assertions for the query surface.
+
+These tests encode the 100 TB design rules: predicate pushdown, column
+pruning, broadcast dimension joins, map-side partial aggregation, single
+shuffle for shared window specs, and no Python evaluation in relational
+operators.  A regression here is a scan/shuffle blow-up at cluster scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_anomaly_detection_spark import plans
+from pyspark_anomaly_detection_spark.registry import all_queries
+
+REGISTRY = all_queries()
+
+
+def q(name):
+    return REGISTRY[name].fn
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = q("q05_filter_project")(spark, sf_dir)
+    assert plans.has_pushed_filter(df, "l_shipdate"), plans.formatted_plan(df)
+    assert plans.has_pushed_filter(df, "l_quantity")
+
+
+def test_column_pruning_on_aggregation(spark, sf_dir):
+    df = q("q01_pricing_summary")(spark, sf_dir)
+    schemas = plans.read_schemas(plans.formatted_plan(df))
+    assert schemas, "expected a parquet scan with ReadSchema"
+    read_cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    # 16-column lineitem pruned to the 7 referenced columns
+    assert read_cols == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }, read_cols
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for name in ("q03_region_revenue", "q11_broadcast_dim_join"):
+        df = q(name)(spark, sf_dir)
+        assert plans.uses_broadcast_join(df), f"{name} should broadcast dims"
+
+
+def test_no_python_eval_in_relational_path(spark, sf_dir):
+    for name in (
+        "q01_pricing_summary",
+        "q02_top_revenue_orders",
+        "q04_daily_order_summary",
+        "q21_velocity_windows",
+        "q24_tumbling_hourly",
+        "q28_doc_stats",
+        "q33_minhash_signatures",
+        "q37_ann_cosine_topk",
+    ):
+        df = q(name)(spark, sf_dir)
+        assert not plans.has_python_eval(df), f"{name} fell off the JVM path"
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    df = q("q01_pricing_summary")(spark, sf_dir)
+    assert plans.has_partial_aggregation(df), "expected map-side combine"
+
+
+def test_shared_window_spec_single_shuffle(spark, sf_dir):
+    """The three behavioral frames share partition+order key → exactly one
+    exchange for the window stage (reference SURVEY §4.2)."""
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+    from pyspark_anomaly_detection_spark.windows.features import (
+        with_behavioral_features,
+    )
+
+    df = with_behavioral_features(load_table(spark, sf_dir, "events"))
+    assert plans.count_shuffles(df) == 1, plans.formatted_plan(df)
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    df = q("q02_top_revenue_orders")(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE wraps the plan and reports 0 codegen subtrees until execution —
+    # disable it for this static inspection only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = q("q01_pricing_summary")(spark, sf_dir)
+        assert plans.has_whole_stage_codegen(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = plans.formatted_plan(q("q09_semi_join")(spark, sf_dir))
+    assert "LeftSemi" in plan
+    plan = plans.formatted_plan(q("q10_anti_join")(spark, sf_dir))
+    assert "LeftAnti" in plan
