@@ -59,6 +59,7 @@ def all_queries() -> dict[str, Query]:
     # Imports deferred to avoid circulars; each module registers on import.
     import pyspark_anomaly_detection_spark.events.time_windows  # noqa: F401
     import pyspark_anomaly_detection_spark.quality.gates  # noqa: F401
+    import pyspark_anomaly_detection_spark.relational.advanced  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.queries  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.setops  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.ann  # noqa: F401

@@ -97,6 +97,140 @@ def merchant_diversity_approx(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` per key — the operator Spark lacks natively.
+
+    Spark-first implementation: union-tag the two streams, ONE window pass
+    (partition by key, order by ts) carrying the right side's last-seen
+    values forward, then keep left rows.  Single shuffle on the key —
+    versus the naive range-join + groupBy which is quadratic per key.
+    Right-side columns come back as ``asof_<col>`` plus ``asof_ts``.
+    """
+    lhs = left.withColumn("_side", F.lit(1))
+    rhs = right.select(
+        F.col(on),
+        F.col(right_ts).alias(left_ts),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("_side", F.lit(0))
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts → "<=" semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.unix_micros(F.col(left_ts)), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    right_marked = F.when(F.col("_side") == 0, F.unix_micros(F.col(left_ts)))
+    carried = unioned.withColumn(
+        "asof_ts_us", F.max(right_marked).over(w)
+    )
+    for c in right_cols:
+        carried = carried.withColumn(
+            f"asof_{c}",
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w),
+        )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .withColumn("asof_ts", F.timestamp_micros("asof_ts_us"))
+        .drop("_side", "asof_ts_us", *right_cols)
+    )
+
+
+@register(
+    "q51_asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 1 AS side, NULL AS pvalue FROM events
+        WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, ts, NULL AS event_id, 0 AS side, value AS pvalue FROM events
+        WHERE event_type = 'purchase'
+    ),
+    carried AS (
+      SELECT
+        user_id, ts, event_id, side,
+        MAX(CASE WHEN side = 0 THEN epoch_us(ts) END) OVER w AS asof_ts_us,
+        CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER w AS BIGINT) AS n_purchases_before
+      FROM tagged
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts), side
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT
+      event_id,
+      user_id,
+      strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+      epoch_us(ts) - asof_ts_us AS us_since_purchase,
+      n_purchases_before
+    FROM carried
+    WHERE side = 1
+    ORDER BY event_id
+    """,
+)
+def q51_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'error' event: how long since that user's latest preceding
+    'purchase' (null when none) — the as-of join on the events table."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(errors, purchases, on="user_id", right_cols=("value",))
+    # count of purchases at-or-before, for oracle cross-checking
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), F.lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        fmt_ts("ts").alias("error_ts"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("us_since_purchase"),
+    ).join(
+        _purchase_counts(ev), on=["event_id"], how="left"
+    ).select(
+        "event_id", "user_id", "error_ts", "us_since_purchase",
+        F.coalesce("n_purchases_before", F.lit(0)).alias("n_purchases_before"),
+    ).orderBy("event_id")
+
+
+def _purchase_counts(ev: DataFrame) -> DataFrame:
+    """Per error event: purchases at-or-before it for the same user (window
+    over the union-tagged stream, mirroring the oracle CTE)."""
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", 1)
+        .when(F.col("event_type") == "purchase", 0)
+        .alias("_side"),
+    ).filter(F.col("_side").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "n_purchases_before",
+            F.sum(F.when(F.col("_side") == 0, 1).otherwise(0)).over(w),
+        )
+        .filter(F.col("_side") == 1)
+        .select("event_id", "n_purchases_before")
+    )
+
+
 @register(
     "q21_velocity_windows",
     oracle="""
