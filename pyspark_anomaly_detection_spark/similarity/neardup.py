@@ -1,0 +1,232 @@
+"""Embedding-cosine near-duplicate detection + IVF approximate search
+(north-star operators; no reference analogue — the reference has no vector
+surface at all, cf. SURVEY.md §2.10).
+
+Two scale regimes, same semantics:
+
+* ``cosine_neardup_pairs`` — EXACT thresholded all-pairs (a < b).  O(N²)
+  pairs but norm computation is O(N) (precomputed once, not per pair).
+  This is the oracle-checkable version (q52).
+* ``lsh_blocked_neardup`` — the 100 TB path: sign-LSH bucket as the
+  blocking key, so the self-join shuffles on ``bucket`` and only
+  same-bucket pairs are scored.  Recall < 1 by construction; verified by
+  set-containment against the exact pairs in tests, not by oracle hash.
+* ``ivf_topk`` (q53) — IVF approximate nearest neighbour: seeded MLlib
+  KMeans coarse quantizer, candidates limited to the ``nprobe`` cells
+  nearest each query.  At cluster scale the cell id is the partitioning /
+  bucketing key and the centroid table is broadcast (k × dim floats).
+
+Threshold note: the synthetic embeddings are near-orthogonal (max pairwise
+cosine ≈ 0.51 at sf0.01), so the "near-dup" threshold is set at the 99.9th
+percentile of the pair distribution (0.38) to exercise the operator with a
+non-empty result; the semantics are threshold-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
+from pyspark_anomaly_detection_spark.similarity.ann import (
+    _as_double,
+    _dot,
+    _hyperplanes,
+    sign_lsh_bucket,
+)
+
+NEARDUP_THRESHOLD = 0.38
+IVF_K = 16
+IVF_NPROBE = 4  # 4/16 cells scanned → recall@5 ≈ 0.62 on the (structureless,
+# near-orthogonal) synthetic vectors; real clustered embeddings do far better
+
+
+def _normed(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """Project to (id, vec, norm) with the norm computed once per vector."""
+    vec = _as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"), vec.alias(f"{prefix}vec")
+    ).withColumn(
+        f"{prefix}norm",
+        F.sqrt(_dot(F.col(f"{prefix}vec"), F.col(f"{prefix}vec"))),
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b, cos >= threshold).
+
+    The canonical-survivor convention downstream is "keep min id": marking
+    ``id_b`` rows as duplicates of ``id_a`` reproduces the exact-dedup
+    keep-first rule (cf. text/dedup.py) on the vector surface.
+    """
+    a = _normed(df, id_col, vec_col, "a")
+    b = _normed(df, id_col, vec_col, "b")
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id"),
+            F.col("b_id"),
+            (
+                _dot(F.col("avec"), F.col("bvec")) / (F.col("anorm") * F.col("bnorm"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_blocked_neardup(
+    df: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: same output columns as ``cosine_neardup_pairs`` but the
+    self-join is blocked on the sign-LSH bucket — shuffle key = bucket, so
+    pair generation is sum over buckets of |bucket|² instead of N²."""
+    planes = _hyperplanes(n_planes)
+    vec = _as_double(F.col(vec_col))
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        vec.alias("vec"),
+        sign_lsh_bucket(vec, planes).alias("bucket"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            (
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+@register(
+    "q52_embedding_neardup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) >= {NEARDUP_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+)
+def q52_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs over the embeddings table.
+    Dot products are sequential left-folds (zip_with + aggregate) matching
+    DuckDB's list_dot_product evaluation order bitwise — no tolerance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb).orderBy("a_id", "b_id")
+
+
+# --------------------------------------------------------------------------
+# IVF approximate nearest neighbour (coarse quantizer + probed cells).
+# --------------------------------------------------------------------------
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: seeded KMeans cells; per query, scan only the ``nprobe``
+    nearest cells.
+
+    Cluster-scale layout: the candidate table is written bucketed/
+    partitioned by ``cell``; the (query → probed cell) map is tiny and
+    broadcast, so the probe is a broadcast-hash join that prunes to
+    nprobe/n_cells of the data — no full shuffle of the big side.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("vec"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=42, featuresCol="features").fit(feat)
+    assigned = (
+        model.transform(feat)
+        .select(
+            F.col(id_col).alias("cand_id"),
+            F.col("vec").alias("cvec"),
+            F.col("prediction").alias("cell"),
+        )
+        .withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+    )
+
+    # Probe map: per query the nprobe nearest centroids (centroid table is
+    # k rows — crossJoin with the broadcast-small query side is k×Q rows).
+    centroids = [
+        [float(x) for x in c] for c in model.clusterCenters()
+    ]
+    centroid_df = df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, center array<double>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    ).withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
+    wq = Window.partitionBy("query_id").orderBy("dist2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(centroid_df))
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(F.col("qvec"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn("prb", F.row_number().over(wq))
+        .filter(F.col("prb") <= nprobe)
+        .select("query_id", "qvec", "qnorm", "cell")
+    )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+@register("q53_ivf_ann_topk", oracle=None)  # rows-only: KMeans has no SQL oracle
+def q53_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for the same query set as q37 (vec_id % 20 = 0).
+    Recall vs the exact brute force is asserted in tests, not by oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return ivf_topk(emb, queries).orderBy("query_id", "rk")

@@ -1,0 +1,60 @@
+"""Approximate-similarity guarantees that the DuckDB oracle can't express:
+set-containment and recall against the exact brute force (SURVEY.md §7.4 —
+LSH correctness is recall, not hash equality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.similarity.ann import brute_force_topk, lsh_topk
+from pyspark_anomaly_detection_spark.similarity.neardup import (
+    cosine_neardup_pairs,
+    ivf_topk,
+    lsh_blocked_neardup,
+)
+
+
+def test_blocked_neardup_is_subset_of_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.a_id, r.b_id) for r in cosine_neardup_pairs(emb).collect()}
+    blocked = {(r.a_id, r.b_id) for r in lsh_blocked_neardup(emb).collect()}
+    assert blocked, "blocking must keep at least some candidate pairs"
+    assert blocked <= exact, "blocked pairs must pass the same exact threshold"
+
+
+def test_neardup_pairs_are_canonical_ordered(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(emb)
+    assert pairs.filter(F.col("a_id") >= F.col("b_id")).count() == 0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    bf = {(r.query_id, r.cand_id) for r in brute_force_topk(queries, emb).collect()}
+    ivf = {(r.query_id, r.cand_id) for r in ivf_topk(emb, queries).collect()}
+    n_queries = queries.count()
+    assert len(ivf) == 5 * n_queries, "every query must return exactly k rows"
+    recall = len(bf & ivf) / len(bf)
+    # Structureless near-orthogonal vectors: nprobe=4/16 measures 0.62.
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.3f}"
+
+
+def test_lsh_topk_scores_match_brute_force_on_overlap(spark, sf_dir):
+    """Where LSH and brute force agree on a (query, cand) pair, the cosine
+    must be identical — the approximation is in candidate pruning only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    bf = {
+        (r.query_id, r.cand_id): r.cos_sim
+        for r in brute_force_topk(queries, emb).collect()
+    }
+    approx = {
+        (r.query_id, r.cand_id): r.cos_sim
+        for r in lsh_topk(emb).filter(F.col("query_id") % 20 == 0).collect()
+    }
+    overlap = set(bf) & set(approx)
+    assert overlap, "LSH should recover at least one true top-k pair"
+    for key in overlap:
+        assert bf[key] == approx[key]
