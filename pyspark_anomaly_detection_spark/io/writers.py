@@ -32,6 +32,33 @@ def write_table(
     writer.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    sort_by: Sequence[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) catalog table — the co-located-join layout.
+
+    Two tables bucketed on their join key with the SAME bucket count join
+    with ZERO shuffle: each bucket pair is joined in place (verified by
+    plan assertion in tests — no ``Exchange hashpartitioning`` on either
+    side).  At 100 TB this converts the nightly fact-fact join from a full
+    2-sided shuffle into a per-bucket sort-merge; ``sort_by`` additionally
+    pre-orders within buckets so even the sort is free at read time.
+
+    Bucketed tables must go through the catalog (``saveAsTable``) — the
+    bucket metadata lives there, not in the files.
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -59,6 +59,12 @@ def get_spark_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        # catalog home for bucketed tables (io.writers.write_bucketed);
+        # kept outside the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

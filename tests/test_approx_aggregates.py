@@ -1,0 +1,40 @@
+"""Sketch-aggregate error bounds vs exact answers (no cross-engine oracle
+— HLL/quantile-sketch internals differ per engine, SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.events.rollup import q62_approx_aggregates
+from pyspark_anomaly_detection_spark.io.readers import load_table
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    approx = {
+        r.event_type: r.approx_users
+        for r in q62_approx_aggregates(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for etype, n in exact.items():
+        # rsd=0.02 → allow 5 standard deviations plus small-count slack
+        assert abs(approx[etype] - n) <= max(3, 0.1 * n), (etype, approx[etype], n)
+
+
+def test_approx_percentiles_bracket_exact(spark, sf_dir):
+    rows = {r.event_type: r for r in q62_approx_aggregates(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    for etype, row in rows.items():
+        vals = sorted(
+            r.value for r in ev.filter(F.col("event_type") == etype).collect()
+        )
+        lo, hi = vals[0], vals[-1]
+        assert lo <= row.p50 <= row.p90 <= row.p99 <= hi
+        # p50 must land within the middle half of the distribution
+        assert vals[len(vals) // 4] <= row.p50 <= vals[(3 * len(vals)) // 4]
