@@ -57,6 +57,7 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 def all_queries() -> dict[str, Query]:
     """Import every query module (self-registering) and return the registry."""
     # Imports deferred to avoid circulars; each module registers on import.
+    import pyspark_anomaly_detection_spark.events.analytics  # noqa: F401
     import pyspark_anomaly_detection_spark.events.rollup  # noqa: F401
     import pyspark_anomaly_detection_spark.events.time_windows  # noqa: F401
     import pyspark_anomaly_detection_spark.quality.gates  # noqa: F401
