@@ -59,6 +59,7 @@ def sessionize(
 
 @register(
     "q63_sessionization_gap",
+    headline=True,
     oracle=f"""
     WITH flagged AS (
       SELECT

@@ -53,6 +53,7 @@ def minute_partials(events: DataFrame) -> DataFrame:
 
 @register(
     "q61_rollup_cascade",
+    headline=True,
     oracle="""
     SELECT
       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S.%f') AS day,
