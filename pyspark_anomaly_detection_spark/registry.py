@@ -65,6 +65,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.relational.breadth  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.queries  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.setops  # noqa: F401
+    import pyspark_anomaly_detection_spark.relational.tpch  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.ann  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.neardup  # noqa: F401
     import pyspark_anomaly_detection_spark.text.dedup  # noqa: F401
