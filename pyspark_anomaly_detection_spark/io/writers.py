@@ -32,6 +32,29 @@ def write_table(
     writer.save(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """Incremental partition upsert: overwrite ONLY the partitions present
+    in ``df``, leaving every other partition untouched.
+
+    The nightly-pipeline write pattern at 100 TB: re-materializing one
+    day's partition must not rewrite (or delete) the other 3 years of
+    history — static overwrite mode would.  Uses Spark's dynamic
+    partition-overwrite mode, scoped to this one write.
+    """
+    (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .save(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
