@@ -310,11 +310,15 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             if not tokens_:
                 continue
             acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
             for tk in tokens_:
-                h = int.from_bytes(
-                    hashlib.blake2b(tk.encode(), digest_size=8).digest(), "big"
+                # uint64 throughout: hashes with the top bit set are valid
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(tk.encode(), digest_size=8).digest(), "big"
+                    )
                 )
-                bits = (h >> np.arange(64)) & 1
+                bits = (h >> shifts) & np.uint64(1)
                 acc += np.where(bits == 1, 1, -1)
             sim = 0
             for bit in np.nonzero(acc > 0)[0]:
