@@ -80,6 +80,59 @@ def session_counts(
     )
 
 
+def clicks_to_purchases_join(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``horizon``.
+
+    Both sides are watermarked so the state store can evict: a click older
+    than (watermark + horizon) can never match a future purchase and is
+    dropped.  Without the time bound the join state grows with the full
+    stream — the unbounded-state mistake this operator exists to avoid.
+    The batch formulation of the same semantics is a range join on
+    (user_id, time interval), which is how the test verifies it.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user
+            AND click_ts <= purchase_ts
+            AND click_ts >= purchase_ts - INTERVAL {horizon}
+            """
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "value",
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

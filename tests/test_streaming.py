@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from pyspark_anomaly_detection_spark.io.readers import load_table
 from pyspark_anomaly_detection_spark.streaming.jobs import (
+    clicks_to_purchases_join,
     read_event_stream,
     run_to_memory_sink,
     session_counts,
@@ -55,6 +56,44 @@ def test_session_stream_matches_batch(spark, sf_dir, event_stream_dir):
         .toPandas()
     )
     assert streamed.equals(batch)
+
+
+def test_stream_stream_join_matches_batch_range_join(
+    spark, sf_dir, event_stream_dir
+):
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=2)
+    run_to_memory_sink(
+        clicks_to_purchases_join(stream), "ssjoin_sink", output_mode="append"
+    )
+    streamed = {
+        (r.purchase_id, r.click_id)
+        for r in spark.table("ssjoin_sink").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = {
+        (r.purchase_id, r.click_id)
+        for r in clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+        ).collect()
+    }
+    assert batch, "fixture produced no click→purchase pairs"
+    assert streamed == batch
 
 
 def test_watermark_present_in_plan(spark, event_stream_dir):
