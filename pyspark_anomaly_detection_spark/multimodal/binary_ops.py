@@ -21,8 +21,11 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -123,6 +126,48 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a multimodal table from ``documents`` (the testdata has
+    no binary columns): payload = utf-8 text bytes, modality round-robin
+    by id, duration for "video" rows derived from byte length.  Everything
+    downstream treats the payload as opaque bytes — exactly as real media
+    would flow."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.lit("stub").alias("codec"),
+        F.encode("text", "utf-8").alias("payload"),
+    ).withColumn(
+        "duration_ms",
+        F.when(
+            F.col("modality") == "video", (F.length("payload") % 5000).cast("int")
+        ),
+    )
+
+
+@register("q70_multimodal_features", oracle=None)  # rows-only: python decode stub
+def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal plumbing: synthesize media from documents →
+    JVM-side metadata → Arrow-batched mapInPandas feature extraction →
+    per-modality aggregate of decode status and feature mass."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_metadata(media_table_from_documents(docs))
+    feats = extract_features(media)
+    return (
+        feats.groupBy("modality", "decode_ok")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.max("feature_dim").alias("feature_dim"),
+            F.sum(F.element_at("feature", 1)).alias("bucket0_mass"),
+        )
+        .orderBy("modality", "decode_ok")
+    )
 
 
 def sample_frames(
