@@ -22,8 +22,11 @@ from pyspark.ml.classification import RandomForestClassifier
 from pyspark.ml.evaluation import BinaryClassificationEvaluator
 from pyspark.ml.feature import StandardScaler, VectorAssembler
 from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
 
 #: The reference's 8 behavioral/numeric features (src/models/train.py:40-45),
 #: mapped to this engine's column names.
@@ -121,6 +124,54 @@ def evaluate_auc(model: PipelineModel, test_df: DataFrame, label_col: str = "lab
         labelCol=label_col, metricName="areaUnderROC"
     )
     return float(evaluator.evaluate(scored))
+
+
+def _event_features(ev: DataFrame) -> DataFrame:
+    """Deterministic feature/label derivation over events for the registry
+    query: amount-like value, time-of-day, JSON-extracted k, and a rule
+    label (value above its event-type's global mean) — pure plumbing
+    exercise; the learned rule is intentionally recoverable."""
+    means = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*")).alias(
+            "_type_mean"
+        )
+    )
+    return (
+        ev.join(F.broadcast(means), "event_type")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("value").alias("amount"),
+            F.hour("ts").cast("double").alias("txn_hour"),
+            F.dayofweek("ts").cast("double").alias("txn_day_of_week"),
+            F.coalesce(
+                F.get_json_object("props", "$.k").cast("double"), F.lit(0.0)
+            ).alias("k_score"),
+            (F.col("value") > F.col("_type_mean")).cast("int").alias("label"),
+        )
+    )
+
+
+@register("q71_ml_scoring", oracle=None)  # rows-only: RF training has no SQL oracle
+def q71_ml_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M8 end-to-end in one query: derive features/labels from events,
+    train a seeded (small) assembler→scaler→RF pipeline on 80% of users,
+    batch-score the held-out 20%, return per-event predictions."""
+    ev = load_table(spark, sf_dir, "events")
+    feats = _event_features(ev)
+    train = feats.filter(F.col("user_id") % 5 != 0)
+    test = feats.filter(F.col("user_id") % 5 == 0)
+    config = TrainConfig(
+        feature_cols=["amount", "txn_hour", "txn_day_of_week", "k_score"],
+        negative_fraction=1.0,  # no downsample — labels are balanced here
+        num_trees=5,
+        max_depth=4,
+    )
+    model = train_model(train, config)
+    return (
+        run_batch_inference(model, test, id_cols=("event_id", "label"))
+        .orderBy("event_id")
+    )
 
 
 def run_batch_inference(

@@ -60,6 +60,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.events.analytics  # noqa: F401
     import pyspark_anomaly_detection_spark.events.rollup  # noqa: F401
     import pyspark_anomaly_detection_spark.events.time_windows  # noqa: F401
+    import pyspark_anomaly_detection_spark.ml.pipeline  # noqa: F401
     import pyspark_anomaly_detection_spark.multimodal.binary_ops  # noqa: F401
     import pyspark_anomaly_detection_spark.quality.gates  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.advanced  # noqa: F401
