@@ -1,0 +1,67 @@
+"""Incremental gold maintenance via ``foreachBatch``: the streaming form
+of the reference's gold daily aggregation (reference src/data/gold.py:31-41),
+kept up to date as events arrive instead of recomputed nightly.
+
+Pattern: micro-batch → re-aggregate ONLY the days touched by the batch
+(reading back just those partitions of the existing gold table via
+partition pruning) → ``overwrite_partitions`` rewrites exactly those
+day-partitions.  At 100 TB/day the write amplification is bounded by the
+watermark horizon (late data only reopens recent days), not by table
+history.
+
+``foreachBatch`` is the right tool because the sink is a plain parquet
+layout (no streaming sink supports dynamic partition overwrite); each
+batch function runs as a normal batch job with full DataFrame semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.writers import overwrite_partitions
+
+
+def daily_gold(events: DataFrame) -> DataFrame:
+    """The gold aggregate: per (day, event_type) counts and exact sums —
+    re-aggregatable partials (cf. events/rollup.py)."""
+    return events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+    )
+
+
+def start_incremental_gold(
+    stream: DataFrame,
+    gold_path: str,
+    raw_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Maintain the daily gold table incrementally.
+
+    Each micro-batch: find touched days, re-aggregate those days from the
+    raw store (idempotent — replays converge to the batch answer), rewrite
+    only those partitions.  Aggregating from raw per touched day (rather
+    than merging partials) keeps the batch function idempotent under
+    at-least-once delivery.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        days = [r.day for r in batch_df.select(F.to_date("ts").alias("day")).distinct().collect()]
+        raw = spark.read.parquet(raw_path)
+        touched = raw.filter(F.to_date("ts").isin(days))
+        overwrite_partitions(daily_gold(touched), gold_path, ["day"])
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
