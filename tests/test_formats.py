@@ -1,0 +1,52 @@
+"""Source/sink format breadth: JSON and ORC round-trips through the
+pluggable writers (the reference is CSV/Delta/Parquet-only; SURVEY §2.1
+notes no other connectors — these close the common-format gap)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.io.writers import write_table
+
+
+def _fingerprint(df):
+    return (
+        df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.to_json(F.struct(*sorted(df.columns))))).alias("h"),
+        ).collect()[0]
+    )
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_json")
+    orders = load_table(spark, sf_dir, "orders")
+    write_table(orders, out, fmt="json")
+    # schema must be supplied on read (JSON would otherwise infer and widen)
+    back = spark.read.schema(orders.schema).json(out)
+    assert _fingerprint(back) == _fingerprint(orders)
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "lineitem_orc")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_table(li, out, fmt="orc")
+    back = spark.read.orc(out)
+    assert back.schema == li.schema
+    assert _fingerprint(back) == _fingerprint(li)
+
+
+def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "lineitem_orc_pd")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_table(li, out, fmt="orc")
+    plan = (
+        spark.read.orc(out)
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
