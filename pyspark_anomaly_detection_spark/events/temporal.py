@@ -1,0 +1,239 @@
+"""Temporal table patterns: latest-snapshot dedup, SCD2 validity ranges,
+and interval-overlap (concurrency) via a distributed sweep line.
+
+These are the change-data shapes every warehouse pipeline needs on top of
+raw event streams:
+
+* q72 — latest record per key (``row_number`` desc): the "current
+  snapshot" materialization of an append-only log.
+* q73 — SCD2: collapse consecutive equal states and emit
+  ``valid_from / valid_to`` ranges per (user, state run).
+* q74 — peak concurrency: sweep line (+1 at session start, −1 at end)
+  with the running sum computed SCALABLY: per-day partial sums prefixed
+  by a (tiny, windowed) cumulative-offset table, instead of a global
+  single-reducer ORDER BY window.  The naive global window is the classic
+  100 TB trap — one partition does all the work; the two-pass prefix sum
+  keeps the big side partitioned by day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_anomaly_detection_spark.events.analytics import sessionize
+from pyspark_anomaly_detection_spark.functions import fmt_ts
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
+
+
+def latest_snapshot(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Current-state materialization: the last record per key under the
+    given (total) ordering.  One shuffle on the key; at scale this is the
+    compaction job that turns an append log into a queryable snapshot."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+@register(
+    "q72_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rk
+      FROM events
+    )
+    WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def q72_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return latest_snapshot(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        fmt_ts("ts").alias("last_ts"),
+    ).orderBy("user_id")
+
+
+@register(
+    "q73_scd2_ranges",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+        CASE WHEN event_type IS DISTINCT FROM
+                  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+        CAST(SUM(chg) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS run_id
+      FROM flagged
+    ),
+    ranges AS (
+      SELECT user_id, event_type, run_id,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type, run_id,
+      strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      strftime(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id),
+               '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+      n_events
+    FROM ranges
+    ORDER BY user_id, run_id
+    """,
+)
+def q73_scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event log: consecutive
+    equal states collapse into one row with [valid_from, valid_to) —
+    valid_to = the next run's start, NULL while current.  Same
+    change-flag → running-sum machinery as sessionization, so still one
+    shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("run_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    ranges = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("_valid_from"), F.count("*").alias("n_events")
+    )
+    return ranges.select(
+        "user_id",
+        "event_type",
+        "run_id",
+        fmt_ts("_valid_from").alias("valid_from"),
+        fmt_ts(F.lead("_valid_from").over(wrun)).alias("valid_to"),
+        "n_events",
+    ).orderBy("user_id", "run_id")
+
+
+def distributed_running_sum(
+    points: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+) -> DataFrame:
+    """Global running sum without a global single-partition window.
+
+    Two passes: (1) running sum within each ``part_col`` partition;
+    (2) per-partition totals — a table with one row per partition —
+    prefix-summed with a window over that TINY table and broadcast back
+    as each partition's starting offset.  The big side never leaves its
+    partitioning."""
+    w_in = Window.partitionBy(part_col).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = points.withColumn("_local", F.sum(value_col).over(w_in))
+    totals = points.groupBy(part_col).agg(F.sum(value_col).alias("_total"))
+    w_tot = (
+        Window.orderBy(part_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        part_col,
+        F.coalesce(F.sum("_total").over(w_tot), F.lit(0)).alias("_offset"),
+    )
+    return local.join(F.broadcast(offsets), part_col).withColumn(
+        out_col, (F.col("_local") + F.col("_offset")).cast("bigint")
+    ).drop("_local", "_offset")
+
+
+@register(
+    "q74_peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+        CAST(SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_seq, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM numbered
+      GROUP BY user_id, session_seq
+    ),
+    points AS (
+      SELECT s_start AS pt, 1 AS delta, user_id, session_seq FROM sessions
+      UNION ALL
+      SELECT s_end, -1, user_id, session_seq FROM sessions
+    ),
+    swept AS (
+      SELECT date_trunc('day', pt) AS day,
+        CAST(SUM(delta) OVER (
+          ORDER BY pt, delta DESC, user_id, session_seq
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+      FROM points
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, MAX(conc) AS peak_concurrency
+    FROM swept GROUP BY day ORDER BY day
+    """,
+)
+def q74_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day.  Sessions → (+1 start, −1 end)
+    point stream → distributed running sum (per-day windows + tiny
+    broadcast prefix-offset table) → max per day.  The oracle uses the
+    single-sequence formulation; equality proves the distributed prefix
+    sum is exact.  Tie order at equal timestamps: starts before ends
+    (inclusive overlap), then (user, session) for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        sessionize(ev)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    points = sessions.select(
+        F.col("s_start").alias("pt"), F.lit(1).alias("delta"), "user_id", "session_seq"
+    ).unionByName(
+        sessions.select(
+            F.col("s_end").alias("pt"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_seq",
+        )
+    )
+    points = points.withColumn("day", F.date_trunc("day", "pt"))
+    swept = distributed_running_sum(
+        points,
+        "day",
+        [F.col("pt"), F.desc("delta"), F.col("user_id"), F.col("session_seq")],
+        "delta",
+        out_col="conc",
+    )
+    return (
+        swept.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.max("conc").alias("peak_concurrency"))
+        .orderBy("day")
+    )

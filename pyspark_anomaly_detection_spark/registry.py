@@ -59,6 +59,7 @@ def all_queries() -> dict[str, Query]:
     # Imports deferred to avoid circulars; each module registers on import.
     import pyspark_anomaly_detection_spark.events.analytics  # noqa: F401
     import pyspark_anomaly_detection_spark.events.rollup  # noqa: F401
+    import pyspark_anomaly_detection_spark.events.temporal  # noqa: F401
     import pyspark_anomaly_detection_spark.events.time_windows  # noqa: F401
     import pyspark_anomaly_detection_spark.ml.pipeline  # noqa: F401
     import pyspark_anomaly_detection_spark.multimodal.binary_ops  # noqa: F401
