@@ -71,6 +71,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.relational.tpch  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.ann  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.neardup  # noqa: F401
+    import pyspark_anomaly_detection_spark.text.clusters  # noqa: F401
     import pyspark_anomaly_detection_spark.text.dedup  # noqa: F401
     import pyspark_anomaly_detection_spark.text.stats  # noqa: F401
     import pyspark_anomaly_detection_spark.windows.features  # noqa: F401

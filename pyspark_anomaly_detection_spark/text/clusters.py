@@ -1,0 +1,132 @@
+"""Dedup clustering: connected components over near-dup pairs, and the
+canonical-survivor selection that completes the dedup pipeline
+(pairs → groups → keep-one-per-group).
+
+Components run as iterative min-label propagation: each round every node
+takes the min label among itself and its neighbours; convergence in
+O(component diameter) rounds (dup clusters are shallow — a handful).
+Each round is one join + one aggregate, fully distributed; lineage is
+truncated per round (``localCheckpoint``) so the plan doesn't grow with
+iterations — the standard trap of iterative DataFrame algorithms.  At
+cluster scale swap ``localCheckpoint`` for a reliable ``checkpoint`` dir
+and the same loop runs unchanged (this is also exactly where GraphFrames'
+run_connected_components sits when the dependency is available).
+
+The DuckDB oracle computes the same components via a recursive
+transitive-closure CTE — exact equality, not approximation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
+from pyspark_anomaly_detection_spark.text.dedup import minhash_lsh_pairs
+
+MAX_CC_ITERATIONS = 25
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = MAX_CC_ITERATIONS
+) -> DataFrame:
+    """Min-label propagation → (node, component) where component is the
+    smallest node id in the connected component."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbour_min = (
+            und.join(labels, und["u"] == labels["node"])
+            .select(F.col("v").alias("node"), "label")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = neighbour_min.localCheckpoint()  # truncate lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def canonical_survivors(
+    df: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-one-per-group: drop every row whose id appears in a component
+    under a smaller canonical id (broadcast anti-join — the duplicate set
+    is small relative to the corpus)."""
+    dupes = components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(dupes), id_col, "left_anti")
+
+
+def _q75_oracle() -> str:
+    from pyspark_anomaly_detection_spark.text.dedup import _minhash_sql
+
+    return f"""
+    WITH RECURSIVE sigs AS (SELECT doc_id, sig FROM {_minhash_sql()}),
+    banded AS (
+      SELECT doc_id, k AS band, sig[k*2+1 : k*2+2] AS band_sig
+      FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS k)
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+    ),
+    und AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+    FROM comp
+    ORDER BY doc_id
+    """
+
+
+@register("q75_dedup_clusters", oracle=_q75_oracle())
+def q75_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs → connected components → (doc, component,
+    cluster size).  component = min doc_id in the group = the canonical
+    survivor every other member dedups against."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            "component",
+            F.count("*").over(Window.partitionBy("component")).alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
