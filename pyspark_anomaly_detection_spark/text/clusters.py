@@ -114,6 +114,55 @@ def _q75_oracle() -> str:
     """
 
 
+#: Recursive reachability over DESCENDING dup edges (doc_b → doc_a with
+#: doc_a < doc_b).  Ids strictly decrease along a chain, so the recursion
+#: is cycle-free and UNION ALL terminates — the formulation Spark 4's
+#: recursive CTEs (UNION ALL only, no cycle dedup yet) can run.  DISTINCT
+#: collapses path multiplicity after the fact.
+_RECURSIVE_REACH_SQL = """
+    WITH RECURSIVE reach(start_id, cur) AS (
+      SELECT doc_b, doc_a FROM {pairs}
+      UNION ALL
+      SELECT r.start_id, p.doc_a
+      FROM reach r JOIN {pairs} p ON r.cur = p.doc_b
+    )
+    SELECT
+      start_id AS doc_id,
+      MIN(cur) AS min_reachable,
+      COUNT(DISTINCT cur) AS n_reachable
+    FROM reach
+    GROUP BY start_id
+    ORDER BY doc_id
+"""
+
+
+def _q76_oracle() -> str:
+    from pyspark_anomaly_detection_spark.text.dedup import _minhash_sql
+
+    pairs = f"""(
+      WITH sigs AS (SELECT doc_id, sig FROM {_minhash_sql()}),
+      banded AS (
+        SELECT doc_id, k AS band, sig[k*2+1 : k*2+2] AS band_sig
+        FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS k)
+      )
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+    )"""
+    return _RECURSIVE_REACH_SQL.format(pairs=pairs)
+
+
+@register("q76_recursive_reachability", oracle=_q76_oracle())
+def q76_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE on Spark 4's SQL surface: for every doc with at least
+    one smaller near-duplicate, the smallest doc reachable through chains
+    of descending dup edges and how many docs the chains visit.  Identical
+    recursive SQL runs on DuckDB as the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    minhash_lsh_pairs(docs).createOrReplaceTempView("_cc_pairs")
+    return spark.sql(_RECURSIVE_REACH_SQL.format(pairs="_cc_pairs"))
+
+
 @register("q75_dedup_clusters", oracle=_q75_oracle())
 def q75_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH pairs → connected components → (doc, component,
