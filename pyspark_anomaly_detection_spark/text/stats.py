@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pyspark_anomaly_detection_spark.functions import (
     MD5_LONG60_SQL,
@@ -172,6 +173,60 @@ def q30_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_guess")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "lang_guess")
+    )
+
+
+@register(
+    "q77_keywords_per_lang",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, unnest(str_split(text, ' ')) AS token
+      FROM documents
+    ),
+    totals AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY token),
+    tf AS (SELECT lang, token, COUNT(*) AS lang_freq FROM tok GROUP BY lang, token),
+    scored AS (
+      SELECT lang, tf.token, lang_freq, doc_freq,
+        CAST(lang_freq * n_docs AS DOUBLE) / doc_freq AS score
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN totals
+      WHERE length(tf.token) > 3
+    )
+    SELECT lang, token, lang_freq, doc_freq, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY score DESC, token) AS rk
+      FROM scored
+    )
+    WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+)
+def q77_keywords_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive keywords per language: TF-IDF-shaped score computed as
+    the exact rational ``lang_freq × n_docs / doc_freq`` (integer products,
+    ONE float division — bitwise identical across engines, unlike log-based
+    IDF where libm implementations differ in the last ulp).  Presence
+    (distinct doc-token) rather than raw counts, stopword-ish tokens
+    dropped by length."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    n_docs = docs.count()  # scalar: one tiny job, inlined as a literal
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    tf = tok.groupBy("lang", "token").agg(F.count("*").alias("lang_freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(df_, "token")
+        .filter(F.length("token") > 3)
+        .withColumn(
+            "score",
+            (F.col("lang_freq") * F.lit(n_docs)).cast("double") / F.col("doc_freq"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "token", "lang_freq", "doc_freq", "score", "rk")
+        .orderBy("lang", "rk")
     )
 
 
