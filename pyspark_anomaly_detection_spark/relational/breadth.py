@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, MapType, StringType
 
-from pyspark_anomaly_detection_spark.functions import dec2, fmt_date, sum_dbl
+from pyspark_anomaly_detection_spark.functions import dec2, fmt_date, fmt_ts, sum_dbl
 from pyspark_anomaly_detection_spark.io.readers import load_table
 from pyspark_anomaly_detection_spark.registry import register
 
@@ -280,6 +280,124 @@ def q59_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
         .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-sequence assembly: per-user chronological event string — the
+# pack-examples-into-context op of an LLM data pipeline.  Events are
+# collected as (sortable-key, payload) structs, array_sort orders by the
+# key (lexicographic on the zero-padded key prefix = chronological),
+# then the payloads are joined.  Deterministic regardless of row arrival
+# order — the collect_list itself is unordered.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q82_sequence_assembly",
+    oracle="""
+    SELECT
+      user_id,
+      string_agg(event_type || '@' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
+                 '|' ORDER BY ts, event_id) AS timeline,
+      COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q82_sequence_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    entry = F.struct(
+        F.unix_micros("ts").alias("k1"),
+        F.col("event_id").alias("k2"),
+        F.concat_ws("@", "event_type", fmt_ts("ts")).alias("payload"),
+    )
+    ordered = F.array_sort(F.collect_list(entry))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(ordered, lambda s: s.getField("payload")), "|"
+            ).alias("timeline"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# regexp_extract_all + explode: pattern mining over free text.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q83_regex_extract_all",
+    oracle="""
+    SELECT num, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]+')) AS num
+      FROM documents
+    )
+    GROUP BY num
+    ORDER BY n DESC, num
+    LIMIT 25
+    """,
+)
+def q83_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("num"),
+        )
+        .groupBy("num")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n"), F.asc("num"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Null-safe function family: <=>, nullif, nvl, nvl2, coalesce chains.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q84_null_safe_family",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT DISTINCT FROM '0'
+               THEN 1 ELSE 0 END) AS BIGINT) AS k_is_zero_str,
+      CAST(SUM(CASE WHEN NULLIF(CAST(json_extract_string(props, '$.k') AS INT), 0)
+                    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nullified,
+      CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS INT), -1)) AS BIGINT)
+        AS k_sum_with_default,
+      CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+               THEN 10 ELSE 20 END) AS BIGINT) AS nvl2_sum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q84_null_safe_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=>), NULLIF, COALESCE-with-default, NVL2 —
+    the null-handling family beyond q07's fillna/coalesce basics."""
+    ev = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    k_int = k_str.cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k_str.eqNullSafe(F.lit("0")).cast("int")).alias("k_is_zero_str"),
+            F.sum(F.nullif(k_int, F.lit(0)).isNull().cast("int")).alias(
+                "k_nullified"
+            ),
+            F.sum(F.coalesce(k_int, F.lit(-1))).alias("k_sum_with_default"),
+            F.sum(F.nvl2(k_str, F.lit(10), F.lit(20))).alias("nvl2_sum"),
+        )
+        .orderBy("event_type")
     )
 
 
