@@ -176,6 +176,120 @@ def q30_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Quality-filter thresholds (the keep/drop gate of a training-data
+#: pipeline; values chosen to split the synthetic corpus non-trivially).
+MIN_TOKENS = 8
+MIN_LEX_DIVERSITY = 0.5
+MAX_STOPWORD_RATIO = 0.4
+
+
+@register(
+    "q85_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT
+        source,
+        len(str_split(text, ' ')) AS n_tokens,
+        CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+          / len(str_split(text, ' ')) AS lexical_diversity,
+        CAST(len(list_filter(str_split(text, ' '),
+          t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+          / len(str_split(text, ' ')) AS stopword_ratio
+      FROM documents
+    )
+    SELECT
+      source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN n_tokens >= {MIN_TOKENS}
+               AND lexical_diversity >= {MIN_LEX_DIVERSITY}
+               AND stopword_ratio <= {MAX_STOPWORD_RATIO}
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN n_tokens < {MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT)
+        AS drop_too_short,
+      CAST(SUM(CASE WHEN lexical_diversity < {MIN_LEX_DIVERSITY} THEN 1 ELSE 0 END)
+        AS BIGINT) AS drop_low_diversity,
+      CAST(SUM(CASE WHEN stopword_ratio > {MAX_STOPWORD_RATIO} THEN 1 ELSE 0 END)
+        AS BIGINT) AS drop_stopword_heavy
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q85_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop quality gate of a training-data pipeline: per source,
+    how many documents survive the token-count / lexical-diversity /
+    stopword-ratio thresholds and which rule fires on the drops (one pass,
+    conditional aggregation — the same violation-counter shape as the DQ
+    gates in quality/gates.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("source", *quality_columns(F.col("text")))
+    keep = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("lexical_diversity") >= MIN_LEX_DIVERSITY)
+        & (F.col("stopword_ratio") <= MAX_STOPWORD_RATIO)
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(keep.cast("int")).alias("n_kept"),
+            F.sum((F.col("n_tokens") < MIN_TOKENS).cast("int")).alias(
+                "drop_too_short"
+            ),
+            F.sum(
+                (F.col("lexical_diversity") < MIN_LEX_DIVERSITY).cast("int")
+            ).alias("drop_low_diversity"),
+            F.sum(
+                (F.col("stopword_ratio") > MAX_STOPWORD_RATIO).cast("int")
+            ).alias("drop_stopword_heavy"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q86_contamination_check",
+    oracle=f"""
+    WITH eval_shingles AS (
+      SELECT DISTINCT unnest({shingles_sql("str_split(text, chr(32))", 3)}) AS sh
+      FROM documents WHERE doc_id < 5
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(list_distinct({shingles_sql("str_split(text, chr(32))", 3)})) AS sh
+      FROM documents WHERE doc_id >= 5
+    )
+    SELECT c.doc_id, COUNT(*) AS n_shared_shingles
+    FROM corpus c JOIN eval_shingles e ON c.sh = e.sh
+    GROUP BY c.doc_id
+    ORDER BY n_shared_shingles DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q86_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan: corpus documents sharing 3-gram
+    shingles with a (small) eval set.  The eval shingle set is broadcast;
+    the corpus side explodes its distinct shingles and hash-joins — at
+    100 TB this is a broadcast join against a million-shingle set, no
+    corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_sh = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(F.explode(shingles(tokens(F.col("text")), 3)).alias("sh"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") >= 5).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens(F.col("text")), 3))).alias("sh"),
+    )
+    return (
+        corpus.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .orderBy(F.desc("n_shared_shingles"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 @register(
     "q77_keywords_per_lang",
     oracle="""
