@@ -102,3 +102,68 @@ def test_semi_join_stays_semi(spark, sf_dir):
     assert "LeftSemi" in plan
     plan = plans.formatted_plan(q("q10_anti_join")(spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_tpch_shapes_broadcast_dims(spark, sf_dir):
+    """The multi-join TPC-H shapes must broadcast their dim/keyset sides —
+    a sort-merge against nation/region at 100 TB is a planning failure."""
+    for name in (
+        "q66_local_supplier_volume",
+        "q67_returned_items_customers",
+        "q68_large_quantity_orders",
+        "q69_market_share",
+    ):
+        df = q(name)(spark, sf_dir)
+        assert plans.uses_broadcast_join(df), f"{name} should broadcast dims"
+
+
+def test_tpch_filters_push_to_scan(spark, sf_dir):
+    df = q("q66_local_supplier_volume")(spark, sf_dir)
+    assert plans.has_pushed_filter(df, "o_orderdate"), plans.formatted_plan(df)
+    df = q("q67_returned_items_customers")(spark, sf_dir)
+    assert plans.has_pushed_filter(df, "l_returnflag")
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join is union-tag + one window pass: exactly one exchange
+    on the key (plus the final presentation sort), never a quadratic
+    range join."""
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+    from pyspark_anomaly_detection_spark.windows.features import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    df = asof_join(errors, purchases, on="user_id", right_cols=("value",))
+    assert plans.count_shuffles(df) == 1, plans.formatted_plan(df)
+
+
+def test_peak_concurrency_has_no_global_window(spark, sf_dir):
+    """q74's running sum must stay partitioned: no empty-key
+    hashpartitioning(..., 1) / SinglePartition exchange for the big side."""
+    df = q("q74_peak_concurrency")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # a global window would appear as 'Window [...]' with no 'partitionBy'
+    # exchange — concretely, an Exchange SinglePartition feeding a Window
+    import re
+
+    bad = re.findall(r"Exchange SinglePartition[^\n]*\n\s*\(\d+\) Window", plan)
+    assert not bad, plan
+
+
+def test_contamination_check_broadcasts_eval_side(spark, sf_dir):
+    df = q("q86_contamination_check")(spark, sf_dir)
+    assert plans.uses_broadcast_join(df), plans.formatted_plan(df)
+
+
+def test_minhash_partial_aggregation(spark, sf_dir):
+    """minhash_signatures_df must keep map-side partial mins (one row per
+    doc leaves each partition, not one row per shingle)."""
+    df = q("q33_minhash_signatures")(spark, sf_dir)
+    assert plans.has_partial_aggregation(df), plans.formatted_plan(df)
