@@ -1,0 +1,98 @@
+"""Python UDTF surface (SURVEY §2.9 — the reference has no UDF/UDAF/UDTF;
+this engine demonstrates all three tiers: pandas_udf in text.dedup.simhash64,
+grouped applyInPandas* in streaming.stateful, and the table function here).
+
+``split_sentences`` is a lateral-view-style UDTF: one input document row →
+one output row per sentence, with position and char offsets.  UDTFs run
+row-at-a-time in Python — the SLOW tier (no Arrow batching in the eval
+loop) — so the policy stands: use them only for genuinely table-valued
+logic that higher-order functions can't express, never in the relational
+hot path.  Registered rows-only (Python-side splitting has no SQL oracle;
+the invariants are pytest-pinned instead).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
+
+_SENTENCE_RE = re.compile(r"[^.!?]+[.!?]?")
+
+
+@udtf(returnType="sent_idx int, sentence string, sent_chars int, start_pos int")
+class SplitSentences:
+    """doc text → (sentence index, trimmed sentence, length, char offset)."""
+
+    def eval(self, text: str) -> Iterator[tuple]:
+        if not text:
+            return
+        idx = 0
+        for m in _SENTENCE_RE.finditer(text):
+            sent = m.group(0).strip()
+            if not sent:
+                continue
+            yield idx, sent, len(sent), m.start()
+            idx += 1
+
+
+def split_sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lateral-join the UDTF against each document row."""
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark = docs.sparkSession
+    spark.udtf.register("split_sentences", SplitSentences)
+    return spark.sql(
+        f"""
+        SELECT doc_id, s.sent_idx, s.sentence, s.sent_chars, s.start_pos
+        FROM _udtf_docs, LATERAL split_sentences({text_col}) AS s
+        """
+    )
+
+
+@register("q87_sentence_split_udtf", oracle=None)  # rows-only: python UDTF
+def q87_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence stats per source via the UDTF lateral view."""
+    docs = load_table(spark, sf_dir, "documents")
+    sentences = split_sentences(docs)
+    return (
+        sentences.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("sent_chars").alias("longest_sentence"),
+            (
+                F.sum("sent_chars").cast("double") / F.count("*")
+            ).alias("avg_sentence_len"),
+        )
+        .orderBy("source")
+    )
+
+
+@register("q88_stratified_sample", oracle=None)  # rows-only: RNG is engine-private
+def q88_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling (the reference's M1 downsample,
+    src/models/train.py:36-37, on the registry surface): keep all 'error'
+    events and ~20% of each other type, report per-type kept counts.
+    Deterministic for a fixed seed + partitioning; checked rows-only plus
+    a tolerance test in tests/test_sampling.py."""
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {
+        "error": 1.0,
+        "click": 0.2,
+        "view": 0.2,
+        "purchase": 0.2,
+        "signup": 0.2,
+    }
+    sampled = ev.sampleBy("event_type", fractions=fractions, seed=42)
+    return (
+        sampled.groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("event_type")
+    )
