@@ -52,6 +52,9 @@ def get_spark_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # inject Bloom pre-filters on the big side of selective shuffle
+        # joins (fact rows that can't match are dropped before the shuffle)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # events.parquet is timestamp[ns]; read as long, convert exactly in reader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
