@@ -1,0 +1,127 @@
+"""Deterministic dataset splits and group-wise feature normalization —
+the reproducibility layer of a training-data pipeline.
+
+Splits are CONTENT-HASH based (md5 of the id, mod 100), not RNG based:
+the same document lands in the same split on any engine, any run, any
+partitioning, and adding new documents never reshuffles existing ones —
+the properties `sample(seed)` cannot give you (its output depends on
+partitioning).  Because the hash arithmetic is the portable 60-bit md5
+prefix already used for MinHash, the split is DuckDB-expressible and the
+whole assignment is oracle-checked, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.functions import (
+    MD5_LONG60_SQL,
+    md5_long60,
+    sum_dbl,
+)
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
+
+TRAIN_PCT = 80
+VAL_PCT = 10  # test = remainder
+
+
+def split_bucket(key: Column) -> Column:
+    """Stable bucket in [0, 100) from the content hash of a key column."""
+    return md5_long60(key.cast("string")) % 100
+
+
+def assign_split(
+    df: DataFrame, key_col: str, train_pct: int = TRAIN_PCT, val_pct: int = VAL_PCT
+) -> DataFrame:
+    bucket = split_bucket(F.col(key_col))
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def _split_sql(key_sql: str) -> str:
+    bucket = f"({MD5_LONG60_SQL.format(x=key_sql)} % 100)"
+    return (
+        f"CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train' "
+        f"WHEN {bucket} < {TRAIN_PCT + VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+@register(
+    "q91_deterministic_split",
+    oracle=f"""
+    SELECT
+      source,
+      {_split_sql("CAST(doc_id AS VARCHAR)")} AS split,
+      COUNT(*) AS n_docs,
+      CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM documents
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def q91_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment by content hash — per (source, split)
+    counts.  The full assignment (not just counts) is oracle-pinned via
+    min_doc_id per cell."""
+    docs = assign_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        docs.groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("source", "split")
+    )
+
+
+@register(
+    "q92_group_normalization",
+    oracle="""
+    WITH stats AS (
+      SELECT
+        event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mu,
+        sqrt(
+          (CAST(COUNT(*) AS DOUBLE)
+             * CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+          / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))
+        ) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           (value - mu) / sigma AS z_value
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    ORDER BY event_id
+    """,
+)
+def q92_group_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score feature normalization: group stats from exact
+    decimal sums (the q44 variance formula), broadcast back onto the
+    rows.  Two passes over events, one tiny broadcast — never a window
+    holding the whole group."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count("*").cast("double")
+    sx = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    sxx = F.sum(
+        F.col("value").cast("decimal(18,2)") * F.col("value").cast("decimal(18,2)")
+    ).cast("double")
+    stats = ev.groupBy("event_type").agg(
+        (sx / n).alias("mu"),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))).alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z_value"),
+        )
+        .orderBy("event_id")
+    )
