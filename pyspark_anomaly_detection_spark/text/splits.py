@@ -78,6 +78,118 @@ def q91_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048
+CHUNK_LEN = 500
+CHUNK_STRIDE = 400  # 100-char overlap
+
+
+@register(
+    "q93_sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, doc_id, len(str_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+        CAST(floor(
+          (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+          / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+      FROM sized
+    )
+    SELECT source, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM packed
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+)
+def q93_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: docs stream in id order per source,
+    a pack closes when the running token budget crosses {PACK_BUDGET}.
+    pack_id = floor(exclusive-prefix-tokens / budget) — pure window
+    arithmetic, one shuffle on source, no stateful loop."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(PACK_BUDGET)
+        ),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+@register(
+    "q94_doc_chunking",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT
+        doc_id,
+        CAST(gs AS BIGINT) AS chunk_idx,
+        substr(text, CAST(gs * {CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_LEN}) AS chunk
+      FROM documents,
+        LATERAL (SELECT unnest(generate_series(
+          0, CAST(greatest(ceil((length(text) - {CHUNK_LEN}) / {CHUNK_STRIDE}.0), 0) AS BIGINT)
+        )) AS gs)
+    )
+    SELECT doc_id, chunk_idx, length(chunk) AS chunk_chars,
+           substr(chunk, 1, 16) AS chunk_head
+    FROM chunks
+    WHERE doc_id % 20 = 0
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q94_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking ({CHUNK_LEN}-char windows,
+    {CHUNK_STRIDE}-char stride): sequence → explode → substring, all
+    JVM-side — the retrieval-chunking op.  Chunk count per doc =
+    ceil((len − width)/stride) + 1 (always ≥ 1)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    n_chunks_minus1 = F.greatest(
+        F.ceil((F.length("text") - F.lit(CHUNK_LEN)) / float(CHUNK_STRIDE)),
+        F.lit(0),
+    ).cast("bigint")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks_minus1)).alias(
+            "chunk_idx"
+        ),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.substring(
+            F.col("text"), (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"), CHUNK_LEN
+        ).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").alias("chunk_chars"),
+        F.substring("chunk", 1, 16).alias("chunk_head"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 @register(
     "q92_group_normalization",
     oracle="""
