@@ -190,6 +190,108 @@ def q94_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+#: Number-sequence pattern, valid in both Java regex (Spark) and RE2
+#: (DuckDB): plain character classes, no lookaround.
+REDACT_PATTERN = "[0-9][0-9][0-9]+"
+REDACT_TOKEN = "<NUM>"
+
+
+@register(
+    "q95_redaction",
+    oracle=f"""
+    SELECT
+      source,
+      CAST(SUM(len(regexp_extract_all(text, '{REDACT_PATTERN}'))) AS BIGINT)
+        AS n_redactions,
+      CAST(SUM(length(text)) AS BIGINT) AS chars_before,
+      CAST(SUM(length(regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g')))
+        AS BIGINT) AS chars_after,
+      CAST(SUM(CASE WHEN regexp_matches(text, '{REDACT_PATTERN}')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q95_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction (the PII-scrub shape: sensitive spans → a
+    placeholder token): per source, how many spans were redacted and the
+    size delta.  Pattern kept to the Java∩RE2 regex subset so the same
+    literal runs on both engines; swap in email/phone/ssn patterns for a
+    real corpus — the plan is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(
+                F.size(F.regexp_extract_all("text", F.lit(REDACT_PATTERN), 0))
+            ).alias("n_redactions"),
+            F.sum(F.length("text")).alias("chars_before"),
+            F.sum(
+                F.length(F.regexp_replace("text", REDACT_PATTERN, REDACT_TOKEN))
+            ).alias("chars_after"),
+            F.sum(F.col("text").rlike(REDACT_PATTERN).cast("int")).alias(
+                "n_docs_touched"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q96_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tk AS token, t.pos
+      FROM documents,
+        LATERAL (SELECT unnest(str_split(text, ' ')) AS tk,
+                        generate_subscripts(str_split(text, ' '), 1) AS pos) t
+      WHERE doc_id % 10 = 0
+    ),
+    runs AS (
+      SELECT doc_id,
+        CASE WHEN token = LAG(token) OVER (PARTITION BY doc_id ORDER BY pos)
+             THEN 1 ELSE 0 END AS is_repeat
+      FROM tok
+    )
+    SELECT doc_id,
+      CAST(SUM(is_repeat) AS BIGINT) AS n_immediate_repeats,
+      COUNT(*) AS n_tokens,
+      CAST(SUM(is_repeat) AS DOUBLE) / COUNT(*) AS repeat_ratio
+    FROM runs
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q96_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detector (the degenerate-text filter): per document,
+    immediate token-repeat count via posexplode + lag.  At scale this
+    runs partitioned by doc — the window key is the doc id, so no
+    cross-doc shuffle pressure."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = tok.withColumn(
+        "is_repeat",
+        (F.col("token") == F.lag("token").over(w)).cast("int"),
+    ).fillna(0, subset=["is_repeat"])
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.sum("is_repeat").alias("n_immediate_repeats"),
+            F.count("*").alias("n_tokens"),
+            (F.sum("is_repeat").cast("double") / F.count("*")).alias(
+                "repeat_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "q92_group_normalization",
     oracle="""
