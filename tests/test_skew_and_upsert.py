@@ -47,6 +47,25 @@ def test_salted_join_spreads_keys(spark, sf_dir):
     assert min(counts) > 0.5 * (sum(counts) / len(counts))
 
 
+def test_partitioned_layout_prunes_at_read(spark, sf_dir, tmp_path):
+    """A date predicate on a hive-partitioned layout must become a
+    PartitionFilter (directories skipped), not a row filter."""
+    out = str(tmp_path / "events_pruned")
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    overwrite_partitions(ev, out, ["day"])
+    one_day = ev.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("day") == F.lit(one_day))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "day" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], plan
+
+
 def test_overwrite_partitions_touches_only_present_partitions(
     spark, sf_dir, tmp_path
 ):
