@@ -133,6 +133,19 @@ def clicks_to_purchases_join(
     )
 
 
+def dedup_event_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop replays of the same event_id arriving
+    within the watermark horizon (at-least-once sources redeliver; this
+    makes the downstream exactly-once with O(events-per-horizon) state,
+    evicted as the watermark advances — unbounded dropDuplicates state is
+    the classic streaming leak)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

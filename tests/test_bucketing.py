@@ -94,6 +94,23 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
     assert bucketed == plain
 
 
+def test_analyze_stats_reach_the_optimizer(spark, bucketed_tables):
+    """ANALYZE TABLE statistics must flow into plan costing — the input
+    cost-based join reordering and broadcast selection use at scale."""
+    table = bucketed_tables[0]
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        stats = (
+            spark.table(table)._jdf.queryExecution().optimizedPlan().stats()
+        )
+        expected = spark.table(table).count()
+        assert stats.rowCount().isDefined(), "rowCount missing after ANALYZE"
+        assert int(str(stats.rowCount().get())) == expected
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+
+
 def test_bucketed_table_metadata(spark, bucketed_tables):
     detail = {
         r.col_name: r.data_type

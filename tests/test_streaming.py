@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark_anomaly_detection_spark.io.readers import load_table
 from pyspark_anomaly_detection_spark.streaming.jobs import (
     clicks_to_purchases_join,
+    dedup_event_stream,
     read_event_stream,
     run_to_memory_sink,
     session_counts,
@@ -94,6 +95,24 @@ def test_stream_stream_join_matches_batch_range_join(
     }
     assert batch, "fixture produced no click→purchase pairs"
     assert streamed == batch
+
+
+def test_stream_dedup_drops_replays(spark, sf_dir, tmp_path):
+    """Write the events twice (simulated at-least-once redelivery within
+    the horizon); the deduped stream must contain each event_id once."""
+    raw = str(tmp_path / "replayed")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.parquet(raw)
+    ev.write.mode("append").parquet(raw)  # replay of every event
+
+    stream = read_event_stream(spark, raw, max_files_per_trigger=2)
+    run_to_memory_sink(
+        dedup_event_stream(stream), "dedup_sink", output_mode="append"
+    )
+    got = spark.table("dedup_sink")
+    n_unique = ev.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
 
 
 def test_watermark_present_in_plan(spark, event_stream_dir):
