@@ -293,6 +293,54 @@ def q96_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q97_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT unnest(str_split(text, ' ')) AS token, doc_id
+      FROM documents
+    )
+    SELECT token,
+           COUNT(*) AS doc_freq,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tok
+    WHERE length(token) > 6
+    GROUP BY token
+    HAVING COUNT(*) BETWEEN 2 AND 40
+    ORDER BY doc_freq DESC, token
+    LIMIT 50
+    """,
+)
+def q97_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the retrieval posting-list op): token →
+    sorted doc-id posting list.  Postings are collected as a set, sorted,
+    and serialized — order-insensitive to row arrival.  At scale the
+    HAVING band drops both hapaxes (index bloat) and stopwords (posting
+    lists that are effectively full scans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"), "doc_id")
+        .filter(F.length("token") > 6)
+        .distinct()
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("doc_freq").between(2, 40))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
     "q92_group_normalization",
     oracle="""
     WITH stats AS (
