@@ -164,6 +164,57 @@ def distributed_running_sum(
 
 
 @register(
+    "q98_time_weighted_avg",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, value, epoch_us(ts) AS t_us,
+        LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS next_us
+      FROM events
+    )
+    SELECT
+      user_id,
+      (CAST(SUM(CAST(round(value * 100) AS BIGINT) * (next_us - t_us)) AS DOUBLE)
+        / CAST(SUM(next_us - t_us) AS DOUBLE)) / 100.0 AS time_weighted_avg,
+      CAST(COUNT(next_us) AS BIGINT) AS n_spans
+    FROM spans
+    WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q98_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregularly-sampled events (each value
+    held until the user's next event): Σ value·Δt / Σ Δt.  The weighted
+    sum runs in exact INTEGER cents × microseconds (int→double casts are
+    correctly rounded in both engines, unlike wide-decimal→double which
+    double-rounds in the last ulp), so the result is a fixed sequence of
+    identical IEEE operations.  One window pass for Δt, one aggregate;
+    shuffle key user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dt = F.col("next_us") - F.col("t_us")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            (
+                (F.sum(cents * dt).cast("double") / F.sum(dt).cast("double"))
+                / F.lit(100.0)
+            ).alias("time_weighted_avg"),
+            F.count("next_us").alias("n_spans"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "q74_peak_concurrency",
     oracle="""
     WITH flagged AS (
