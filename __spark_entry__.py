@@ -24,15 +24,17 @@ from pyspark_anomaly_detection_spark.registry import all_queries  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    The daily order summary — the reference's gold daily aggregation shape
-    (src/data/gold.py:31-41) on the star schema: filter → group-by-date →
-    multi-agg with derived ratio columns → sort.
+    The composite training-data pipeline (q100): exact dedup → quality
+    gate → deterministic split → token-budget packing, as one declarative
+    plan — the engine's reference-parity operators (content digests,
+    violation-counter gates) and north-star operators (splits, packing)
+    composed end-to-end.
     """
-    from pyspark_anomaly_detection_spark.relational.queries import (
-        q04_daily_order_summary,
+    from pyspark_anomaly_detection_spark.text.splits import (
+        q100_training_pipeline,
     )
 
-    return q04_daily_order_summary(spark, "/root/testdata/sf0.001")
+    return q100_training_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

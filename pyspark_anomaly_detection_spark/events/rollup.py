@@ -87,6 +87,30 @@ def q61_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day", "event_type")
 
 
+@register("q99_hll_sketch_union", oracle=None)  # sketch binary is engine-private
+def q99_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the pre-aggregation form of
+    COUNT(DISTINCT) at 100 TB: build one HLL sketch per (day, event_type)
+    (the expensive pass over raw data, stored with the daily partials),
+    then answer coarser questions by UNIONING sketches — per event_type
+    across all days, and globally — without touching raw events again.
+    Error bound vs exact asserted in tests/test_approx_aggregates.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    per_type = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_users"),
+        F.count("*").alias("n_days"),
+    )
+    total = daily.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_users"),
+        F.count("*").alias("n_days"),
+    )
+    return per_type.unionByName(total).orderBy("event_type")
+
+
 @register("q62_approx_aggregates", oracle=None)  # sketch internals are
 # engine-specific; error bounds asserted vs exact in tests
 def q62_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -341,6 +341,98 @@ def q97_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q100_training_pipeline",
+    headline=True,
+    oracle=f"""
+    WITH digests AS (
+      SELECT doc_id, source, text,
+        sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS digest
+      FROM documents
+    ),
+    canonical AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rk
+        FROM digests
+      ) WHERE rk = 1
+    ),
+    quality AS (
+      SELECT doc_id, source, len(str_split(text, ' ')) AS n_tokens
+      FROM canonical
+      WHERE len(str_split(text, ' ')) >= 8
+        AND CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+              / len(str_split(text, ' ')) >= 0.5
+        AND CAST(len(list_filter(str_split(text, ' '),
+              t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+              / len(str_split(text, ' ')) <= 0.4
+    ),
+    assigned AS (
+      SELECT *, {_split_sql("CAST(doc_id AS VARCHAR)")} AS split FROM quality
+    ),
+    packed AS (
+      SELECT split, doc_id, n_tokens,
+        CAST(floor(
+          (SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+          / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+      FROM assigned
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM packed
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def q100_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composite: the LLM training-data pipeline as ONE
+    declarative plan — exact dedup (keep min-id per content digest) →
+    quality gate (token count / lexical diversity / stopword ratio) →
+    deterministic content-hash split → token-budget sequence packing →
+    per-split summary.  Every stage is an operator proven individually
+    (q32, q85, q91, q93); the oracle checks the composition end-to-end.
+    Catalyst pipelines the narrow stages and schedules three exchanges
+    total (digest window, split window, final group-by)."""
+    from pyspark.sql.window import Window
+
+    from pyspark_anomaly_detection_spark.text.dedup import exact_dedup
+    from pyspark_anomaly_detection_spark.text.stats import quality_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    canonical = exact_dedup(docs)
+    scored = canonical.select("doc_id", "source", *quality_columns(F.col("text")))
+    quality = scored.filter(
+        (F.col("n_tokens") >= 8)
+        & (F.col("lexical_diversity") >= 0.5)
+        & (F.col("stopword_ratio") <= 0.4)
+    ).select("doc_id", "source", "n_tokens")
+    assigned = assign_split(quality, "doc_id")
+    w = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = assigned.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(PACK_BUDGET)
+        ),
+    )
+    return (
+        packed.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
     "q92_group_normalization",
     oracle="""
     WITH stats AS (

@@ -27,6 +27,25 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         assert abs(approx[etype] - n) <= max(3, 0.1 * n), (etype, approx[etype], n)
 
 
+def test_hll_sketch_union_matches_exact_distinct(spark, sf_dir):
+    """Unioning per-day sketches must estimate the global distinct count
+    within HLL error (~2% at default lgConfigK; small counts are exact)."""
+    from pyspark_anomaly_detection_spark.events.rollup import q99_hll_sketch_union
+
+    rows = {r.event_type: r.distinct_users for r in q99_hll_sketch_union(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact_total = ev.select("user_id").distinct().count()
+    assert abs(rows["ALL"] - exact_total) <= max(2, 0.05 * exact_total)
+    exact_by_type = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for etype, n in exact_by_type.items():
+        assert abs(rows[etype] - n) <= max(2, 0.05 * n), etype
+
+
 def test_approx_percentiles_bracket_exact(spark, sf_dir):
     rows = {r.event_type: r for r in q62_approx_aggregates(spark, sf_dir).collect()}
     ev = load_table(spark, sf_dir, "events")
