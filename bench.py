@@ -37,9 +37,10 @@ def main() -> None:
     headline = {n: q for n, q in registry.items() if q.headline}
 
     # JVM/codegen warmup on the smallest SF so timings measure the engine,
-    # not first-query initialization.
-    warm = next(iter(headline.values()))
-    materialize(warm.fn(spark, "/root/testdata/sf0.001"))
+    # not first-query initialization. Whole-stage codegen compiles per
+    # distinct plan, so every headline plan is warmed, not just the first.
+    for query in headline.values():
+        materialize(query.fn(spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     total = 0.0
