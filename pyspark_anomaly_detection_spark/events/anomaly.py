@@ -1,0 +1,388 @@
+"""Anomaly-detection operators over the ``events`` time series — the
+reference repo's home domain (fraud/anomaly detection over transactions,
+README.md:3) generalized to the harness's events table:
+
+* hourly gap-fill with last-observation-carried-forward + linear
+  interpolation (the resampling step every monitoring pipeline needs
+  before scoring),
+* an exponential-decay smoother with dyadic weights (EWMA shape; the
+  reference's rolling-average deviation, src/features/build_features.py:36-37,
+  with decaying instead of uniform weights),
+* per-series OLS trend extraction from exact integer sums,
+* IQR outlier fencing (the classic box-plot rule).
+
+All four are single-plan DataFrame programs with DuckDB oracles.  Float
+parity follows the registry conventions: exact integer/decimal
+accumulation, then a fixed sequence of identical IEEE-754 ops in both
+engines (no order-dependent double summation anywhere).
+
+Scale notes (100 TB): every operator shuffles once on its series key
+(``event_type``); the smoother and interpolation are window passes that
+reuse that partitioning.  The hourly spine is bounded by calendar hours ×
+series count — negligible next to the raw events — and the OLS aggregation
+is a map-side-combinable sum of five integers per series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_anomaly_detection_spark.functions import dec2, fmt_ts
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
+
+# Microseconds since epoch of 2024-01-01 00:00:00 UTC — the trend anchor.
+# Fixed literal (not data-derived) so x is reproducible across runs.
+ANCHOR_US = 1_704_067_200 * 1_000_000
+
+SMOOTHER_TAPS = 8  # dyadic weights 2^7 .. 2^0, most recent heaviest
+DEVIATION_CUTOFF = 40.0  # |value - smoothed| reported above this
+
+
+def _cents(value: Column) -> Column:
+    """Exact integer cents (q98's proven parity pattern)."""
+    return F.round(value * 100).cast("long")
+
+
+@register(
+    "q101_gap_fill_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS avg_value
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT event_type, date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    joined AS (
+      SELECT s.event_type, s.hour, h.avg_value FROM spine s
+      LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+    ),
+    neighbors AS (
+      SELECT event_type, hour, avg_value,
+        last_value(avg_value IGNORE NULLS) OVER wp AS prev_v,
+        last_value(CASE WHEN avg_value IS NOT NULL THEN epoch_us(hour) END
+                   IGNORE NULLS) OVER wp AS prev_t,
+        first_value(avg_value IGNORE NULLS) OVER wn AS next_v,
+        first_value(CASE WHEN avg_value IS NOT NULL THEN epoch_us(hour) END
+                    IGNORE NULLS) OVER wn AS next_t
+      FROM joined
+      WINDOW
+        wp AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S.%f') AS hour,
+      CASE WHEN avg_value IS NULL THEN 1 ELSE 0 END AS is_gap,
+      CASE WHEN avg_value IS NOT NULL THEN avg_value
+           ELSE prev_v + (next_v - prev_v) *
+                (CAST(epoch_us(hour) - prev_t AS DOUBLE)
+                 / CAST(next_t - prev_t AS DOUBLE))
+      END AS value_filled
+    FROM neighbors
+    ORDER BY event_type, hour
+    """,
+)
+def q101_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each event_type series to a dense hourly grid: exact hourly
+    averages where data exists, linear interpolation between the nearest
+    observed hours across gaps.  Spine endpoints always have data (they are
+    the series' own min/max hours), so interior gaps are the only NULL case.
+    One narrow left join (spine is tiny) + one window shuffle on the series
+    key."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        (F.sum(dec2("value")).cast("double") / F.count("*").cast("double")).alias(
+            "avg_value"
+        )
+    )
+    spine = (
+        ev.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    tick = F.unix_micros(F.col("hour"))
+    obs_t = F.when(F.col("avg_value").isNotNull(), tick)
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    neighbors = joined.select(
+        "event_type",
+        "hour",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_t, ignorenulls=True).over(wp).alias("prev_t"),
+        F.first("avg_value", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_t, ignorenulls=True).over(wn).alias("next_t"),
+    )
+    frac = (tick - F.col("prev_t")).cast("double") / (
+        F.col("next_t") - F.col("prev_t")
+    ).cast("double")
+    return neighbors.select(
+        "event_type",
+        fmt_ts("hour").alias("hour"),
+        F.when(F.col("avg_value").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+        .alias("value_filled"),
+    ).orderBy("event_type", "hour")
+
+
+def _q102_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE(lag_{k}, 0) * {1 << (SMOOTHER_TAPS - 1 - k)}"
+        for k in range(SMOOTHER_TAPS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag_{k} IS NOT NULL THEN {1 << (SMOOTHER_TAPS - 1 - k)} ELSE 0 END)"
+        for k in range(SMOOTHER_TAPS)
+    )
+    lags = ",\n        ".join(
+        f"LAG(cents, {k}) OVER w AS lag_{k}" if k else "cents AS lag_0"
+        for k in range(SMOOTHER_TAPS)
+    )
+    return f"""
+    WITH cents AS (
+      SELECT event_type, event_id, ts, value,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    lagged AS (
+      SELECT event_type, event_id, ts, value,
+        {lags}
+      FROM cents
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    smoothed AS (
+      SELECT event_type, event_id, ts, value,
+        (CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)) / 100.0 AS smoothed
+      FROM lagged
+    )
+    SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+      strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value, smoothed,
+      value - smoothed AS deviation
+    FROM smoothed
+    WHERE abs(value - smoothed) > {DEVIATION_CUTOFF!r}
+    ORDER BY event_id
+    """
+
+
+@register("q102_decay_smoother", oracle=_q102_oracle())
+def q102_decay_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay smoother with dyadic weights (2^7..2^0 over the
+    last 8 events per series) and deviation flagging — the EWMA anomaly
+    detector in a float-parity-safe form: the weighted numerator/denominator
+    are exact BIGINT sums (cents × powers of two), so ``smoothed`` is one
+    identical IEEE division in both engines.  Rows whose observed value
+    deviates from the smoothed level by more than the cutoff are reported.
+    One window shuffle on the series key; lags are a single pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = ev.select(
+        "event_type", "event_id", "ts", "value", _cents(F.col("value")).alias("cents")
+    )
+    lag_cols = [
+        (F.lag("cents", k).over(w) if k else F.col("cents")).alias(f"lag_{k}")
+        for k in range(SMOOTHER_TAPS)
+    ]
+    lagged = base.select("event_type", "event_id", "ts", "value", *lag_cols)
+    num = sum(
+        (
+            F.coalesce(F.col(f"lag_{k}"), F.lit(0))
+            * F.lit(1 << (SMOOTHER_TAPS - 1 - k))
+            for k in range(SMOOTHER_TAPS)
+        ),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(
+                F.col(f"lag_{k}").isNotNull(), F.lit(1 << (SMOOTHER_TAPS - 1 - k))
+            ).otherwise(F.lit(0))
+            for k in range(SMOOTHER_TAPS)
+        ),
+        start=F.lit(0),
+    )
+    smoothed = (num.cast("double") / den.cast("double")) / F.lit(100.0)
+    out = lagged.select(
+        "event_type",
+        "event_id",
+        fmt_ts("ts").alias("ts"),
+        "value",
+        smoothed.alias("smoothed"),
+        (F.col("value") - smoothed).alias("deviation"),
+    )
+    return out.filter(F.abs(F.col("deviation")) > DEVIATION_CUTOFF).orderBy("event_id")
+
+
+@register(
+    "q103_ols_trend",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+        CAST(floor(CAST(epoch_us(ts) - {ANCHOR_US} AS DOUBLE) / 60000000.0)
+             AS BIGINT) AS x,
+        CAST(round(value * 100) AS BIGINT) AS y100
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+        COUNT(*) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx,
+        CAST(SUM(y100) AS BIGINT) AS sy,
+        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        CAST(SUM(x * y100) AS BIGINT) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+      (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        / 100.0 AS slope_per_min,
+      (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0
+        - ((CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+           / 100.0)
+          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept
+    FROM sums
+    ORDER BY event_type
+    """,
+)
+def q103_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear trend (drift detection): least-squares slope of
+    value vs minutes-since-anchor, computed from five exact integer sums
+    (n, Σx, Σy, Σx², Σxy — all BIGINT, no overflow at any SF: x ≤ minutes
+    per year, y ≤ cents) so both engines evaluate the identical closed-form
+    expression.  The aggregation is fully map-side combinable — at 100 TB
+    it is one partial-agg pass plus a five-number shuffle per series."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.floor(
+        (F.unix_micros(F.col("ts")) - F.lit(ANCHOR_US)).cast("double")
+        / F.lit(60000000.0)
+    ).cast("long")
+    pts = ev.select(
+        "event_type", x.alias("x"), _cents(F.col("value")).alias("y100")
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y100").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y100")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (
+        (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
+    ) / F.lit(100.0)
+    intercept = (sy.cast("double") / n.cast("double")) / F.lit(100.0) - slope * (
+        sx.cast("double") / n.cast("double")
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        slope.alias("slope_per_min"),
+        intercept.alias("intercept"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q104_iqr_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    ),
+    fenced AS (
+      SELECT event_type, value, cnt,
+        MAX(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT) THEN value END)
+          OVER (PARTITION BY event_type) AS q1,
+        MAX(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT) THEN value END)
+          OVER (PARTITION BY event_type) AS q3
+      FROM ranked
+    )
+    SELECT event_type,
+      CAST(MAX(cnt) AS BIGINT) AS n,
+      MAX(q1) AS q1,
+      MAX(q3) AS q3,
+      CAST(COUNT(CASE WHEN value > q3 + 1.5 * (q3 - q1) THEN 1 END) AS BIGINT)
+        AS n_outliers_hi,
+      CAST(COUNT(CASE WHEN value < q1 - 1.5 * (q3 - q1) THEN 1 END) AS BIGINT)
+        AS n_outliers_lo
+    FROM fenced
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q104_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-plot outlier fencing per series: exact rank-selected quartiles
+    (no interpolation — selected values are actual data points, so parity
+    is trivial), fences at ±1.5·IQR evaluated with the identical double
+    expression in both engines, and per-series outlier counts.  One window
+    shuffle (series key) feeding a same-key aggregation — Catalyst reuses
+    the partitioning, so the whole operator is a single exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wall = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wall).alias("cnt"),
+    )
+
+    def pick(p: float) -> Column:
+        target = F.ceil(F.lit(p) * F.col("cnt")).cast("bigint")
+        return F.max(F.when(F.col("rn") == target, F.col("value"))).over(wall)
+
+    fenced = ranked.select(
+        "event_type",
+        "value",
+        "cnt",
+        pick(0.25).alias("q1"),
+        pick(0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        fenced.groupBy("event_type")
+        .agg(
+            F.max("cnt").alias("n"),
+            F.max("q1").alias("q1"),
+            F.max("q3").alias("q3"),
+            F.count(
+                F.when(F.col("value") > F.col("q3") + 1.5 * iqr, 1)
+            ).alias("n_outliers_hi"),
+            F.count(
+                F.when(F.col("value") < F.col("q1") - 1.5 * iqr, 1)
+            ).alias("n_outliers_lo"),
+        )
+        .orderBy("event_type")
+    )

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, Query]:
     """Import every query module (self-registering) and return the registry."""
     # Imports deferred to avoid circulars; each module registers on import.
     import pyspark_anomaly_detection_spark.events.analytics  # noqa: F401
+    import pyspark_anomaly_detection_spark.events.anomaly  # noqa: F401
     import pyspark_anomaly_detection_spark.events.rollup  # noqa: F401
     import pyspark_anomaly_detection_spark.events.temporal  # noqa: F401
     import pyspark_anomaly_detection_spark.events.time_windows  # noqa: F401
