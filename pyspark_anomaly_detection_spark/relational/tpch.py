@@ -247,3 +247,207 @@ def q69_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+@register(
+    "q105_priority_late_shipping",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q105_priority_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — orders in a quarter window with
+    at least one lineitem shipped >90 days after the order date, counted by
+    priority.  The EXISTS becomes a left-semi join whose condition
+    references both sides; Catalyst pushes the date filter below the join
+    and AQE picks the join strategy from the filtered size."""
+    ord_ = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = ord_.join(
+        li,
+        (ord_["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > ord_["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q106_dormant_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+      COUNT(*) AS n_custs,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q106_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery + anti join — customers
+    whose balance exceeds the positive-balance average but who placed no
+    order since 2000, grouped by nation.  The scalar average is a 1-row
+    broadcast cross join (no driver round-trip); the NOT EXISTS is a
+    left-anti join against the date-filtered orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec2("c_acctbal")).cast("double") / F.count("*").cast("double")).alias(
+            "a"
+        )
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("a")
+    )
+    dormant = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q107_blocking_supplier",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    ),
+    blocking AS (
+      SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+      WHERE EXISTS (
+          SELECT 1 FROM pairs p
+          WHERE p.l_orderkey = l1.l_orderkey AND p.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM late l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+        )
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM blocking JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q107_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS / NOT EXISTS self-join —
+    suppliers who were the ONLY late shipper in multi-supplier orders.
+    Both correlations become self-joins of the deduplicated
+    (order, supplier) pair set: a left-semi for "another supplier exists"
+    and a left-anti for "no other supplier was late".  All three legs
+    shuffle on l_orderkey, so Catalyst plans one exchange per distinct
+    input and reuses the partitioning across the semi and anti joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ord_ = load_table(spark, sf_dir, "orders")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(ord_, li["l_orderkey"] == ord_["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, p, c = late.alias("a"), pairs.alias("p"), late.alias("c")
+    multi = a.join(
+        p,
+        (F.col("a.l_orderkey") == F.col("p.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("p.l_suppkey")),
+        "left_semi",
+    )
+    blocking = multi.alias("a").join(
+        c,
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        blocking.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q108_brand_revenue_share",
+    oracle="""
+    WITH brand_rev AS (
+      SELECT p_brand,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+    ),
+    total AS (
+      SELECT SUM(rev) AS t FROM brand_rev
+    )
+    SELECT p_brand, CAST(rev AS DOUBLE) AS revenue
+    FROM brand_rev, total
+    WHERE rev * 25 > t
+    ORDER BY p_brand
+    """,
+)
+def q108_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global aggregate — brands whose
+    revenue exceeds 1/25 of total revenue.  The threshold comparison stays
+    in exact DECIMAL on both sides (rev*25 > total — integer-scaled, no
+    float boundary ambiguity); the global total is a 1-row broadcast.
+    Per-brand partials are map-side combined, so the second pass over
+    brand_rev is a few-hundred-row re-aggregation, not a rescan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.sum(revenue()).alias("rev"))
+    )
+    total = brand_rev.agg(F.sum("rev").alias("t"))
+    return (
+        brand_rev.crossJoin(F.broadcast(total))
+        .filter(F.col("rev") * 25 > F.col("t"))
+        .select("p_brand", F.col("rev").cast("double").alias("revenue"))
+        .orderBy("p_brand")
+    )
