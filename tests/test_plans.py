@@ -167,3 +167,51 @@ def test_minhash_partial_aggregation(spark, sf_dir):
     doc leaves each partition, not one row per shingle)."""
     df = q("q33_minhash_signatures")(spark, sf_dir)
     assert plans.has_partial_aggregation(df), plans.formatted_plan(df)
+
+
+def test_correlated_shapes_plan_semi_anti(spark, sf_dir):
+    """EXISTS / NOT EXISTS must lower to semi/anti joins, never to a
+    row-multiplying inner join + dedup."""
+    plan = plans.formatted_plan(q("q105_priority_late_shipping")(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    plan = plans.formatted_plan(q("q107_blocking_supplier")(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    plan = plans.formatted_plan(q("q106_dormant_rich_customers")(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+
+
+def test_q105_date_filter_pushed(spark, sf_dir):
+    df = q("q105_priority_late_shipping")(spark, sf_dir)
+    assert plans.has_pushed_filter(df, "o_orderdate"), plans.formatted_plan(df)
+
+
+def test_q108_scalar_aggregates_broadcast(spark, sf_dir):
+    """Both the part dim and the 1-row global total must broadcast —
+    shuffling the fact side against a scalar is a planning failure."""
+    df = q("q108_brand_revenue_share")(spark, sf_dir)
+    assert plans.uses_broadcast_join(df), plans.formatted_plan(df)
+
+
+def test_ols_trend_partial_aggregation(spark, sf_dir):
+    """q103's five integer sums must map-side combine: at 100 TB the
+    shuffle carries five numbers per series per partition, not raw rows."""
+    df = q("q103_ols_trend")(spark, sf_dir)
+    assert plans.has_partial_aggregation(df), plans.formatted_plan(df)
+
+
+def test_iqr_outliers_single_hash_exchange(spark, sf_dir):
+    """q104's ranking windows and final aggregation share the event_type
+    partitioning: exactly one hash exchange (the trailing range exchange
+    is the 5-row output sort)."""
+    import re
+
+    plan = plans.formatted_plan(q("q104_iqr_outliers")(spark, sf_dir))
+    hash_exchanges = re.findall(r"Arguments: hashpartitioning\(", plan)
+    assert len(hash_exchanges) == 1, plan
+
+
+def test_decay_smoother_stays_on_jvm(spark, sf_dir):
+    """The EWMA smoother is lags + integer arithmetic — all codegen'd;
+    a Python fallback here would be a 100× regression in the hot path."""
+    df = q("q102_decay_smoother")(spark, sf_dir)
+    assert not plans.has_python_eval(df), plans.formatted_plan(df)
