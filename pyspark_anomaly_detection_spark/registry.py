@@ -61,6 +61,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.events.anomaly  # noqa: F401
     import pyspark_anomaly_detection_spark.events.rollup  # noqa: F401
     import pyspark_anomaly_detection_spark.events.temporal  # noqa: F401
+    import pyspark_anomaly_detection_spark.io.pydatasource  # noqa: F401
     import pyspark_anomaly_detection_spark.events.time_windows  # noqa: F401
     import pyspark_anomaly_detection_spark.ml.pipeline  # noqa: F401
     import pyspark_anomaly_detection_spark.multimodal.binary_ops  # noqa: F401
@@ -70,6 +71,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.relational.breadth  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.queries  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.setops  # noqa: F401
+    import pyspark_anomaly_detection_spark.relational.spark4  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.tpch  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.ann  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.neardup  # noqa: F401

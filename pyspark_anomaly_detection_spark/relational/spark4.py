@@ -1,0 +1,87 @@
+"""Spark 4 surface: VariantType semi-structured access and SQL pipe syntax.
+
+The reference's data model has no semi-structured columns (SURVEY §1.3 —
+all primitives); the harness's ``events.props`` JSON string is the hook.
+q08 covers the classic ``get_json_object`` path; q109 covers the Spark 4
+``parse_json``/``variant_get`` path, which at scale replaces repeated
+string re-parsing with a binary-encoded variant that is parsed once and
+field-accessed many times.  q110 exercises the SQL pipe operator surface
+(``|>``) — same Catalyst plan as the method-chain form, so it's a parser
+check, not an engine fork.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
+
+
+@register(
+    "q109_variant_props",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+      CAST(COUNT(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50 THEN 1 END)
+           AS BIGINT) AS n_large
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q109_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through VariantType: ``parse_json`` the
+    props column once into a variant, then typed ``variant_get`` field
+    access feeding integer aggregates.  At 100 TB the variant parse is the
+    one expensive pass; every downstream field access is a binary offset
+    lookup, not a JSON re-parse (the q08 ``get_json_object`` form re-parses
+    per extraction)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_large"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q110_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q110_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe-operator surface (Spark 4 ``|>``): filter → aggregate →
+    sort as a linear pipeline.  Catalyst produces the identical plan as
+    the method-chain form — this query pins the parser surface the way
+    q78-q81 pin the window-SQL surface."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_pipe_orders")
+    return spark.sql(
+        """
+        FROM _pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )

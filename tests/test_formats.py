@@ -50,3 +50,27 @@ def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "l_quantity" in plan
+
+def test_python_datasource_partition_invariance(spark):
+    """The custom Python DataSource must yield the identical row set at
+    any partition fan-out (exactly-once per id-range slice)."""
+    from pyspark_anomaly_detection_spark.io.pydatasource import (
+        register_python_datasource,
+    )
+
+    register_python_datasource(spark)
+
+    def rows(parts):
+        return sorted(
+            tuple(r)
+            for r in spark.read.format("synthetic_events")
+            .option("rows", 1000)
+            .option("partitions", parts)
+            .load()
+            .collect()
+        )
+
+    one = rows(1)
+    assert len(one) == 1000
+    assert rows(7) == one
+    assert rows(32) == one
