@@ -1,0 +1,157 @@
+"""Dataset diagnostics: single-pass table profiling and key-skew analysis.
+
+The reference's data-quality layer is assertion-shaped (GX expectations,
+src/utils/data_quality.py:29-36 → q39's violation counters).  A training-
+data platform also needs the *descriptive* counterpart: per-column
+profiles (null rate, cardinality, range) to spot drift, and per-key
+frequency profiles to choose a shuffle strategy (plain hash vs salting vs
+AQE skew splits) BEFORE launching the 100 TB join.
+
+Both operators are one aggregation pass each:
+
+* ``profile_table`` computes every column's stats in a single ``agg`` (one
+  scan, map-side combined) and unpivots driver-side — the stats row is a
+  few KB regardless of table size.
+* the skew profile is the classic two-level aggregation (key → count,
+  count → frequency-of-frequency) — each level map-side combinable, and
+  the second input is |distinct keys|, not |rows|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
+
+PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-scan column profile: for each column — row count, null count,
+    exact distinct count, min/max (as strings, type-erased) and average
+    string length (exact: bigint char sum / count).
+
+    All columns' aggregates run in the SAME ``agg`` (one scan).  The
+    unpivot to one-row-per-column happens on the single result row, so
+    plan size grows with column count, data size doesn't matter.
+    """
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__nonnull"),
+            F.countDistinct(col).alias(f"{c}__distinct"),
+            F.min(col.cast("string")).alias(f"{c}__min"),
+            F.max(col.cast("string")).alias(f"{c}__max"),
+            F.sum(F.length(col.cast("string"))).alias(f"{c}__charsum"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"{c}__nonnull")).alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+            (
+                F.col(f"{c}__charsum").cast("double")
+                / F.col(f"{c}__nonnull").cast("double")
+            ).alias("avg_len"),
+        )
+        for c in cols
+    ]
+    return (
+        row.select(F.explode(F.array(*per_col)).alias("s"))
+        .select("s.*")
+        .orderBy("col_name")
+    )
+
+
+def _q112_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+          COUNT(*) AS n_rows,
+          COUNT(*) - COUNT({c}) AS n_nulls,
+          COUNT(DISTINCT {c}) AS n_distinct,
+          MIN(CAST({c} AS VARCHAR)) AS min_str,
+          MAX(CAST({c} AS VARCHAR)) AS max_str,
+          CAST(CAST(SUM(length(CAST({c} AS VARCHAR))) AS BIGINT) AS DOUBLE)
+            / CAST(COUNT({c}) AS DOUBLE) AS avg_len
+        FROM documents
+        """
+        for c in PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@register("q112_table_profile", oracle=_q112_oracle())
+def q112_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile the documents table: every column's null/cardinality/range/
+    length stats from ONE scan (the oracle needs five scans — the unpivot
+    trick is the Spark-side win)."""
+    return profile_table(
+        load_table(spark, sf_dir, "documents"), list(PROFILE_COLS)
+    )
+
+
+@register(
+    "q113_key_skew_profile",
+    oracle="""
+    WITH key_counts AS (
+      SELECT o_custkey AS key, COUNT(*) AS per_key
+      FROM orders GROUP BY o_custkey
+    ),
+    freq AS (
+      SELECT per_key, COUNT(*) AS n_keys
+      FROM key_counts GROUP BY per_key
+    ),
+    totals AS (
+      SELECT CAST(MAX(per_key) AS BIGINT) AS max_per_key,
+             CAST(SUM(per_key * n_keys) AS BIGINT) AS n_rows
+      FROM freq
+    )
+    SELECT CAST(f.per_key AS BIGINT) AS per_key,
+      CAST(f.n_keys AS BIGINT) AS n_keys,
+      CAST(f.per_key * f.n_keys AS DOUBLE) / CAST(t.n_rows AS DOUBLE)
+        AS row_share,
+      CASE WHEN f.per_key = t.max_per_key THEN 1 ELSE 0 END AS is_heaviest
+    FROM freq f, totals t
+    ORDER BY per_key
+    """,
+)
+def q113_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequency profile of a join/shuffle key: how many keys
+    carry how many rows, each cohort's share of the table, and the
+    heaviest cohort flagged.  This is the decision input for plain hash vs
+    salted shuffle (relational/skew.py) — a top-cohort share near 1/
+    partition-count means salting is mandatory.  Two cascaded map-side-
+    combinable aggregations; the global totals are a 1-row broadcast."""
+    ord_ = load_table(spark, sf_dir, "orders")
+    key_counts = ord_.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("per_key")
+    )
+    freq = key_counts.groupBy("per_key").agg(F.count("*").alias("n_keys"))
+    totals = freq.agg(
+        F.max("per_key").alias("max_per_key"),
+        F.sum(F.col("per_key") * F.col("n_keys")).alias("n_rows"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(totals))
+        .select(
+            "per_key",
+            "n_keys",
+            (
+                (F.col("per_key") * F.col("n_keys")).cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("row_share"),
+            F.when(F.col("per_key") == F.col("max_per_key"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_heaviest"),
+        )
+        .orderBy("per_key")
+    )

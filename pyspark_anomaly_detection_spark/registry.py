@@ -66,6 +66,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.ml.pipeline  # noqa: F401
     import pyspark_anomaly_detection_spark.multimodal.binary_ops  # noqa: F401
     import pyspark_anomaly_detection_spark.quality.gates  # noqa: F401
+    import pyspark_anomaly_detection_spark.quality.profile  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.advanced  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.analytics_extra  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.breadth  # noqa: F401
