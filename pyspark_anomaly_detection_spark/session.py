@@ -48,6 +48,14 @@ def get_spark_session(
         .appName(app_name)
         # oracle parity: DuckDB computes in UTC-naive timestamps
         .config("spark.sql.session.timeZone", "UTC")
+        # reference sizing (config/spark_config.py:30-33): 8g heap; in
+        # local mode driver==executor JVM, so this sizes the whole engine.
+        # Only effective at JVM launch — the factory is the first session
+        # creator everywhere (tests, bench, driver contract).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g"),
+        )
         # runtime re-planning: partition coalescing, broadcast demotion, skew splits
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

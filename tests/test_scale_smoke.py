@@ -1,0 +1,57 @@
+"""Empirical scale smoke: the shuffle-heavy paths at 20M rows.
+
+The parquet fixtures top out at sf0.1 (~600k lineitem rows) — enough for
+correctness, too small to surface memory/shuffle behavior.  This test
+generates a 20M-row fact table in-memory (spark.range + hash-derived
+columns, no I/O) and pushes it through the two wide patterns every
+operator family here reduces to: a fact⋈dim join feeding a grouped
+aggregation, and a per-key ranking window.  Assertions are consistency
+invariants (no timing — CI boxes vary); the point is that the engine
+completes a 33×-testdata workload in seconds on local[32] without GC
+breakdown, which is the single-node proxy for "partitions sized sanely".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_FACT = 20_000_000
+N_USERS = 1_000_000
+
+
+def _fact(spark):
+    return spark.range(N_FACT, numPartitions=64).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(N_USERS)).alias("user_id"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(97)).alias("bucket"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10000)) / F.lit(100.0)).alias(
+            "amount"
+        ),
+    )
+
+
+def test_join_agg_and_window_at_20m_rows(spark):
+    fact = _fact(spark)
+    dim = spark.range(N_USERS).select(
+        F.col("id").alias("user_id"),
+        F.pmod(F.xxhash64("id"), F.lit(23)).alias("cohort"),
+    )
+
+    agg = (
+        fact.join(dim, "user_id")
+        .groupBy("cohort", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = agg.collect()
+    # pmod keys are total: every fact row joins exactly one dim row
+    assert sum(r.n for r in rows) == N_FACT
+    assert len(rows) == 23 * 97  # every (cohort, bucket) cell is populated
+
+    w = Window.partitionBy("user_id").orderBy("id")
+    top2 = fact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    n_top2 = top2.count()
+    n_users_seen = fact.select("user_id").distinct().count()
+    # 20M rows over 1M keys → essentially every key has ≥2 rows, and the
+    # window must emit ≤ 2 per key, ≥ 1 per seen key
+    assert n_users_seen <= n_top2 <= 2 * n_users_seen
