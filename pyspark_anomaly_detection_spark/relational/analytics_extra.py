@@ -116,3 +116,75 @@ def semi_prefilter(
         "left_semi",
     )
     return pruned
+
+
+Z_BITS = 8  # bits per dimension in the interleaved key
+
+
+def _zorder_spark(x: Column, y: Column, bits: int = Z_BITS) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` of x and y.
+    Pure integer shift/mask arithmetic — identical in the oracle SQL."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _zorder_sql(x: str, y: str, bits: int = Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _q115_oracle() -> str:
+    z = _zorder_sql("(l_partkey % 256)", "(l_suppkey % 256)")
+    return f"""
+    WITH keyed AS (
+      SELECT (l_partkey % 256) AS px, (l_suppkey % 256) AS sx,
+             {z} AS zkey
+      FROM lineitem
+    )
+    SELECT CAST(zkey >> 12 AS BIGINT) AS zbucket,
+      COUNT(*) AS n,
+      CAST(MIN(px) AS BIGINT) AS min_px, CAST(MAX(px) AS BIGINT) AS max_px,
+      CAST(MIN(sx) AS BIGINT) AS min_sx, CAST(MAX(sx) AS BIGINT) AS max_sx
+    FROM keyed
+    GROUP BY zbucket
+    ORDER BY zbucket
+    """
+
+
+@register("q115_zorder_layout", oracle=_q115_oracle())
+def q115_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two join dimensions, plus the
+    per-z-range min/max envelope that makes it useful: sorting a table by
+    zkey before writing bounds BOTH dimensions within every file/bucket,
+    so min/max footer stats skip files for predicates on either column —
+    the multi-dimensional generalization of partition pruning (the
+    mechanism behind Delta/Iceberg OPTIMIZE ZORDER, built from plain
+    integer arithmetic).  The envelope widths in this result are the
+    skipping quality metric: each of the 16 z-ranges spans ≤ a quarter of
+    each dimension's domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    px = F.pmod(F.col("l_partkey"), F.lit(256))
+    sx = F.pmod(F.col("l_suppkey"), F.lit(256))
+    keyed = li.select(
+        px.alias("px"), sx.alias("sx"), _zorder_spark(px, sx).alias("zkey")
+    )
+    return (
+        keyed.groupBy(F.shiftright("zkey", 12).cast("bigint").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("px").alias("min_px"),
+            F.max("px").alias("max_px"),
+            F.min("sx").alias("min_sx"),
+            F.max("sx").alias("max_sx"),
+        )
+        .orderBy("zbucket")
+    )

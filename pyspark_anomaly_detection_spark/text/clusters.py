@@ -179,3 +179,64 @@ def q75_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERATIONS = 10
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = PAGERANK_DAMPING,
+    iterations: int = PAGERANK_ITERATIONS,
+) -> DataFrame:
+    """Distributed PageRank on an undirected graph (symmetrized edges, so
+    no dangling-node mass loss): per round one join (rank/degree
+    contribution along each edge) + one keyed sum — both map-side
+    combinable, shuffle key = node id.  Lineage is truncated per round
+    (``localCheckpoint``) exactly as in ``connected_components``; at
+    cluster scale the same loop runs with a reliable checkpoint dir.
+
+    Returns (node, rank); ranks sum to the node count (verified as a
+    property test, since float accumulation order makes the low bits
+    engine-specific — this is a rows-only operator by design).
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    degrees = und.groupBy("u").agg(F.count("*").alias("deg"))
+    with_deg = und.join(degrees, "u").persist()
+    ranks = degrees.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))
+    ranks = ranks.localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            with_deg.join(ranks, with_deg["u"] == ranks["node"])
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = contribs.select(
+            "node",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("in_mass")).alias("rank"),
+        ).localCheckpoint()
+    und.unpersist()
+    with_deg.unpersist()
+    return ranks
+
+
+@register("q114_pagerank_dup_graph", oracle=None)  # iterative float fixpoint:
+# rank low bits are accumulation-order-specific; properties pinned in
+# tests/test_dedup_clusters.py instead
+def q114_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the MinHash-LSH duplicate graph: rank ≈ how central a
+    document is inside its duplication cluster — the canonical-selection
+    signal when "keep the most-connected variant" beats "keep min id"."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    ranked = pagerank(pairs, src="doc_a", dst="doc_b")
+    return ranked.orderBy(F.desc("rank"), "node").limit(50)
