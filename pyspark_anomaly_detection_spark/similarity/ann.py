@@ -211,3 +211,77 @@ def lsh_topk(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def brute_force_topk_vectorized(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB formulation of exact cosine top-k: the (small) query
+    matrix is a plain Spark broadcast variable; each Arrow batch of the
+    (huge) candidate side does ONE numpy matmul (batch × dim @ dim ×
+    n_queries) and emits only its local top-k per query; a final window
+    keeps the global top-k over ≤ k·n_batches rows per query.
+
+    Versus ``brute_force_topk``'s JVM fold (kept for bitwise oracle
+    parity): ~50× less per-pair work via BLAS, and the shuffle input
+    shrinks from |candidates|·|queries| scored pairs to k per (query,
+    batch).  Results are recall-checked against the exact fold version —
+    float summation order differs (pairwise/SIMD vs sequential), so last-
+    ulp rank flips on near-ties are tolerated, not hash equality.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
+    ).collect()
+    qids = np.array([r.qid for r in qrows])
+    qmat = np.array([r.qvec for r in qrows])  # Q × D
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def score_batches(batches):
+        b_qids, b_qmat, b_qnorm = bc.value
+        for pdf in batches:
+            cids = pdf["cand_id"].to_numpy()
+            cmat = np.vstack(pdf["cvec"].to_numpy())  # B × D
+            cnorm = np.linalg.norm(cmat, axis=1)
+            sims = (cmat @ b_qmat.T) / np.outer(cnorm, b_qnorm)  # B × Q
+            sims[cids[:, None] == b_qids[None, :]] = -np.inf  # self-match
+            top = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # top × Q
+            out_q = np.repeat(b_qids, top)
+            flat = idx.T.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "cand_id": cids[flat],
+                    "cos_sim": sims[flat, np.repeat(np.arange(len(b_qids)), top)],
+                }
+            )
+
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    local_topk = c.mapInPandas(
+        score_batches, schema="query_id long, cand_id long, cos_sim double"
+    ).filter(F.col("cos_sim") != float("-inf"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        local_topk.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+@register("q116_ann_topk_vectorized", oracle=None, headline=True)  # float
+# summation order differs from SQL folds by design; recall-checked against
+# the exact q37 in tests/test_similarity.py
+def q116_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return brute_force_topk_vectorized(queries, emb).orderBy("query_id", "rk")

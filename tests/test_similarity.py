@@ -58,3 +58,24 @@ def test_lsh_topk_scores_match_brute_force_on_overlap(spark, sf_dir):
     assert overlap, "LSH should recover at least one true top-k pair"
     for key in overlap:
         assert bf[key] == approx[key]
+
+
+def test_vectorized_topk_matches_exact_fold(spark, sf_dir):
+    """The BLAS path must return the same neighbor sets as the exact fold
+    (allowing last-ulp rank flips on near-ties: ≥95% pair overlap and
+    identical per-query counts)."""
+    from pyspark_anomaly_detection_spark.similarity.ann import (
+        q37_ann_cosine_topk,
+        q116_ann_topk_vectorized,
+    )
+
+    exact = {
+        (r.query_id, r.cand_id) for r in q37_ann_cosine_topk(spark, sf_dir).collect()
+    }
+    fast = {
+        (r.query_id, r.cand_id)
+        for r in q116_ann_topk_vectorized(spark, sf_dir).collect()
+    }
+    assert len(fast) == len(exact)
+    overlap = len(exact & fast) / len(exact)
+    assert overlap >= 0.95, f"vectorized top-k diverged: {overlap:.3f}"
