@@ -74,3 +74,45 @@ def test_python_datasource_partition_invariance(spark):
     assert len(one) == 1000
     assert rows(7) == one
     assert rows(32) == one
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Readers must tolerate schema drift across partition batches —
+    the batch-append analog of the reference's overwriteSchema Delta
+    option (SURVEY §2.1 S7): older files simply surface NULL for columns
+    they predate."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(3).select("id").write.mode("append").parquet(base)
+    spark.range(3, 6).select(
+        "id", (F.col("id") * 2).alias("extra")
+    ).write.mode("append").parquet(base)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "extra"}
+    rows = {r.id: r.extra for r in merged.collect()}
+    assert len(rows) == 6
+    assert rows[1] is None and rows[4] == 8
+
+
+def test_operators_tolerate_empty_input(spark, sf_dir):
+    """Window/agg/dedup operators must return empty results (same schema),
+    not crash, when a filter eliminates every row — the behavior a
+    date-partition miss produces in production."""
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.events.analytics import sessionize
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+    from pyspark_anomaly_detection_spark.quality.profile import profile_table
+    from pyspark_anomaly_detection_spark.text.dedup import exact_dedup
+
+    empty_ev = load_table(spark, sf_dir, "events").filter(F.lit(False))
+    assert sessionize(empty_ev).count() == 0
+
+    empty_docs = load_table(spark, sf_dir, "documents").filter(F.lit(False))
+    assert exact_dedup(empty_docs).count() == 0
+
+    prof = profile_table(empty_docs, ["doc_id", "text"]).collect()
+    assert {r.col_name for r in prof} == {"doc_id", "text"}
+    assert all(r.n_rows == 0 for r in prof)
