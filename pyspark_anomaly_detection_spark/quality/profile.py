@@ -155,3 +155,110 @@ def q113_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("per_key")
     )
+
+
+N_CHECKSUM_BUCKETS = 64
+DRIFT_MOD = 9973  # rows dropped from the B side to simulate drift
+
+
+def table_fingerprint(
+    df: DataFrame, cols: list[str], n_buckets: int = N_CHECKSUM_BUCKETS
+) -> DataFrame:
+    """Order-independent per-bucket fingerprint: md5-derived 60-bit row
+    digest (md5 is engine-identical, unlike xxhash64/murmur), bucketed by
+    digest mod n, reduced with COUNT + BIT_XOR (exact, commutative — no
+    accumulation-order dependence).  Comparing two tables is then a
+    64-row join of fingerprints, not a data move: the reconciliation
+    primitive for prod-vs-replica checks at 100 TB.  Fully map-side
+    combinable; one shuffle of n_buckets × partials."""
+    from pyspark_anomaly_detection_spark.functions import md5_long60
+
+    row_str = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in cols]
+    )
+    digest = md5_long60(row_str)
+    return (
+        df.select(
+            F.pmod(digest, F.lit(n_buckets)).alias("bucket"), digest.alias("digest")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.bit_xor("digest").alias("xor_sig"))
+    )
+
+
+_CHECKSUM_COLS_SQL = (
+    "COALESCE(CAST(l_orderkey AS VARCHAR), '∅') || '|' || "
+    "COALESCE(CAST(l_linenumber AS VARCHAR), '∅') || '|' || "
+    "COALESCE(l_returnflag, '∅') || '|' || "
+    "COALESCE(strftime(l_shipdate, '%Y-%m-%d'), '∅')"
+)
+
+
+def _q117_oracle() -> str:
+    digest = f"CAST(('0x' || substr(md5({_CHECKSUM_COLS_SQL}), 1, 15)) AS BIGINT)"
+    return f"""
+    WITH rows_a AS (
+      SELECT {digest} AS digest FROM lineitem
+    ),
+    rows_b AS (
+      SELECT {digest} AS digest FROM lineitem WHERE l_orderkey % {DRIFT_MOD} <> 0
+    ),
+    fp_a AS (
+      SELECT digest % {N_CHECKSUM_BUCKETS} AS bucket, COUNT(*) AS n_a,
+             bit_xor(digest) AS xor_a
+      FROM rows_a GROUP BY bucket
+    ),
+    fp_b AS (
+      SELECT digest % {N_CHECKSUM_BUCKETS} AS bucket, COUNT(*) AS n_b,
+             bit_xor(digest) AS xor_b
+      FROM rows_b GROUP BY bucket
+    )
+    SELECT fp_a.bucket AS bucket, n_a, COALESCE(n_b, 0) AS n_b,
+      CASE WHEN n_a = COALESCE(n_b, 0) AND xor_a = COALESCE(xor_b, 0)
+           THEN 1 ELSE 0 END AS is_match
+    FROM fp_a LEFT JOIN fp_b ON fp_a.bucket = fp_b.bucket
+    ORDER BY bucket
+    """
+
+
+@register("q117_table_checksum_diff", oracle=_q117_oracle())
+def q117_table_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two table versions by fingerprint: B simulates drift
+    (a deterministic slice of orders missing); the 64-bucket comparison
+    localizes every divergence without shuffling either table's rows.
+    Buckets whose digests all survived unchanged report is_match=1 — at
+    scale, only mismatched buckets need row-level investigation."""
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "shipdate_str"]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("shipdate_str"),
+    )
+    fa = table_fingerprint(li, cols).withColumnRenamed("n", "n_a").withColumnRenamed(
+        "xor_sig", "xor_a"
+    )
+    fb = (
+        table_fingerprint(
+            li.filter(F.pmod(F.col("l_orderkey"), F.lit(DRIFT_MOD)) != 0), cols
+        )
+        .withColumnRenamed("n", "n_b")
+        .withColumnRenamed("xor_sig", "xor_b")
+    )
+    return (
+        fa.join(fb, "bucket", "left")
+        .select(
+            "bucket",
+            "n_a",
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.when(
+                (F.col("n_a") == F.coalesce("n_b", F.lit(0)))
+                & (F.col("xor_a") == F.coalesce("xor_b", F.lit(0))),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_match"),
+        )
+        .orderBy("bucket")
+    )
