@@ -105,3 +105,62 @@ def q111_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .orderBy("row_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming variant: same deterministic rows, micro-batched with replayable
+# offsets (Spark 4 SimpleDataSourceStreamReader).
+# --------------------------------------------------------------------------
+
+try:  # pragma: no cover - import surface differs across minor versions
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    STREAM_READER_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    SimpleDataSourceStreamReader = object
+    STREAM_READER_AVAILABLE = False
+
+DEFAULT_BATCH_ROWS = 100
+
+
+def _row(row_id: int) -> tuple:
+    bucket = (row_id * BUCKET_MULT) % N_BUCKETS
+    score = ((row_id * LCG_A + LCG_C) % LCG_M) / LCG_M
+    return (row_id, bucket, score)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset = next row id to emit.  ``read`` advances the offset by one
+    micro-batch; ``readBetweenOffsets`` regenerates any committed range
+    bit-identically (the LCG is pure), which is what makes failure replay
+    exactly-once without a write-ahead log."""
+
+    def __init__(self, options: dict):
+        self.batch_rows = int(options.get("batch_rows", DEFAULT_BATCH_ROWS))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = lo + self.batch_rows
+        return iter([_row(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(start["next"], end["next"])])
+
+
+class SyntheticEventsStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return "row_id bigint, bucket int, score double"
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register_stream_datasource(spark: SparkSession) -> None:
+    spark.dataSource.register(SyntheticEventsStreamSource)

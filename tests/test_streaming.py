@@ -119,3 +119,59 @@ def test_watermark_present_in_plan(spark, event_stream_dir):
     stream = tumbling_counts(read_event_stream(spark, event_stream_dir))
     assert stream.isStreaming
     assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
+
+
+def test_python_stream_source_prefix_matches_batch(spark):
+    """The streaming Python DataSource must emit exactly the batch
+    source's rows, in offset order — micro-batch boundaries are an
+    execution detail, not a semantics change (stream prefix == batch
+    head)."""
+    import time
+
+    from pyspark_anomaly_detection_spark.io.pydatasource import (
+        STREAM_READER_AVAILABLE,
+        register_python_datasource,
+        register_stream_datasource,
+    )
+
+    if not STREAM_READER_AVAILABLE:
+        import pytest
+
+        pytest.skip("SimpleDataSourceStreamReader not available")
+
+    register_stream_datasource(spark)
+    register_python_datasource(spark)
+    q = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("batch_rows", 50)
+        .load()
+        .writeStream.format("memory")
+        .queryName("_pystream_sink")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) n FROM _pystream_sink").first().n >= 150:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    streamed = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT row_id, bucket, score FROM _pystream_sink"
+        ).collect()
+    }
+    assert len(streamed) >= 150
+    n = len(streamed)
+    batch_head = {
+        tuple(r)
+        for r in spark.read.format("synthetic_events")
+        .option("rows", n)
+        .load()
+        .collect()
+    }
+    assert streamed == batch_head
