@@ -335,3 +335,80 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return simhash64(docs).orderBy("doc_id")
+
+
+SIMHASH_BITS = 60  # md5_long60 supplies 60 deterministic bits
+
+
+def simhash_exact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Declarative SimHash: explode tokens, md5-hash each once, then 60
+    conditional-sum bit votes in ONE hash aggregate, recombined into the
+    signature long.  Pure integer arithmetic end-to-end — unlike the
+    pandas_udf form (``simhash64``), this is whole-stage-codegen'd,
+    map-side combinable (votes are sums), and exactly reproducible in SQL,
+    which is also why it is the 100 TB path: one explode + one aggregate,
+    shuffle carries 60 ints per doc.
+    """
+    from pyspark_anomaly_detection_spark.functions import md5_long60, tokens
+
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    ).withColumn("_h", md5_long60(F.col("_tok")))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig = sum(
+        (
+            F.when(F.col(f"_v{i}") >= 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(SIMHASH_BITS)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def _q118_oracle() -> str:
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} >= 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(text, chr(32))) AS t
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id,
+        {votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
+    FROM votes
+    ORDER BY doc_id
+    """
+
+
+@register("q118_simhash_exact", oracle=_q118_oracle())
+def q118_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM/SQL SimHash (same subset as q36's pandas_udf form):
+    value-level oracle parity over all 60 bits of every signature."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return simhash_exact(docs).orderBy("doc_id")
