@@ -85,3 +85,81 @@ def q110_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "q119_filter_clause",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n,
+      COUNT(*) FILTER (WHERE value > 50.0) AS n_high,
+      COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_even_user,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 50.0)
+           AS DOUBLE) AS sum_high
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q119_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregation surface (the SQL form of q48's
+    conditional aggregates): identical Catalyst plan to CASE-WHEN inputs,
+    pinned here at the parser level.  (QUALIFY is NOT in Spark 4.1's
+    grammar — verified; top-k-per-group stays window + filter, q16.)"""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_fc_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+          COUNT(*) AS n,
+          COUNT(*) FILTER (WHERE value > 50.0) AS n_high,
+          COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_even_user,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 50.0)
+               AS DOUBLE) AS sum_high
+        FROM _fc_events
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
+
+
+@register(
+    "q120_error_safe_family",
+    oracle="""
+    SELECT o_orderstatus,
+      COUNT(*) AS n,
+      COUNT(*) - COUNT(TRY_CAST(o_orderstatus AS INT)) AS n_bad_cast,
+      CAST(SUM(TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INT)) AS BIGINT)
+        AS sum_roundtrip,
+      COUNT(*) - COUNT(CASE WHEN o_custkey % 3 = 0 THEN NULL
+                            ELSE o_totalprice / (o_custkey % 3) END)
+        AS n_div_null
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q120_error_safe_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe function family: ``try_cast`` (malformed → NULL, never a
+    task failure) and ``try_divide`` (zero divisor → NULL, never ±inf or
+    an ANSI error).  At 100 TB this is the difference between one dirty
+    row killing a stage-retry cascade and it landing in a NULL counter —
+    the function-level complement of the PERMISSIVE quarantine path (S2).
+    The oracle expresses try_divide as a CASE guard because DuckDB's
+    float division yields inf on zero."""
+    ord_ = load_table(spark, sf_dir, "orders")
+    roundtrip = F.col("o_orderkey").cast("string").try_cast("int")
+    divided = F.try_divide(
+        F.col("o_totalprice"), F.pmod(F.col("o_custkey"), F.lit(3))
+    )
+    return (
+        ord_.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.count("*") - F.count(F.col("o_orderstatus").try_cast("int"))
+            ).alias("n_bad_cast"),
+            F.sum(roundtrip).alias("sum_roundtrip"),
+            (F.count("*") - F.count(divided)).alias("n_div_null"),
+        )
+        .orderBy("o_orderstatus")
+    )
