@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from pyspark_anomaly_detection_spark.functions import (
     MD5_LONG60_SQL,
+    fmt_ts,
     md5_long60,
     sum_dbl,
 )
@@ -478,4 +479,119 @@ def q92_group_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z_value"),
         )
         .orderBy("event_id")
+    )
+
+
+N_NEGATIVES = 3
+NEG_A = 1_566_083_941  # universal-hash multiplier (functions.MINHASH_COEF[1])
+NEG_B = 1_013_904_223
+
+
+@register(
+    "q121_negative_sampling",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn,
+        COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    cand AS (
+      SELECT doc_id AS anchor_id, rn, n, k,
+        ((rn * {NEG_A} + k * {NEG_B}) % 2147483647) % n AS partner_rn
+      FROM numbered CROSS JOIN (SELECT unnest(range(1, {N_NEGATIVES} + 1)) AS k)
+    ),
+    pairs AS (
+      SELECT c.anchor_id, CAST(c.k AS BIGINT) AS k, p.doc_id AS negative_id
+      FROM cand c JOIN numbered p ON c.partner_rn = p.rn
+      WHERE c.partner_rn <> c.rn
+    )
+    SELECT anchor_id, k, negative_id FROM pairs
+    ORDER BY anchor_id, k
+    """,
+)
+def q121_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair sampling for contrastive training: each
+    anchor doc gets up to {N_NEGATIVES} pseudo-random partners chosen by a
+    universal hash of (position, k) — reproducible across runs and
+    engines, no rand() seed drift.  Self-pairs are dropped (a hash may
+    land on the anchor itself, so k is an attempt index, not a dense
+    rank).  Plan shape: one global row-numbering (the only total-order
+    step — at 100 TB swap for zipWithIndex-style per-partition offsets or
+    an existing dense key), then an equi-join back on position; the k
+    expansion is a narrow explode."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    numbered = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("rn"),
+    ).crossJoin(F.broadcast(docs.agg(F.count("*").alias("n"))))
+    ks = spark.range(1, N_NEGATIVES + 1).select(F.col("id").alias("k"))
+    cand = numbered.crossJoin(F.broadcast(ks)).select(
+        F.col("doc_id").alias("anchor_id"),
+        "rn",
+        "k",
+        (
+            (F.col("rn").cast("long") * NEG_A + F.col("k") * NEG_B)
+            % F.lit(2147483647)
+            % F.col("n")
+        ).alias("partner_rn"),
+    )
+    partners = numbered.select(
+        F.col("rn").alias("partner_rn"), F.col("doc_id").alias("negative_id")
+    )
+    return (
+        cand.filter(F.col("partner_rn") != F.col("rn"))
+        .join(partners, "partner_rn")
+        .select("anchor_id", "k", "negative_id")
+        .orderBy("anchor_id", "k")
+    )
+
+
+EMBARGO_DAYS = 30
+SPLIT_POINT = "2000-01-01 00:00:00"
+
+
+@register(
+    "q122_temporal_embargo_split",
+    oracle=f"""
+    SELECT
+      CASE
+        WHEN o_orderdate < TIMESTAMP '{SPLIT_POINT}' - INTERVAL {EMBARGO_DAYS} DAY
+          THEN 'train'
+        WHEN o_orderdate >= TIMESTAMP '{SPLIT_POINT}' THEN 'test'
+        ELSE 'embargo'
+      END AS split,
+      COUNT(*) AS n_orders,
+      strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS first_date,
+      strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS last_date
+    FROM orders
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def q122_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe chronological split: train ends an EMBARGO_DAYS gap
+    before the test boundary, so features computed with trailing windows
+    (q21's 1h/24h frames) cannot straddle the cut — the reference's
+    chronological split (src/data/silver.py:44-49) hardened for windowed
+    features.  Embargoed rows are reported, not silently dropped."""
+    split_ts = F.lit(SPLIT_POINT).cast("timestamp")
+    embargo_start = split_ts - F.expr(f"INTERVAL {EMBARGO_DAYS} DAYS")
+    ord_ = load_table(spark, sf_dir, "orders")
+    return (
+        ord_.withColumn(
+            "split",
+            F.when(F.col("o_orderdate") < embargo_start, "train")
+            .when(F.col("o_orderdate") >= split_ts, "test")
+            .otherwise("embargo"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_orders"),
+            fmt_ts(F.min("o_orderdate")).alias("first_date"),
+            fmt_ts(F.max("o_orderdate")).alias("last_date"),
+        )
+        .orderBy("split")
     )
