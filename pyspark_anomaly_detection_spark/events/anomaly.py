@@ -386,3 +386,70 @@ def q104_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Benford expected first-digit shares, log10(1+1/d) rounded to 6dp and
+# inlined as literals on BOTH sides (log() is banned in oracle-checked
+# expressions — libm rounding differs across engines).
+BENFORD = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910,
+    5: 0.079181, 6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def _q123_oracle() -> str:
+    expected = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in BENFORD.items()
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    counts AS (
+      SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+    SELECT digit, n,
+      CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+      CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+        - (CASE digit {expected} END) AS benford_gap
+    FROM counts, total
+    ORDER BY digit
+    """
+
+
+@register("q123_benford_profile", oracle=_q123_oracle())
+def q123_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over transaction amounts — the classic
+    bulk fraud indicator in the reference's domain: fabricated amounts
+    drift from the log-uniform first-digit law.  The first digit is read
+    from the DECIMAL(18,2) string rendering (exact and engine-identical,
+    unlike double→string shortest-repr) and each digit's observed share is
+    compared against the Benford expectation inlined as literals.  One
+    map-side-combinable aggregation; the total is a 1-row broadcast."""
+    ord_ = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    digit = F.substring(dec2("o_totalprice").cast("string"), 1, 1).cast("bigint")
+    counts = ord_.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    share = F.col("n").cast("double") / F.col("t").cast("double")
+    cases = None
+    for d, p in BENFORD.items():
+        cases = (
+            F.when(F.col("digit") == d, F.lit(p))
+            if cases is None
+            else cases.when(F.col("digit") == d, F.lit(p))
+        )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            share.alias("share"),
+            (share - cases).alias("benford_gap"),
+        )
+        .orderBy("digit")
+    )
