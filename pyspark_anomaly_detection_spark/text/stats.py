@@ -367,3 +367,69 @@ def q31_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_min(F.transform(sh, md5_long60)).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+BPE_WORD = "[A-Za-z]+"
+BPE_NUM = "[0-9]+"
+BPE_PUNCT = "[^A-Za-z0-9 ]+"
+
+
+@register(
+    "q124_bpe_regex_tokens",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+        len(regexp_extract_all(text, '{BPE_WORD}')) AS n_word,
+        len(regexp_extract_all(text, '{BPE_NUM}')) AS n_num,
+        len(regexp_extract_all(text, '{BPE_PUNCT}')) AS n_punct
+      FROM documents
+    )
+    SELECT lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_word) AS BIGINT) AS word_tokens,
+      CAST(SUM(n_num) AS BIGINT) AS num_tokens,
+      CAST(SUM(n_punct) AS BIGINT) AS punct_tokens,
+      CAST(CAST(SUM(n_word) AS BIGINT) AS DOUBLE)
+        / CAST(CAST(SUM(n_word) AS BIGINT)
+               + CAST(SUM(n_num) AS BIGINT)
+               + CAST(SUM(n_punct) AS BIGINT) AS DOUBLE) AS word_share
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q124_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer census with a BPE-style class split (letter runs /
+    digit runs / symbol runs — the GPT-2 pre-tokenizer's character-class
+    skeleton, kept to classes both regex engines treat identically):
+    per-language token-class totals and the word-token share.  This is
+    the corpus statistic that sizes a tokenizer vocabulary and flags
+    symbol-heavy or numeric-heavy sources before training.  Whitespace
+    counting is q41; this is the regex path (one projection with three
+    regexp_extract_all, then a map-side-combinable aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_word = F.size(F.regexp_extract_all("text", F.lit(BPE_WORD), F.lit(0)))
+    n_num = F.size(F.regexp_extract_all("text", F.lit(BPE_NUM), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(BPE_PUNCT), F.lit(0)))
+    per_doc = docs.select(
+        "lang",
+        n_word.alias("n_word"),
+        n_num.alias("n_num"),
+        n_punct.alias("n_punct"),
+    )
+    sw = F.sum("n_word")
+    sn = F.sum("n_num")
+    sp = F.sum("n_punct")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            sw.alias("word_tokens"),
+            sn.alias("num_tokens"),
+            sp.alias("punct_tokens"),
+            (
+                sw.cast("double") / (sw + sn + sp).cast("double")
+            ).alias("word_share"),
+        )
+        .orderBy("lang")
+    )
