@@ -42,6 +42,19 @@ TABLE_NAMES = (
 )
 
 
+def _ensure_engine_confs(spark: SparkSession) -> None:
+    """Defensive, idempotent conf repair for sessions NOT built by our
+    ``session.get_spark_session`` (e.g. the driver harness passes its own
+    session to ``__spark_entry__.queries()``).  Both confs are runtime-
+    settable and parity-critical: without ``nanosAsLong`` the events scan
+    throws PARQUET_TYPE_ILLEGAL; without UTC, timestamp formatting drifts
+    from the DuckDB oracle."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
@@ -51,6 +64,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     matching DuckDB's ns→µs truncation so oracle comparisons agree to the
     microsecond.
     """
+    _ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
