@@ -451,3 +451,94 @@ def q108_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", F.col("rev").cast("double").alias("revenue"))
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q125_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey AS pk,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+      COUNT(*) AS n_small_orders,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN part_avg ON l_partkey = pk
+    WHERE l_quantity < 0.2 * avg_qty
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q125_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-group correlated scalar subquery — lineitems
+    whose quantity is below 20% of their part's average, grouped by brand.
+    The correlated average becomes a per-part aggregate joined back to the
+    fact (both sides shuffle on l_partkey, so the aggregate reuses the
+    join partitioning); the threshold comparison is per-row, pushed after
+    the join.  The exact-decimal average keeps the 0.2·avg boundary
+    engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(dec2("l_quantity")).cast("double") / F.count("*").cast("double")
+        ).alias("avg_qty")
+    )
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(part_avg, li["l_partkey"] == part_avg["pk"])
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small_orders"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q126_top_supplier",
+    oracle="""
+    WITH supplier_rev AS (
+      SELECT l_suppkey AS sk,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(rev) AS m FROM supplier_rev)
+    SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+    FROM supplier_rev JOIN supplier ON sk = s_suppkey, mx
+    WHERE rev = mx.m
+    ORDER BY s_suppkey
+    """,
+)
+def q126_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax against an aggregated view — the
+    quarter's top-revenue supplier(s), ties kept (revenue compared in
+    exact DECIMAL, so equality is unambiguous).  The max is a 1-row
+    broadcast against the per-supplier aggregate; the supplier dim is
+    broadcast too — the fact table is touched exactly once."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    supplier_rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.sum(revenue()).alias("rev")
+    )
+    mx = supplier_rev.agg(F.max("rev").alias("m"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        supplier_rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev") == F.col("m"))
+        .join(F.broadcast(sup), F.col("sk") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
