@@ -288,3 +288,70 @@ def q74_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("conc").alias("peak_concurrency"))
         .orderBy("day")
     )
+
+
+INTERVAL_JOIN_TOLERANCE_US = 300_000_000  # ±5 minutes
+
+
+@register(
+    "q127_bucketized_interval_join",
+    oracle=f"""
+    WITH err AS (
+      SELECT event_id, ts, epoch_us(ts) AS t FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+      SELECT event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT e.event_id AS error_id, e.ts AS error_ts
+      FROM err e JOIN pur p ON abs(e.t - p.t) <= {INTERVAL_JOIN_TOLERANCE_US}
+    )
+    SELECT strftime(date_trunc('hour', error_ts), '%Y-%m-%d %H:%M:%S.%f') AS hour,
+      COUNT(*) AS n_pairs,
+      COUNT(DISTINCT error_id) AS n_errors
+    FROM pairs
+    GROUP BY date_trunc('hour', error_ts)
+    ORDER BY hour
+    """,
+)
+def q127_bucketized_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join (NO equi key): error events paired with any
+    purchase within ±5 minutes, across all users.  Naively this is a
+    BroadcastNestedLoopJoin — O(|errors|·|purchases|) comparisons, the
+    classic 100 TB cliff.  The scale formulation buckets time at the
+    tolerance width and equi-joins on bucket: a qualifying pair's buckets
+    differ by at most 1, so exploding {{b−1, b, b+1}} on one side catches
+    every pair, the join hash-partitions on bucket, and the exact |Δt|
+    predicate filters the ~3× candidates.  Cost drops to
+    O(pairs-per-bucket), plan-asserted hash/sort-merge (never NestedLoop)
+    in tests/test_plans.py.  (DuckDB's optimizer runs the plain inequality
+    join natively — the oracle states the semantics, not the strategy.)"""
+    ev = load_table(spark, sf_dir, "events")
+    tol = INTERVAL_JOIN_TOLERANCE_US
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        F.unix_micros("ts").alias("t_err"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.unix_micros("ts").alias("t_pur")
+    )
+    b_err = F.floor(F.col("t_err") / F.lit(tol)).cast("long")
+    err_exploded = err.withColumn(
+        "bucket", F.explode(F.array(b_err - 1, b_err, b_err + 1))
+    )
+    pur_bucketed = pur.withColumn(
+        "bucket", F.floor(F.col("t_pur") / F.lit(tol)).cast("long")
+    )
+    pairs = err_exploded.join(pur_bucketed, "bucket").filter(
+        F.abs(F.col("t_err") - F.col("t_pur")) <= tol
+    )
+    return (
+        pairs.groupBy(F.date_trunc("hour", "error_ts").alias("hour_ts"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("error_id").alias("n_errors"),
+        )
+        .select(fmt_ts("hour_ts").alias("hour"), "n_pairs", "n_errors")
+        .orderBy("hour")
+    )

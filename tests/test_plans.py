@@ -215,3 +215,11 @@ def test_decay_smoother_stays_on_jvm(spark, sf_dir):
     a Python fallback here would be a 100× regression in the hot path."""
     df = q("q102_decay_smoother")(spark, sf_dir)
     assert not plans.has_python_eval(df), plans.formatted_plan(df)
+
+
+def test_interval_join_avoids_nested_loop(spark, sf_dir):
+    """The bucketized pure-interval join must plan a hash or sort-merge
+    join on the bucket key — BroadcastNestedLoopJoin here is the O(n·m)
+    cliff the formulation exists to avoid."""
+    plan = plans.formatted_plan(q("q127_bucketized_interval_join")(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
