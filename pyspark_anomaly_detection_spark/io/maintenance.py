@@ -1,0 +1,89 @@
+"""Table maintenance: small-file compaction with sorted rewrite.
+
+The operational complement of the sinks in ``writers.py``: streaming and
+micro-batch ingest (``streaming/incremental.py``) accumulate many small
+Parquet files per partition — at 100 TB that means metadata-bound scans
+(every file open costs a NameNode/object-store round trip and its own
+footer read) and useless min/max statistics.  Compaction rewrites a
+table/partition into size-targeted files, optionally sorted so column
+min/max footers become selective again (the poor man's Z-order for a
+single dominant predicate column; multi-column layout is q115's Morton
+key).
+
+This is the same job Delta's OPTIMIZE (+ ZORDER) or Iceberg's
+rewrite_data_files runs; expressed here with plain DataFrame primitives
+so it works on any hive-layout Parquet table.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # cluster default; tests shrink it
+
+
+def plan_file_count(total_bytes: int, target_file_bytes: int = TARGET_FILE_BYTES) -> int:
+    """Files needed to hold ``total_bytes`` at the target size (≥1)."""
+    return max(1, math.ceil(total_bytes / target_file_bytes))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Rewrite a Parquet directory into ``ceil(bytes/target)`` files.
+
+    Sizing reads the actual on-disk bytes (Hadoop FS API via the JVM — no
+    Python filesystem walk, so it works on any supported scheme, not just
+    ``file:``).  With ``sort_by`` the rewrite range-partitions on the sort
+    columns and sorts within each partition, so every output file covers a
+    narrow, disjoint range and its footer min/max prunes reads (plain
+    ``repartition`` + local sort would leave each file spanning the whole
+    domain).  Returns the file count written.  The rewrite stages to
+    ``<path>__compact`` and swaps via rename, so a crash mid-rewrite never
+    leaves the table truncated.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_conf = jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(hadoop_conf)
+    total = fs.getContentSummary(src).getLength()
+    n_files = plan_file_count(total, target_file_bytes)
+
+    df = spark.read.parquet(path)
+    if sort_by:
+        compacted = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        compacted = df.repartition(n_files)
+
+    staging = path.rstrip("/") + "__compact"
+    compacted.write.mode("overwrite").parquet(staging)
+    trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    staged = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.rename(src, trash)
+    fs.rename(staged, src)
+    fs.delete(trash, True)
+    return n_files
+
+
+def parquet_file_count(spark: SparkSession, path: str) -> int:
+    """Data files (part-*) currently backing a Parquet directory."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(jsc.hadoopConfiguration())
+    it = fs.listFiles(src, True)
+    n = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("part-"):
+            n += 1
+    return n

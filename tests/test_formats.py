@@ -116,3 +116,43 @@ def test_operators_tolerate_empty_input(spark, sf_dir):
     prof = profile_table(empty_docs, ["doc_id", "text"]).collect()
     assert {r.col_name for r in prof} == {"doc_id", "text"}
     assert all(r.n_rows == 0 for r in prof)
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    """50 tiny ingest files → a handful of size-targeted files, bitwise
+    row parity, and sorted-within-file layout for min/max pruning."""
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.io.maintenance import (
+        compact_parquet,
+        parquet_file_count,
+    )
+
+    path = str(tmp_path / "smallfiles")
+    # simulate 50 micro-batch appends
+    spark.range(50_000).select(
+        "id", F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k")
+    ).repartition(50).write.mode("overwrite").parquet(path)
+    assert parquet_file_count(spark, path) == 50
+    before = spark.read.parquet(path)
+    before_sum = before.agg(F.sum("id"), F.count("*")).first()
+
+    n_files = compact_parquet(
+        spark, path, target_file_bytes=256 * 1024, sort_by=["k"]
+    )
+    assert parquet_file_count(spark, path) == n_files < 50
+
+    after = spark.read.parquet(path)
+    assert after.agg(F.sum("id"), F.count("*")).first() == before_sum
+    # sortWithinPartitions: each output file's k-range is narrow — check
+    # via per-file min/max spread using the input_file_name pseudo-column
+    # range-partitioned sorted rewrite: each file covers a narrow,
+    # disjoint k-range, so the worst per-file span is far below the
+    # full 0..999 domain a round-robin layout would show
+    spans = (
+        after.groupBy(F.input_file_name().alias("f"))
+        .agg((F.max("k") - F.min("k")).alias("span"))
+        .collect()
+    )
+    worst = max(r.span for r in spans)
+    assert worst <= 1000 // len(spans) + 50, (worst, len(spans))
