@@ -208,3 +208,42 @@ def test_dq_gate_raises_on_violation(spark):
     )
     with pytest.raises(ValueError, match="amount_out_of_range"):
         enforce(bad, silver_expectations()[1:])
+
+
+def test_write_audit_publish_gates_bad_data(spark, tmp_path):
+    """WAP: audit metrics observed during the write pass gate publication —
+    good batch publishes atomically, bad batch leaves the previous table
+    untouched with staging kept for inspection."""
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.quality.wap import audited_write
+
+    path = str(tmp_path / "gold")
+    metrics = {
+        "n": F.count(F.lit(1)),
+        "n_null_amount": F.count(F.when(F.col("amount").isNull(), 1)),
+        "min_amount": F.min("amount"),
+    }
+    expectations = {
+        "n": lambda v: v and v > 0,
+        "n_null_amount": lambda v: v == 0,
+        "min_amount": lambda v: v is not None and v >= 0,
+    }
+
+    good = spark.range(100).select(
+        "id", (F.col("id") % 7).cast("double").alias("amount")
+    )
+    r1 = audited_write(good, path, metrics, expectations)
+    assert r1.published and r1.metrics["n"] == 100 and not r1.failures
+    assert spark.read.parquet(path).count() == 100
+
+    bad = spark.range(50).select(
+        "id",
+        F.when(F.col("id") == 13, None).otherwise(F.lit(-1.0)).alias("amount"),
+    )
+    r2 = audited_write(bad, path, metrics, expectations)
+    assert not r2.published
+    assert len(r2.failures) == 2  # null amount + negative min
+    # previous table untouched; rejected batch inspectable in staging
+    assert spark.read.parquet(path).count() == 100
+    assert spark.read.parquet(path + "__staging").count() == 50
