@@ -159,3 +159,33 @@ def run_to_memory_sink(
         .start()
     )
     query.awaitTermination()
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    watermark: str = "2 hours",
+    width: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: the standard
+    "join the stream to a dimension snapshot" pattern.  The static side
+    is broadcast per micro-batch (no state, unlike stream-stream joins —
+    the dim is re-resolvable, so late data needs no buffered rows), then
+    aggregated by (window, dim attribute).  At 100 TB/day the dim
+    broadcast is the difference between a stateless per-batch hash join
+    and an unbounded shuffle-state join."""
+    joined = events.withWatermark("ts", watermark).join(F.broadcast(dim), on)
+    return (
+        joined.groupBy(F.window("ts", width), "cohort")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct(on).alias("approx_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "cohort",
+            "n_events",
+            "approx_users",
+        )
+    )

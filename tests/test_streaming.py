@@ -175,3 +175,30 @@ def test_python_stream_source_prefix_matches_batch(spark):
         .collect()
     }
     assert streamed == batch_head
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, event_stream_dir):
+    """Stream-static broadcast join: per-micro-batch dim resolution must
+    reproduce the batch join exactly (no state, no dropped rows)."""
+    from pyspark_anomaly_detection_spark.streaming.jobs import enrich_with_dimension
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", F.pmod("user_id", F.lit(5)))
+    )
+    dim.cache().count()  # freeze the snapshot both runs see
+
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=2)
+    run_to_memory_sink(enrich_with_dimension(stream, dim), "enrich_sink")
+    streamed = (
+        spark.table("enrich_sink").orderBy("window_start", "cohort").toPandas()
+    )
+    batch = (
+        enrich_with_dimension(load_table(spark, sf_dir, "events"), dim)
+        .orderBy("window_start", "cohort")
+        .toPandas()
+    )
+    dim.unpersist()
+    assert streamed.equals(batch)
