@@ -595,3 +595,130 @@ def q122_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+N_FOLDS = 4
+FOLD_TRAIN_DAYS = 365
+FOLD_TEST_DAYS = 90
+FOLD_ORIGIN = "1996-01-01 00:00:00"
+
+
+@register(
+    "q128_walk_forward_folds",
+    oracle=f"""
+    WITH folds AS (
+      SELECT unnest(range({N_FOLDS})) AS fold
+    ),
+    bounds AS (
+      SELECT fold,
+        TIMESTAMP '{FOLD_ORIGIN}' + fold * INTERVAL {FOLD_TEST_DAYS} DAY AS train_start,
+        TIMESTAMP '{FOLD_ORIGIN}' + fold * INTERVAL {FOLD_TEST_DAYS} DAY
+          + INTERVAL {FOLD_TRAIN_DAYS} DAY AS test_start,
+        TIMESTAMP '{FOLD_ORIGIN}' + fold * INTERVAL {FOLD_TEST_DAYS} DAY
+          + INTERVAL {FOLD_TRAIN_DAYS + FOLD_TEST_DAYS} DAY AS test_end
+      FROM folds
+    )
+    SELECT CAST(b.fold AS BIGINT) AS fold,
+      COUNT(CASE WHEN o_orderdate >= train_start AND o_orderdate < test_start
+                 THEN 1 END) AS n_train,
+      COUNT(CASE WHEN o_orderdate >= test_start AND o_orderdate < test_end
+                 THEN 1 END) AS n_test
+    FROM orders CROSS JOIN bounds b
+    GROUP BY b.fold
+    ORDER BY fold
+    """,
+)
+def q128_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtesting folds: k chronologically-rolling
+    (train-window, test-window) pairs stepped by the test width — the
+    model-validation protocol for temporal data, where k-fold shuffling
+    would leak the future into training.  The fold spec is a tiny
+    broadcast cross join; fold membership is a per-row conditional, so
+    the fact table is scanned once for all folds (not once per fold)."""
+    folds = spark.range(N_FOLDS).select(F.col("id").alias("fold"))
+    origin = F.lit(FOLD_ORIGIN).cast("timestamp")
+    step = F.col("fold") * F.expr(f"INTERVAL {FOLD_TEST_DAYS} DAYS")
+    bounds = folds.select(
+        "fold",
+        (origin + step).alias("train_start"),
+        (origin + step + F.expr(f"INTERVAL {FOLD_TRAIN_DAYS} DAYS")).alias(
+            "test_start"
+        ),
+        (
+            origin + step + F.expr(f"INTERVAL {FOLD_TRAIN_DAYS + FOLD_TEST_DAYS} DAYS")
+        ).alias("test_end"),
+    )
+    ord_ = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        ord_.crossJoin(F.broadcast(bounds))
+        .groupBy("fold")
+        .agg(
+            F.count(
+                F.when((d >= F.col("train_start")) & (d < F.col("test_start")), 1)
+            ).alias("n_train"),
+            F.count(
+                F.when((d >= F.col("test_start")) & (d < F.col("test_end")), 1)
+            ).alias("n_test"),
+        )
+        .orderBy("fold")
+    )
+
+
+@register(
+    "q129_class_rebalance",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    mx AS (SELECT MAX(n) AS target FROM counts),
+    factors AS (
+      SELECT lang, n, CAST(ceil(CAST(target AS DOUBLE) / n) AS BIGINT) AS rep
+      FROM counts, mx
+    ),
+    replicated AS (
+      SELECT d.lang, d.doc_id
+      FROM documents d
+      JOIN factors f ON d.lang = f.lang
+      CROSS JOIN LATERAL (SELECT unnest(range(f.rep)) AS copy_i) c
+    )
+    SELECT r.lang,
+      CAST(f.n AS BIGINT) AS n_before,
+      COUNT(*) AS n_after,
+      CAST(f.rep AS BIGINT) AS rep_factor
+    FROM replicated r JOIN factors f ON r.lang = f.lang
+    GROUP BY r.lang, f.n, f.rep
+    ORDER BY r.lang
+    """,
+)
+def q129_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic minority-class upsampling: every language class is
+    integer-replicated (ceil(max/n) copies via array_repeat + explode) to
+    at least the majority-class count — the reproducible alternative to
+    seeded random oversampling (``sampleBy`` with fraction>1 is
+    nondeterministic across engines; integer replication is exact).  The
+    per-class factors are a broadcast; replication is a narrow explode, so
+    nothing shuffles except the final per-class count."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    target = counts.agg(F.max("n").alias("target"))
+    factors = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        "n",
+        F.ceil(F.col("target").cast("double") / F.col("n")).cast("long").alias("rep"),
+    )
+    replicated = (
+        docs.join(F.broadcast(factors), "lang")
+        .withColumn("copy_i", F.explode(F.array_repeat(F.lit(1), F.col("rep").cast("int"))))
+    )
+    return (
+        replicated.groupBy("lang", "n", "rep")
+        .agg(F.count("*").alias("n_after"))
+        .select(
+            "lang",
+            F.col("n").alias("n_before"),
+            "n_after",
+            F.col("rep").alias("rep_factor"),
+        )
+        .orderBy("lang")
+    )
