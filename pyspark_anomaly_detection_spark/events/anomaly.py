@@ -453,3 +453,135 @@ def q123_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def _q130_oracle() -> str:
+    taps = SMOOTHER_TAPS
+    num = " + ".join(
+        f"COALESCE(lag_{k}, 0) * {1 << (taps - 1 - k)}" for k in range(taps)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag_{k} IS NOT NULL THEN {1 << (taps - 1 - k)} ELSE 0 END)"
+        for k in range(taps)
+    )
+    lags = ",\n        ".join(
+        f"LAG(day_cents, {k}) OVER w AS lag_{k}" if k else "day_cents AS lag_0"
+        for k in range(taps)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents,
+        COUNT(*) AS n_events
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    lagged AS (
+      SELECT event_type, day, day_cents, n_events,
+        {lags}
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    smoothed AS (
+      SELECT event_type, day, day_cents, n_events,
+        (CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)) AS smoothed_cents
+      FROM lagged
+    ),
+    ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_cents, day) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM smoothed
+    ),
+    fenced AS (
+      SELECT *,
+        MAX(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT) THEN day_cents END)
+          OVER (PARTITION BY event_type) AS q1c,
+        MAX(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT) THEN day_cents END)
+          OVER (PARTITION BY event_type) AS q3c
+      FROM ranked
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+      CAST(day_cents AS DOUBLE) / 100.0 AS day_total,
+      smoothed_cents / 100.0 AS smoothed_total,
+      (CAST(day_cents AS DOUBLE) - smoothed_cents) / 100.0 AS deviation,
+      CASE WHEN CAST(day_cents AS DOUBLE)
+                > CAST(q3c AS DOUBLE) + 1.5 * (CAST(q3c AS DOUBLE) - CAST(q1c AS DOUBLE))
+             OR CAST(day_cents AS DOUBLE)
+                < CAST(q1c AS DOUBLE) - 1.5 * (CAST(q3c AS DOUBLE) - CAST(q1c AS DOUBLE))
+           THEN 1 ELSE 0 END AS is_outlier
+    FROM fenced
+    ORDER BY event_type, day
+    """
+
+
+@register("q130_daily_anomaly_monitor", oracle=_q130_oracle())
+def q130_daily_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain capstone composite: the reference's daily gold rollup
+    (src/data/gold.py:31-41) fused with this module's detectors in ONE
+    declarative plan — exact daily totals, dyadic-EWMA expected level,
+    deviation, and IQR outlier flags per series.  Catalyst schedules two
+    exchanges total: the daily aggregation, then one event_type
+    partitioning reused by the lag window, both rank windows, and the
+    fence computation.  Every arithmetic step reuses a proven parity
+    pattern (cents sums, dyadic weights, rank-selected quartiles)."""
+    taps = SMOOTHER_TAPS
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(_cents(F.col("value"))).alias("day_cents"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lag_cols = [
+        (F.lag("day_cents", k).over(w) if k else F.col("day_cents")).alias(f"lag_{k}")
+        for k in range(taps)
+    ]
+    lagged = daily.select("event_type", "day", "day_cents", "n_events", *lag_cols)
+    num = sum(
+        (
+            F.coalesce(F.col(f"lag_{k}"), F.lit(0)) * F.lit(1 << (taps - 1 - k))
+            for k in range(taps)
+        ),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(F.col(f"lag_{k}").isNotNull(), F.lit(1 << (taps - 1 - k))).otherwise(
+                F.lit(0)
+            )
+            for k in range(taps)
+        ),
+        start=F.lit(0),
+    )
+    smoothed = lagged.withColumn(
+        "smoothed_cents", num.cast("double") / den.cast("double")
+    )
+    wr = Window.partitionBy("event_type").orderBy("day_cents", "day")
+    wall = Window.partitionBy("event_type")
+    ranked = smoothed.select(
+        "*",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wall).alias("cnt"),
+    )
+
+    def pick(p: float) -> Column:
+        target = F.ceil(F.lit(p) * F.col("cnt")).cast("bigint")
+        return F.max(F.when(F.col("rn") == target, F.col("day_cents"))).over(wall)
+
+    fenced = ranked.select("*", pick(0.25).alias("q1c"), pick(0.75).alias("q3c"))
+    dc = F.col("day_cents").cast("double")
+    q1d, q3d = F.col("q1c").cast("double"), F.col("q3c").cast("double")
+    iqr = q3d - q1d
+    return fenced.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (dc / 100.0).alias("day_total"),
+        (F.col("smoothed_cents") / 100.0).alias("smoothed_total"),
+        ((dc - F.col("smoothed_cents")) / 100.0).alias("deviation"),
+        F.when((dc > q3d + 1.5 * iqr) | (dc < q1d - 1.5 * iqr), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_outlier"),
+    ).orderBy("event_type", "day")
