@@ -223,3 +223,31 @@ def test_interval_join_avoids_nested_loop(spark, sf_dir):
     cliff the formulation exists to avoid."""
     plan = plans.formatted_plan(q("q127_bucketized_interval_join")(spark, sf_dir))
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_q125_broadcasts_dim_and_reuses_fact_key(spark, sf_dir):
+    """Q17 shape: part dim broadcast; the per-part average joins back on
+    the fact's own l_partkey partitioning."""
+    df = q("q125_small_quantity_revenue")(spark, sf_dir)
+    assert plans.uses_broadcast_join(df), plans.formatted_plan(df)
+
+
+def test_q128_single_scan_for_all_folds(spark, sf_dir):
+    """Walk-forward folds must evaluate every fold in ONE scan of orders —
+    a per-fold rescan is k× the IO at 100 TB."""
+    import re
+
+    plan = plans.formatted_plan(q("q128_walk_forward_folds")(spark, sf_dir))
+    scans = re.findall(r"^\s*\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) == 1, plan
+
+
+def test_q130_two_hash_exchanges(spark, sf_dir):
+    """The capstone composite: daily agg exchange + one event_type
+    partitioning reused by the lag window, both rank windows, and the
+    fences — never one exchange per window."""
+    import re
+
+    plan = plans.formatted_plan(q("q130_daily_anomaly_monitor")(spark, sf_dir))
+    hashes = re.findall(r"Arguments: hashpartitioning\(", plan)
+    assert len(hashes) == 2, plan

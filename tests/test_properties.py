@@ -127,3 +127,96 @@ def test_distributed_running_sum_matches_sequential(spark, rows):
     for part, seq, delta in sorted(rows):
         acc += delta
         assert got[(part, seq)] == acc
+
+
+@given(
+    x=st.integers(min_value=0, max_value=255),
+    y=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zorder_key_is_bijective(spark, x, y):
+    """The Morton key must round-trip: de-interleaving even/odd bits
+    recovers both coordinates exactly (no collisions across the domain)."""
+    from pyspark_anomaly_detection_spark.relational.analytics_extra import (
+        _zorder_spark,
+    )
+
+    row = (
+        spark.range(1)
+        .select(_zorder_spark(F.lit(x), F.lit(y)).alias("z"))
+        .first()
+    )
+    z = row.z
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    assert (rx, ry) == (x, y)
+
+
+@given(
+    total=st.integers(min_value=0, max_value=10**13),
+    target=st.integers(min_value=1, max_value=10**9),
+)
+@settings(max_examples=50, deadline=None)
+def test_plan_file_count_covers_bytes(total, target):
+    """Compaction sizing: enough files to hold every byte at ≤ target
+    each (except the unavoidable ≥1 floor), never more than one extra."""
+    from pyspark_anomaly_detection_spark.io.maintenance import plan_file_count
+
+    n = plan_file_count(total, target)
+    assert n >= 1
+    assert n * target >= total
+    if total > target:
+        assert (n - 1) * target < total
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=1000, allow_nan=False).map(
+            lambda v: round(v, 2)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_decay_smoother_bounded_by_window(spark, vals):
+    """The dyadic smoother is a convex combination of the last ≤8 values:
+    every smoothed point must lie within [min, max] of its own window."""
+    from pyspark_anomaly_detection_spark.events.anomaly import SMOOTHER_TAPS
+
+    from pyspark_anomaly_detection_spark.registry import all_queries  # noqa: F401
+    from pyspark.sql import Row
+    from pyspark.sql.window import Window as W
+
+    df = spark.createDataFrame(
+        [Row(event_type="t", event_id=i, value=v) for i, v in enumerate(vals)]
+    )
+    w = W.partitionBy("event_type").orderBy("event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = df.withColumn("cents", cents)
+    lag_cols = [
+        (F.lag("cents", k).over(w) if k else F.col("cents")).alias(f"lag_{k}")
+        for k in range(SMOOTHER_TAPS)
+    ]
+    lagged = base.select("event_id", "value", *lag_cols)
+    num = sum(
+        (
+            F.coalesce(F.col(f"lag_{k}"), F.lit(0)) * F.lit(1 << (SMOOTHER_TAPS - 1 - k))
+            for k in range(SMOOTHER_TAPS)
+        ),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(F.col(f"lag_{k}").isNotNull(), F.lit(1 << (SMOOTHER_TAPS - 1 - k)))
+            .otherwise(F.lit(0))
+            for k in range(SMOOTHER_TAPS)
+        ),
+        start=F.lit(0),
+    )
+    out = lagged.withColumn(
+        "smoothed", (num.cast("double") / den.cast("double")) / 100.0
+    ).collect()
+    for r in sorted(out, key=lambda r: r.event_id):
+        window_vals = vals[max(0, r.event_id - SMOOTHER_TAPS + 1) : r.event_id + 1]
+        assert min(window_vals) - 0.011 <= r.smoothed <= max(window_vals) + 0.011
