@@ -55,3 +55,26 @@ def test_join_agg_and_window_at_20m_rows(spark):
     # 20M rows over 1M keys → essentially every key has ≥2 rows, and the
     # window must emit ≤ 2 per key, ≥ 1 per seen key
     assert n_users_seen <= n_top2 <= 2 * n_users_seen
+
+
+def test_text_pipeline_at_1m_docs(spark):
+    """North-star path at 20×-testdata doc volume: exact dedup (digest
+    window) + quality scoring over 1M synthetic documents, with a known
+    duplicate rate baked in so survivor count is exact."""
+    from pyspark_anomaly_detection_spark.text.dedup import exact_dedup
+    from pyspark_anomaly_detection_spark.text.stats import quality_columns
+
+    n, distinct = 1_000_000, 900_000
+    docs = spark.range(n, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("document text body number "),
+            (F.col("id") % distinct).cast("string"),
+            F.lit(" with some shared filler words appended"),
+        ).alias("text"),
+        F.lit("synthetic").alias("source"),
+    )
+    assert exact_dedup(docs).count() == distinct
+
+    scored = docs.select("doc_id", *quality_columns(F.col("text")))
+    assert scored.filter(F.col("n_tokens") >= 5).count() == n
