@@ -412,3 +412,125 @@ def q118_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-level oracle parity over all 60 bits of every signature."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return simhash_exact(docs).orderBy("doc_id")
+
+
+@register(
+    "q131_dup_degree_distribution",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, sig FROM {{minhash}}
+    ),
+    banded AS (
+      SELECT doc_id, k AS band, sig[k*2+1 : k*2+2] AS band_sig
+      FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS k)
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+    ),
+    und AS (
+      SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs
+    ),
+    degrees AS (
+      SELECT node, COUNT(*) AS degree FROM und GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+      COUNT(*) AS n_nodes,
+      CAST(MIN(node) AS BIGINT) AS min_node
+    FROM degrees
+    GROUP BY degree
+    ORDER BY degree
+    """.replace("{minhash}", _minhash_sql()),
+)
+def q131_dup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph: how many documents have
+    how many LSH neighbors — the shape diagnostic for dedup clustering
+    (a heavy-tailed degree histogram predicts giant components, which
+    change the connected-components iteration count and make "keep
+    min-id" survivor selection aggressive).  Frequency-of-frequency over
+    the pair list — the q113 skew pattern applied to the graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    und = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    degrees = und.groupBy("node").agg(F.count("*").alias("degree"))
+    return (
+        degrees.groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"), F.min("node").alias("min_node"))
+        .orderBy("degree")
+    )
+
+
+LSH_AUDIT_THRESHOLD = 0.5
+
+
+def _q132_oracle() -> str:
+    tok = "str_split(text, chr(32))"
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, sig FROM {_minhash_sql()}
+    ),
+    banded AS (
+      SELECT doc_id, k AS band, sig[k*2+1 : k*2+2] AS band_sig
+      FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS k)
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct({shingles_sql(tok)}) AS sset FROM documents
+    ),
+    audited AS (
+      SELECT p.doc_a, p.doc_b,
+        CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+          / (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))
+          AS jaccard
+      FROM pairs p
+      JOIN sh a ON p.doc_a = a.doc_id
+      JOIN sh b ON p.doc_b = b.doc_id
+    )
+    SELECT
+      COUNT(*) AS n_candidates,
+      COUNT(CASE WHEN jaccard >= {LSH_AUDIT_THRESHOLD!r} THEN 1 END)
+        AS n_true_dups,
+      CAST(COUNT(CASE WHEN jaccard >= {LSH_AUDIT_THRESHOLD!r} THEN 1 END)
+           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS precision
+    FROM audited
+    """
+
+
+@register("q132_lsh_precision_audit", oracle=_q132_oracle())
+def q132_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality audit: every LSH candidate pair re-scored
+    with EXACT shingle Jaccard, reporting candidate count and precision
+    at the dedup threshold.  This is the measurement that tunes
+    bands×rows: precision too low → wasted verification compute;
+    candidate count too low vs expectation → recall risk.  The exact
+    re-score joins shingle sets only for candidate pairs (|pairs| ≪
+    |docs|²) — the verification stage stays proportional to LSH output,
+    never quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_N)).alias("sset"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("aset"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("bset"))
+    inter = F.size(F.array_intersect(F.col("aset"), F.col("bset")))
+    union = F.size(F.col("aset")) + F.size(F.col("bset")) - inter
+    audited = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select((inter.cast("double") / union).alias("jaccard"))
+    )
+    hits = F.count(F.when(F.col("jaccard") >= LSH_AUDIT_THRESHOLD, 1))
+    return audited.agg(
+        F.count("*").alias("n_candidates"),
+        hits.alias("n_true_dups"),
+        (hits.cast("double") / F.count("*").cast("double")).alias("precision"),
+    )
