@@ -262,3 +262,82 @@ def q117_table_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+CDC_SPLIT = "2000-06-01 00:00:00"  # snapshot B = orders before this date
+CDC_PRICE_BUMP_MOD = 101  # every 101st order's price "changed" in B
+
+
+@register(
+    "q133_snapshot_cdc_diff",
+    oracle=f"""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    ),
+    snap_b AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % {CDC_PRICE_BUMP_MOD} = 0
+             THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{CDC_SPLIT}'
+    ),
+    classified AS (
+      SELECT
+        CASE
+          WHEN b.o_orderkey IS NULL THEN 'added'
+          WHEN a.o_orderkey IS NULL THEN 'removed'
+          WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+          ELSE 'unchanged'
+        END AS change_type,
+        COALESCE(a.o_orderkey, b.o_orderkey) AS key
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_type, COUNT(*) AS n,
+      CAST(MIN(key) AS BIGINT) AS min_key
+    FROM classified
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+)
+def q133_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two table snapshots: full outer
+    join on the key classifies every row as added / removed / changed /
+    unchanged — the row-level complement of q117's bucket fingerprints
+    (fingerprints find WHICH buckets drifted cheaply; this query explains
+    drift row-by-row).  Snapshot B is derived deterministically (a date
+    cutoff drops rows → 'added' in A's direction; a keyed price bump →
+    'changed').  One shuffle on the join key; the classification is a
+    projection; at 100 TB run it per fingerprint-flagged partition, not
+    on the whole table."""
+    ord_ = load_table(spark, sf_dir, "orders")
+    snap_a = ord_.select("o_orderkey", "o_totalprice")
+    snap_b = ord_.filter(
+        F.col("o_orderdate") < F.lit(CDC_SPLIT).cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.pmod(F.col("o_orderkey"), F.lit(CDC_PRICE_BUMP_MOD)) == 0,
+            F.col("o_totalprice") + 1.0,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a = snap_a.select(
+        F.col("o_orderkey").alias("a_key"), F.col("o_totalprice").alias("a_price")
+    )
+    b = snap_b.select(
+        F.col("o_orderkey").alias("b_key"), F.col("o_totalprice").alias("b_price")
+    )
+    classified = a.join(b, a["a_key"] == b["b_key"], "full_outer").select(
+        F.when(F.col("b_key").isNull(), "added")
+        .when(F.col("a_key").isNull(), "removed")
+        .when(F.col("a_price") != F.col("b_price"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce("a_key", "b_key").alias("key"),
+    )
+    return (
+        classified.groupBy("change_type")
+        .agg(F.count("*").alias("n"), F.min("key").alias("min_key"))
+        .orderBy("change_type")
+    )
