@@ -188,3 +188,99 @@ def run_batch_inference(
         F.col("prediction").cast("double").alias("prediction"),
         vector_to_array("probability").getItem(1).alias("fraud_probability"),
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_thresholds: int = 10,
+) -> DataFrame:
+    """Distributed PR/ROC curve points: confusion counts at every decile
+    threshold of the score distribution, computed in ONE pass over the
+    scored table — no per-threshold rescan, no driver-side sklearn.
+
+    Shape: cross join the (tiny, broadcast) threshold list against the
+    scored rows, classify each (row, threshold) pair, aggregate counts.
+    The row×threshold expansion is a narrow explode (n_thresholds copies),
+    and the aggregate map-side combines to 4 longs per threshold — at
+    100 TB the full sweep costs one scan plus an n_thresholds-row shuffle.
+    Precision/recall are single exact divisions over BIGINT counts, so the
+    output is engine-reproducible given deterministic scores.
+    """
+    thresholds = [i / n_thresholds for i in range(n_thresholds)]
+    t_df = F.array(*[F.lit(t) for t in thresholds])
+    exploded = scored.select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("int").alias("y"),
+        F.explode(t_df).alias("threshold"),
+    )
+    pred = (F.col("s") >= F.col("threshold")).cast("int")
+    agg = exploded.groupBy("threshold").agg(
+        F.sum(F.when((pred == 1) & (F.col("y") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((pred == 1) & (F.col("y") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((pred == 0) & (F.col("y") == 1), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((pred == 0) & (F.col("y") == 0), 1).otherwise(0)).alias("tn"),
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+    ).orderBy("threshold")
+
+
+@register(
+    "q134_threshold_sweep",
+    oracle="""
+    WITH scored AS (
+      SELECT value / 400.0 AS s,
+        CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    thresholds AS (
+      SELECT unnest(range(10)) / 10.0 AS threshold
+    ),
+    cells AS (
+      SELECT threshold,
+        CASE WHEN s >= threshold THEN 1 ELSE 0 END AS pred, y
+      FROM scored CROSS JOIN thresholds
+    )
+    SELECT threshold,
+      CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      CASE WHEN SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) > 0 THEN
+        CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      END AS precision,
+      CASE WHEN SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) > 0 THEN
+        CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      END AS recall
+    FROM cells
+    GROUP BY threshold
+    ORDER BY threshold
+    """,
+)
+def q134_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation sweep over a deterministic surrogate scorer
+    (score = value/400 vs label value>100 — a monotone scorer with known
+    confusion structure, so the oracle is exact; plug a real model's
+    probability column in production).  One scan for all thresholds."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.col("value") / 400.0).alias("score"),
+        F.when(F.col("value") > 100.0, 1).otherwise(0).alias("label"),
+    )
+    return threshold_sweep(scored)
