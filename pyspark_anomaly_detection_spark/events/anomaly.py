@@ -585,3 +585,53 @@ def q130_daily_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_outlier"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q135_pandas_udaf_mad",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n,
+      mad(value) AS mad_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q135_pandas_udaf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per series via a GROUPED-AGGREGATE pandas
+    UDF — the one Arrow UDF variant the rest of the engine doesn't use
+    (scalar pandas_udf: q36; grouped map: q70; mapInPandas: q116; UDTF:
+    q87).  Spark has no native MAD; the UDAF receives each group's values
+    as one Arrow batch and reduces them with two numpy medians —
+    justified Python because median is a rank statistic, not an algebraic
+    aggregate (no map-side combine exists for it; at 100 TB switch to
+    approx_percentile-based MAD, trading exactness for mergeability).
+    DuckDB's built-in mad() is the oracle: both engines compute
+    median(|x − median(x)|) with the same even-count interpolation
+    (a+b)/2, so float64 outputs match bitwise."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # Explicit GROUPED_AGG: PEP-563 stringized hints break eval-type
+    # inference in this module (same constraint as text/dedup.simhash64),
+    # and without hints the decorator defaults to SCALAR.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def mad(v):
+        med = v.median()
+        return (v - med).abs().median()
+
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count rides the same Arrow path
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def arrow_count(v):
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            arrow_count(F.col("value")).alias("n"),
+            mad(F.col("value")).alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )
