@@ -163,3 +163,36 @@ def q120_error_safe_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "q136_distribute_sort_by",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def q136_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY / SORT BY SQL surface — the physical-layout clauses
+    (hash-repartition by a key, sort within partitions, no global order):
+    the SQL spelling of the compaction layout in io/maintenance.py.  The
+    aggregation on top proves the layout clauses don't change semantics;
+    the driver's order-insensitive value hash makes the pair
+    oracle-checkable even though SORT BY has no global-order guarantee."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_dsb_orders")
+    return spark.sql(
+        """
+        WITH laid_out AS (
+          SELECT * FROM _dsb_orders
+          DISTRIBUTE BY o_orderstatus SORT BY o_orderstatus, o_orderdate
+        )
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM laid_out
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )

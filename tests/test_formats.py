@@ -156,3 +156,21 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
     )
     worst = max(r.span for r in spans)
     assert worst <= 1000 // len(spans) + 50, (worst, len(spans))
+
+
+def test_zstd_parquet_roundtrip(spark, tmp_path):
+    """Compression codec is a write option, not a schema property: zstd
+    files read back identically (codec choice is the storage-efficiency
+    lever at 100 TB — zstd ≈ 30% smaller than snappy at similar speed)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "zstd_table")
+    df = spark.range(10_000).select(
+        "id", F.sha2(F.col("id").cast("string"), 256).alias("payload")
+    )
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.min("id"), F.max("id")).first() == (0, 9_999)
+    part = [str(p) for p in __import__("pathlib").Path(path).glob("*.parquet")]
+    assert part and all(".zstd." in p for p in part)

@@ -251,3 +251,19 @@ def test_q130_two_hash_exchanges(spark, sf_dir):
     plan = plans.formatted_plan(q("q130_daily_anomaly_monitor")(spark, sf_dir))
     hashes = re.findall(r"Arguments: hashpartitioning\(", plan)
     assert len(hashes) == 2, plan
+
+
+def test_sql_broadcast_hint_honored(spark, sf_dir):
+    """The /*+ BROADCAST */ hint surface must reach the planner."""
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_h_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_h_customer")
+    df = spark.sql(
+        """
+        SELECT /*+ BROADCAST(_h_nation) */ n_name, COUNT(*) AS n
+        FROM _h_customer JOIN _h_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+    assert plans.uses_broadcast_join(df), plans.formatted_plan(df)
