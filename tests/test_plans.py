@@ -267,3 +267,19 @@ def test_sql_broadcast_hint_honored(spark, sf_dir):
         """
     )
     assert plans.uses_broadcast_join(df), plans.formatted_plan(df)
+
+
+def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
+    """Blanket invariant: every oracle-checked query stays on the JVM —
+    Python evaluation in a relational plan is a 10-100× scale regression.
+    The single deliberate exception is q135 (the grouped-agg pandas UDAF
+    exists to exercise that API; MAD has no algebraic JVM form)."""
+    allowed_python = {"q135_pandas_udaf_mad"}
+    offenders = []
+    for name, query in sorted(REGISTRY.items()):
+        if query.oracle is None or name in allowed_python:
+            continue
+        df = query.fn(spark, sf_dir)
+        if plans.has_python_eval(df):
+            offenders.append(name)
+    assert not offenders, f"fell off the JVM path: {offenders}"
