@@ -195,3 +195,68 @@ def sample_frames(
         )
         .drop(payload_col)
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("resize_ok", StringType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 64, target_h: int = 64
+) -> DataFrame:
+    """Image-resize plumbing over ``mapInPandas``: Arrow batches of binary
+    payloads in, resized payloads + updated width/height metadata out,
+    per-row error capture (``resize_ok``) instead of task failure.
+
+    The codec is STUBBED (no Pillow in this container): the "resized"
+    payload is a deterministic ``target_w·target_h``-byte downsample of
+    the input bytes (stride sampling — shape-correct, reproducible).
+    Swap ``_stub_resize`` for ``PIL.Image.resize`` in production; the
+    Spark-side contract (schema, batch shape, metadata update, error
+    quarantine) is what this function owns and what the tests pin.
+    """
+    import pandas as pd
+
+    n_out = target_w * target_h
+
+    def _stub_resize(payload: bytes) -> bytes:
+        if not payload:
+            raise ValueError("empty payload")
+        stride = max(1, len(payload) // n_out)
+        return bytes(payload[(i * stride) % len(payload)] for i in range(n_out))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "modality": pdf["modality"],
+                "payload": [],
+                "width": [],
+                "height": [],
+                "resize_ok": [],
+            }
+            for payload in pdf["payload"]:
+                try:
+                    out["payload"].append(_stub_resize(bytes(payload)))
+                    out["width"].append(target_w)
+                    out["height"].append(target_h)
+                    out["resize_ok"].append("ok")
+                except Exception as exc:
+                    out["payload"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["resize_ok"].append(f"error: {exc}")
+            yield pd.DataFrame(out)
+
+    images = df.filter(F.col("modality") == "image").select(
+        "media_id", "modality", "payload"
+    )
+    return images.mapInPandas(run, RESIZE_SCHEMA)

@@ -71,3 +71,27 @@ def test_frame_sampling(media_frame):
     per_video = pdf.groupby("media_id").size()
     assert (per_video == 3).all()  # 3000ms / 1000ms
     assert (pdf["offset_ms"] % 1000 == 0).all()
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    """Resize contract: every image row survives with exactly w×h payload
+    bytes, updated metadata, deterministic output across runs."""
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+    from pyspark_anomaly_detection_spark.multimodal.binary_ops import (
+        attach_media_metadata,
+        media_table_from_documents,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_metadata(media_table_from_documents(docs))
+    n_images = media.filter(F.col("modality") == "image").count()
+
+    resized = resize_images(media, target_w=8, target_h=4)
+    rows = resized.collect()
+    assert len(rows) == n_images > 0
+    assert all(r.resize_ok == "ok" for r in rows)
+    assert all(len(r.payload) == 32 and (r.width, r.height) == (8, 4) for r in rows)
+
+    again = {r.media_id: bytes(r.payload) for r in resize_images(media, 8, 4).collect()}
+    assert all(bytes(r.payload) == again[r.media_id] for r in rows)
