@@ -515,7 +515,7 @@ def _q130_oracle() -> str:
     """
 
 
-@register("q130_daily_anomaly_monitor", oracle=_q130_oracle())
+@register("q130_daily_anomaly_monitor", oracle=_q130_oracle(), headline=True)
 def q130_daily_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The domain capstone composite: the reference's daily gold rollup
     (src/data/gold.py:31-41) fused with this module's detectors in ONE

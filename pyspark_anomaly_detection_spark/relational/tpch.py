@@ -344,6 +344,7 @@ def q106_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q107_blocking_supplier",
+    headline=True,
     oracle="""
     WITH pairs AS (
       SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
