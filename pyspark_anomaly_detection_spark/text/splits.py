@@ -722,3 +722,87 @@ def q129_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Target corpus mix: source -> share of the final training blend.
+MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_TOTAL_DOCS = 120  # requested blend size at any SF (quota-capped)
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {share!r}" for s, share in MIX_TARGETS.items()
+    )
+    return f"(CASE source {whens} ELSE 0.0 END)"
+
+
+@register(
+    "q137_training_mix",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+        ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY {MD5_LONG60_SQL.format(x="CAST(doc_id AS VARCHAR)")}, doc_id
+        ) AS rk,
+        COUNT(*) OVER (PARTITION BY source) AS avail
+      FROM documents
+    ),
+    quota AS (
+      SELECT *,
+        LEAST(avail, CAST(floor({MIX_TOTAL_DOCS} * {_mix_case_sql()}) AS BIGINT))
+          AS take
+      FROM ranked
+    ),
+    chosen AS (
+      SELECT doc_id, source FROM quota WHERE rk <= take
+    )
+    SELECT source, COUNT(*) AS n_sampled,
+      CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+      CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM chosen
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q137_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: sample each source down to its share of a target
+    blend (src0 50% / src1 30% / src2 20%; swap real source names in
+    production) with a DETERMINISTIC pseudo-
+    random pick — rows ranked by content hash inside each source, take
+    the first quota.  Same properties as the split assignment (engine-
+    and partitioning-independent, stable under corpus growth for already-
+    chosen ranks); rand(seed) can't give any of that.  One shuffle on
+    source for the ranking window; quotas are scalar arithmetic."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        md5_long60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wall = Window.partitionBy("source")
+    share = F.lit(0.0)
+    for s, p in MIX_TARGETS.items():
+        share = F.when(F.col("source") == s, F.lit(p)).otherwise(share)
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wall).alias("avail"),
+    ).withColumn(
+        "take",
+        F.least(
+            F.col("avail"),
+            F.floor(F.lit(MIX_TOTAL_DOCS) * share).cast("bigint"),
+        ),
+    )
+    chosen = ranked.filter(F.col("rk") <= F.col("take"))
+    return (
+        chosen.groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )

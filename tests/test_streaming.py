@@ -202,3 +202,30 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, event_stream_dir)
     )
     dim.unpersist()
     assert streamed.equals(batch)
+
+
+def test_rate_source_smoke(spark):
+    """The built-in rate source (load-generator for streaming tests):
+    rows arrive with monotonically increasing value and a timestamp."""
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+        .writeStream.format("memory")
+        .queryName("_rate_sink")
+        .start()
+    )
+    import time
+
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) n FROM _rate_sink").first().n >= 20:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT value FROM _rate_sink ORDER BY value").collect()
+    assert len(rows) >= 20
+    vals = [r.value for r in rows]
+    assert vals == sorted(set(vals))  # monotone, no duplicates
