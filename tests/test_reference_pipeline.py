@@ -20,6 +20,7 @@ from pyspark_anomaly_detection_spark.pipeline.medallion import (
     run_full_pipeline,
     silver_expectations,
 )
+from pyspark_anomaly_detection_spark.pipeline.fixtures import make_fixture_csv
 from pyspark_anomaly_detection_spark.quality.gates import enforce
 
 N_CLEAN = 1200
@@ -27,88 +28,11 @@ N_CORRUPT = 7
 CUTOFF = datetime(2023, 10, 20, 12, 0, 0)
 
 
-def _make_fixture_csv(path: str) -> pd.DataFrame:
-    """Deterministic transactions CSV spanning the reference's split point,
-    with malformed rows (bad amount / bad timestamp) for quarantine."""
-    rng = random.Random(42)
-    start = datetime(2023, 9, 1)
-    rows = []
-    for i in range(N_CLEAN):
-        ts = start + timedelta(
-            seconds=rng.randint(0, 86400 * 90), microseconds=rng.randint(0, 999999)
-        )
-        is_fraud = rng.random() < 0.03
-        rows.append(
-            {
-                "transaction_id": f"T{100000 + i}",
-                "timestamp": ts,
-                "sender_account": f"ACC{rng.randint(1, 40):03d}",
-                "receiver_account": f"ACC{rng.randint(1, 200):03d}",
-                "amount": round(rng.uniform(1, 5000), 2),
-                "transaction_type": rng.choice(
-                    ["deposit", "withdrawal", "payment", "transfer"]
-                ),
-                "merchant_category": rng.choice(
-                    ["entertainment", "restaurant", "travel", "retail"]
-                ),
-                "location": rng.choice(["Austin", "Berlin", "Tokyo", "Lima"]),
-                "device_used": rng.choice(["mobile", "pos", "web", "atm"]),
-                "is_fraud": is_fraud,
-                "fraud_type": rng.choice(["card", "account"]) if is_fraud else None,
-                "time_since_last_transaction": round(rng.uniform(0, 86400), 1),
-                "spending_deviation_score": round(rng.gauss(0, 1), 4),
-                "velocity_score": rng.randint(0, 20),
-                "geo_anomaly_score": round(rng.random(), 4),
-                "payment_channel": rng.choice(["ACH", "card", "UPI", "wire"]),
-                "ip_address": f"10.0.{rng.randint(0,255)}.{rng.randint(0,255)}",
-                "device_hash": f"D{rng.randint(1000000, 9999999)}",
-            }
-        )
-    pdf = pd.DataFrame(rows)
-    header = ",".join(pdf.columns)
-    lines = [header]
-    for _, r in pdf.iterrows():
-        ts = r["timestamp"].strftime("%Y-%m-%dT%H:%M:%S.%f")
-        vals = [
-            r["transaction_id"],
-            ts,
-            r["sender_account"],
-            r["receiver_account"],
-            f'{r["amount"]:.2f}',
-            r["transaction_type"],
-            r["merchant_category"],
-            r["location"],
-            r["device_used"],
-            str(r["is_fraud"]).lower(),
-            "" if r["fraud_type"] is None else r["fraud_type"],
-            str(r["time_since_last_transaction"]),
-            str(r["spending_deviation_score"]),
-            str(r["velocity_score"]),
-            str(r["geo_anomaly_score"]),
-            r["payment_channel"],
-            r["ip_address"],
-            r["device_hash"],
-        ]
-        lines.append(",".join(vals))
-    # malformed rows: non-numeric amount or unparsable timestamp
-    for j in range(N_CORRUPT):
-        bad = lines[1 + j].split(",")
-        if j % 2 == 0:
-            bad[4] = "not-a-number"
-        else:
-            bad[1] = "garbage-timestamp"
-        bad[0] = f"TBAD{j}"
-        lines.append(",".join(bad))
-    with open(path, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
-    return pdf
-
-
 @pytest.fixture(scope="module")
 def pipeline_run(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("medallion")
     csv_path = str(root / "raw.csv")
-    expected = _make_fixture_csv(csv_path)
+    expected = make_fixture_csv(csv_path, n_clean=N_CLEAN, n_corrupt=N_CORRUPT)
     stats = run_full_pipeline(spark, csv_path, str(root / "data"))
     return expected, stats, PipelinePaths(str(root / "data"))
 
@@ -247,3 +171,23 @@ def test_write_audit_publish_gates_bad_data(spark, tmp_path):
     # previous table untouched; rejected batch inspectable in staging
     assert spark.read.parquet(path).count() == 100
     assert spark.read.parquet(path + "__staging").count() == 50
+
+
+def test_run_pipeline_cli(tmp_path, spark):
+    """The root CLI (the reference's run_pipeline.py equivalent) completes
+    ingest→silver→features→gold from a generated fixture and reports
+    consistent stage stats."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline_cli", os.path.join(root, "run_pipeline.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    stats = mod.main(["--out", str(tmp_path), "--rows", "400", "--skip-ml"])
+    assert stats["bronze_rows"] == 400
+    assert stats["quarantined_rows"] == 7
+    assert stats["train_rows"] + stats["test_rows"] == 400
