@@ -30,6 +30,11 @@ def main(argv: list[str] | None = None) -> dict:
     parser.add_argument("--out", default="/tmp/pyspark-analytics-medallion")
     parser.add_argument("--rows", type=int, default=2000, help="fixture rows")
     parser.add_argument("--skip-ml", action="store_true")
+    parser.add_argument(
+        "--cross-validate",
+        action="store_true",
+        help="reference's 3-fold CV grid (src/models/train.py:53-67)",
+    )
     args = parser.parse_args(argv)
 
     from pyspark_anomaly_detection_spark.session import get_spark_session
@@ -68,7 +73,7 @@ def main(argv: list[str] | None = None) -> dict:
         )
 
         paths = PipelinePaths(root)
-        config = TrainConfig()
+        config = TrainConfig(cross_validate=args.cross_validate)
         train_df = spark.read.parquet(paths.features_train)
         # test side: fillna only — the stratified downsample is a TRAINING
         # device (reference src/models/train.py:31-37); evaluation and

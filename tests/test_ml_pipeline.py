@@ -89,3 +89,18 @@ def test_stratified_downsample(labeled_frame):
     )
     assert counts[1] == full[1]  # keep all fraud
     assert counts[0] < full[0] * 0.2  # ~10% of negatives
+
+
+def test_cross_validated_training(labeled_frame):
+    """The reference's CV grid path (src/models/train.py:53-67) with a
+    minimal 2-fold 1×2 grid: must fit, pick a model, and evaluate."""
+    config = TrainConfig(
+        cross_validate=True,
+        cv_num_trees=(5,),
+        cv_max_depth=(3, 5),
+        cv_folds=2,
+        cv_parallelism=2,
+    )
+    model = train_model(labeled_frame, config)
+    auc = evaluate_auc(model, labeled_frame)
+    assert auc > 0.8  # signal is baked into the fixture
