@@ -57,3 +57,16 @@ def test_approx_percentiles_bracket_exact(spark, sf_dir):
         assert lo <= row.p50 <= row.p90 <= row.p99 <= hi
         # p50 must land within the middle half of the distribution
         assert vals[len(vals) // 4] <= row.p50 <= vals[(3 * len(vals)) // 4]
+
+
+def test_percentile_cont_helper_brackets_range(spark, sf_dir):
+    """The native continuous-percentile helper (library-only — its
+    interpolation is engine-specific, so no oracle) must return a value
+    inside the data range and above the median-by-rank."""
+    from pyspark_anomaly_detection_spark.relational.advanced import percentile_cont
+
+    ev = load_table(spark, sf_dir, "events")
+    p90 = percentile_cont(ev, "value", 0.9).first().p90
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    med = ev.agg(F.median("value")).first()[0]
+    assert lo <= med <= p90 <= hi
