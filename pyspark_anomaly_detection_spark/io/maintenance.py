@@ -29,6 +29,25 @@ def plan_file_count(total_bytes: int, target_file_bytes: int = TARGET_FILE_BYTES
     return max(1, math.ceil(total_bytes / target_file_bytes))
 
 
+def _rename_or_raise(fs, src, dst, step: str) -> None:
+    """Hadoop ``FileSystem.rename`` signals failure by returning false
+    (dest exists, src missing, cross-filesystem move) rather than raising.
+    Every swap step must check it: proceeding past a failed rename and then
+    deleting the "old" copy is how you lose the only copy of a table.
+    """
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed during {step}: {src} -> {dst}")
+
+
+def _clear_leftover(fs, jvm, path_str: str) -> None:
+    """Delete a stale staging/trash dir left by a crashed prior run, so its
+    presence can't make this run's rename return false mid-swap.
+    """
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -43,9 +62,15 @@ def compact_parquet(
     columns and sorts within each partition, so every output file covers a
     narrow, disjoint range and its footer min/max prunes reads (plain
     ``repartition`` + local sort would leave each file spanning the whole
-    domain).  Returns the file count written.  The rewrite stages to
-    ``<path>__compact`` and swaps via rename, so a crash mid-rewrite never
-    leaves the table truncated.
+    domain).  Returns the file count written.
+
+    The rewrite stages to ``<path>__compact`` and swaps via two renames
+    (table → ``__old``, staging → table), each checked — a failed rename
+    raises before anything is deleted, so a crash or race never silently
+    drops data.  The swap is NOT atomic for concurrent readers: between the
+    two renames the table path briefly does not exist.  Single-writer,
+    coordinated-reader tables only; for reader-transparent swaps use a
+    transactional format (Delta/Iceberg OPTIMIZE).
     """
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
@@ -54,6 +79,11 @@ def compact_parquet(
     fs = src.getFileSystem(hadoop_conf)
     total = fs.getContentSummary(src).getLength()
     n_files = plan_file_count(total, target_file_bytes)
+
+    # A crashed prior run may have left __compact/__old behind; their
+    # presence would fail this run's renames, so clear them first.
+    _clear_leftover(fs, jvm, path.rstrip("/") + "__compact")
+    _clear_leftover(fs, jvm, path.rstrip("/") + "__old")
 
     df = spark.read.parquet(path)
     if sort_by:
@@ -67,8 +97,14 @@ def compact_parquet(
     compacted.write.mode("overwrite").parquet(staging)
     trash = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
     staged = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.rename(src, trash)
-    fs.rename(staged, src)
+    _rename_or_raise(fs, src, trash, "compact swap (table -> __old)")
+    try:
+        _rename_or_raise(fs, staged, src, "compact swap (__compact -> table)")
+    except IOError:
+        # Second rename failed with the table path vacated: restore the
+        # original so the table is never left missing.
+        fs.rename(trash, src)
+        raise
     fs.delete(trash, True)
     return n_files
 

@@ -28,17 +28,17 @@ from pyspark.sql import functions as F
 from pyspark_anomaly_detection_spark.io.readers import load_table
 from pyspark_anomaly_detection_spark.registry import register
 
-#: The reference's 8 behavioral/numeric features (src/models/train.py:40-45),
-#: mapped to this engine's column names.
+#: The reference's 8 behavioral/numeric features, verbatim
+#: (src/models/train.py:40-45).
 DEFAULT_FEATURES = [
     "amount",
-    "velocity_1h",
-    "avg_diff_24h",
-    "merchant_diversity",
+    "time_since_last_transaction",
     "spending_deviation_score",
     "velocity_score",
     "geo_anomaly_score",
-    "is_weekend",
+    "velocity_1h",
+    "avg_diff_24h",
+    "merchant_diversity",
 ]
 
 SEED = 42
@@ -117,9 +117,18 @@ def train_model(train_df: DataFrame, config: TrainConfig | None = None) -> Pipel
     return cv.fit(prepared).bestModel
 
 
+def _fill_features_only(df: DataFrame, model: PipelineModel) -> DataFrame:
+    """fillna(0) restricted to the model's assembler inputs — a null label
+    must surface as a data-quality failure, not become a confident negative.
+    """
+    assembler = model.stages[0]
+    feature_cols = [c for c in assembler.getInputCols() if c in df.columns]
+    return df.fillna(0, subset=feature_cols)
+
+
 def evaluate_auc(model: PipelineModel, test_df: DataFrame, label_col: str = "label") -> float:
     """Held-out ROC-AUC (reference src/models/train.py:87-91)."""
-    scored = model.transform(test_df.fillna(0))
+    scored = model.transform(_fill_features_only(test_df, model))
     evaluator = BinaryClassificationEvaluator(
         labelCol=label_col, metricName="areaUnderROC"
     )
@@ -182,7 +191,7 @@ def run_batch_inference(
     ``vector_to_array`` — stays columnar, no Python UDF)."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(df.fillna(0))
+    scored = model.transform(_fill_features_only(df, model))
     return scored.select(
         *id_cols,
         F.col("prediction").cast("double").alias("prediction"),

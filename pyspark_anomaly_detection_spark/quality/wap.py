@@ -11,10 +11,14 @@ scale-correct shape is Write-Audit-Publish:
    job, so the audit costs zero additional scans.
 2. **Audit** the observed metrics against expectations driver-side
    (a dict lookup, no job).
-3. **Publish** by atomic rename — readers either see the previous table
-   or the complete new one, never a partial write — or abort, leaving
-   the previous table untouched and the rejected data in staging for
-   inspection.
+3. **Publish** by rename — a failed audit leaves the previous table
+   untouched and the rejected data in staging for inspection.  The
+   publish itself is two renames (table → ``__old``, staging → table),
+   each return-value-checked so a failure raises before any delete;
+   concurrent readers can still observe the brief window between the two
+   renames where the table path is absent (single-writer,
+   coordinated-reader semantics — a transactional format is the fix when
+   readers are uncoordinated).
 
 At 100 TB the saved re-read is hours; the rename is O(1) metadata.
 """
@@ -47,7 +51,9 @@ def audited_write(
     pass; each ``expectations[name](value)`` predicate runs driver-side on
     the observed value.  All expectations pass → staging renames over the
     target (previous version deleted).  Any failure → target left exactly
-    as it was; staging kept at ``<path>__staging`` for debugging.
+    as it was; staging kept at ``<path>__staging`` for debugging.  Every
+    rename's boolean return is checked (Hadoop rename fails soft); a false
+    return raises before any delete so the previous table is never lost.
     """
     spark = df.sparkSession
     obs = Observation("wap_audit")
@@ -69,12 +75,21 @@ def audited_write(
     if failures:
         return AuditResult(published=False, metrics=dict(got), failures=failures)
 
+    from ..io.maintenance import _rename_or_raise
+
     staged = jvm.org.apache.hadoop.fs.Path(staging)
     if fs.exists(fs_path):
         old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
-        fs.rename(fs_path, old)
-        fs.rename(staged, fs_path)
+        # A stale __old from a crashed prior publish would fail the rename.
+        if fs.exists(old):
+            fs.delete(old, True)
+        _rename_or_raise(fs, fs_path, old, "WAP publish (table -> __old)")
+        try:
+            _rename_or_raise(fs, staged, fs_path, "WAP publish (staging -> table)")
+        except IOError:
+            fs.rename(old, fs_path)  # restore: never leave the table missing
+            raise
         fs.delete(old, True)
     else:
-        fs.rename(staged, fs_path)
+        _rename_or_raise(fs, staged, fs_path, "WAP publish (staging -> table)")
     return AuditResult(published=True, metrics=dict(got), failures=[])

@@ -40,27 +40,41 @@ def with_behavioral_features(
     ts_col: str = "ts",
     amount_col: str = "value",
     counterparty_col: str = "event_type",
+    truncate_to_seconds: bool = False,
 ) -> DataFrame:
     """Library form of the reference's feature builder
     (``src/features/build_features.py:8-52``): velocity_1h, avg_diff_24h,
     merchant_diversity on any (partition, ts, amount, counterparty) table.
+
+    Frame-edge semantics: the default frames bound in epoch **microseconds**
+    (oracle-parity choice — DuckDB range frames agree exactly).  The
+    reference truncates to whole seconds via ``unix_timestamp``
+    (src/features/build_features.py:26-33), so rows landing exactly at a
+    1h/24h/6h boundary *within* a second classify differently between the
+    two modes.  Pass ``truncate_to_seconds=True`` for bit-parity with the
+    reference pipeline's outputs.
     """
-    ts_us = F.unix_micros(F.col(ts_col))
+    if truncate_to_seconds:
+        ts_us = F.unix_timestamp(F.col(ts_col))
+        hour = 3_600
+    else:
+        ts_us = F.unix_micros(F.col(ts_col))
+        hour = US_PER_HOUR
     base = df.withColumn("_ts_us", ts_us)
     w1h = (
         Window.partitionBy(partition_col)
         .orderBy("_ts_us")
-        .rangeBetween(-1 * US_PER_HOUR, 0)
+        .rangeBetween(-1 * hour, 0)
     )
     w24h = (
         Window.partitionBy(partition_col)
         .orderBy("_ts_us")
-        .rangeBetween(-24 * US_PER_HOUR, 0)
+        .rangeBetween(-24 * hour, 0)
     )
     w6h = (
         Window.partitionBy(partition_col)
         .orderBy("_ts_us")
-        .rangeBetween(-6 * US_PER_HOUR, 0)
+        .rangeBetween(-6 * hour, 0)
     )
     amount_dec_sum = F.sum(dec2(amount_col)).over(w24h).cast("double")
     amount_cnt = F.count(amount_col).over(w24h)

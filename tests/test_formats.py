@@ -158,6 +158,55 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
     assert worst <= 1000 // len(spans) + 50, (worst, len(spans))
 
 
+def test_compaction_survives_stale_leftovers(spark, tmp_path):
+    """A crashed prior run leaves __compact/__old behind; Hadoop rename
+    would return false against an existing dest (silently, not raising) —
+    the swap must clear leftovers first and still publish correctly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.io.maintenance import compact_parquet
+
+    path = str(tmp_path / "tbl")
+    spark.range(10_000).withColumn("k", F.col("id") % 7).repartition(10).write.parquet(
+        path
+    )
+    # stale dirs from a "crashed" prior run
+    os.makedirs(path + "__compact/junk")
+    os.makedirs(path + "__old/junk")
+
+    before = spark.read.parquet(path).agg(F.sum("id"), F.count("*")).first()
+    compact_parquet(spark, path, target_file_bytes=1024 * 1024)
+    assert spark.read.parquet(path).agg(F.sum("id"), F.count("*")).first() == before
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__compact")
+
+
+def test_wap_republish_over_stale_old(spark, tmp_path):
+    """audited_write over an existing table with a stale __old dir: the
+    publish must still swap (rename returns are checked, stale dir cleared)
+    and the new version must be the one readers see."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.quality.wap import audited_write
+
+    path = str(tmp_path / "wap_tbl")
+    metrics = {"n": F.count(F.lit(1))}
+    expectations = {"n": lambda v: v and v > 0}
+
+    r1 = audited_write(spark.range(100), path, metrics, expectations)
+    assert r1.published
+    os.makedirs(path + "__old/junk")  # stale from a crashed prior publish
+
+    r2 = audited_write(spark.range(250), path, metrics, expectations)
+    assert r2.published and r2.metrics["n"] == 250
+    assert spark.read.parquet(path).count() == 250
+    assert not os.path.exists(path + "__old")
+
+
 def test_zstd_parquet_roundtrip(spark, tmp_path):
     """Compression codec is a write option, not a schema property: zstd
     files read back identically (codec choice is the storage-efficiency

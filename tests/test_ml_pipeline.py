@@ -34,7 +34,7 @@ def labeled_frame(spark):
                 rng.gauss(0, 1) + boost,
                 rng.randint(0, 5) + (8 if is_fraud else 0),
                 rng.random() * (0.5 + 0.5 * (1 if is_fraud else 0)),
-                rng.choice([0, 1]),
+                round(rng.uniform(0, 86400) / (4.0 if is_fraud else 1.0), 1),
                 1 if is_fraud else 0,
             )
         )
@@ -42,7 +42,7 @@ def labeled_frame(spark):
         rows,
         "transaction_id string, amount double, velocity_1h int, avg_diff_24h double,"
         "merchant_diversity int, spending_deviation_score double, velocity_score int,"
-        "geo_anomaly_score double, is_weekend int, label int",
+        "geo_anomaly_score double, time_since_last_transaction double, label int",
     ).persist()
 
 

@@ -191,3 +191,39 @@ def test_run_pipeline_cli(tmp_path, spark):
     assert stats["bronze_rows"] == 400
     assert stats["quarantined_rows"] == 7
     assert stats["train_rows"] + stats["test_rows"] == 400
+
+
+def test_behavioral_frame_edge_modes(spark):
+    """Frame-edge semantics flag: the default microsecond frames and the
+    reference's seconds-truncated frames (src/features/build_features.py:
+    26-33) disagree exactly on rows 1h ± sub-second apart — hand-computed.
+
+    t0 = 10:00:00.500; t1 = 11:00:00.200 (3599.7s later, 3600s after
+    truncation).  Micros mode: t0 is INSIDE t1's 1h frame (velocity 2).
+    Seconds mode: truncated gap is exactly 3600s → also inside (range
+    includes the bound) — so use t1b = 11:00:01.200 where micros gap
+    3600.7s (outside) but truncated gap 3601 (outside too); the divergent
+    case is t0=10:00:00.900, t1=11:00:00.100: micros gap 3599.2 (inside),
+    truncated gap 3600 (inside, boundary); and t0=10:00:00.100,
+    t1=11:00:00.900: micros gap 3600.8 (OUTSIDE), truncated 3600 (INSIDE).
+    That last pair is the observable divergence.
+    """
+    from pyspark_anomaly_detection_spark.windows.features import (
+        with_behavioral_features,
+    )
+
+    rows = [
+        ("u1", "2023-10-01 10:00:00.100", 10.0, "a"),
+        ("u1", "2023-10-01 11:00:00.900", 20.0, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, value double, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    micros = with_behavioral_features(df).orderBy("ts").collect()
+    secs = with_behavioral_features(df, truncate_to_seconds=True).orderBy("ts").collect()
+
+    # micros: gap is 3600.8s > 1h, so the second row's 1h frame holds only itself
+    assert [r.velocity_1h for r in micros] == [1, 1]
+    # seconds-truncated (reference): gap truncates to exactly 3600s == bound → included
+    assert [r.velocity_1h for r in secs] == [1, 2]
