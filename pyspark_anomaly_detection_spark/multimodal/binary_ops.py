@@ -8,12 +8,13 @@ columnar batches without per-row overhead; batch size is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` to cap executor memory at
 large payload sizes.
 
-The actual codecs (image decode/resize, audio decode, video frame-sample)
-are STUBBED behind ``_decode_payload`` — the container ships no media
-libraries (see module constant ``REAL_CODECS_AVAILABLE``) — with a
-deterministic fake decoder so the Spark-side plumbing (schema, batching,
-partition behavior, UDF signatures) is fully real and testable.  Swapping
-in Pillow/ffmpeg is a one-function change.
+Image decode is REAL for uncompressed formats: ``codecs.decode_image``
+parses binary PPM (P6) and 24-bit BMP with pure numpy — actual
+width/height, actual pixel arrays, actual per-channel statistics
+(``codecs.image_stats_features``).  Compressed image formats (JPEG/PNG)
+and the audio/video codecs remain the documented Pillow/ffmpeg swap-in
+point (see ``REAL_CODECS_AVAILABLE``); those payloads fall back to a
+deterministic byte-histogram feature so the plumbing stays total.
 """
 
 from __future__ import annotations
@@ -77,16 +78,21 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 
 
 def _decode_payload(payload: bytes, modality: str) -> list[float]:
-    """STUB decode → fixed-dim feature vector.
+    """Decode → FEATURE_DIM feature vector.
 
-    Deterministic fake: byte-histogram folded to FEATURE_DIM buckets,
-    L1-normalized.  Replace with Pillow / torchaudio / ffmpeg frame
-    sampling when ``REAL_CODECS_AVAILABLE``.
+    Images in a natively-decodable format (PPM/BMP — magic-sniffed) go
+    through the REAL numpy decoder and emit pixel statistics
+    (``codecs.image_stats_features``: geometry, per-channel moments, luma).
+    Everything else (audio/video, compressed image formats) falls back to
+    a deterministic L1-normalized byte histogram folded to FEATURE_DIM
+    buckets — replace with torchaudio/ffmpeg/Pillow per modality.
     """
-    if REAL_CODECS_AVAILABLE and modality == "image":  # pragma: no cover
-        raise NotImplementedError("real image decode not wired in this container")
+    from pyspark_anomaly_detection_spark.multimodal import codecs
+
     if payload is None:
         return []
+    if modality == "image" and payload[:2] in (codecs.PPM_MAGIC, codecs.BMP_MAGIC):
+        return codecs.image_stats_features(codecs.decode_image(bytes(payload)))
     buckets = [0] * FEATURE_DIM
     for b in payload:
         buckets[b % FEATURE_DIM] += 1
@@ -128,12 +134,36 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+#: Synthetic image geometry for media_table_from_documents: 16×16 RGB ⇒
+#: 768 pixel bytes = 48 MD5 digests (16 bytes each), generated JVM-side.
+_SYNTH_W = _SYNTH_H = 16
+_SYNTH_DIGESTS = (_SYNTH_W * _SYNTH_H * 3) // 16
+
+
+def _synthetic_ppm_payload() -> F.Column:
+    """A REAL binary-PPM payload built entirely JVM-side: ASCII P6 header
+    concatenated with 768 deterministic pixel bytes (``unhex`` over chained
+    ``md5(text, i)`` digests).  Decodable by ``codecs.decode_ppm`` — no
+    Python in the synthesis path, so media generation scales like any
+    other projection."""
+    header = F.encode(F.lit("P6\n%d %d\n255\n" % (_SYNTH_W, _SYNTH_H)), "utf-8")
+    pixel_hex = F.concat_ws(
+        "",
+        *[
+            F.md5(F.concat_ws("|", F.col("text"), F.lit(str(i))))
+            for i in range(_SYNTH_DIGESTS)
+        ],
+    )
+    return F.concat(header, F.unhex(pixel_hex))
+
+
 def media_table_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a multimodal table from ``documents`` (the testdata has
-    no binary columns): payload = utf-8 text bytes, modality round-robin
-    by id, duration for "video" rows derived from byte length.  Everything
-    downstream treats the payload as opaque bytes — exactly as real media
-    would flow."""
+    no binary columns): modality round-robin by id; image rows carry a
+    REAL decodable 16×16 binary-PPM payload (built JVM-side from text
+    hashes), audio/video rows carry opaque utf-8 text bytes; duration for
+    "video" rows derived from byte length.  Everything downstream treats
+    the payload as opaque bytes — exactly as real media would flow."""
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -141,8 +171,12 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
         modality.alias("modality"),
-        F.lit("stub").alias("codec"),
-        F.encode("text", "utf-8").alias("payload"),
+        F.when(modality == "image", F.lit("ppm")).otherwise(F.lit("stub")).alias(
+            "codec"
+        ),
+        F.when(modality == "image", _synthetic_ppm_payload())
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
     ).withColumn(
         "duration_ms",
         F.when(
@@ -151,11 +185,13 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("q70_multimodal_features", oracle=None)  # rows-only: python decode stub
+@register("q70_multimodal_features", oracle=None)  # rows-only: python decode path
 def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal plumbing: synthesize media from documents →
-    JVM-side metadata → Arrow-batched mapInPandas feature extraction →
-    per-modality aggregate of decode status and feature mass."""
+    """End-to-end multimodal pipeline: synthesize media from documents
+    (image rows = real binary-PPM payloads) → JVM-side metadata →
+    Arrow-batched mapInPandas decode + feature extraction → per-modality
+    aggregate.  ``f1_sum`` sums feature[0]: decoded width for images
+    (16.0 × n), histogram bucket-0 mass for audio/video."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_metadata(media_table_from_documents(docs))
     feats = extract_features(media)
@@ -164,7 +200,7 @@ def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_media"),
             F.max("feature_dim").alias("feature_dim"),
-            F.sum(F.element_at("feature", 1)).alias("bucket0_mass"),
+            F.sum(F.element_at("feature", 1)).alias("f1_sum"),
         )
         .orderBy("modality", "decode_ok")
     )

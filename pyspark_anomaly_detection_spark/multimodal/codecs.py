@@ -1,0 +1,177 @@
+"""Real image codecs for uncompressed formats — pure numpy, zero new deps.
+
+The container ships no media libraries (no Pillow/ffmpeg), but two
+ubiquitous formats need none: binary PPM (P6) and uncompressed 24-bit BMP
+(BI_RGB) are header + raw pixel bytes.  Implementing them here makes the
+multimodal pipeline's decode step REAL — actual width/height parsing,
+actual pixel arrays, actual per-channel statistics — while compressed
+formats (JPEG/PNG) remain the documented Pillow swap-in point.
+
+Both decoders return ``uint8`` arrays shaped ``(height, width, 3)`` in RGB
+order; both encoders round-trip bit-exactly (tests pin this).
+
+Format references (public specs):
+* PPM P6 — Netpbm format: ``P6\\n<w> <h>\\n<maxval>\\n`` then raw RGB rows,
+  top-down.  Comments (``#``) may appear between header tokens.
+* BMP — BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B), 24 bpp,
+  compression 0: rows bottom-up, BGR order, each row padded to 4 bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+PPM_MAGIC = b"P6"
+BMP_MAGIC = b"BM"
+
+
+# ---------------------------------------------------------------- PPM (P6)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """RGB uint8 array (h, w, 3) → binary PPM bytes."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {arr.shape}")
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _ppm_header_tokens(payload: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Parse the first ``n_tokens`` whitespace-separated header integers
+    after the magic, skipping ``#`` comments; returns (tokens, data_offset).
+    Per spec, exactly ONE whitespace byte follows the last header token."""
+    i, tokens = 2, []  # skip magic
+    while len(tokens) < n_tokens:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        start = i
+        while i < len(payload) and not payload[i : i + 1].isspace():
+            i += 1
+        if start == i:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[start:i]))
+    return tokens, i + 1  # single whitespace after maxval
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → RGB uint8 array (h, w, 3)."""
+    if not payload.startswith(PPM_MAGIC):
+        raise ValueError("not a P6 PPM payload")
+    (w, h, maxval), offset = _ppm_header_tokens(payload, 3)
+    if maxval > 255:
+        raise ValueError(f"16-bit PPM unsupported (maxval={maxval})")
+    need = w * h * 3
+    data = payload[offset : offset + need]
+    if len(data) < need:
+        raise ValueError(f"PPM truncated: need {need} pixel bytes, have {len(data)}")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+# ------------------------------------------------------- BMP (24 bpp BI_RGB)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """RGB uint8 array (h, w, 3) → uncompressed 24-bit BMP bytes
+    (bottom-up rows, BGR order, 4-byte row padding — the classic layout)."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {arr.shape}")
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    img_size = stride * h
+    # RGB → BGR, flip to bottom-up, pad each row to the 4-byte stride
+    bgr = arr[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    header = struct.pack(
+        "<2sIHHI", BMP_MAGIC, 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → RGB uint8 array (h, w, 3).
+
+    Handles both bottom-up (positive height, the common case) and top-down
+    (negative height) row order; rejects palettes/compression — those are
+    the Pillow swap-in point, not silent wrong answers."""
+    if not payload.startswith(BMP_MAGIC):
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("BMP truncated before headers")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h_signed, _, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24 bpp BI_RGB supported (bpp={bpp}, comp={compression})")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    need = stride * h
+    data = payload[data_offset : data_offset + need]
+    if len(data) < need:
+        raise ValueError(f"BMP truncated: need {need} pixel bytes, have {len(data)}")
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+    bgr = rows.reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage → flip to top-down
+        bgr = bgr[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])
+
+
+# ----------------------------------------------------------------- dispatch
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-sniffing decode → RGB uint8 (h, w, 3).  Raises ValueError for
+    formats needing a real codec library (JPEG/PNG/...)."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty image payload")
+    if payload.startswith(PPM_MAGIC):
+        return decode_ppm(payload)
+    if payload.startswith(BMP_MAGIC):
+        return decode_bmp(payload)
+    raise ValueError(
+        f"unsupported image format (magic {payload[:2]!r}); "
+        "wire Pillow into decode_image for compressed formats"
+    )
+
+
+def image_stats_features(arr: np.ndarray) -> list[float]:
+    """Decoded pixels → the 16-dim feature vector the extraction pipeline
+    emits for images: geometry + per-channel moments + luma.
+
+    Layout: [width, height, channels, aspect,
+             mean_r, mean_g, mean_b, std_r, std_g, std_b,
+             min_all, max_all, mean_all, std_all, mean_luma, nonzero_frac]
+    """
+    h, w, c = arr.shape
+    flat = arr.astype(np.float64)
+    means = flat.mean(axis=(0, 1))
+    stds = flat.std(axis=(0, 1))
+    luma = 0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
+    return [
+        float(v)
+        for v in (
+            w,
+            h,
+            c,
+            w / h,
+            means[0],
+            means[1],
+            means[2],
+            stds[0],
+            stds[1],
+            stds[2],
+            flat.min(),
+            flat.max(),
+            flat.mean(),
+            flat.std(),
+            luma,
+            (arr != 0).mean(),
+        )
+    ]

@@ -95,3 +95,157 @@ def test_resize_images_plumbing(spark, sf_dir):
 
     again = {r.media_id: bytes(r.payload) for r in resize_images(media, 8, 4).collect()}
     assert all(bytes(r.payload) == again[r.media_id] for r in rows)
+
+
+# ---------------------------------------------------------------- codecs
+
+
+def test_ppm_roundtrip_and_handmade_stats():
+    """Encode a hand-built 2×2 RGB image, decode it, and check the decoded
+    pixel statistics against hand-computed values."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        decode_ppm,
+        encode_ppm,
+        image_stats_features,
+    )
+
+    # pixels: (0,0)=red, (0,1)=green, (1,0)=blue, (1,1)=white
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    payload = encode_ppm(img)
+    assert payload.startswith(b"P6\n2 2\n255\n")
+    decoded = decode_ppm(payload)
+    assert (decoded == img).all()
+
+    f = image_stats_features(decoded)
+    assert f[0] == 2.0 and f[1] == 2.0 and f[2] == 3.0 and f[3] == 1.0  # w,h,c,aspect
+    assert f[4] == 127.5 and f[5] == 127.5 and f[6] == 127.5  # channel means
+    assert f[10] == 0.0 and f[11] == 255.0  # min/max
+    assert f[12] == 127.5  # overall mean
+    # luma of means: 0.299*127.5 + 0.587*127.5 + 0.114*127.5 = 127.5
+    assert abs(f[14] - 127.5) < 1e-9
+    assert f[15] == 0.5  # half the bytes are nonzero
+
+
+def test_ppm_header_comments():
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import decode_ppm
+
+    raw = b"P6\n# a comment\n3 1\n# another\n255\n" + bytes(range(9))
+    img = decode_ppm(raw)
+    assert img.shape == (1, 3, 3)
+    assert (img.reshape(-1) == np.arange(9)).all()
+
+
+def test_bmp_roundtrip_with_row_padding():
+    """3×2 BMP: row stride is 12 bytes (9 pixel + 3 pad) — the padding and
+    bottom-up/BGR conventions must cancel out exactly in the roundtrip."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    payload = encode_bmp(img)
+    assert payload[:2] == b"BM"
+    # stride (3*3 -> 12) x 2 rows = 24 data bytes + 54 header
+    assert len(payload) == 54 + 24
+    assert (decode_bmp(payload) == img).all()
+
+
+def test_bmp_topdown_rows():
+    """Negative biHeight means top-down row order; decode must not flip."""
+    import struct
+
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    img = np.array([[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], np.uint8)
+    payload = bytearray(encode_bmp(img))
+    h = struct.unpack_from("<i", payload, 22)[0]
+    struct.pack_into("<i", payload, 22, -h)  # flag top-down
+    decoded = decode_bmp(bytes(payload))
+    # encoder wrote bottom-up data; reading it as top-down = vertical flip
+    assert (decoded == img[::-1]).all()
+
+
+def test_codec_rejects_unsupported():
+    import pytest as _pytest
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import decode_image
+
+    with _pytest.raises(ValueError, match="unsupported image format"):
+        decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+    with _pytest.raises(ValueError):
+        decode_image(b"")
+
+
+def test_codec_roundtrip_property():
+    """Property: encode→decode is the identity for arbitrary geometry,
+    both formats, including widths that exercise every BMP pad length."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(42)
+    for w in (1, 2, 3, 4, 5, 17):
+        for h in (1, 3, 8):
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert (decode_ppm(encode_ppm(img)) == img).all(), (w, h)
+            assert (decode_bmp(encode_bmp(img)) == img).all(), (w, h)
+
+
+def test_real_decode_in_spark_pipeline(spark, sf_dir):
+    """End-to-end: synthesized image rows carry real PPM payloads; the
+    mapInPandas extraction must REALLY decode them — feature[0]/[1] are the
+    parsed width/height (16), feature[2] the channel count — and the values
+    must match a driver-side decode of the same payload bit-for-bit."""
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+    from pyspark_anomaly_detection_spark.multimodal.binary_ops import (
+        extract_features,
+        media_table_from_documents,
+    )
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        decode_image,
+        image_stats_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = media_table_from_documents(docs)
+    images = media.filter(F.col("modality") == "image")
+    feats = (
+        extract_features(media)
+        .filter(F.col("modality") == "image")
+        .orderBy("media_id")
+        .collect()
+    )
+    assert len(feats) == images.count() > 0
+    assert all(r.decode_ok == "ok" and r.feature_dim == FEATURE_DIM for r in feats)
+    assert all(r.feature[0] == 16.0 and r.feature[1] == 16.0 for r in feats)  # w, h
+    assert all(r.feature[2] == 3.0 for r in feats)  # channels
+
+    # cross-check one payload against a driver-side reference decode
+    # (FEATURE_SCHEMA carries float32, so compare at float32 precision)
+    import numpy as np
+
+    sample = images.orderBy("media_id").first()
+    expected = image_stats_features(decode_image(bytes(sample.payload)))
+    got = list(next(r.feature for r in feats if r.media_id == sample.media_id))
+    assert got == [float(np.float32(v)) for v in expected]
