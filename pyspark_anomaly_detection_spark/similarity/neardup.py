@@ -42,6 +42,11 @@ IVF_K = 16
 IVF_NPROBE = 4  # 4/16 cells scanned → recall@5 ≈ 0.62 on the (structureless,
 # near-orthogonal) synthetic vectors; real clustered embeddings do far better
 
+#: All-pairs above this is a scale bug, not a choice: N² pair growth means
+#: 10⁶ rows → 5·10¹¹ pairs.  The exact form exists as the oracle baseline;
+#: anything bigger must go through the LSH-blocked path.
+MAX_EXACT_ROWS = 1000
+
 
 def _normed(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
     """Project to (id, vec, norm) with the norm computed once per vector."""
@@ -59,13 +64,27 @@ def cosine_neardup_pairs(
     threshold: float = NEARDUP_THRESHOLD,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_exact_rows: int | None = MAX_EXACT_ROWS,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (id_a < id_b, cos >= threshold).
 
     The canonical-survivor convention downstream is "keep min id": marking
     ``id_b`` rows as duplicates of ``id_a`` reproduces the exact-dedup
     keep-first rule (cf. text/dedup.py) on the vector surface.
+
+    Guard: refuses inputs above ``max_exact_rows`` (pair count grows N²) —
+    use ``lsh_blocked_neardup`` or ``adaptive_neardup_pairs`` instead.
+    Pass ``max_exact_rows=None`` only in tests that knowingly pay N².
     """
+    if max_exact_rows is not None:
+        n = df.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"exact all-pairs refused: {n} rows > {max_exact_rows} "
+                "(N² pair growth); use lsh_blocked_neardup / "
+                "adaptive_neardup_pairs, or pass max_exact_rows=None "
+                "if you really mean brute force"
+            )
     a = _normed(df, id_col, vec_col, "a")
     b = _normed(df, id_col, vec_col, "b")
     return (
@@ -116,6 +135,27 @@ def lsh_blocked_neardup(
     )
 
 
+def adaptive_neardup_pairs(
+    df: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_exact_rows: int = MAX_EXACT_ROWS,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Size-dispatching near-dup: exact all-pairs while the input fits the
+    oracle-verification budget (≤ ``max_exact_rows``), LSH-blocked above it.
+    One cheap count() job decides; same output columns either way.  This is
+    the registry default — the exact form stays reachable for verification,
+    the N² plan can never run on production-size input by accident."""
+    n = df.count()
+    if n <= max_exact_rows:
+        return cosine_neardup_pairs(
+            df, threshold, id_col, vec_col, max_exact_rows=None
+        )
+    return lsh_blocked_neardup(df, threshold, n_planes, id_col, vec_col)
+
+
 @register(
     "q52_embedding_neardup",
     oracle=f"""
@@ -132,11 +172,14 @@ def lsh_blocked_neardup(
     """,
 )
 def q52_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs over the embeddings table.
-    Dot products are sequential left-folds (zip_with + aggregate) matching
-    DuckDB's list_dot_product evaluation order bitwise — no tolerance."""
+    """Embedding-cosine near-dup pairs over the embeddings table,
+    size-dispatched: exact all-pairs at oracle scales (≤1000 vectors, where
+    the DuckDB oracle hash-matches bitwise — dot products are sequential
+    left-folds matching list_dot_product evaluation order), LSH-blocked
+    above that (sf0.1's 2000 vectors and beyond — recall<1 by construction,
+    bounded by set-containment tests instead of the oracle)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb).orderBy("a_id", "b_id")
+    return adaptive_neardup_pairs(emb).orderBy("a_id", "b_id")
 
 
 # --------------------------------------------------------------------------
@@ -169,7 +212,23 @@ def ivf_topk(
         _as_double(F.col(vec_col)).alias("vec"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
-    model = KMeans(k=n_cells, seed=42, featuresCol="features").fit(feat)
+    # Coarse-quantizer training is sample-based by design: at 100 TB you
+    # never run Lloyd iterations over the full corpus — a deterministic
+    # hash-sample (~thousands of rows per cell) fixes the centroids, then
+    # ONE pass assigns everything.  maxIter=8 because the quantizer only
+    # needs rough cells, not converged clusters (probing covers the slop).
+    fit_input = feat.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(2)) == 0
+    ).select("features").cache()
+    model = KMeans(
+        k=n_cells,
+        seed=42,
+        maxIter=8,
+        initMode="random",  # kmeans|| init costs ~k passes; pointless for a
+        # coarse quantizer whose slop the nprobe probing absorbs
+        featuresCol="features",
+    ).fit(fit_input)
+    fit_input.unpersist()
     assigned = (
         model.transform(feat)
         .select(

@@ -266,6 +266,22 @@ def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over a keyed sample (brute-force verification
     stage of the LSH pipeline).  jaccard = |∩| / (|A|+|B|-|∩|)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return ngram_jaccard_pairs(docs)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, max_rows: int = 1000) -> DataFrame:
+    """All-pairs exact Jaccard — a VERIFICATION operator, theta-join only
+    (BroadcastNestedLoop): refuses unsampled input above ``max_rows``
+    because pair count grows N².  The production dedup path is the banded
+    LSH pipeline (``minhash_lsh_pairs``); this exists to audit its recall
+    on keyed samples."""
+    n = docs.count()
+    if n > max_rows:
+        raise ValueError(
+            f"exact Jaccard all-pairs refused: {n} rows > {max_rows}; "
+            "sample the input (e.g. a keyed doc_id % k filter) or use the "
+            "banded LSH pipeline for production dedup"
+        )
     sh = docs.select(
         "doc_id",
         F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_N)).alias("sset"),

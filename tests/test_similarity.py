@@ -79,3 +79,50 @@ def test_vectorized_topk_matches_exact_fold(spark, sf_dir):
     assert len(fast) == len(exact)
     overlap = len(exact & fast) / len(exact)
     assert overlap >= 0.95, f"vectorized top-k diverged: {overlap:.3f}"
+
+
+def test_exact_neardup_refuses_large_input(spark):
+    """The N² all-pairs form must be unreachable on production-size input:
+    the guard refuses above MAX_EXACT_ROWS unless explicitly overridden."""
+    import pytest
+
+    from pyspark_anomaly_detection_spark.similarity.neardup import MAX_EXACT_ROWS
+
+    big = spark.range(MAX_EXACT_ROWS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="all-pairs refused"):
+        cosine_neardup_pairs(big)
+    # explicit override still works (for tests that knowingly pay N²)
+    assert cosine_neardup_pairs(big.limit(5), max_exact_rows=None).count() >= 0
+
+
+def test_adaptive_neardup_dispatch(spark, sf_dir):
+    """adaptive_neardup_pairs: exact plan (and exact results) at oracle
+    scale, LSH-blocked plan above the threshold — blocked output must be a
+    threshold-respecting subset of exact."""
+    from pyspark_anomaly_detection_spark.similarity.neardup import (
+        adaptive_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.a_id, r.b_id) for r in cosine_neardup_pairs(emb).collect()}
+    small = {(r.a_id, r.b_id) for r in adaptive_neardup_pairs(emb).collect()}
+    assert small == exact  # ≤ MAX_EXACT_ROWS → identical to brute force
+
+    forced = adaptive_neardup_pairs(emb, max_exact_rows=10)  # force blocked path
+    blocked = {(r.a_id, r.b_id) for r in forced.collect()}
+    assert blocked <= exact and blocked
+
+
+def test_ngram_jaccard_refuses_unsampled_input(spark):
+    import pytest
+
+    from pyspark_anomaly_detection_spark.text.dedup import ngram_jaccard_pairs
+
+    big = spark.range(1001).select(
+        F.col("id").alias("doc_id"), F.lit("some words here repeated").alias("text")
+    )
+    with pytest.raises(ValueError, match="Jaccard all-pairs refused"):
+        ngram_jaccard_pairs(big)
