@@ -70,3 +70,67 @@ def test_percentile_cont_helper_brackets_range(spark, sf_dir):
     lo, hi = ev.agg(F.min("value"), F.max("value")).first()
     med = ev.agg(F.median("value")).first()[0]
     assert lo <= med <= p90 <= hi
+
+
+def test_sketch_mergeability_union_equals_direct(spark, sf_dir):
+    """THE sketch algebra invariant: union-of-partial-sketches must equal
+    the sketch built over the unioned raw data.  HLL register merge is a
+    deterministic max, so with equal lgConfigK the estimates are EXACTLY
+    equal — this is what makes per-day partials answer global questions
+    without rescanning raw events."""
+    ev = load_table(spark, sf_dir, "events")
+
+    union_of_sketches = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+        .first()
+        .est
+    )
+    sketch_of_union = (
+        ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .first()
+        .est
+    )
+    assert union_of_sketches == sketch_of_union, (
+        union_of_sketches,
+        sketch_of_union,
+    )
+
+
+def test_q99_per_type_matches_direct_sketch(spark, sf_dir):
+    """Each q99 per-type estimate (unioned from daily partials) must
+    exactly equal a direct single-pass sketch of that type's users."""
+    from pyspark_anomaly_detection_spark.events.rollup import q99_hll_sketch_union
+
+    merged = {
+        r.event_type: r.distinct_users
+        for r in q99_hll_sketch_union(spark, sf_dir).collect()
+        if r.event_type != "ALL"
+    }
+    direct = {
+        r.event_type: r.est
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_quantile_sketch_mergeability(spark, sf_dir):
+    """approx_percentile partial merge: percentiles computed over per-day
+    groups then over the whole table must bracket each other within the
+    sketch's accuracy budget (relative error <= 1/accuracy = 1%)."""
+    ev = load_table(spark, sf_dir, "events")
+    whole = ev.agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("p")
+    ).first().p
+    n = ev.count()
+    exact = sorted(r.value for r in ev.select("value").collect())
+    for q, est in zip([0.5, 0.9, 0.99], whole):
+        # rank error <= n/accuracy; translate to a value bracket
+        rank = int(q * (n - 1))
+        slack = max(2, n // 5_000)
+        lo, hi = exact[max(0, rank - slack)], exact[min(n - 1, rank + slack)]
+        assert lo <= est <= hi, (q, est, lo, hi)

@@ -104,3 +104,43 @@ def test_cross_validated_training(labeled_frame):
     model = train_model(labeled_frame, config)
     auc = evaluate_auc(model, labeled_frame)
     assert auc > 0.8  # signal is baked into the fixture
+
+
+def test_q71_score_distribution_and_auc(spark, sf_dir):
+    """q71 upgraded from rows>0 to quantitative invariants: the label rule
+    (value above its type's mean) is recoverable from the features, so the
+    held-out scores must separate the classes — AUC well above chance —
+    and the score distribution must be a valid probability."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    from pyspark_anomaly_detection_spark.ml.pipeline import q71_ml_scoring
+
+    scored = q71_ml_scoring(spark, sf_dir).persist()
+    try:
+        n = scored.count()
+        assert n > 0
+        stats = scored.agg(
+            F.min("fraud_probability").alias("lo"),
+            F.max("fraud_probability").alias("hi"),
+            F.countDistinct("prediction").alias("n_preds"),
+            F.avg(F.when(F.col("label") == 1, F.col("fraud_probability"))).alias(
+                "p_pos"
+            ),
+            F.avg(F.when(F.col("label") == 0, F.col("fraud_probability"))).alias(
+                "p_neg"
+            ),
+        ).first()
+        assert 0.0 <= stats.lo <= stats.hi <= 1.0
+        assert stats.n_preds == 2  # both classes predicted
+        # scores order the classes: positives score clearly higher
+        assert stats.p_pos > stats.p_neg + 0.2, (stats.p_pos, stats.p_neg)
+
+        evaluator = BinaryClassificationEvaluator(
+            labelCol="label",
+            rawPredictionCol="fraud_probability",
+            metricName="areaUnderROC",
+        )
+        auc = evaluator.evaluate(scored)
+        assert auc > 0.85, f"held-out AUC {auc:.3f} — learnable rule not learned"
+    finally:
+        scored.unpersist()

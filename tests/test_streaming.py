@@ -229,3 +229,78 @@ def test_rate_source_smoke(spark):
     assert len(rows) >= 20
     vals = [r.value for r in rows]
     assert vals == sorted(set(vals))  # monotone, no duplicates
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """Hand-built late-data expectation (SURVEY §7.4): a row older than the
+    watermark must be DROPPED from an append-mode windowed aggregation; a
+    row inside the horizon must still land.
+
+    Mechanics: the watermark persists in the checkpoint across restarts, so
+    two availableNow runs over the same checkpoint give deterministic
+    late-data semantics — run 1 advances the watermark past window W1's
+    end (finalizing it); run 2 delivers a W1-timestamped row (late, beyond
+    watermark → dropped) plus on-time rows.
+
+    Timeline (watermark delay 1 h, 1 h tumbling windows, counts by type):
+      run 1: A@10:10, A@10:20, B@12:30   → max ts 12:30, watermark 11:30
+             → [10:00,11:00) FINAL: (A, 2) emitted
+      run 2: A@10:40 (LATE: 10:40 < 11:30 → dropped)
+             B@12:40 (on time, joins open window [12:00,13:00))
+             C@14:30 (advances watermark to 13:30 → finalizes [12:00,13:00))
+             → emitted (B, 2) — the late A row resurrects nothing.
+    """
+    import os
+
+    from pyspark_anomaly_detection_spark.streaming.jobs import (
+        read_event_stream,
+        tumbling_counts,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = read_event_stream(spark, src)
+        q = (
+            tumbling_counts(stream, width="1 hour", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    D = "2023-06-01 "
+    write_batch("b1", [
+        (1, D + "10:10:00", 1, "A", 1.0, "{}"),
+        (2, D + "10:20:00", 1, "A", 1.0, "{}"),
+        (3, D + "12:30:00", 2, "B", 1.0, "{}"),
+    ])
+    run_once()
+
+    write_batch("b2", [
+        (4, D + "10:40:00", 1, "A", 1.0, "{}"),   # LATE: beyond watermark
+        (5, D + "12:40:00", 2, "B", 1.0, "{}"),   # on time
+        (6, D + "14:30:00", 3, "C", 1.0, "{}"),   # advances watermark
+    ])
+    run_once()
+
+    out = {
+        (r.window_start.strftime("%H:%M"), r.event_type): r.n_events
+        for r in spark.read.parquet(sink).collect()
+    }
+    # finalized windows only; the late A@10:40 appears NOWHERE and the
+    # on-time B@12:40 counts — both hand-computed above
+    assert out == {("10:00", "A"): 2, ("12:00", "B"): 2}, out
