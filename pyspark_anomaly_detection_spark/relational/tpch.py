@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pyspark_anomaly_detection_spark.functions import dec2
 from pyspark_anomaly_detection_spark.io.readers import load_table
@@ -373,34 +374,42 @@ def q106_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q107_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: double-correlated EXISTS / NOT EXISTS self-join —
-    suppliers who were the ONLY late shipper in multi-supplier orders.
-    Both correlations become self-joins of the deduplicated
-    (order, supplier) pair set: a left-semi for "another supplier exists"
-    and a left-anti for "no other supplier was late".  All three legs
-    shuffle on l_orderkey, so Catalyst plans one exchange per distinct
-    input and reuses the partitioning across the semi and anti joins."""
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in
+    multi-supplier orders.
+
+    Single-pass formulation instead of the textbook double-correlated
+    EXISTS/NOT-EXISTS self-joins: per (order, supplier) compute a late
+    flag in one lineitem⋈orders pass, then the two correlations are
+    per-order COUNTs over a window — "another supplier exists" is
+    n_supp > 1, "no other late supplier" is n_late = 1.  The self-join
+    version scanned lineitem three times (Catalyst does not reuse the
+    duplicated `late` subplan — measured); here lineitem is scanned ONCE
+    and the orderkey shuffle from the join satisfies both the pair
+    aggregation and the window (subset-key clustering), so the whole
+    correlation costs a single exchange.  At 100 TB: bucketing lineitem
+    and orders by orderkey removes even that."""
     li = load_table(spark, sf_dir, "lineitem")
     ord_ = load_table(spark, sf_dir, "orders")
-    pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    late = (
+    pair_late = (
         li.join(ord_, li["l_orderkey"] == ord_["o_orderkey"])
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
     )
-    a, p, c = late.alias("a"), pairs.alias("p"), late.alias("c")
-    multi = a.join(
-        p,
-        (F.col("a.l_orderkey") == F.col("p.l_orderkey"))
-        & (F.col("a.l_suppkey") != F.col("p.l_suppkey")),
-        "left_semi",
-    )
-    blocking = multi.alias("a").join(
-        c,
-        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
-        "left_anti",
+    w = Window.partitionBy("l_orderkey")
+    blocking = (
+        pair_late.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
     )
     sup = load_table(spark, sf_dir, "supplier")
     return (

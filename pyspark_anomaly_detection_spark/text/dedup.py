@@ -128,7 +128,17 @@ def minhash_signatures_df(
     partition), and everything stays in whole-stage codegen — no
     interpreted higher-order lambdas.  ~10× faster than the expression
     form at sf0.1 and the gap widens with document length.
+
+    The shingle/hash explode is the CPU-heavy map side, so it must be
+    spread over the cluster: an under-partitioned source (the testdata
+    parquet is a single row group → one task) would serialize it on one
+    core.  When the scan has fewer partitions than half the default
+    parallelism we repartition first — one narrow round-robin shuffle of
+    the text, amortized across the whole signature computation.
     """
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, target // 2):
+        docs = docs.repartition(target)
     exploded = docs.select(
         F.col(id_col),
         F.explode_outer(shingles(tokens(F.col(text_col)), SHINGLE_N)).alias("_sh"),
@@ -205,19 +215,32 @@ def minhash_lsh_pairs(
             )
         ).alias("bd"),
     ).select(id_col, "bd.band", "bd.band_sig")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Pair generation by BUCKET-GROUPING, not a self-join: Catalyst plans a
+    # banded self-join as TWO full signature computations (no exchange
+    # reuse fires across the join sides — measured), i.e. the corpus is
+    # scanned, shingled and hashed twice.  Grouping on the bucket key
+    # computes signatures once and shuffles once; in-bucket (a < b)
+    # combinations come from an array-combinatorics expression over the
+    # (small) per-bucket id list.  Same skew bound as the join: a B-doc
+    # bucket yields B² pairs either way.
+    ids = F.array_sort(F.collect_list(id_col))
+    buckets = (
+        banded.groupBy("band", "band_sig")
+        .agg(ids.alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_sig") == F.col("r.band_sig"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
 

@@ -174,10 +174,20 @@ def test_correlated_shapes_plan_semi_anti(spark, sf_dir):
     row-multiplying inner join + dedup."""
     plan = plans.formatted_plan(q("q105_priority_late_shipping")(spark, sf_dir))
     assert "LeftSemi" in plan, plan
-    plan = plans.formatted_plan(q("q107_blocking_supplier")(spark, sf_dir))
-    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
     plan = plans.formatted_plan(q("q106_dormant_rich_customers")(spark, sf_dir))
     assert "LeftAnti" in plan, plan
+
+
+def test_q107_single_lineitem_scan(spark, sf_dir):
+    """q107's correlations are window counts over one (order, supplier)
+    pass — the plan must scan lineitem exactly once (the self-join
+    formulation scanned it three times: Catalyst does not reuse the
+    duplicated subplan)."""
+    import re
+
+    plan = plans.formatted_plan(q("q107_blocking_supplier")(spark, sf_dir))
+    n_scans = len(re.findall(r"Location:[^\n]*lineitem", plan))
+    assert n_scans == 1, plan
 
 
 def test_q105_date_filter_pushed(spark, sf_dir):
