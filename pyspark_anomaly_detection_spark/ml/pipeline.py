@@ -44,6 +44,44 @@ DEFAULT_FEATURES = [
 SEED = 42
 
 
+def strip_training_summary(model) -> None:
+    """Drop the in-memory training summary from a fitted model (or every
+    stage of a ``PipelineModel``).
+
+    Spark 4.1 classic keeps ``SparkSession.observationManager`` as a
+    non-transient lazy val; once any ``df.observe`` has initialized it the
+    session object stops being Java-serializable.  A classification model's
+    training summary holds that session, and ``transform``'s prediction UDF
+    captures the model — so closure cleaning on any later RDD-backed action
+    (``BinaryClassificationEvaluator.evaluate``, ``df.rdd``) dies with
+    ``NotSerializableException: ObservationManager``.  We never read the
+    training summary (held-out evaluation goes through the evaluator), so
+    fitted models shed it eagerly.
+    """
+    stages = getattr(model, "stages", None)
+    for m in stages if stages is not None else [model]:
+        java_obj = getattr(m, "_java_obj", None)
+        if java_obj is None or not getattr(m, "hasSummary", False):
+            continue
+        try:
+            jvm = SparkSession.getActiveSession()._jvm  # type: ignore[union-attr]
+            java_obj.setSummary(jvm.scala.Option.empty())
+        except Exception:  # noqa: BLE001 — best-effort across Spark builds
+            pass
+
+
+class _SummaryFreeRF(RandomForestClassifier):
+    """RandomForestClassifier whose fitted models never retain a training
+    summary — so CrossValidator's inner evaluate calls (and every later
+    transform) stay serializable after the session has run an observed
+    write (see :func:`strip_training_summary`)."""
+
+    def _fit(self, dataset):
+        model = super()._fit(dataset)
+        strip_training_summary(model)
+        return model
+
+
 @dataclass
 class TrainConfig:
     feature_cols: list[str] = field(default_factory=lambda: list(DEFAULT_FEATURES))
@@ -78,7 +116,7 @@ def build_pipeline(config: TrainConfig) -> Pipeline:
     scaler = StandardScaler(
         inputCol="raw_features", outputCol="features", withStd=True, withMean=True
     )
-    rf = RandomForestClassifier(
+    rf = _SummaryFreeRF(
         featuresCol="features",
         labelCol=config.label_col,
         numTrees=config.num_trees,
@@ -95,7 +133,9 @@ def train_model(train_df: DataFrame, config: TrainConfig | None = None) -> Pipel
     prepared = prepare_training_frame(train_df, config)
     pipeline = build_pipeline(config)
     if not config.cross_validate:
-        return pipeline.fit(prepared)
+        model = pipeline.fit(prepared)
+        strip_training_summary(model)
+        return model
     rf = pipeline.getStages()[-1]
     grid = (
         ParamGridBuilder()
@@ -114,7 +154,9 @@ def train_model(train_df: DataFrame, config: TrainConfig | None = None) -> Pipel
         parallelism=config.cv_parallelism,
         seed=SEED,
     )
-    return cv.fit(prepared).bestModel
+    best = cv.fit(prepared).bestModel
+    strip_training_summary(best)
+    return best
 
 
 def _fill_features_only(df: DataFrame, model: PipelineModel) -> DataFrame:

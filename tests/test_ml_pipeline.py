@@ -144,3 +144,25 @@ def test_q71_score_distribution_and_auc(spark, sf_dir):
         assert auc > 0.85, f"held-out AUC {auc:.3f} — learnable rule not learned"
     finally:
         scored.unpersist()
+
+
+def test_train_after_observed_write(labeled_frame, spark, tmp_path):
+    """Regression: an observed write initializes the session's lazy
+    ObservationManager (non-serializable in Spark 4.1 classic); a fitted
+    model retaining its training summary then poisons every RDD-backed
+    action that captures it (evaluator.evaluate → Task not serializable).
+    train_model strips summaries, so train → evaluate must survive a
+    session that has already run df.observe()."""
+    from pyspark.sql import Observation
+
+    obs = Observation("poison")
+    spark.range(10).observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "observed"))
+    assert obs.get["n"] == 10
+
+    train, test = labeled_frame.randomSplit([0.7, 0.3], seed=42)
+    model = train_model(train, TrainConfig(num_trees=5, max_depth=3))
+    assert not any(getattr(m, "hasSummary", False) for m in model.stages)
+    auc = evaluate_auc(model, test)
+    assert 0.5 < auc <= 1.0
