@@ -573,3 +573,75 @@ def q132_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.alias("n_true_dups"),
         (hits.cast("double") / F.count("*").cast("double")).alias("precision"),
     )
+
+
+#: Non-overlapping token-chunk width for exact-substring duplicate profiling.
+DUP_CHUNK_TOKENS = 16
+
+
+@register(
+    "q138_chunk_dup_ratio",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             array_to_string(
+               w[CAST(i*{DUP_CHUNK_TOKENS}+1 AS BIGINT):CAST(i*{DUP_CHUNK_TOKENS}+{DUP_CHUNK_TOKENS} AS BIGINT)],
+               ' ') AS chunk
+      FROM toks,
+        LATERAL (SELECT unnest(range(CAST(ceil(len(w)/{DUP_CHUNK_TOKENS}.0) AS BIGINT))) AS i)
+    ),
+    cnt AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(chunk)) AS c FROM chunks
+    )
+    SELECT doc_id,
+      COUNT(*) AS n_chunks,
+      CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        AS dup_chunk_ratio
+    FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q138_chunk_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile at chunk granularity (the
+    distributed approximation of Lee et al.'s suffix-array substring dedup):
+    split every document into non-overlapping {DUP_CHUNK_TOKENS}-token
+    chunks, count corpus-wide occurrences of each chunk, and report each
+    document's duplicated-chunk ratio — the signal used to strip boilerplate
+    spans before training.
+
+    Scale: chunks are reduced to 16-byte md5 digests BEFORE the shuffle, so
+    the corpus-frequency window moves (doc_id, digest) pairs only, never
+    text; the per-doc rollup then shuffles on doc_id.  Both keys are
+    high-cardinality and skew-free at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(t) / F.lit(float(DUP_CHUNK_TOKENS))).cast("bigint")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("_i"),
+        t.alias("_w"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("_w"),
+                    (F.col("_i") * DUP_CHUNK_TOKENS + 1).cast("int"),
+                    DUP_CHUNK_TOKENS,
+                ),
+                " ",
+            )
+        ).alias("_digest"),
+    )
+    dup = (F.count("*").over(Window.partitionBy("_digest")) > 1).cast("int")
+    flagged = chunks.select("doc_id", dup.alias("_dup"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("_dup").alias("n_dup_chunks"),
+            (F.sum("_dup").cast("double") / F.count("*")).alias("dup_chunk_ratio"),
+        )
+        .orderBy("doc_id")
+    )

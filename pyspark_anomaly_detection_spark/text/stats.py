@@ -433,3 +433,58 @@ def q124_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q139_bigram_novelty",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bigr AS (
+      SELECT doc_id, w[CAST(i AS BIGINT)] || ' ' || w[CAST(i+1 AS BIGINT)] AS bg
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    ),
+    dfreq AS (SELECT bg, COUNT(DISTINCT doc_id) AS dfv FROM bigr GROUP BY bg)
+    SELECT b.doc_id,
+      COUNT(*) AS n_bigrams,
+      CAST(SUM(dfv) AS BIGINT) AS sum_doc_freq,
+      CAST(SUM(dfv) AS DOUBLE) / COUNT(*) AS mean_doc_freq
+    FROM bigr b JOIN dfreq USING (bg)
+    GROUP BY b.doc_id ORDER BY doc_id
+    """,
+)
+def q139_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based language-model quality proxy: the corpus bigram table IS
+    the model (document frequency per bigram), and each document scores as
+    the mean document-frequency of its bigrams — low mean = novel/unusual
+    text, high mean = boilerplate.  The count-based formulation keeps the
+    score exact-rational (no log-likelihood, so the DuckDB oracle matches
+    bitwise) while exercising the real pipeline shape: build n-gram
+    statistics over the corpus, join them back to documents, aggregate
+    per document.
+
+    Scale: bigram extraction is arrays_zip/slice/explode — pure codegen, no
+    Python and no interpreted lambdas.  Two shuffles on the bigram string
+    (model build, model join) and one on doc_id; a handful of stop-bigrams
+    dominating the join key is the classic AQE-skew-join case, noted for
+    cluster deployment."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1))).alias("_p"),
+    )
+    bigr = pairs.select(
+        "doc_id", F.concat_ws(" ", F.col("_p.0"), F.col("_p.1")).alias("bg")
+    )
+    dfreq = bigr.groupBy("bg").agg(F.countDistinct("doc_id").alias("_df"))
+    return (
+        bigr.join(dfreq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("_df").alias("sum_doc_freq"),
+            (F.sum("_df").cast("double") / F.count("*")).alias("mean_doc_freq"),
+        )
+        .orderBy("doc_id")
+    )
