@@ -126,3 +126,28 @@ def test_ngram_jaccard_refuses_unsampled_input(spark):
     )
     with pytest.raises(ValueError, match="Jaccard all-pairs refused"):
         ngram_jaccard_pairs(big)
+
+
+def test_pq_ann_recall_and_determinism(spark, sf_dir):
+    """PQ ADC shortlist + exact re-rank: recall@5 vs the exact fold stays
+    high (the shortlist is the only approximation — re-ranked order is
+    exact), and the seeded codebook makes reruns bitwise-identical."""
+    from pyspark_anomaly_detection_spark.registry import all_queries
+
+    reg = all_queries()
+    exact = reg["q37_ann_cosine_topk"].fn(spark, sf_dir).toPandas()
+    pq = reg["q140_pq_ann_topk"].fn(spark, sf_dir).toPandas()
+    e = exact.groupby("query_id")["cand_id"].apply(set)
+    p = pq.groupby("query_id")["cand_id"].apply(set)
+    recalls = [len(e[q] & p[q]) / len(e[q]) for q in e.index]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.75, f"PQ mean recall@5 collapsed: {mean_recall:.3f}"
+    assert min(recalls) >= 0.4, f"PQ worst-query recall collapsed: {min(recalls):.3f}"
+
+    rerun = reg["q140_pq_ann_topk"].fn(spark, sf_dir).toPandas()
+    assert pq.equals(rerun), "PQ codebook/scoring must be deterministic"
+
+    # every shortlisted winner's cos_sim is an exact score: re-ranked pairs
+    # must agree with the exact fold wherever both rank the same pair
+    merged = pq.merge(exact, on=["query_id", "cand_id"], suffixes=("_pq", "_ex"))
+    assert (merged["cos_sim_pq"] - merged["cos_sim_ex"]).abs().max() == 0.0
