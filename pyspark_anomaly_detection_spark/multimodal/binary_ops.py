@@ -11,10 +11,13 @@ large payload sizes.
 Image decode is REAL for uncompressed formats: ``codecs.decode_image``
 parses binary PPM (P6) and 24-bit BMP with pure numpy — actual
 width/height, actual pixel arrays, actual per-channel statistics
-(``codecs.image_stats_features``).  Compressed image formats (JPEG/PNG)
-and the audio/video codecs remain the documented Pillow/ffmpeg swap-in
-point (see ``REAL_CODECS_AVAILABLE``); those payloads fall back to a
-deterministic byte-histogram feature so the plumbing stays total.
+(``codecs.image_stats_features``).  Audio decode is REAL for RIFF/WAVE
+16-bit PCM: ``codecs.decode_wav`` walks the chunk list and emits signal
+moments + an 8-band spectrum (``codecs.audio_stats_features``).
+Compressed formats (JPEG/PNG/MP3/...) and video codecs remain the
+documented Pillow/ffmpeg swap-in point (see ``REAL_CODECS_AVAILABLE``);
+those payloads fall back to a deterministic byte-histogram feature so
+the plumbing stays total.
 """
 
 from __future__ import annotations
@@ -83,9 +86,11 @@ def _decode_payload(payload: bytes, modality: str) -> list[float]:
     Images in a natively-decodable format (PPM/BMP — magic-sniffed) go
     through the REAL numpy decoder and emit pixel statistics
     (``codecs.image_stats_features``: geometry, per-channel moments, luma).
-    Everything else (audio/video, compressed image formats) falls back to
-    a deterministic L1-normalized byte histogram folded to FEATURE_DIM
-    buckets — replace with torchaudio/ffmpeg/Pillow per modality.
+    Audio in RIFF/WAVE 16-bit PCM decodes through ``codecs.decode_wav``
+    and emits signal moments + coarse spectrum.  Everything else
+    (video, compressed formats) falls back to a deterministic
+    L1-normalized byte histogram folded to FEATURE_DIM buckets — replace
+    with torchaudio/ffmpeg/Pillow per modality.
     """
     from pyspark_anomaly_detection_spark.multimodal import codecs
 
@@ -93,6 +98,8 @@ def _decode_payload(payload: bytes, modality: str) -> list[float]:
         return []
     if modality == "image" and payload[:2] in (codecs.PPM_MAGIC, codecs.BMP_MAGIC):
         return codecs.image_stats_features(codecs.decode_image(bytes(payload)))
+    if modality == "audio" and payload[:4] == codecs.WAV_MAGIC:
+        return codecs.audio_stats_features(*codecs.decode_wav(bytes(payload)))
     buckets = [0] * FEATURE_DIM
     for b in payload:
         buckets[b % FEATURE_DIM] += 1
@@ -157,13 +164,43 @@ def _synthetic_ppm_payload() -> F.Column:
     return F.concat(header, F.unhex(pixel_hex))
 
 
+#: Synthetic audio geometry: 384 mono int16 frames @ 8 kHz = 768 PCM bytes
+#: = 48 MD5 digests, generated JVM-side like the PPM pixels.
+_SYNTH_WAV_RATE = 8000
+_SYNTH_WAV_FRAMES = 384
+_SYNTH_WAV_DIGESTS = (_SYNTH_WAV_FRAMES * 2) // 16
+
+
+def _synthetic_wav_payload() -> F.Column:
+    """A REAL RIFF/WAVE 16-bit PCM payload built entirely JVM-side: the
+    44-byte header is a constant (frame count is fixed), the PCM body is
+    deterministic noise from chained ``md5(text, i)`` digests.  Decodable
+    by ``codecs.decode_wav`` — no Python in the synthesis path."""
+    from pyspark_anomaly_detection_spark.multimodal import codecs
+
+    import numpy as np
+
+    header = codecs.encode_wav(
+        np.zeros(_SYNTH_WAV_FRAMES, dtype=np.int16), _SYNTH_WAV_RATE
+    )[:44]
+    pcm_hex = F.concat_ws(
+        "",
+        *[
+            F.md5(F.concat_ws("|", F.lit("wav"), F.col("text"), F.lit(str(i))))
+            for i in range(_SYNTH_WAV_DIGESTS)
+        ],
+    )
+    return F.concat(F.lit(header), F.unhex(pcm_hex))
+
+
 def media_table_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a multimodal table from ``documents`` (the testdata has
     no binary columns): modality round-robin by id; image rows carry a
-    REAL decodable 16×16 binary-PPM payload (built JVM-side from text
-    hashes), audio/video rows carry opaque utf-8 text bytes; duration for
-    "video" rows derived from byte length.  Everything downstream treats
-    the payload as opaque bytes — exactly as real media would flow."""
+    REAL decodable 16×16 binary-PPM payload, audio rows a REAL decodable
+    8 kHz 16-bit PCM WAV (both built JVM-side from text hashes); video
+    rows carry opaque utf-8 text bytes with duration derived from byte
+    length.  Everything downstream treats the payload as opaque bytes —
+    exactly as real media would flow."""
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -171,10 +208,12 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
         modality.alias("modality"),
-        F.when(modality == "image", F.lit("ppm")).otherwise(F.lit("stub")).alias(
-            "codec"
-        ),
+        F.when(modality == "image", F.lit("ppm"))
+        .when(modality == "audio", F.lit("wav"))
+        .otherwise(F.lit("stub"))
+        .alias("codec"),
         F.when(modality == "image", _synthetic_ppm_payload())
+        .when(modality == "audio", _synthetic_wav_payload())
         .otherwise(F.encode("text", "utf-8"))
         .alias("payload"),
     ).withColumn(
@@ -188,10 +227,11 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
 @register("q70_multimodal_features", oracle=None)  # rows-only: python decode path
 def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: synthesize media from documents
-    (image rows = real binary-PPM payloads) → JVM-side metadata →
-    Arrow-batched mapInPandas decode + feature extraction → per-modality
-    aggregate.  ``f1_sum`` sums feature[0]: decoded width for images
-    (16.0 × n), histogram bucket-0 mass for audio/video."""
+    (image rows = real binary-PPM payloads, audio rows = real PCM-WAV
+    payloads) → JVM-side metadata → Arrow-batched mapInPandas decode +
+    feature extraction → per-modality aggregate.  ``f1_sum`` sums
+    feature[0]: decoded width for images (16.0 × n), decoded sample rate
+    for audio (8000.0 × n), histogram bucket-0 mass for video."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_metadata(media_table_from_documents(docs))
     feats = extract_features(media)

@@ -175,3 +175,93 @@ def image_stats_features(arr: np.ndarray) -> list[float]:
             (arr != 0).mean(),
         )
     ]
+
+
+# ------------------------------------------------- WAV (RIFF, 16-bit PCM)
+
+WAV_MAGIC = b"RIFF"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 PCM array (n,) mono or (n, ch) → RIFF/WAVE bytes.
+
+    Canonical 44-byte header: RIFF chunk + PCM fmt subchunk + data
+    subchunk.  Round-trips bit-exactly through :func:`decode_wav`."""
+    arr = np.ascontiguousarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2:
+        raise ValueError(f"expected (n,) or (n, channels) int16 array, got {arr.shape}")
+    n, ch = arr.shape
+    data = arr.tobytes()  # interleaved frames, little-endian
+    byte_rate = sample_rate * ch * 2
+    header = (
+        struct.pack("<4sI4s", WAV_MAGIC, 36 + len(data), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16)
+        + struct.pack("<4sI", b"data", len(data))
+    )
+    return header + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE 16-bit PCM → (sample_rate, int16 array (n, channels)).
+
+    Walks the chunk list (fmt/data may be separated by LIST/fact chunks in
+    the wild); rejects compressed codecs (non-PCM format tags) — those are
+    the torchaudio/ffmpeg swap-in point, not silent wrong answers."""
+    if not payload.startswith(WAV_MAGIC) or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_tag != 1:
+                raise ValueError(f"only PCM WAV supported (format tag {fmt_tag})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (bits={bits})")
+    n_frames = len(data) // (2 * ch)
+    arr = np.frombuffer(data[: n_frames * 2 * ch], dtype="<i2").reshape(n_frames, ch)
+    return rate, arr
+
+
+N_AUDIO_BANDS = 8
+
+
+def audio_stats_features(rate: int, samples: np.ndarray) -> list[float]:
+    """Decoded PCM → the 16-dim feature vector the extraction pipeline
+    emits for audio: container stats + signal moments + coarse spectrum.
+
+    Layout: [sample_rate, n_channels, n_frames, duration_s,
+             rms, peak_abs, mean, zero_crossing_rate,
+             band_energy_0 .. band_energy_7]   (bands = equal slices of
+    the rfft magnitude spectrum of the channel-mean signal, L1-normalized).
+    """
+    n, ch = samples.shape
+    x = samples.astype(np.float64).mean(axis=1) / 32768.0  # mono mixdown
+    rms = float(np.sqrt((x**2).mean())) if n else 0.0
+    zc = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x))
+    bands = np.array_split(spec, N_AUDIO_BANDS)
+    energy = np.array([b.sum() for b in bands])
+    total = energy.sum() or 1.0
+    return [
+        float(v)
+        for v in (
+            rate,
+            ch,
+            n,
+            n / rate,
+            rms,
+            float(np.abs(x).max()) if n else 0.0,
+            float(x.mean()) if n else 0.0,
+            zc,
+            *(energy / total),
+        )
+    ]

@@ -249,3 +249,89 @@ def test_real_decode_in_spark_pipeline(spark, sf_dir):
     expected = image_stats_features(decode_image(bytes(sample.payload)))
     got = list(next(r.feature for r in feats if r.media_id == sample.media_id))
     assert got == [float(np.float32(v)) for v in expected]
+
+
+def test_wav_roundtrip_and_chunk_walking():
+    import numpy as np
+    import struct
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(4000)
+    sine = (0.25 * 32767 * np.sin(2 * np.pi * 200 * t / 8000)).astype(np.int16)
+    wav = encode_wav(sine, 8000)
+    rate, back = decode_wav(wav)
+    assert rate == 8000 and back.shape == (4000, 1) and (back[:, 0] == sine).all()
+
+    # chunk walking: a LIST chunk between fmt and data must be skipped
+    fmt_chunk, data_chunk = wav[12:36], wav[36:]
+    list_chunk = struct.pack("<4sI", b"LIST", 6) + b"INFOxx"
+    padded = wav[:4] + struct.pack("<I", len(wav) - 8 + 14) + wav[8:12]
+    exotic = padded + fmt_chunk + list_chunk + data_chunk
+    rate2, back2 = decode_wav(exotic)
+    assert rate2 == 8000 and (back2 == back).all()
+
+
+def test_audio_features_sine_properties():
+    """Hand-computed expectations: a pure sine of amplitude A has
+    rms = A/√2, zero-crossing rate = 2f/rate, and its spectral energy
+    concentrates in the band containing f."""
+    import numpy as np
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        N_AUDIO_BANDS,
+        audio_stats_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rate, freq, amp = 8000, 440, 0.5
+    t = np.arange(rate)  # 1 s
+    sine = (amp * 32767 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+    f = audio_stats_features(*decode_wav(encode_wav(sine, rate)))
+    assert len(f) == 16
+    assert f[0] == rate and f[1] == 1 and f[2] == rate and f[3] == 1.0
+    assert abs(f[4] - amp / np.sqrt(2)) < 1e-3  # rms
+    assert abs(f[7] - 2 * freq / rate) < 1e-3  # zcr
+    bands = f[8:]
+    # 440 Hz lives in rfft bin 440 of 4001 → band 0 of 8; it dominates
+    assert bands[440 * N_AUDIO_BANDS // 4001] == max(bands) > 0.9
+
+
+def test_q70_audio_rows_decode_real_wav(spark, sf_dir):
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+    from pyspark_anomaly_detection_spark.multimodal.binary_ops import (
+        _SYNTH_WAV_FRAMES,
+        _SYNTH_WAV_RATE,
+        extract_features,
+        media_table_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = media_table_from_documents(docs)
+    feats = (
+        extract_features(media)
+        .filter(F.col("modality") == "audio")
+        .orderBy("media_id")
+        .collect()
+    )
+    assert len(feats) > 0
+    assert all(r.decode_ok == "ok" and r.feature_dim == FEATURE_DIM for r in feats)
+    assert all(r.feature[0] == float(_SYNTH_WAV_RATE) for r in feats)  # rate
+    assert all(r.feature[1] == 1.0 for r in feats)  # mono
+    assert all(r.feature[2] == float(_SYNTH_WAV_FRAMES) for r in feats)  # frames
+
+    # cross-check one payload against a driver-side reference decode
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        audio_stats_features,
+        decode_wav,
+    )
+    import numpy as np
+
+    sample = media.filter(F.col("modality") == "audio").orderBy("media_id").first()
+    expected = audio_stats_features(*decode_wav(bytes(sample.payload)))
+    got = list(next(r.feature for r in feats if r.media_id == sample.media_id))
+    assert np.allclose(
+        np.array(got), np.array(expected, dtype=np.float32), rtol=1e-6
+    )
