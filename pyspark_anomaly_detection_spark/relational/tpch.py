@@ -552,3 +552,62 @@ def q126_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", F.col("rev").cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q141_dominant_part_suppliers",
+    oracle="""
+    WITH sel AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      FROM lineitem JOIN sel ON l_partkey = p_partkey
+      GROUP BY l_partkey, l_suppkey
+    ),
+    qual AS (
+      SELECT DISTINCT l_suppkey FROM (
+        SELECT l_suppkey, sq, SUM(sq) OVER (PARTITION BY l_partkey) AS tq
+        FROM ps
+      ) WHERE 8 * sq > tq
+    )
+    SELECT s_suppkey, s_name, s_nationkey
+    FROM supplier JOIN qual ON s_suppkey = l_suppkey
+    ORDER BY s_suppkey
+    """,
+)
+def q141_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subqueries with a correlated quantity
+    comparison — suppliers shipping an outsized share (>1/8) of any red
+    part's volume.  Decorrelated the warehouse way: the part filter
+    broadcasts into the fact scan; the explicit repartition on l_partkey
+    lets BOTH the (part, supplier) aggregate and the per-part window total
+    run off that single shuffle (partkey clustering satisfies the
+    compound-key aggregate's distribution, so the naive plan's second
+    scan + second exchange of the fact disappear); the final membership
+    test is a broadcast semi-join into the supplier dim.  The share test
+    is ``8·sq > tq`` in exact DECIMAL — no float boundary, so both
+    engines classify every edge case identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sel = part.filter(F.col("p_name").startswith("red")).select("p_partkey")
+    ps = (
+        li.join(F.broadcast(sel), li["l_partkey"] == sel["p_partkey"])
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec2("l_quantity")).alias("sq"))
+    )
+    tq = F.sum("sq").over(Window.partitionBy("l_partkey"))
+    qual = (
+        ps.withColumn("tq", tq)
+        .filter(F.lit(8) * F.col("sq") > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(
+            F.broadcast(qual), sup["s_suppkey"] == qual["l_suppkey"], "left_semi"
+        )
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
