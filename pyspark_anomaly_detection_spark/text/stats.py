@@ -22,6 +22,8 @@ from pyspark_anomaly_detection_spark.functions import (
     shingles,
     shingles_sql,
     tokens,
+    universal_hash,
+    universal_hash_sql,
 )
 from pyspark_anomaly_detection_spark.io.readers import load_table
 from pyspark_anomaly_detection_spark.registry import register
@@ -487,4 +489,114 @@ def q139_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("_df").cast("double") / F.count("*")).alias("mean_doc_freq"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------- Count-Min sketch (CMS)
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # buckets per row
+
+
+def cms_sketch(tok_df: DataFrame, col: str = "tok") -> DataFrame:
+    """Count-Min sketch of a token stream: ``CMS_D × CMS_W`` counters as a
+    (row_id, bucket, cnt) table — ≤ 1024 rows regardless of corpus size.
+
+    Hashes are the same engine-portable md5-based universal family the
+    MinHash pipeline uses, so the sketch is bit-identical across engines
+    (and across partitionings — counters are additive).  The shuffle
+    moves only (row_id, bucket) pairs; the counter table it produces is
+    broadcastable state, which is what makes CMS the heavy-hitter
+    structure for unbounded streams at 100 TB: merge = elementwise sum.
+    """
+    base = md5_long60(F.col(col))
+    buckets = F.array(
+        *[(universal_hash(base, i) % CMS_W).cast("int") for i in range(CMS_D)]
+    )
+    return (
+        tok_df.select(F.posexplode(buckets).alias("row_id", "bucket"))
+        .groupBy("row_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, cands: DataFrame, col: str = "tok") -> DataFrame:
+    """Point-estimate candidate tokens against a sketch: rehash each
+    candidate, look up its CMS_D counters (broadcast join — the sketch is
+    tiny), take the min.  Estimates are guaranteed ≥ the true count."""
+    base = md5_long60(F.col(col))
+    buckets = F.array(
+        *[(universal_hash(base, i) % CMS_W).cast("int") for i in range(CMS_D)]
+    )
+    keyed = cands.select(
+        "*", F.posexplode(buckets).alias("row_id", "bucket")
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy(*cands.columns)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
+def _cms_oracle() -> str:
+    b = MD5_LONG60_SQL.format(x="tok")
+    hashed = " UNION ALL ".join(
+        f"SELECT tok, {i} AS row_id, CAST({universal_hash_sql(b, i)} % {CMS_W} AS INTEGER) AS bucket FROM tok"
+        for i in range(CMS_D)
+    )
+    cand_h = " UNION ALL ".join(
+        f"SELECT tok, exact_cnt, {i} AS row_id, CAST({universal_hash_sql(b, i)} % {CMS_W} AS INTEGER) AS bucket FROM exact"
+        for i in range(CMS_D)
+    )
+    return f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    hashed AS ({hashed}),
+    sketch AS (SELECT row_id, bucket, COUNT(*) AS cnt FROM hashed GROUP BY 1, 2),
+    exact AS (
+      SELECT tok, COUNT(*) AS exact_cnt FROM tok
+      GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20
+    ),
+    cand_h AS ({cand_h}),
+    est AS (
+      SELECT tok, exact_cnt, MIN(cnt) AS cms_estimate
+      FROM cand_h JOIN sketch USING (row_id, bucket) GROUP BY tok, exact_cnt
+    )
+    SELECT tok,
+      CAST(exact_cnt AS BIGINT) AS exact_cnt,
+      CAST(cms_estimate AS BIGINT) AS cms_estimate,
+      CAST(cms_estimate - exact_cnt AS BIGINT) AS overestimate
+    FROM est ORDER BY exact_cnt DESC, tok
+    """
+
+
+@register("q142_cms_heavy_hitters", oracle=_cms_oracle())
+def q142_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the corpus token stream, audited
+    against exact counts: build the 4×256 sketch, point-estimate the true
+    top-20 tokens, report estimate vs exact (overestimate ≥ 0 always;
+    bounded by the ε=e/W additive error in expectation).  Unlike the HLL
+    pipeline (q99, engine-private binary), every stage here is portable
+    SQL, so the whole sketch is oracle-hashed — the mergeability algebra
+    (union-of-sketches == sketch-of-union, exactly) is property-tested in
+    tests/test_approx_aggregates.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    sketch = cms_sketch(tok)
+    w = Window.orderBy(F.desc("exact_cnt"), F.asc("tok"))
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("exact_cnt"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 20)
+        .drop("_rk")
+    )
+    return (
+        cms_estimate(sketch, exact)
+        .select(
+            "tok",
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
     )

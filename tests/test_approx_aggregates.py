@@ -134,3 +134,39 @@ def test_quantile_sketch_mergeability(spark, sf_dir):
         slack = max(2, n // 5_000)
         lo, hi = exact[max(0, rank - slack)], exact[min(n - 1, rank + slack)]
         assert lo <= est <= hi, (q, est, lo, hi)
+
+
+def test_cms_mergeability_and_guarantee(spark, sf_dir):
+    """CMS algebra: counters are additive, so the elementwise sum of
+    per-source sketches equals the whole-corpus sketch EXACTLY; and every
+    point estimate is >= the true count (the one-sided CMS guarantee)."""
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+    from pyspark_anomaly_detection_spark.text.stats import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    whole = cms_sketch(tok).orderBy("row_id", "bucket").toPandas()
+
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    merged = None
+    for s in sources:
+        part = (
+            cms_sketch(tok.filter(F.col("source") == s))
+            .toPandas()
+            .set_index(["row_id", "bucket"])["cnt"]
+        )
+        merged = part if merged is None else merged.add(part, fill_value=0)
+    merged = merged.astype("int64").reset_index().sort_values(["row_id", "bucket"])
+    assert (
+        merged.reset_index(drop=True)["cnt"] == whole.reset_index(drop=True)["cnt"]
+    ).all(), "union-of-sketches must equal sketch-of-union exactly"
+
+    # one-sided error: estimate >= exact for EVERY token (not just top-20)
+    exact = tok.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    est = cms_estimate(cms_sketch(tok), exact).toPandas()
+    assert (est["cms_estimate"] >= est["exact_cnt"]).all()
