@@ -349,3 +349,55 @@ def q134_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("value") > 100.0, 1).otherwise(0).alias("label"),
     )
     return threshold_sweep(scored)
+
+
+@register(
+    "q143_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT value,
+        LEAST(CAST(FLOOR(value / 40.0) AS BIGINT), 9) AS bin,
+        CASE WHEN value + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 101 - 50)
+             > 150.0 THEN 1 ELSE 0 END AS y
+      FROM events
+    )
+    SELECT bin,
+      COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 400.0 / COUNT(*) AS DOUBLE)
+        AS mean_score,
+      CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) / COUNT(*) AS outcome_rate
+    FROM scored GROUP BY bin ORDER BY bin
+    """,
+)
+def q143_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration curve) for a scored table in ONE
+    pass: equal-width score bins → per-bin mean predicted score vs
+    observed outcome rate.  The companion to q134's threshold sweep — at
+    100 TB both are a single scan plus a ≤10-row shuffle.
+
+    The surrogate scorer is value/400 with labels perturbed by
+    deterministic md5 noise (±50 around the 150 threshold), so bins are
+    genuinely miscalibrated in a reproducible way and both engines
+    classify every row identically (integer-exact noise, exact-decimal
+    mean via one division chain)."""
+    from pyspark_anomaly_detection_spark.functions import dec2, md5_long60
+
+    ev = load_table(spark, sf_dir, "events")
+    noise = md5_long60(F.col("event_id").cast("string")) % 101 - 50
+    scored = ev.select(
+        "value",
+        F.least(F.floor(F.col("value") / 40.0).cast("bigint"), F.lit(9).cast("bigint")).alias("bin"),
+        F.when(F.col("value") + noise > 150.0, 1).otherwise(0).alias("y"),
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                (F.sum(dec2("value")).cast("double") / F.lit(400.0))
+                / F.count("*")
+            ).cast("double").alias("mean_score"),
+            (F.sum("y").cast("double") / F.count("*")).alias("outcome_rate"),
+        )
+        .orderBy("bin")
+    )
