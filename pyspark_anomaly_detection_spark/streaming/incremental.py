@@ -65,3 +65,47 @@ def start_incremental_gold(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_cms(
+    stream: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Maintain a Count-Min sketch of a document stream incrementally.
+
+    CMS counters are additive, so streaming maintenance is sketch algebra:
+    each micro-batch writes ITS OWN sketch delta into a ``batch_id``
+    partition (overwrite — replays of a batch rewrite the same partition,
+    so at-least-once delivery cannot double-count), and the current sketch
+    is the elementwise sum over deltas (``read_cms``).  State size is
+    bounded by D×W counters per batch regardless of stream volume — the
+    pattern for heavy-hitter tracking over unbounded streams at 100 TB.
+    """
+    from pyspark_anomaly_detection_spark.functions import tokens
+    from pyspark_anomaly_detection_spark.text.stats import cms_sketch
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tok = batch_df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        delta = cms_sketch(tok).withColumn("batch_id", F.lit(int(batch_id)))
+        overwrite_partitions(delta, sketch_path, ["batch_id"])
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Current sketch = elementwise sum of every batch delta."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

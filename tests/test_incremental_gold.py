@@ -65,3 +65,42 @@ def test_late_file_corrects_only_its_day(spark, sf_dir, tmp_path):
     got = _gold_dict(spark.read.parquet(gold))
     want = _gold_dict(daily_gold(events))
     assert got == want
+
+
+def test_incremental_cms_converges_to_batch_sketch(spark, sf_dir, tmp_path):
+    """Streaming CMS maintenance: batch-id-partitioned delta writes are
+    replay-idempotent, and the merged stream sketch equals the one-shot
+    batch sketch EXACTLY (counter additivity)."""
+    from pyspark_anomaly_detection_spark.streaming.incremental import (
+        read_cms,
+        start_incremental_cms,
+    )
+    from pyspark_anomaly_detection_spark.text.stats import cms_sketch
+
+    raw = str(tmp_path / "docs")
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.parquet(raw)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(raw).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(raw)
+    )
+    q = start_incremental_cms(stream, sketch, ckpt)
+    q.awaitTermination()
+
+    n_batches = spark.read.parquet(sketch).select("batch_id").distinct().count()
+    assert n_batches > 1, "maxFilesPerTrigger=1 must produce multiple deltas"
+
+    got = {
+        (r.row_id, r.bucket): r.cnt for r in read_cms(spark, sketch).collect()
+    }
+    want = {
+        (r.row_id, r.bucket): r.cnt
+        for r in cms_sketch(
+            docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        ).collect()
+    }
+    assert got == want
