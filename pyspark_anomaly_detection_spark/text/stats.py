@@ -600,3 +600,89 @@ def q142_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), F.asc("tok"))
     )
+
+
+# ------------------------------------------- BPE vocabulary induction (q144)
+
+BPE_MERGES = 8
+BPE_EOW = "</w>"
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer training, the distributed way: iterate
+    ``n_merges`` rounds of (weighted adjacent-pair count → global argmax →
+    merge everywhere).
+
+    Classic BPE trains on the WORD-FREQUENCY table, not the raw corpus —
+    the aggregation from 100 TB of text down to |vocab| (word, freq) rows
+    is the one big shuffle; every merge round then runs over that small
+    table (cached, re-materialized per round to keep lineage flat).  Pair
+    extraction is arrays_zip/slice (codegen); the merge applies a single
+    left-to-right non-overlapping fold per word.  Argmax ties break
+    lexicographically, so training is deterministic on any partitioning.
+
+    Returns the merge table (rank, left, right, pair_freq) — i.e. the
+    learned tokenizer vocabulary in merge order.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = F.concat(F.split(F.col("w"), "(?!$)"), F.array(F.lit(BPE_EOW)))
+    cur = words.select("freq", syms.alias("syms")).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        n = F.size("syms")
+        pairs = (
+            cur.filter(n >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(F.slice("syms", 1, n - 1), F.slice("syms", 2, n - 1))
+                ).alias("p"),
+            )
+            .select("freq", F.col("p.0").alias("l"), F.col("p.1").alias("r"))
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.desc("pf"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((rank, top.l, top.r, int(top.pf)))
+        a, b = top.l, top.r
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = cur.select("freq", merged.alias("syms")).persist()
+        nxt.count()  # materialize so each round's plan stays one fold deep
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_freq long"
+    )
+
+
+@register("q144_bpe_vocab", oracle=None)  # iterative driver-loop training —
+# no SQL oracle; hand-computed merge sequence pinned in tests
+def q144_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE merge table over the corpus (8 merges) — tokenizer
+    vocabulary induction as a first-class pipeline operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs).orderBy("rank")

@@ -220,3 +220,39 @@ def test_decay_smoother_bounded_by_window(spark, vals):
     for r in sorted(out, key=lambda r: r.event_id):
         window_vals = vals[max(0, r.event_id - SMOOTHER_TAPS + 1) : r.event_id + 1]
         assert min(window_vals) - 0.011 <= r.smoothed <= max(window_vals) + 0.011
+
+
+def test_bpe_merges_match_hand_computed(spark):
+    """The classic BPE walkthrough (low/lower/newest/widest with freqs
+    5/2/6/3): merge sequence is hand-computable — es, est, est</w>, lo,
+    low — with exact weighted pair frequencies and lexicographic
+    tie-breaks."""
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.text.stats import bpe_train
+
+    corpus = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(" ".join(corpus),)], "text string")
+    got = [
+        (r.rank, r.left, r.right, r.pair_freq)
+        for r in bpe_train(docs, n_merges=5).orderBy("rank").collect()
+    ]
+    assert got == [
+        (0, "e", "s", 9),
+        (1, "es", "t", 9),
+        (2, "est", "</w>", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+    ]
+
+
+def test_bpe_deterministic_across_partitionings(spark, sf_dir):
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+    from pyspark_anomaly_detection_spark.text.stats import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = bpe_train(docs, n_merges=4).orderBy("rank").collect()
+    b = bpe_train(docs.repartition(13), n_merges=4).orderBy("rank").collect()
+    assert a == b and len(a) == 4
