@@ -322,13 +322,20 @@ def pq_train_codebook(
     import numpy as np
     import pandas as pd
 
-    dim = len(candidates.select(vec_col).first()[0])
+    head = candidates.select(vec_col).first()
+    if head is None:
+        raise ValueError("pq_train_codebook: empty candidate set")
+    dim = len(head[0])
     d_sub = dim // m
     vec = _as_double(F.col(vec_col))
     norm = F.sqrt(_dot(vec, vec))
-    sampled = candidates.filter(F.col(id_col) % sample_mod == 0).select(
-        F.col(id_col).alias("vid"),
-        F.transform(vec, lambda x: x / norm).alias("nvec"),
+    sampled = (
+        candidates.filter(F.col(id_col) % sample_mod == 0)
+        .filter(norm > 0)  # zero vectors carry no direction to quantize
+        .select(
+            F.col(id_col).alias("vid"),
+            F.transform(vec, lambda x: x / norm).alias("nvec"),
+        )
     )
     parts = sampled.select(
         "vid",
@@ -340,6 +347,8 @@ def pq_train_codebook(
     def fit_subspace(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vid")
         pts = np.vstack(pdf["subvec"].to_numpy())  # n × d_sub
+        if pts.shape[0] < kc:  # tiny sample: tile so every centroid exists
+            pts = np.tile(pts, (kc // pts.shape[0] + 1, 1))
         cents = pts[:kc].copy()
         for _ in range(iters):
             d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -386,7 +395,9 @@ def pq_encode(
         m, kc, d_sub = cb.shape
         for pdf in batches:
             mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0  # zero vectors encode as themselves
+            mat /= norms
             codes = np.empty((mat.shape[0], m), dtype=np.int32)
             for s in range(m):
                 sub = mat[:, s * d_sub : (s + 1) * d_sub]  # B × d_sub

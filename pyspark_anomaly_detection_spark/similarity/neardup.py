@@ -228,6 +228,8 @@ def ivf_topk(
     def fit_cells(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vid")
         pts = np.vstack(pdf["vec"].to_numpy())
+        if pts.shape[0] < n_cells:  # tiny sample: tile so every cell exists
+            pts = np.tile(pts, (n_cells // pts.shape[0] + 1, 1))
         cents = pts[:n_cells].copy()
         for _ in range(8):
             d2 = -2.0 * (pts @ cents.T) + (cents**2).sum(axis=1)[None, :]
