@@ -611,3 +611,201 @@ def q141_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_nationkey")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q145_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS sq,
+             COUNT(*) AS nq
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        AS avg_yearly,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pa.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < 0.2 * (CAST(sq AS DOUBLE) / nq)
+    """,
+)
+def q145_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one brand
+    — the classic correlated AVG subquery (``l_quantity < 0.2 * avg qty of
+    this part``).  Decorrelated the warehouse way: the per-part average is
+    a partial-aggregable group-by over the fact (NOT a per-row rescan),
+    re-joined on l_partkey; the brand dim filter broadcasts.  At cluster
+    scale both the aggregate and the re-join shuffle on l_partkey, so AQE
+    reuses one exchange.  Threshold arithmetic is a single identical IEEE
+    expression on both engines (exact BIGINT sums → one division, one
+    multiply), so boundary rows classify identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sq"),
+        F.count(F.lit(1)).alias("nq"),
+    )
+    avg_qty = F.col("sq").cast("double") / F.col("nq")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
+              F.col("pa_partkey") == li["l_partkey"])
+        .filter(F.col("l_quantity") < F.lit(0.2) * avg_qty)
+        .agg(
+            (F.sum(dec2("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q146_dormant_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT
+      c_nationkey,
+      COUNT(*) AS numcust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q146_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-dormant customers — a scalar AVG
+    subquery plus a NOT EXISTS anti-join.  The scalar (average positive
+    balance) is one global aggregate broadcast as a literal join (a 1-row
+    cross join — Spark plans it as BroadcastNestedLoop over one row, which
+    is the right plan); dormancy is a left_anti join against the
+    date-pruned orders scan (the predicate pushes to the parquet scan, so
+    at scale the anti-join side reads only recent partitions).  The exact
+    DECIMAL sum → single division makes the scalar bitwise identical, so
+    the ``>`` cut classifies every customer the same in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q147_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders
+        ON o_custkey = c_custkey
+       AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q147_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, with a
+    filtered LEFT OUTER join (customers with zero qualifying orders must
+    appear in the 0 bucket — the join filter lives in the ON clause, not
+    a WHERE, which would silently turn the join inner).  Two-level
+    aggregation: the first groups on the join key already being shuffled
+    (c_custkey), the second is a tiny histogram reduce.  COUNT(o_orderkey)
+    counts only matched rows — null-aware, unlike COUNT(*)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q148_top_quarter_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q148_top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view + "supplier(s) achieving the
+    maximum" equality — decorrelated as a single empty-frame window MAX
+    over the aggregated view (one extra exchange over ~|suppliers| rows,
+    instead of recomputing the view for the scalar subquery).  The
+    comparison happens in exact DECIMAL before any double cast, so ties
+    and the max itself are engine-independent.  The date filter pushes to
+    the scan: one quarter of the fact is read, not the whole table."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue()).alias("total_revenue")
+    )
+    top = rev.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
