@@ -189,3 +189,48 @@ def q27_hourly_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("txn_hour")
     )
+
+
+@register(
+    "q152_windowed_dedup",
+    oracle="""
+    WITH grp AS (
+      SELECT user_id, event_type,
+             time_bucket(INTERVAL '10 minutes', ts) AS bucket,
+             COUNT(*) AS g
+      FROM events
+      GROUP BY user_id, event_type, bucket
+    )
+    SELECT event_type,
+      CAST(SUM(g) AS BIGINT) AS n_raw,
+      COUNT(*) AS n_survivors,
+      CAST(COUNT(*) AS DOUBLE) / SUM(g) AS keep_ratio
+    FROM grp
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q152_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed deduplication: collapse repeat (user, event_type) firings
+    inside each 10-minute tumbling bucket to one survivor — the batch twin
+    of Structured Streaming's ``dropDuplicatesWithinWatermark`` (same
+    keys + event-time bound, tested side-by-side in the streaming suite).
+
+    Expressed as pure two-level aggregation, NOT a row_number window:
+    the dedup groupBy is map-side combinable (partial aggregation before
+    the shuffle), so at 100 TB the exchange carries one row per
+    (user, type, bucket) rather than every raw event — the property that
+    makes streaming state-store dedup bounded, reproduced batch-side."""
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.groupBy(
+        "user_id", "event_type", F.window("ts", "10 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("g"))
+    return (
+        grp.groupBy("event_type")
+        .agg(
+            F.sum("g").alias("n_raw"),
+            F.count(F.lit(1)).alias("n_survivors"),
+            (F.count(F.lit(1)).cast("double") / F.sum("g")).alias("keep_ratio"),
+        )
+        .orderBy("event_type")
+    )

@@ -468,3 +468,85 @@ def salted_aggregate(
 def q50_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return salted_aggregate(ev, "event_type", "value").orderBy("event_type")
+
+
+@register(
+    "q151_winsorized_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+          AS rn,
+        COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+      FROM lineitem
+    ),
+    cut AS (
+      SELECT l_returnflag, v, cnt,
+        MAX(CASE WHEN rn = CAST(ceil(0.01 * cnt) AS BIGINT) THEN v END)
+          OVER (PARTITION BY l_returnflag) AS lo,
+        MAX(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN v END)
+          OVER (PARTITION BY l_returnflag) AS hi
+      FROM ranked
+    )
+    SELECT l_returnflag,
+      CAST(MAX(cnt) AS BIGINT) AS n,
+      MAX(lo) AS p01,
+      MAX(hi) AS p99,
+      CAST(COUNT(CASE WHEN v < lo THEN 1 END) AS BIGINT) AS n_clipped_lo,
+      CAST(COUNT(CASE WHEN v > hi THEN 1 END) AS BIGINT) AS n_clipped_hi,
+      CAST(SUM(CAST(LEAST(GREATEST(v, lo), hi) AS DECIMAL(18,2))) AS DOUBLE)
+        / COUNT(*) AS winsorized_mean
+    FROM cut
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q151_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped-tail) robust statistics per segment — the
+    standard feature-robustization step before model training: clip each
+    value into the exact [p01, p99] rank-selected band, then average.
+
+    The percentiles are rank-SELECTED (actual data points, deterministic
+    tiebreak on the row key), never interpolated, so the clip boundaries
+    are parquet-exact doubles and the clipped values stay 2-dp — which
+    keeps the winsorized mean inside the DECIMAL-exact summation
+    convention (one IEEE division at the end).  Plan: one shuffle on the
+    segment key serves the rank window, the percentile broadcast-back
+    window, and the final same-key aggregate (exchange reuse)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wall = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wall).alias("cnt"),
+    )
+
+    def pick(p: float) -> Column:
+        target = F.ceil(F.lit(p) * F.col("cnt")).cast("bigint")
+        return F.max(F.when(F.col("rn") == target, F.col("v"))).over(wall)
+
+    cut = ranked.select(
+        "l_returnflag", "v", "cnt",
+        pick(0.01).alias("lo"), pick(0.99).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return (
+        cut.groupBy("l_returnflag")
+        .agg(
+            F.max("cnt").alias("n"),
+            F.max("lo").alias("p01"),
+            F.max("hi").alias("p99"),
+            F.count(F.when(F.col("v") < F.col("lo"), 1)).alias("n_clipped_lo"),
+            F.count(F.when(F.col("v") > F.col("hi"), 1)).alias("n_clipped_hi"),
+            (
+                F.sum(clipped.cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("l_returnflag")
+    )

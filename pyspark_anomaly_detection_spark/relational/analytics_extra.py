@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pyspark_anomaly_detection_spark.io.readers import load_table
 from pyspark_anomaly_detection_spark.registry import register
@@ -187,4 +188,60 @@ def q115_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sx").alias("max_sx"),
         )
         .orderBy("zbucket")
+    )
+
+
+@register(
+    "q150_pareto_skyline",
+    oracle="""
+    WITH m AS (
+      SELECT p_size, MIN(p_retailprice) AS mp FROM part GROUP BY p_size
+    ),
+    s AS (
+      SELECT p_size, mp,
+             MIN(mp) OVER (ORDER BY p_size DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS better
+      FROM m
+    )
+    SELECT p_partkey, part.p_size, p_retailprice
+    FROM part JOIN s ON part.p_size = s.p_size AND p_retailprice = mp
+    WHERE better IS NULL OR better > mp
+    ORDER BY part.p_size, p_partkey
+    """,
+)
+def q150_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) operator: parts where no other part is
+    simultaneously cheaper-or-equal AND bigger-or-equal (strict in one) —
+    maximize p_size, minimize p_retailprice.
+
+    NOT the textbook all-pairs dominance anti-join (O(N²) nested loop):
+    in 2D the frontier factors into pure relational algebra — aggregate
+    to (size, min_price) [one map-side-combinable shuffle, ≤|distinct
+    sizes| rows], a running MIN over strictly-larger sizes on that tiny
+    aggregate (a candidate survives iff no larger size achieves ≤ its
+    price), then one broadcast join back to recover the surviving rows.
+    Every step scales: the fact table is touched twice (agg + join), no
+    self-join ever materializes.  Ties survive together on both engines —
+    dominance is strict, and the boundary tests compare parquet-exact
+    doubles, not derived floats."""
+    part = load_table(spark, sf_dir, "part")
+    m = part.groupBy("p_size").agg(F.min("p_retailprice").alias("mp"))
+    w = (
+        Window.orderBy(F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    surv = (
+        m.withColumn("better", F.min("mp").over(w))
+        .filter(F.col("better").isNull() | (F.col("better") > F.col("mp")))
+        .select(F.col("p_size").alias("s_size"), "mp")
+    )
+    return (
+        part.join(
+            F.broadcast(surv),
+            (part["p_size"] == F.col("s_size"))
+            & (part["p_retailprice"] == F.col("mp")),
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_size", "p_partkey")
     )

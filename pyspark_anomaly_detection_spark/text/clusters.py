@@ -247,3 +247,93 @@ def q114_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(docs)
     ranked = pagerank(pairs, src="doc_a", dst="doc_b")
     return ranked.orderBy(F.desc("rank"), "node").limit(50)
+
+
+def _q149_oracle() -> str:
+    from pyspark_anomaly_detection_spark.text.dedup import _minhash_sql
+
+    return f"""
+    WITH sigs AS (SELECT doc_id, sig FROM {_minhash_sql()}),
+    banded AS (
+      SELECT doc_id, k AS band, sig[k*2+1 : k*2+2] AS band_sig
+      FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS k)
+    ),
+    edges AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d
+      FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+      GROUP BY v
+    ),
+    ne AS (SELECT COUNT(*) AS n_edges FROM edges),
+    nw AS (SELECT CAST(SUM(d*(d-1)) // 2 AS BIGINT) AS n_wedges FROM deg),
+    nt AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT
+      n_edges, n_wedges, n_triangles,
+      CASE WHEN n_wedges > 0
+           THEN CAST(3 * n_triangles AS DOUBLE) / n_wedges END
+        AS global_clustering
+    FROM ne, nw, nt
+    """
+
+
+@register("q149_dup_graph_triangles", oracle=_q149_oracle())
+def q149_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the near-dup
+    graph — the standard shape diagnostic distinguishing tight dup
+    *cliques* (template spam: high clustering) from loose dup *chains*
+    (progressive edits: low clustering).
+
+    Triangles are enumerated by the ordered two-path join: every edge list
+    keeps a < b, so a path a→b→c joined with the closing edge (a, c)
+    counts each triangle exactly once.  Both joins shuffle on a vertex
+    key; at cluster scale the classic refinement is degree-ordered
+    orientation (point each edge at the higher-degree endpoint) which
+    bounds the skew of the path join — noted, not needed at this graph's
+    density.  Wedge count comes from the degree aggregate (Σ d·(d−1)/2),
+    one tiny shuffle; the three scalars meet in 1-row broadcast joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(docs).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.expr("CAST(SUM(d*(d-1)) DIV 2 AS BIGINT)").alias("n_wedges")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.join(F.broadcast(wedges))
+        .join(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges"),
+            ).alias("global_clustering"),
+        )
+    )
