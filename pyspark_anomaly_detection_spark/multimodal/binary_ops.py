@@ -13,11 +13,14 @@ parses binary PPM (P6) and 24-bit BMP with pure numpy — actual
 width/height, actual pixel arrays, actual per-channel statistics
 (``codecs.image_stats_features``).  Audio decode is REAL for RIFF/WAVE
 16-bit PCM: ``codecs.decode_wav`` walks the chunk list and emits signal
-moments + an 8-band spectrum (``codecs.audio_stats_features``).
-Compressed formats (JPEG/PNG/MP3/...) and video codecs remain the
-documented Pillow/ffmpeg swap-in point (see ``REAL_CODECS_AVAILABLE``);
-those payloads fall back to a deterministic byte-histogram feature so
-the plumbing stays total.
+moments + an 8-band spectrum (``codecs.audio_stats_features``).  Video
+decode is REAL for RIFF/AVI uncompressed DIB: ``codecs.decode_avi``
+walks the container and emits luma/motion statistics
+(``codecs.video_stats_features``); ``sample_frames`` extracts real
+frames and re-encodes each as a standalone PPM.  Compressed formats
+(JPEG/PNG/MP3/MP4/...) remain the documented Pillow/ffmpeg swap-in
+point (see ``REAL_CODECS_AVAILABLE``); those payloads fall back to a
+deterministic byte-histogram feature so the plumbing stays total.
 """
 
 from __future__ import annotations
@@ -100,6 +103,12 @@ def _decode_payload(payload: bytes, modality: str) -> list[float]:
         return codecs.image_stats_features(codecs.decode_image(bytes(payload)))
     if modality == "audio" and payload[:4] == codecs.WAV_MAGIC:
         return codecs.audio_stats_features(*codecs.decode_wav(bytes(payload)))
+    if (
+        modality == "video"
+        and payload[:4] == codecs.AVI_MAGIC
+        and payload[8:12] == b"AVI "
+    ):
+        return codecs.video_stats_features(*codecs.decode_avi(bytes(payload)))
     buckets = [0] * FEATURE_DIM
     for b in payload:
         buckets[b % FEATURE_DIM] += 1
@@ -193,14 +202,68 @@ def _synthetic_wav_payload() -> F.Column:
     return F.concat(F.lit(header), F.unhex(pcm_hex))
 
 
+#: Synthetic video geometry: 4 frames of 8×8 RGB @ 4 fps ⇒ 192 pixel
+#: bytes per frame = 12 MD5 digests, generated JVM-side into a constant
+#: RIFF/AVI skeleton (headers precomputed once on the driver).
+_SYNTH_AVI_FRAMES = 4
+_SYNTH_AVI_W = _SYNTH_AVI_H = 8
+_SYNTH_AVI_FPS = 4
+_SYNTH_AVI_BODY = _SYNTH_AVI_W * _SYNTH_AVI_H * 3  # stride==w*3 (already x4)
+_SYNTH_AVI_DIGESTS = _SYNTH_AVI_BODY // 16
+
+
+def _synthetic_avi_payload() -> F.Column:
+    """A REAL RIFF/AVI uncompressed-DIB payload built entirely JVM-side:
+    the container skeleton (RIFF/hdrl/avih/movi + per-frame ``00db``
+    headers) is a driver-side constant template from ``codecs.encode_avi``
+    with the frame bodies spliced out; each 192-byte frame body is
+    deterministic ``unhex(md5(text, frame, i))`` noise.  Decodable by
+    ``codecs.decode_avi`` — no Python in the synthesis path."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal import codecs
+
+    template = codecs.encode_avi(
+        np.zeros(
+            (_SYNTH_AVI_FRAMES, _SYNTH_AVI_H, _SYNTH_AVI_W, 3), dtype=np.uint8
+        ),
+        fps=_SYNTH_AVI_FPS,
+    )
+    parts: list[F.Column] = []
+    pos = 0
+    for frame in range(_SYNTH_AVI_FRAMES):
+        body_start = template.index(b"00db", pos) + 8
+        parts.append(F.lit(template[pos:body_start]))
+        parts.append(
+            F.unhex(
+                F.concat_ws(
+                    "",
+                    *[
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit("avi"),
+                                F.col("text"),
+                                F.lit(f"{frame}:{i}"),
+                            )
+                        )
+                        for i in range(_SYNTH_AVI_DIGESTS)
+                    ],
+                )
+            )
+        )
+        pos = body_start + _SYNTH_AVI_BODY
+    parts.append(F.lit(template[pos:]))
+    return F.concat(*parts)
+
+
 def media_table_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a multimodal table from ``documents`` (the testdata has
     no binary columns): modality round-robin by id; image rows carry a
     REAL decodable 16×16 binary-PPM payload, audio rows a REAL decodable
-    8 kHz 16-bit PCM WAV (both built JVM-side from text hashes); video
-    rows carry opaque utf-8 text bytes with duration derived from byte
-    length.  Everything downstream treats the payload as opaque bytes —
-    exactly as real media would flow."""
+    8 kHz 16-bit PCM WAV, video rows a REAL decodable 4-frame RIFF/AVI
+    (all built JVM-side from text hashes).  Everything downstream treats
+    the payload as opaque bytes — exactly as real media would flow."""
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -210,16 +273,17 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
         modality.alias("modality"),
         F.when(modality == "image", F.lit("ppm"))
         .when(modality == "audio", F.lit("wav"))
-        .otherwise(F.lit("stub"))
+        .otherwise(F.lit("avi"))
         .alias("codec"),
         F.when(modality == "image", _synthetic_ppm_payload())
         .when(modality == "audio", _synthetic_wav_payload())
-        .otherwise(F.encode("text", "utf-8"))
+        .otherwise(_synthetic_avi_payload())
         .alias("payload"),
     ).withColumn(
         "duration_ms",
         F.when(
-            F.col("modality") == "video", (F.length("payload") % 5000).cast("int")
+            F.col("modality") == "video",
+            F.lit(_SYNTH_AVI_FRAMES * 1000 // _SYNTH_AVI_FPS).cast("int"),
         ),
     )
 
@@ -246,30 +310,92 @@ def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("offset_ms", IntegerType(), False),
+        StructField("frame_w", IntegerType(), True),
+        StructField("frame_h", IntegerType(), True),
+        StructField("luma_mean", FloatType(), True),
+        StructField("decode_ok", StringType(), False),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
 def sample_frames(
     df: DataFrame, every_ms: int = 1000, payload_col: str = "payload"
 ) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame
-    offset (real frame extraction stubbed — offsets computed from
-    ``duration_ms`` metadata JVM-side, payload sliced per frame)."""
-    offsets = F.sequence(
-        F.lit(0), F.greatest(F.coalesce("duration_ms", F.lit(0)) - 1, F.lit(0)), F.lit(every_ms)
-    )
+    """Video frame sampling: one output row per sampled frame offset.
+
+    RIFF/AVI payloads get REAL extraction (``codecs.decode_avi`` inside
+    the Arrow batch): the frame nearest each ``every_ms`` offset is
+    decoded, its luma summarized, and the frame re-encoded as a
+    standalone binary-PPM payload — so downstream image operators (decode,
+    resize, feature-extract) consume sampled video frames exactly like
+    still images.  Non-AVI codecs (MP4 etc. — the ffmpeg swap-in point)
+    keep the deterministic byte-slice stub keyed off ``duration_ms``
+    metadata, with ``decode_ok = 'stub'`` so consumers can tell.  Errors
+    quarantine per-row, never fail the task."""
+    from pyspark_anomaly_detection_spark.multimodal import codecs
+
+    def _rows_for(media_id: int, payload, duration_ms) -> list[dict]:
+        payload = bytes(payload) if payload is not None else b""
+        if payload[:4] == codecs.AVI_MAGIC and payload[8:12] == b"AVI ":
+            fps, frames = codecs.decode_avi(payload)
+            n, h, w = frames.shape[:3]
+            duration = int(n * 1000 / fps) if fps else 0
+            out = []
+            for k, off in enumerate(range(0, max(duration, 1), every_ms)):
+                idx = min(int(off * fps / 1000), n - 1)
+                frame = frames[idx]
+                f = frame.astype("int64")
+                luma = (77 * f[..., 0] + 150 * f[..., 1] + 29 * f[..., 2]) >> 8
+                out.append(
+                    dict(
+                        media_id=media_id, frame_idx=idx, offset_ms=off,
+                        frame_w=w, frame_h=h, luma_mean=float(luma.mean()),
+                        decode_ok="ok",
+                        frame_payload=codecs.encode_ppm(frame),
+                    )
+                )
+            return out
+        dur = int(duration_ms) if duration_ms is not None else 0
+        return [
+            dict(
+                media_id=media_id, frame_idx=k, offset_ms=off,
+                frame_w=None, frame_h=None, luma_mean=None,
+                decode_ok="stub",
+                frame_payload=payload[off % 64 : off % 64 + 64],
+            )
+            for k, off in enumerate(range(0, max(dur, 1), every_ms))
+        ] if dur > 0 else []
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for media_id, payload, duration_ms in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                try:
+                    rows.extend(_rows_for(media_id, payload, duration_ms))
+                except Exception as exc:  # quarantine, not task failure
+                    rows.append(
+                        dict(
+                            media_id=media_id, frame_idx=0, offset_ms=0,
+                            frame_w=None, frame_h=None, luma_mean=None,
+                            decode_ok=f"error:{type(exc).__name__}",
+                            frame_payload=None,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
     return (
         df.filter(F.col("modality") == "video")
-        .select(
-            "media_id",
-            F.posexplode(offsets).alias("frame_idx", "offset_ms"),
-            F.col(payload_col),
-        )
-        # stub "frame": a deterministic byte slice keyed by offset
-        .withColumn(
-            "frame_payload",
-            F.substring(
-                F.col(payload_col), (F.col("offset_ms") % 64) + 1, 64
-            ).cast("binary"),
-        )
-        .drop(payload_col)
+        .select("media_id", F.col(payload_col).alias("payload"), "duration_ms")
+        .mapInPandas(run, FRAME_SCHEMA)
     )
 
 

@@ -265,3 +265,121 @@ def audio_stats_features(rate: int, samples: np.ndarray) -> list[float]:
             *(energy / total),
         )
     ]
+
+
+# ------------------------------------------------------- AVI (RIFF video)
+
+AVI_MAGIC = b"RIFF"  # + 'AVI ' at offset 8
+
+
+def encode_avi(frames: np.ndarray, fps: int = 4) -> bytes:
+    """RGB uint8 array (n_frames, h, w, 3) → minimal RIFF/AVI bytes.
+
+    Uncompressed DIB video: one ``avih`` main header (geometry, frame
+    count, frame period) and a ``movi`` LIST of ``00db`` chunks, each a
+    raw bottom-up BGR bitmap (BMP row convention: 4-byte-aligned rows).
+    No codec, no index — the shape real AVI tooling accepts for raw
+    video, and everything :func:`decode_avi` needs to round-trip
+    bit-exactly.  Format reference: the public RIFF/AVI spec
+    (``avih`` = MainAVIHeader, 56 bytes, 14 little-endian dwords).
+    """
+    arr = np.ascontiguousarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) RGB array, got {arr.shape}")
+    n, h, w = arr.shape[:3]
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    bodies = []
+    for i in range(n):
+        bgr = arr[i, ::-1, :, ::-1]  # bottom-up rows, BGR pixels
+        rows = bgr.reshape(h, w * 3)
+        if pad:
+            rows = np.hstack([rows, np.zeros((h, pad), dtype=np.uint8)])
+        bodies.append(rows.tobytes())
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<4sI14I",
+        b"avih", 56,
+        usec, stride * h * fps, 0, 0, n, 0, 1, stride * h, w, h, 0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    movi_body = b"".join(
+        b"00db" + struct.pack("<I", len(b)) + b for b in bodies
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[float, np.ndarray]:
+    """RIFF/AVI uncompressed DIB video → (fps, RGB array (n, h, w, 3)).
+
+    Chunk-walks the container the same way :func:`decode_wav` walks WAVE:
+    ``hdrl``'s ``avih`` gives geometry + frame period, the ``movi`` LIST
+    gives one ``00db``/``00dc`` chunk per frame (raw bottom-up BGR,
+    4-byte-aligned rows).  Compressed streams (frame size ≠ DIB size)
+    are rejected — the ffmpeg swap-in point, never a silent wrong answer."""
+    if not payload.startswith(AVI_MAGIC) or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    usec = w = h = None
+    bodies: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal usec, w, h
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", buf, pos)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif cid == b"avih":
+                vals = struct.unpack_from("<14I", buf, body_start)
+                usec, w, h = vals[0], vals[8], vals[9]
+            elif cid in (b"00db", b"00dc"):
+                bodies.append(buf[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(payload, 12, len(payload))
+    if usec is None or not usec or not w or not h:
+        raise ValueError("AVI missing or degenerate avih header")
+    stride = (w * 3 + 3) & ~3
+    frames = np.empty((len(bodies), h, w, 3), dtype=np.uint8)
+    for i, body in enumerate(bodies):
+        if len(body) < stride * h:
+            raise ValueError(
+                f"frame {i}: {len(body)} bytes < DIB size {stride * h} "
+                "(compressed stream? only raw 00db supported)"
+            )
+        rows = np.frombuffer(body[: stride * h], dtype=np.uint8).reshape(h, stride)
+        frames[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return 1_000_000 / usec, frames
+
+
+def video_stats_features(fps: float, frames: np.ndarray) -> list[float]:
+    """Decoded frames → the 16-dim feature vector for video: container
+    stats + luma moments + motion proxy.
+
+    Layout: [fps, n_frames, width, height, duration_s,
+             luma_mean, luma_std, luma_min, luma_max,
+             motion_mean, motion_max,
+             r_mean, g_mean, b_mean, first_luma, last_luma]
+    where luma = ITU-R 601 integer-weighted (77R+150G+29B)>>8 on uint8
+    (exact integer arithmetic — reproducible across platforms), and
+    motion = mean |Δluma| between consecutive frames."""
+    n, h, w = frames.shape[:3]
+    f = frames.astype(np.int64)
+    luma = (77 * f[..., 0] + 150 * f[..., 1] + 29 * f[..., 2]) >> 8
+    per_frame = luma.reshape(n, -1).mean(axis=1)
+    if n > 1:
+        motion = np.abs(np.diff(luma, axis=0)).reshape(n - 1, -1).mean(axis=1)
+        motion_mean, motion_max = float(motion.mean()), float(motion.max())
+    else:
+        motion_mean = motion_max = 0.0
+    return [
+        float(fps), float(n), float(w), float(h),
+        float(n / fps) if fps else 0.0,
+        float(luma.mean()), float(luma.std()),
+        float(luma.min()), float(luma.max()),
+        motion_mean, motion_max,
+        float(f[..., 0].mean()), float(f[..., 1].mean()), float(f[..., 2].mean()),
+        float(per_frame[0]), float(per_frame[-1]),
+    ]
