@@ -58,16 +58,31 @@ def _ensure_engine_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
-    ``events.ts`` is stored as Parquet ``timestamp[ns]``, which Spark reads
-    as a nanosecond long under ``spark.sql.legacy.parquet.nanosAsLong``.
-    We convert with integer division (``div 1000`` — exact, truncating),
-    matching DuckDB's ns→µs truncation so oracle comparisons agree to the
-    microsecond.
+    ``events.ts`` arrives in one of two physical forms depending on how the
+    driver materialized it, and both are normalized to session-tz TIMESTAMP
+    so every downstream operator (``unix_micros``, range frames, window
+    specs) sees one type:
+
+    * Parquet ``timestamp[ns]`` — Spark reads it as a nanosecond long under
+      ``spark.sql.legacy.parquet.nanosAsLong``; converted with integer
+      division (``div 1000`` — exact, truncating), matching DuckDB's ns→µs
+      truncation.
+    * Parquet ``timestamp[us]`` (isAdjustedToUTC=false) — Spark reads it as
+      TIMESTAMP_NTZ; cast to TIMESTAMP, which under the UTC session
+      timezone reinterprets the same wall-clock instant exactly (no value
+      change), matching DuckDB's naive-timestamp read.
     """
     _ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Normalize every TIMESTAMP_NTZ column (timestamp[us], isAdjustedToUTC
+    # =false) to session-tz TIMESTAMP: under the UTC session timezone the
+    # cast reinterprets the identical wall-clock instant (no value change),
+    # and downstream operators (unix_micros, range frames) require TIMESTAMP.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
