@@ -65,6 +65,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.events.time_windows  # noqa: F401
     import pyspark_anomaly_detection_spark.ml.pipeline  # noqa: F401
     import pyspark_anomaly_detection_spark.multimodal.binary_ops  # noqa: F401
+    import pyspark_anomaly_detection_spark.quality.drift  # noqa: F401
     import pyspark_anomaly_detection_spark.quality.gates  # noqa: F401
     import pyspark_anomaly_detection_spark.quality.profile  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.advanced  # noqa: F401
@@ -74,10 +75,12 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.relational.setops  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.spark4  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.tpch  # noqa: F401
+    import pyspark_anomaly_detection_spark.relational.tpch_more  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.ann  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.neardup  # noqa: F401
     import pyspark_anomaly_detection_spark.text.clusters  # noqa: F401
     import pyspark_anomaly_detection_spark.text.dedup  # noqa: F401
+    import pyspark_anomaly_detection_spark.text.setjoin  # noqa: F401
     import pyspark_anomaly_detection_spark.text.splits  # noqa: F401
     import pyspark_anomaly_detection_spark.text.stats  # noqa: F401
     import pyspark_anomaly_detection_spark.text.udtf_ops  # noqa: F401
