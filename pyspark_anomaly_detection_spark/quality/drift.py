@@ -15,10 +15,11 @@ extension of its quality layer for a production anomaly pipeline
 
 Oracle notes: bin edges are literals (no quantile pass), counts are exact
 BIGINTs, and every ratio is one division of exact operands, identical in
-both engines.  The ln() in the PSI term is computed by each engine's own
-libm — JVM ``Math.log`` and DuckDB's C ``log`` agree bitwise on this
-platform (pinned by the parity test; if a platform ever disagrees in the
-last ulp, swap the assert to the log-free q153 form).
+both engines.  The hashed outputs are deliberately LOG-FREE: JVM
+``Math.log`` and glibc ``log`` disagree by one ulp on some inputs (the
+BM25 query's probe pinned a concrete case), so the ln-carrying PSI
+scalar is computed by :func:`psi_from_components` from the exact per-bin
+components instead of inside the hashed query.
 
 Scale notes: both queries are single-scan conditional aggregations (one
 shuffle each, map-side partial aggs); the bin assignment is a codegen'd
@@ -83,9 +84,8 @@ def _bin_case_sql(col: str) -> str:
       new_n,
       CAST(base_n AS DOUBLE) / base_t AS p_base,
       CAST(new_n AS DOUBLE) / new_t AS p_new,
-      (CAST(base_n AS DOUBLE) / base_t - CAST(new_n AS DOUBLE) / new_t)
-        * LN((CAST(base_n AS DOUBLE) / base_t)
-             / (CAST(new_n AS DOUBLE) / new_t)) AS psi_term
+      (CAST(base_n AS DOUBLE) / base_t)
+        / (CAST(new_n AS DOUBLE) / new_t) AS odds_ratio
     FROM counts, totals
     ORDER BY bin_id
     """,
@@ -120,9 +120,24 @@ def q151_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_n",
             p_base.alias("p_base"),
             p_new.alias("p_new"),
-            ((p_base - p_new) * F.log(p_base / p_new)).alias("psi_term"),
+            (p_base / p_new).alias("odds_ratio"),
         )
         .orderBy("bin_id")
+    )
+
+
+def psi_from_components(rows) -> float:
+    """Σ (p_base − p_new)·ln(p_base/p_new) over q151's per-bin rows —
+    the PSI scalar, computed with glibc ``math.log`` from the exact
+    components (kept out of the hashed query because JVM ``Math.log``
+    is not ulp-identical to libm).  ``rows`` is any iterable of objects
+    with ``p_base`` / ``p_new`` attributes (Spark Row included)."""
+    import math
+
+    return sum(
+        (r.p_base - r.p_new) * math.log(r.p_base / r.p_new)
+        for r in rows
+        if r.p_base > 0 and r.p_new > 0
     )
 
 

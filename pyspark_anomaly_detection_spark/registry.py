@@ -60,6 +60,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.events.analytics  # noqa: F401
     import pyspark_anomaly_detection_spark.events.anomaly  # noqa: F401
     import pyspark_anomaly_detection_spark.events.rollup  # noqa: F401
+    import pyspark_anomaly_detection_spark.events.snapshots  # noqa: F401
     import pyspark_anomaly_detection_spark.events.temporal  # noqa: F401
     import pyspark_anomaly_detection_spark.io.pydatasource  # noqa: F401
     import pyspark_anomaly_detection_spark.events.time_windows  # noqa: F401
@@ -80,6 +81,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.similarity.neardup  # noqa: F401
     import pyspark_anomaly_detection_spark.text.clusters  # noqa: F401
     import pyspark_anomaly_detection_spark.text.dedup  # noqa: F401
+    import pyspark_anomaly_detection_spark.text.search  # noqa: F401
     import pyspark_anomaly_detection_spark.text.setjoin  # noqa: F401
     import pyspark_anomaly_detection_spark.text.splits  # noqa: F401
     import pyspark_anomaly_detection_spark.text.stats  # noqa: F401

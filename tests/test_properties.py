@@ -269,3 +269,49 @@ def test_bpe_local_and_distributed_paths_agree(spark, sf_dir):
     local = bpe_train(docs, n_merges=4).orderBy("rank").collect()
     dist = bpe_train(docs, n_merges=4, driver_vocab_limit=0).orderBy("rank").collect()
     assert local == dist and len(local) == 4
+
+
+def test_psi_scalar_matches_duckdb_ln_sum(spark, duck, sf_dir):
+    """psi_from_components (glibc math.log over q151's exact per-bin
+    components) must equal DuckDB's own LN-based PSI bitwise — both call
+    the same libm.  (The JVM can't be in this loop: Math.log differs by
+    one ulp on some inputs, which is why the hashed query is log-free.)"""
+    from pyspark_anomaly_detection_spark.quality.drift import (
+        psi_from_components,
+        q151_psi_value_drift,
+    )
+
+    rows = q151_psi_value_drift(spark, sf_dir).collect()
+    got = psi_from_components(rows)
+    oracle = duck.execute(
+        """
+        WITH binned AS (
+          SELECT
+            CASE WHEN value < 5.0 THEN 0 WHEN value < 15.0 THEN 1
+                 WHEN value < 30.0 THEN 2 WHEN value < 50.0 THEN 3
+                 WHEN value < 75.0 THEN 4 WHEN value < 110.0 THEN 5
+                 WHEN value < 160.0 THEN 6 WHEN value < 230.0 THEN 7
+                 WHEN value < 330.0 THEN 8 ELSE 9 END AS bin_id,
+            CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 1 ELSE 0 END AS is_base
+          FROM events
+        ),
+        counts AS (
+          SELECT bin_id, CAST(SUM(is_base) AS BIGINT) AS base_n,
+                 CAST(SUM(1 - is_base) AS BIGINT) AS new_n
+          FROM binned GROUP BY bin_id
+        ),
+        totals AS (
+          SELECT CAST(SUM(base_n) AS DOUBLE) AS base_t,
+                 CAST(SUM(new_n) AS DOUBLE) AS new_t FROM counts
+        )
+        SELECT SUM(
+          (CAST(base_n AS DOUBLE)/base_t - CAST(new_n AS DOUBLE)/new_t)
+          * LN((CAST(base_n AS DOUBLE)/base_t)
+               / (CAST(new_n AS DOUBLE)/new_t))) AS psi
+        FROM counts, totals
+        WHERE base_n > 0 AND new_n > 0
+        """
+    ).fetchone()[0]
+    assert got == oracle
+    assert got >= 0.0  # PSI is a nonnegative divergence
