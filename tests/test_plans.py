@@ -293,3 +293,46 @@ def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
         if plans.has_python_eval(df):
             offenders.append(name)
     assert not offenders, f"fell off the JVM path: {offenders}"
+
+
+def test_round2_tpch_shapes_broadcast_dims(spark, sf_dir):
+    for name in (
+        "q145_nation_trade_flows",
+        "q146_product_line_profit",
+        "q148_promo_revenue_share",
+        "q149_disjunctive_basket_revenue",
+        "q150_min_cost_supplier",
+    ):
+        df = q(name)(spark, sf_dir)
+        assert plans.uses_broadcast_join(df), f"{name} should broadcast dims"
+
+
+def test_q149_single_lineitem_scan(spark, sf_dir):
+    """The OR-of-ANDs basket predicate must NOT triple the lineitem scan:
+    one scan, one join, the disjunction evaluated post-join."""
+    df = q("q149_disjunctive_basket_revenue")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q146_part_filter_pushed(spark, sf_dir):
+    """part is filtered on p_name BEFORE joining; the LIKE must reach
+    the part scan as a pushed filter, not run post-join."""
+    df = q("q146_product_line_profit")(spark, sf_dir)
+    assert plans.has_pushed_filter(df, "p_name"), plans.formatted_plan(df)
+
+
+def test_q152_no_nested_loop(spark, sf_dir):
+    """Prefix-filtered set-similarity join must stay an equi-join on the
+    prefix token — a BroadcastNestedLoopJoin here means the candidate
+    generation degenerated to all-pairs."""
+    df = q("q152_prefix_jaccard_pairs")(spark, sf_dir)
+    assert "NestedLoop" not in plans.formatted_plan(df)
+
+
+def test_q155_single_event_shuffle(spark, sf_dir):
+    """Both snapshot states derive from ONE user-partitioned sort —
+    exactly one events scan in the plan."""
+    df = q("q155_state_transition_matrix")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("events.parquet") == 1, plan
