@@ -1,11 +1,11 @@
 """Distribution-drift monitors — the checks a training pipeline runs
 before trusting a new data window against the window the model was fit on.
 
-* q151 — PSI (population stability index) of ``events.value`` between the
+* q163 — PSI (population stability index) of ``events.value`` between the
   first and second half of the month, over fixed bin edges.  PSI =
   Σ (p−q)·ln(p/q) is THE standard feature-drift gate in fraud/credit
   scoring; >0.2 conventionally means "retrain".
-* q153 — categorical frequency drift of ``event_type`` (chi-square-style
+* q164 — categorical frequency drift of ``event_type`` (chi-square-style
   components, log-free so every column is an exact single division).
 
 Reference parity: the reference validates only schema/nulls
@@ -58,7 +58,7 @@ def _bin_case_sql(col: str) -> str:
 
 
 @register(
-    "q151_psi_value_drift",
+    "q163_psi_value_drift",
     oracle=f"""
     WITH binned AS (
       SELECT
@@ -90,7 +90,7 @@ def _bin_case_sql(col: str) -> str:
     ORDER BY bin_id
     """,
 )
-def q151_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q163_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bin PSI components of events.value, first half of the month
     (base) vs second half (new).  Single scan → conditional counts per
     bin → exact divisions; the global totals ride a tiny cross-joined
@@ -127,7 +127,7 @@ def q151_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def psi_from_components(rows) -> float:
-    """Σ (p_base − p_new)·ln(p_base/p_new) over q151's per-bin rows —
+    """Σ (p_base − p_new)·ln(p_base/p_new) over q163's per-bin rows —
     the PSI scalar, computed with glibc ``math.log`` from the exact
     components (kept out of the hashed query because JVM ``Math.log``
     is not ulp-identical to libm).  ``rows`` is any iterable of objects
@@ -142,7 +142,7 @@ def psi_from_components(rows) -> float:
 
 
 @register(
-    "q153_categorical_drift",
+    "q164_categorical_drift",
     oracle=f"""
     WITH counts AS (
       SELECT
@@ -170,7 +170,7 @@ def psi_from_components(rows) -> float:
     ORDER BY event_type
     """,
 )
-def q153_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q164_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical share drift of event_type across the two halves —
     log-free (every output is an exact single division / subtraction), so
     it stays bitwise-comparable on any platform."""

@@ -3,16 +3,16 @@ the shapes round 1 left uncovered, adapted to the columns this schema
 actually has (no partsupp / commitdate / receiptdate / shipmode; proxies
 noted per query).
 
-* q145 — Q7 shape: bidirectional trade volume between two nations by year
+* q157 — Q7 shape: bidirectional trade volume between two nations by year
   (fact⋈fact shuffle on orderkey; both nation dims broadcast).
-* q146 — Q9 shape: product-line profit by supplier nation × year, with
+* q158 — Q9 shape: product-line profit by supplier nation × year, with
   ``0.6 × p_retailprice × l_quantity`` standing in for ps_supplycost.
-* q147 — Q12 shape: ship-delay service classes per order priority
+* q159 — Q12 shape: ship-delay service classes per order priority
   (l_shipdate − o_orderdate > 60 days stands in for receipt/commit lag).
-* q148 — Q14 shape: promo revenue share per month (conditional ratio).
-* q149 — Q19 shape: disjunctive (brand, size-range, qty-range) triplets —
+* q160 — Q14 shape: promo revenue share per month (conditional ratio).
+* q161 — Q19 shape: disjunctive (brand, size-range, qty-range) triplets —
   an OR-of-ANDs mixed join/filter predicate Catalyst must keep pushable.
-* q150 — Q2 shape: min-observed-cost supplier per European part, with the
+* q162 — Q2 shape: min-observed-cost supplier per European part, with the
   per-(part,supplier) min l_extendedprice standing in for partsupp;
   decorrelated as groupBy-min + join-back instead of a correlated subquery.
 
@@ -21,8 +21,8 @@ only join is feature-table⋈gold in src/data/gold.py); these exist for the
 harness star schema per SURVEY §2.3/§7.2.
 
 Scale notes: every query broadcasts its dims and shuffles facts on join
-keys only; q149's disjunction stays a single lineitem scan (no union of
-three scans); q150's argmin is one shuffle on (partkey) after a map-side
+keys only; q161's disjunction stays a single lineitem scan (no union of
+three scans); q162's argmin is one shuffle on (partkey) after a map-side
 partial min on (partkey, suppkey).
 """
 
@@ -39,7 +39,7 @@ from pyspark_anomaly_detection_spark.relational.tpch import revenue
 
 
 @register(
-    "q145_nation_trade_flows",
+    "q157_nation_trade_flows",
     oracle="""
     SELECT
       supp_nation,
@@ -70,7 +70,7 @@ from pyspark_anomaly_detection_spark.relational.tpch import revenue
     ORDER BY supp_nation, cust_nation, l_year
     """,
 )
-def q145_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q157_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: revenue shipped between two trading nations, both
     directions, by ship year.  The disjunctive nation-pair predicate is
     applied AFTER both dim joins (it spans both sides); each nation dim is
@@ -121,7 +121,7 @@ def q145_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q146_product_line_profit",
+    "q158_product_line_profit",
     oracle="""
     SELECT
       n_name AS nation,
@@ -141,7 +141,7 @@ def q145_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nation, o_year DESC
     """,
 )
-def q146_product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q158_product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9: profit on one product line ('%gear%' parts) by supplier
     nation and order year.  ps_supplycost doesn't exist in this schema;
     0.6 × p_retailprice × l_quantity is the documented stand-in, kept in
@@ -172,7 +172,7 @@ def q146_product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q147_ship_delay_service_classes",
+    "q159_ship_delay_service_classes",
     oracle="""
     SELECT
       o_orderpriority,
@@ -188,7 +188,7 @@ def q146_product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderpriority
     """,
 )
-def q147_ship_delay_service_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q159_ship_delay_service_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12: items split into late/on-time service classes per order
     priority.  The schema has no shipmode/commit/receipt dates, so the
     class predicate is ship lag (l_shipdate − o_orderdate > 90 days) —
@@ -212,7 +212,7 @@ def q147_ship_delay_service_classes(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
-    "q148_promo_revenue_share",
+    "q160_promo_revenue_share",
     oracle="""
     SELECT
       STRFTIME(DATE_TRUNC('month', l_shipdate), '%Y-%m') AS ship_month,
@@ -232,7 +232,7 @@ def q147_ship_delay_service_classes(spark: SparkSession, sf_dir: str) -> DataFra
     ORDER BY ship_month
     """,
 )
-def q148_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q160_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: monthly % of revenue from PROMO-type parts.  Both sums
     are exact DECIMAL; the share is one identical IEEE-754
     (100·promo)/total division in both engines.  part is broadcast; one
@@ -261,7 +261,7 @@ def q148_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q149_disjunctive_basket_revenue",
+    "q161_disjunctive_basket_revenue",
     oracle="""
     SELECT
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -277,7 +277,7 @@ def q148_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l_quantity >= 20 AND l_quantity <= 50)
     """,
 )
-def q149_disjunctive_basket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q161_disjunctive_basket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: revenue matched by an OR of three (brand, size-range,
     quantity-range) baskets.  Expressed as ONE join + one disjunctive
     predicate — Catalyst splits the part-only conjuncts out of the OR and
@@ -312,7 +312,7 @@ def q149_disjunctive_basket_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
-    "q150_min_cost_supplier",
+    "q162_min_cost_supplier",
     oracle="""
     WITH supply AS (
       SELECT l_partkey AS sp_partkey, l_suppkey AS sp_suppkey,
@@ -350,7 +350,7 @@ def q149_disjunctive_basket_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     LIMIT 100
     """,
 )
-def q150_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q162_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2: for each mid-size part, the European supplier offering it
     cheapest (observed min l_extendedprice per (part, supplier) stands in
     for partsupp).  Decorrelated: the per-part MIN is a groupBy + join

@@ -297,11 +297,11 @@ def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
 
 def test_round2_tpch_shapes_broadcast_dims(spark, sf_dir):
     for name in (
-        "q145_nation_trade_flows",
-        "q146_product_line_profit",
-        "q148_promo_revenue_share",
-        "q149_disjunctive_basket_revenue",
-        "q150_min_cost_supplier",
+        "q157_nation_trade_flows",
+        "q158_product_line_profit",
+        "q160_promo_revenue_share",
+        "q161_disjunctive_basket_revenue",
+        "q162_min_cost_supplier",
     ):
         df = q(name)(spark, sf_dir)
         assert plans.uses_broadcast_join(df), f"{name} should broadcast dims"
@@ -310,7 +310,7 @@ def test_round2_tpch_shapes_broadcast_dims(spark, sf_dir):
 def test_q149_single_lineitem_scan(spark, sf_dir):
     """The OR-of-ANDs basket predicate must NOT triple the lineitem scan:
     one scan, one join, the disjunction evaluated post-join."""
-    df = q("q149_disjunctive_basket_revenue")(spark, sf_dir)
+    df = q("q161_disjunctive_basket_revenue")(spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert plan.count("lineitem.parquet") == 1, plan
 
@@ -318,7 +318,7 @@ def test_q149_single_lineitem_scan(spark, sf_dir):
 def test_q146_part_filter_pushed(spark, sf_dir):
     """part is filtered on p_name BEFORE joining; the LIKE must reach
     the part scan as a pushed filter, not run post-join."""
-    df = q("q146_product_line_profit")(spark, sf_dir)
+    df = q("q158_product_line_profit")(spark, sf_dir)
     assert plans.has_pushed_filter(df, "p_name"), plans.formatted_plan(df)
 
 
@@ -336,3 +336,48 @@ def test_q155_single_event_shuffle(spark, sf_dir):
     df = q("q155_state_transition_matrix")(spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert plan.count("events.parquet") == 1, plan
+
+
+def test_no_cartesian_or_nested_loop_in_oracle_queries(spark, sf_dir):
+    """Blanket invariant: no oracle-checked query may plan a cartesian
+    product or nested-loop join between two MULTI-ROW sides.  Two benign
+    patterns are whitelisted by name so any NEW accidental cartesian
+    still fails the suite:
+
+    * scalar-broadcast — a single-row aggregate (global total, threshold,
+      fold spec) cross-joined into the fact; BroadcastNestedLoopJoin of a
+      1-row side is O(n).
+    * labeled theta — verification operators whose semantics are
+      theta-only, each with a bounded/sampled input guard.
+    """
+    allowed_scalar_broadcast = {
+        "q106_dormant_rich_customers",  # avg-acctbal scalar subquery
+        "q108_brand_revenue_share",     # global-revenue threshold
+        "q113_key_skew_profile",        # total-count scalar
+        "q121_negative_sampling",       # corpus-size scalar
+        "q123_benford_profile",         # total-count scalar
+        "q128_walk_forward_folds",      # fold-spec row set vs bounded dates
+        "q129_class_rebalance",         # majority-count scalar
+        "q146_dormant_customers",       # avg threshold scalar
+        "q149_dup_graph_triangles",     # triangle-count scalar join
+        "q156_referential_integrity_audit",  # 1-row legs cross-joined
+        "q163_psi_value_drift",         # totals row
+        "q164_categorical_drift",       # totals row
+        "q64_funnel",                   # stage-count scalars
+    }
+    allowed_theta = {
+        "q12_range_join",           # pure range theta (verification form)
+        "q35_ngram_jaccard_pairs",  # sampled LSH-verification all-pairs
+        "q37_ann_cosine_topk",      # broadcast query-matrix scorer
+        "q45_levenshtein_pairs",    # `<` self-join on a keyed sample
+        "q52_embedding_neardup",    # exact oracle baseline (size-guarded)
+    }
+    allowed = allowed_scalar_broadcast | allowed_theta
+    offenders = []
+    for name, query in sorted(REGISTRY.items()):
+        if query.oracle is None or name in allowed:
+            continue
+        plan = plans.formatted_plan(query.fn(spark, sf_dir))
+        if "CartesianProduct" in plan or "NestedLoop" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian/nested-loop joins in: {offenders}"

@@ -278,10 +278,10 @@ def test_psi_scalar_matches_duckdb_ln_sum(spark, duck, sf_dir):
     one ulp on some inputs, which is why the hashed query is log-free.)"""
     from pyspark_anomaly_detection_spark.quality.drift import (
         psi_from_components,
-        q151_psi_value_drift,
+        q163_psi_value_drift,
     )
 
-    rows = q151_psi_value_drift(spark, sf_dir).collect()
+    rows = q163_psi_value_drift(spark, sf_dir).collect()
     got = psi_from_components(rows)
     oracle = duck.execute(
         """
