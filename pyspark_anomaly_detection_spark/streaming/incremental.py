@@ -109,3 +109,52 @@ def read_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
         .groupBy("row_id", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def start_incremental_drift(
+    stream: DataFrame,
+    bins_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    available_now: bool = True,
+):
+    """Maintain the PSI drift histogram (quality/drift.py's fixed bins)
+    over a value stream incrementally.
+
+    Bin counts are additive, so the CMS delta pattern applies unchanged:
+    each micro-batch writes its own per-bin counts into a ``batch_id``
+    partition (overwrite — replays rewrite the same partition, so
+    at-least-once delivery cannot double-count); the live histogram is
+    the per-bin sum over deltas.  PSI between any two stored windows is
+    then driver-side arithmetic over ≤ n_bins rows
+    (``quality.drift.psi_from_components``) — the always-on drift gate
+    for a 100 TB feature stream with bounded state.
+    """
+    from pyspark_anomaly_detection_spark.quality.drift import _bin_expr
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = (
+            batch_df.select(_bin_expr(value_col).alias("bin_id"))
+            .groupBy("bin_id")
+            .agg(F.count("*").alias("n"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        overwrite_partitions(delta, bins_path, ["batch_id"])
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_value_histogram(spark: SparkSession, bins_path: str) -> DataFrame:
+    """Live histogram = per-bin sum over every batch delta."""
+    return (
+        spark.read.parquet(bins_path)
+        .groupBy("bin_id")
+        .agg(F.sum("n").alias("n"))
+    )

@@ -104,3 +104,41 @@ def test_incremental_cms_converges_to_batch_sketch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_incremental_drift_histogram_converges_to_batch(spark, sf_dir, tmp_path):
+    """Streaming drift maintenance: per-batch bin-count deltas merge to
+    exactly the one-shot batch histogram (bin-count additivity), giving
+    the always-on PSI gate bounded state."""
+    from pyspark_anomaly_detection_spark.quality.drift import _bin_expr
+    from pyspark_anomaly_detection_spark.streaming.incremental import (
+        read_value_histogram,
+        start_incremental_drift,
+    )
+
+    raw = str(tmp_path / "events")
+    bins = str(tmp_path / "bins")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(raw)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(raw).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(raw)
+    )
+    q = start_incremental_drift(stream, bins, ckpt)
+    q.awaitTermination()
+
+    n_batches = spark.read.parquet(bins).select("batch_id").distinct().count()
+    assert n_batches > 1, "maxFilesPerTrigger=1 must produce multiple deltas"
+
+    got = {r.bin_id: r.n for r in read_value_histogram(spark, bins).collect()}
+    want = {
+        r.bin_id: r.n
+        for r in events.select(_bin_expr("value").alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
