@@ -3,27 +3,39 @@ third dedup family alongside MinHash-LSH (probabilistic, text/dedup.py)
 and embedding LSH (semantic, similarity/neardup.py): EXACT Jaccard pairs
 at scale without the all-pairs product.
 
-The prefix-filter principle (Chaudhuri et al. SSJoin / Xiao et al.
-PPJoin, both public): order every token set by one global total order
-(ascending document frequency, ties by token), keep only the first
-``n − ⌈θ·n⌉ + 1`` tokens of each set as its *prefix*; any pair with
-Jaccard ≥ θ MUST share at least one prefix token.  Candidate generation
-is then an equi-join on prefix tokens — shuffle key = token — and each
-candidate is verified exactly.  Rare-token-first ordering makes prefixes
-collide rarely, so the candidate set stays near-linear.
+Set elements are the SAME 3-gram shingles the MinHash pipeline hashes
+(functions.shingles) — NOT unigram tokens: this corpus draws from a
+~40-word vocabulary, so every document contains most of the vocabulary
+and unigram-set Jaccard is degenerate (measured at sf0.1: 8.9M of 12.5M
+possible pairs exceed 0.5).  Shingling restores a large element universe
+(distinct-trigram sets; ~256 true pairs ≥0.5 at sf0.1), which is also
+what makes prefix filtering selective.  Each shingle is represented as
+its 60-bit md5 long (functions.MD5_LONG60_SQL — the same portable hash
+family the MinHash/CMS operators use): both engines compute the
+identical md5, so oracle parity is exact by construction, and the
+shuffled set elements are 8-byte longs instead of ~20-byte strings.
 
-Scale notes: the inverted index shuffles (token, doc_id) pairs only —
-never text; the hot keys are the RAREST tokens by construction (df-
-ascending order), the opposite of the skew a naive token join has.  The
-verify step joins token arrays by doc_id (sorted-set intersection,
-JVM-side ``array_intersect``).  At 100 TB the same plan holds: df table
+The prefix-filter principle (Chaudhuri et al. SSJoin / Xiao et al.
+PPJoin, both public): order every set by one global total order
+(ascending document frequency, ties by element), keep only the first
+``n − ⌈θ·n⌉ + 1`` elements of each set as its *prefix*; any pair with
+Jaccard ≥ θ MUST share at least one prefix element.  Candidate
+generation is an equi-join on prefix elements — shuffle key = element —
+plus the PPJoin length filter (J ≥ θ forces θ·|a| ≤ |b| ≤ |a|/θ), and
+each surviving candidate is verified exactly.
+
+Scale notes: the inverted index shuffles (element, doc_id, set_size)
+triples only — never text; the hot keys are the RAREST elements by
+construction (df-ascending order), the opposite of the skew a naive
+token join has.  The verify step joins long-array set columns by doc_id
+(JVM-side ``array_intersect``).  At 100 TB the same plan holds: df table
 and prefix explode are linear, candidates ≈ true pairs + small noise.
 
-Oracle: DuckDB computes the literal all-pairs Jaccard via a token
-self-join — O(pairs sharing any token), fine at sf0.01, and exactly the
-semantics the prefix filter must reproduce (completeness is the whole
-claim of the algorithm, so the oracle deliberately does NOT prefix-
-filter).
+Oracle: DuckDB computes the literal all-pairs Jaccard via an element
+self-join — O(pairs sharing any element), fine at sf0.01, and exactly
+the semantics the prefix filter must reproduce (completeness is the
+whole claim of the algorithm, so the oracle deliberately does NOT
+prefix-filter).
 """
 
 from __future__ import annotations
@@ -31,23 +43,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_anomaly_detection_spark.functions import (
+    MD5_LONG60_SQL,
+    md5_long60,
+    shingles,
+    shingles_sql,
+    tokens,
+)
 from pyspark_anomaly_detection_spark.io.readers import load_table
 from pyspark_anomaly_detection_spark.registry import register
 
 #: Jaccard threshold for the registered query (and its oracle).
 JACCARD_THRESHOLD = 0.5
 
+#: Shingle width — matches the MinHash pipeline (text/dedup.py SHINGLE_N).
+SHINGLE_N = 3
+
+#: Regex split used by the BM25/token-stats family (text/search.py).
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 
-def tokenize_distinct(docs: DataFrame) -> DataFrame:
-    """(doc_id, token) distinct pairs: lowercase, split on non-alnum."""
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, elem) distinct pairs — sets of 60-bit md5 shingle hashes."""
     return (
         docs.select(
             "doc_id",
-            F.explode(F.split(F.lower("text"), TOKEN_SPLIT)).alias("token"),
+            F.explode(shingles(tokens("text"), SHINGLE_N)).alias("shingle"),
         )
-        .filter(F.col("token") != "")
+        .filter(F.col("shingle") != "")
+        .select("doc_id", md5_long60(F.col("shingle")).alias("elem"))
         .distinct()
     )
 
@@ -55,39 +79,51 @@ def tokenize_distinct(docs: DataFrame) -> DataFrame:
 def prefix_jaccard_pairs(
     docs: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
-    """All (doc_a < doc_b) pairs with token-set Jaccard ≥ threshold —
-    exact result, prefix-filtered candidate generation."""
-    tok = tokenize_distinct(docs)
+    """All (doc_a < doc_b) pairs with shingle-set Jaccard ≥ threshold —
+    exact result, prefix-filtered + length-filtered candidates."""
+    sh = shingle_sets(docs)
 
-    # Global token order: ascending doc-frequency, ties by token string.
-    df_rank = tok.groupBy("token").agg(F.count("*").alias("df"))
-    ranked = tok.join(df_rank, "token")
+    # Global order: ascending doc-frequency, ties by element value.
+    df_rank = sh.groupBy("elem").agg(F.count("*").alias("df"))
+    ranked = sh.join(df_rank, "elem")
 
-    # Per-doc sorted token array (df asc, token asc) — array_sort on a
-    # (df, token) struct gives every doc the identical global order.
+    # Per-doc sorted element array (df asc, elem asc) — array_sort on a
+    # (df, elem) struct gives every doc the identical global order.
     per_doc = ranked.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("df"), F.col("token")))
-        ).alias("ordered"),
+        F.array_sort(F.collect_list(F.struct(F.col("df"), F.col("elem")))).alias(
+            "ordered"
+        ),
     )
     per_doc = per_doc.select(
         "doc_id",
-        F.transform("ordered", lambda s: s["token"]).alias("tokens"),
-        F.size("ordered").alias("n_tok"),
+        F.transform("ordered", lambda s: s["elem"]).alias("elems"),
+        F.size("ordered").alias("n_elems"),
     ).withColumn(
         # PPJoin prefix length for Jaccard θ: n − ⌈θ·n⌉ + 1
         "prefix_len",
-        F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1,
+        F.col("n_elems") - F.ceil(F.lit(threshold) * F.col("n_elems")) + 1,
     )
 
     prefix = per_doc.select(
         "doc_id",
-        F.explode(F.slice("tokens", 1, F.col("prefix_len"))).alias("token"),
+        "n_elems",
+        F.explode(F.slice("elems", 1, F.col("prefix_len"))).alias("elem"),
     )
+    a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "token")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(b, "elem")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J ≥ θ ⇒ θ·|a| ≤ |b| and θ·|b| ≤ |a|
+            & (
+                F.col("b.n_elems").cast("double")
+                >= F.lit(threshold) * F.col("a.n_elems").cast("double")
+            )
+            & (
+                F.col("a.n_elems").cast("double")
+                >= F.lit(threshold) * F.col("b.n_elems").cast("double")
+            )
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -96,15 +132,15 @@ def prefix_jaccard_pairs(
 
     left = per_doc.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("tokens").alias("tokens_a"),
-        F.col("n_tok").alias("n_a"),
+        F.col("elems").alias("elems_a"),
+        F.col("n_elems").alias("n_a"),
     )
     right = per_doc.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("tokens").alias("tokens_b"),
-        F.col("n_tok").alias("n_b"),
+        F.col("elems").alias("elems_b"),
+        F.col("n_elems").alias("n_b"),
     )
-    inter = F.size(F.array_intersect("tokens_a", "tokens_b"))
+    inter = F.size(F.array_intersect("elems_a", "elems_b"))
     jaccard = inter.cast("double") / (
         F.col("n_a") + F.col("n_b") - inter
     ).cast("double")
@@ -124,22 +160,24 @@ def prefix_jaccard_pairs(
     )
 
 
+_SHINGLES_SQL = shingles_sql("str_split(text, chr(32))", SHINGLE_N)
+_ELEM_SQL = MD5_LONG60_SQL.format(x="shingle")
+
+
 @register(
     "q152_prefix_jaccard_pairs",
     oracle=f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, token FROM (
-        SELECT doc_id,
-               unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'))
-                 AS token
+    WITH sh AS (
+      SELECT DISTINCT doc_id, {_ELEM_SQL} AS elem FROM (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
         FROM documents
-      ) WHERE token <> ''
+      ) WHERE shingle <> ''
     ),
-    sizes AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n FROM tok GROUP BY 1),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n FROM sh GROUP BY 1),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS INT) AS inter
-      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.elem = b.elem AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT
@@ -155,8 +193,8 @@ def prefix_jaccard_pairs(
     """,
 )
 def q152_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard ≥ 0.5 document pairs via prefix-filtered set-
-    similarity join; the oracle runs the unfiltered all-pairs formulation,
-    so a green hash proves the prefix filter's completeness, not just the
-    verify step."""
+    """Exact shingle-Jaccard ≥ 0.5 document pairs via prefix-filtered
+    set-similarity join; the oracle runs the unfiltered all-pairs
+    formulation, so a green hash proves the prefix filter's completeness,
+    not just the verify step."""
     return prefix_jaccard_pairs(load_table(spark, sf_dir, "documents"))
