@@ -315,3 +315,62 @@ def test_psi_scalar_matches_duckdb_ln_sum(spark, duck, sf_dir):
     ).fetchone()[0]
     assert got == oracle
     assert got >= 0.0  # PSI is a nonnegative divergence
+
+
+# --- prefix-filtered set-similarity join: completeness + exactness -------
+
+_psj_words = st.sampled_from(
+    ["red", "blue", "gear", "bolt", "widget", "spark", "fast", "slow"]
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(_psj_words, min_size=3, max_size=12), min_size=2, max_size=18
+    ),
+    dup_of=st.lists(st.integers(min_value=0, max_value=17), max_size=6),
+)
+def test_prefix_jaccard_matches_bruteforce(spark, docs, dup_of):
+    """Completeness property: the prefix-filtered join must return
+    EXACTLY the brute-force all-pairs shingle-Jaccard ≥ θ set on random
+    corpora (near-dups injected by appending mutated copies)."""
+    from pyspark_anomaly_detection_spark.text.setjoin import (
+        JACCARD_THRESHOLD,
+        SHINGLE_N,
+        prefix_jaccard_pairs,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    # inject near-duplicates: copy an existing doc, tweak the tail word
+    for j, src in enumerate(dup_of):
+        if src < len(docs):
+            texts.append(" ".join(docs[src][:-1] + ["tail%d" % j]))
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_jaccard_pairs(sdf).collect()
+    }
+
+    def shingle_set(text: str) -> set:
+        ws = text.split(" ")
+        return {
+            " ".join(ws[i : i + SHINGLE_N])
+            for i in range(len(ws) - SHINGLE_N + 1)
+        }
+
+    want = {}
+    sets = {i: shingle_set(t) for i, t in rows}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= JACCARD_THRESHOLD:
+                    want[(a, b)] = j
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for pair, j in want.items():
+        assert abs(got[pair] - j) < 1e-12
