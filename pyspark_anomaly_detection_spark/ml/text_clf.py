@@ -57,6 +57,8 @@ def split_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def train_lang_classifier(docs: DataFrame) -> PipelineModel:
     """Fit lang ← hashed-TF-IDF(text) with multinomial LR."""
+    from pyspark_anomaly_detection_spark.ml.pipeline import strip_training_summary
+
     pipeline = Pipeline(
         stages=[
             StringIndexer(
@@ -69,7 +71,12 @@ def train_lang_classifier(docs: DataFrame) -> PipelineModel:
             LogisticRegression(maxIter=30, regParam=0.001, family="multinomial"),
         ]
     )
-    return pipeline.fit(_with_tokens(docs))
+    model = pipeline.fit(_with_tokens(docs))
+    # LR retains a training summary holding the SparkSession; after any
+    # df.observe() in the session that makes the captured model
+    # non-serializable (see ml/pipeline.py::strip_training_summary).
+    strip_training_summary(model)
+    return model
 
 
 def score_lang_classifier(model: PipelineModel, docs: DataFrame) -> DataFrame:
