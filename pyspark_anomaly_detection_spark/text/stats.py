@@ -760,3 +760,87 @@ def q144_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary induction as a first-class pipeline operator."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs).orderBy("rank")
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge table to a document corpus — the encode
+    half of the tokenizer (train = ``bpe_train``): per doc, the exact
+    token sequence length the learned vocabulary produces.
+
+    The merge table is tiny (n_merges rows) and is collected + closed
+    over — the broadcast-dim pattern; the corpus side runs as ONE
+    ``mapInPandas`` pass (Arrow batches, per-batch word memo so repeated
+    words encode once).  This is the legitimate pandas-UDF case: BPE's
+    greedy merge loop is inherently sequential per word, and real
+    tokenizers run exactly this way (CPU-bound token loop over a
+    broadcast vocab) on every training-data pipeline.
+
+    Encode semantics mirror the trainer's fold exactly: merges applied
+    in rank order, each as a left-to-right non-overlapping replacement —
+    so encoding the training corpus reproduces the trainer's final
+    symbol state (property-tested).
+    """
+    merge_list = [
+        (r.left, r.right) for r in merges.orderBy("rank").collect()
+    ]
+
+    def encode_word(word: str, memo: dict) -> int:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + [BPE_EOW]
+        for left, right in merge_list:
+            out, i = [], 0
+            joined = left + right
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[word] = len(syms)
+        return len(syms)
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            n_tokens = []
+            n_words = []
+            for text in pdf[text_col]:
+                words = [w for w in (text or "").split(" ") if w]
+                n_words.append(len(words))
+                n_tokens.append(sum(encode_word(w, memo) for w in words))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_bpe_tokens": pd.Series(n_tokens, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        encode_batches, "doc_id long, n_words long, n_bpe_tokens long"
+    )
+
+
+@register("q165_bpe_encode", oracle=None)  # pandas token loop — no SQL
+# oracle; encode==trainer-state property pinned in tests
+def q165_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the 8-merge BPE vocabulary on a deterministic 10% slice
+    (content-hash bucket — tokenizer training on a corpus sample is the
+    standard practice; the vocabulary converges long before full-corpus
+    counts), then encode EVERY document with it: per-doc BPE token
+    counts — the token-budget input for sequence packing (q93) and
+    corpus mixing (q137)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0)
+    merges = bpe_train(sample)
+    return bpe_encode(docs, merges).orderBy("doc_id")
