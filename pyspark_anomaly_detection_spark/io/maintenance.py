@@ -123,3 +123,91 @@ def parquet_file_count(spark: SparkSession, path: str) -> int:
         if name.startswith("part-"):
             n += 1
     return n
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str],
+    key_col: str,
+    keys: DataFrame,
+) -> dict[str, int]:
+    """Targeted key deletion from a hive-partitioned Parquet table — the
+    GDPR/right-to-be-forgotten write pattern: remove every row whose
+    ``key_col`` is in ``keys`` by rewriting ONLY the partitions that
+    contain such rows, via dynamic partition overwrite
+    (``io.writers.overwrite_partitions``).
+
+    Plan shape at 100 TB: one semi-join pass (keys broadcast — a deletion
+    request list is small) finds the touched partitions; the rewrite then
+    reads just those partitions back (partition pruning on the IN-list
+    filter) and anti-joins the keys out.  Untouched partitions — the
+    overwhelming majority — are never read or written.  Returns
+    ``{"partitions_rewritten": …, "rows_deleted": …}``.
+    """
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.io.writers import overwrite_partitions
+
+    table = spark.read.parquet(path)
+    key_set = F.broadcast(keys.select(key_col).distinct())
+
+    touched = (
+        table.join(key_set, key_col, "left_semi")
+        .select(*partition_by)
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return {"partitions_rewritten": 0, "rows_deleted": 0}
+
+    # IN-list filter over the partition columns → partition-pruned scan
+    pred = None
+    for row in touched:
+        clause = None
+        for col in partition_by:
+            c = F.col(col) == F.lit(row[col])
+            clause = c if clause is None else (clause & c)
+        pred = clause if pred is None else (pred | clause)
+
+    affected = table.filter(pred)
+    kept = affected.join(key_set, key_col, "left_anti")
+    n_before = affected.count()
+
+    # Stage the survivors before overwriting: Spark refuses (or worse,
+    # lazily re-reads) a path that the write is about to clobber.
+    jvm = spark.sparkContext._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    staging = path.rstrip("/") + "__delete_staging"
+    _clear_leftover(fs, jvm, staging)
+    kept.write.mode("overwrite").parquet(staging)
+    # explicit schema: an all-rows-deleted staging dir has no data files
+    staged = spark.read.schema(kept.schema).parquet(staging)
+    n_after = staged.count()
+    if n_after > 0:
+        overwrite_partitions(staged, path, partition_by)
+
+    # Dynamic overwrite only touches partitions PRESENT in the written
+    # frame — a partition whose every row was deleted must be removed
+    # explicitly or its old files survive.
+    kept_parts = {
+        tuple(row[c] for c in partition_by)
+        for row in staged.select(*partition_by).distinct().collect()
+    }
+    emptied = [
+        row
+        for row in touched
+        if tuple(row[c] for c in partition_by) not in kept_parts
+    ]
+    for row in emptied:
+        part_dir = "/".join(f"{c}={row[c]}" for c in partition_by)
+        p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + part_dir)
+        if fs.exists(p):
+            fs.delete(p, True)
+    _clear_leftover(fs, jvm, staging)
+    return {
+        "partitions_rewritten": len(touched),
+        "rows_deleted": n_before - n_after,
+    }

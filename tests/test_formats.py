@@ -223,3 +223,65 @@ def test_zstd_parquet_roundtrip(spark, tmp_path):
     assert back.agg(F.min("id"), F.max("id")).first() == (0, 9_999)
     part = [str(p) for p in __import__("pathlib").Path(path).glob("*.parquet")]
     assert part and all(".zstd." in p for p in part)
+
+
+def test_delete_keys_rewrites_only_touched_partitions(spark, tmp_path):
+    """GDPR-style targeted deletion: rows for the requested keys vanish,
+    untouched partitions keep their files byte-for-byte (mtime check),
+    and a fully-emptied partition's directory is removed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.io.maintenance import delete_keys
+
+    path = str(tmp_path / "facts_by_day")
+    # day 1: users 1,2,3 · day 2: users 4,5 (untouched) · day 3: user 9 only
+    rows = (
+        [(1, "d1", i) for i in range(10)]
+        + [(2, "d1", i) for i in range(5)]
+        + [(3, "d1", i) for i in range(5)]
+        + [(4, "d2", i) for i in range(7)]
+        + [(5, "d2", i) for i in range(3)]
+        + [(9, "d3", i) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["user_id", "day", "v"])
+    df.write.partitionBy("day").parquet(path)
+    n_before = spark.read.parquet(path).count()
+    # materialize expectations BEFORE the rewrite (the old files vanish)
+    doomed = {1, 9}
+    survivors = {
+        (r.user_id, r.day, r.v)
+        for r in spark.read.parquet(path).collect()
+        if r.user_id not in doomed
+    }
+
+    keys = spark.createDataFrame([(1,), (9,)], ["user_id"])
+    d2_mtime = os.path.getmtime(os.path.join(path, "day=d2"))
+
+    stats = delete_keys(spark, path, ["day"], "user_id", keys)
+
+    after = spark.read.parquet(path)
+    assert stats == {"partitions_rewritten": 2, "rows_deleted": 14}
+    assert after.count() == n_before - 14
+    assert after.join(keys, "user_id", "left_semi").count() == 0
+    # survivors are exactly the non-doomed rows
+    got = {(r.user_id, r.day, r.v) for r in after.collect()}
+    assert got == survivors
+    # day=d3 (only doomed rows) is gone entirely
+    assert not os.path.exists(os.path.join(path, "day=d3"))
+    # day=d2 (no doomed rows) was never rewritten
+    assert os.path.getmtime(os.path.join(path, "day=d2")) == d2_mtime
+
+
+def test_delete_keys_noop_when_keys_absent(spark, tmp_path):
+    from pyspark_anomaly_detection_spark.io.maintenance import delete_keys
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], ["user_id", "day", "v"]
+    ).write.partitionBy("day").parquet(path)
+    keys = spark.createDataFrame([(42,)], ["user_id"])
+    stats = delete_keys(spark, path, ["day"], "user_id", keys)
+    assert stats == {"partitions_rewritten": 0, "rows_deleted": 0}
+    assert spark.read.parquet(path).count() == 2
