@@ -85,7 +85,7 @@ def _bin_case_sql(col: str) -> str:
       CAST(base_n AS DOUBLE) / base_t AS p_base,
       CAST(new_n AS DOUBLE) / new_t AS p_new,
       (CAST(base_n AS DOUBLE) / base_t)
-        / (CAST(new_n AS DOUBLE) / new_t) AS odds_ratio
+        / NULLIF(CAST(new_n AS DOUBLE) / new_t, 0) AS odds_ratio
     FROM counts, totals
     ORDER BY bin_id
     """,
@@ -120,7 +120,7 @@ def q163_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_n",
             p_base.alias("p_base"),
             p_new.alias("p_new"),
-            (p_base / p_new).alias("odds_ratio"),
+            F.try_divide(p_base, p_new).alias("odds_ratio"),
         )
         .orderBy("bin_id")
     )

@@ -8,7 +8,7 @@ noted per query).
 * q158 — Q9 shape: product-line profit by supplier nation × year, with
   ``0.6 × p_retailprice × l_quantity`` standing in for ps_supplycost.
 * q159 — Q12 shape: ship-delay service classes per order priority
-  (l_shipdate − o_orderdate > 60 days stands in for receipt/commit lag).
+  (l_shipdate − o_orderdate > 90 days stands in for receipt/commit lag).
 * q160 — Q14 shape: promo revenue share per month (conditional ratio).
 * q161 — Q19 shape: disjunctive (brand, size-range, qty-range) triplets —
   an OR-of-ANDs mixed join/filter predicate Catalyst must keep pushable.

@@ -45,7 +45,7 @@ TOP_K = 20
 
 
 @register(
-    "q154_bm25_ranking",
+    "q167_bm25_ranking",
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, token FROM (
@@ -102,7 +102,7 @@ TOP_K = 20
     LIMIT {TOP_K}
     """,
 )
-def q154_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q167_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents by BM25 for the fixed query {spark, window, join}.
     The (term, df) aggregate and corpus stats are collected (3 rows + 1
     row — the legitimate tiny-side collect, like the ANN query matrix)
@@ -139,6 +139,20 @@ def q154_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in df_rows
     }
+
+    if not idf_by_token:
+        # none of the query terms occur in the corpus — an .isin() with
+        # zero arguments raises, so return the empty result explicitly
+        # (the oracle side also yields 0 rows).
+        return (
+            tf.filter(F.lit(False))
+            .join(dl, "doc_id")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.lit(0.0)).alias("bm25"),
+                F.count("*").alias("n_terms_hit"),
+            )
+        )
 
     idf = F.lit(None).cast("double")
     for token, value in idf_by_token.items():

@@ -165,7 +165,7 @@ _ELEM_SQL = MD5_LONG60_SQL.format(x="shingle")
 
 
 @register(
-    "q152_prefix_jaccard_pairs",
+    "q166_prefix_jaccard_pairs",
     oracle=f"""
     WITH sh AS (
       SELECT DISTINCT doc_id, {_ELEM_SQL} AS elem FROM (
@@ -192,7 +192,7 @@ _ELEM_SQL = MD5_LONG60_SQL.format(x="shingle")
     ORDER BY doc_a, doc_b
     """,
 )
-def q152_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q166_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard ≥ 0.5 document pairs via prefix-filtered
     set-similarity join; the oracle runs the unfiltered all-pairs
     formulation, so a green hash proves the prefix filter's completeness,

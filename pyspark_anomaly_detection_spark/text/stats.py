@@ -674,6 +674,10 @@ def bpe_train(
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        # F.split leaves "" for doubled/leading/trailing separators —
+        # drop them HERE so train and encode (which filters `if w`)
+        # share one tokenization and encode reproduces trainer state.
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     ).persist()

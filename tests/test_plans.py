@@ -307,7 +307,7 @@ def test_round2_tpch_shapes_broadcast_dims(spark, sf_dir):
         assert plans.uses_broadcast_join(df), f"{name} should broadcast dims"
 
 
-def test_q149_single_lineitem_scan(spark, sf_dir):
+def test_q161_single_lineitem_scan(spark, sf_dir):
     """The OR-of-ANDs basket predicate must NOT triple the lineitem scan:
     one scan, one join, the disjunction evaluated post-join."""
     df = q("q161_disjunctive_basket_revenue")(spark, sf_dir)
@@ -315,18 +315,18 @@ def test_q149_single_lineitem_scan(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan
 
 
-def test_q146_part_filter_pushed(spark, sf_dir):
+def test_q158_part_filter_pushed(spark, sf_dir):
     """part is filtered on p_name BEFORE joining; the LIKE must reach
     the part scan as a pushed filter, not run post-join."""
     df = q("q158_product_line_profit")(spark, sf_dir)
     assert plans.has_pushed_filter(df, "p_name"), plans.formatted_plan(df)
 
 
-def test_q152_no_nested_loop(spark, sf_dir):
+def test_q166_no_nested_loop(spark, sf_dir):
     """Prefix-filtered set-similarity join must stay an equi-join on the
     prefix token — a BroadcastNestedLoopJoin here means the candidate
     generation degenerated to all-pairs."""
-    df = q("q152_prefix_jaccard_pairs")(spark, sf_dir)
+    df = q("q166_prefix_jaccard_pairs")(spark, sf_dir)
     assert "NestedLoop" not in plans.formatted_plan(df)
 
 

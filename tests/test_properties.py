@@ -424,6 +424,112 @@ def test_bpe_encode_matches_trainer_final_state(spark):
         assert got[doc_id] < raw[doc_id]
 
 
+def test_bpe_encode_consistent_on_irregular_whitespace(spark):
+    """Doubled/leading/trailing spaces: F.split leaves "" tokens which
+    bpe_train must drop exactly like bpe_encode's `if w` filter — on such
+    corpora encode must still reproduce the trainer's final symbol state,
+    and the local and distributed trainer paths must agree."""
+    from pyspark_anomaly_detection_spark.text.stats import bpe_encode, bpe_train
+
+    rows = [(0, "  lowest  lowest low "), (1, "newest  newest newest  lowest  ")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    local = bpe_train(docs, n_merges=5).orderBy("rank").collect()
+    dist = (
+        bpe_train(docs, n_merges=5, driver_vocab_limit=0).orderBy("rank").collect()
+    )
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+    # no merge may involve an empty symbol
+    assert all(r.left != "" and r.right != "" for r in local)
+
+    merges = bpe_train(docs, n_merges=5)
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_encode(docs, merges).collect()}
+    # same corpus with normalized single spaces must encode identically
+    norm = spark.createDataFrame(
+        [(i, " ".join(t.split())) for i, t in rows], ["doc_id", "text"]
+    )
+    want = {r.doc_id: r.n_bpe_tokens for r in bpe_encode(norm, merges).collect()}
+    assert got == want
+
+
+def test_q163_odds_ratio_null_on_empty_bin(spark, tmp_path):
+    """A value bin empty in the post-split half must yield odds_ratio NULL
+    (try_divide), not an ANSI DIVIDE_BY_ZERO error — and the oracle's
+    NULLIF guard agrees.  Testdata is regenerated per round, so this is a
+    plausible future input even when the current run has no empty bins."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_anomaly_detection_spark.quality.drift import q163_psi_value_drift
+    from pyspark_anomaly_detection_spark.registry import all_queries
+
+    base_day = datetime.datetime(2024, 1, 2)
+    new_day = datetime.datetime(2024, 1, 20)
+    rows = []
+    # base half covers every bin; new half deliberately skips bin 0 (<5.0)
+    for i, v in enumerate([1.0, 10.0, 20.0, 40.0, 60.0, 90.0, 120.0, 200.0, 300.0, 400.0]):
+        rows.append((i, base_day, i, "view", v, "{}"))
+    for i, v in enumerate([10.0, 20.0, 40.0, 60.0, 90.0, 120.0, 200.0, 300.0, 400.0]):
+        rows.append((100 + i, new_day, i, "view", v, "{}"))
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    got = {
+        r.bin_id: r.odds_ratio
+        for r in q163_psi_value_drift(spark, str(tmp_path)).collect()
+    }
+    assert got[0] is None  # empty new half → NULL, not an error
+    assert all(v is not None for b, v in got.items() if b != 0)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = {
+        r[0]: r[5]
+        for r in con.execute(all_queries()["q163_psi_value_drift"].oracle).fetchall()
+    }
+    con.close()
+    assert got == oracle
+
+
+def test_bm25_empty_corpus_hit_returns_empty(spark):
+    """If no query term occurs in the corpus the ranking must be an empty
+    DataFrame with the output schema, not an .isin() arity error."""
+    from pyspark_anomaly_detection_spark.text.search import q167_bm25_ranking
+
+    docs = spark.createDataFrame(
+        [(0, "nothing relevant here"), (1, "entirely unrelated words")],
+        ["doc_id", "text"],
+    )
+
+    import pyspark_anomaly_detection_spark.text.search as search_mod
+    from pyspark_anomaly_detection_spark.io import readers
+
+    orig = readers.load_table
+    try:
+        readers.load_table = lambda spark, sf_dir, name: docs
+        search_mod.load_table = readers.load_table
+        out = q167_bm25_ranking(spark, "unused")
+        assert out.columns == ["doc_id", "bm25", "n_terms_hit"]
+        assert out.count() == 0
+    finally:
+        readers.load_table = orig
+        search_mod.load_table = orig
+
+
 def test_bpe_encode_deterministic_across_partitionings(spark, sf_dir):
     from pyspark_anomaly_detection_spark.io.readers import load_table
     from pyspark_anomaly_detection_spark.text.stats import bpe_encode, bpe_train
