@@ -126,30 +126,60 @@ FK_EDGES = [
 def q156_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan counts for every FK edge of the star schema, one row per
     edge.  Child keys are NEVER null in this schema, so NOT IN and
-    anti-join agree; each parent key set is distinct-projected and
+    left-join-null agree; each parent key set is distinct-projected and
     broadcast (dims are small; orders' key set at 100 TB would switch to
     a shuffled anti-join automatically once it exceeds the broadcast
-    threshold)."""
+    threshold).
+
+    Single-scan shape: each CHILD table is read exactly once — all its
+    FK edges resolve as broadcast left joins on one key-column
+    projection, and count(*) + per-edge orphan flags come out of ONE
+    conditional aggregate, exploded into per-edge rows.  The naive
+    per-edge formulation reads lineitem six times (count + anti-join ×
+    3 edges); at 100 TB the fact-table scans dominate, so collapsing
+    them is a 3-6× win on the big tables."""
     tables = {
         name: load_table(spark, sf_dir, name)
         for name in {t for e in FK_EDGES for t in (e[0], e[2])}
     }
-    legs = []
+    parent_keys = {
+        parent: tables[parent].select(pk).distinct()
+        for _, _, parent, pk in FK_EDGES
+    }
+    edges_by_child: dict[str, list[tuple[str, str, str]]] = {}
     for child, ck, parent, pk in FK_EDGES:
-        child_df = tables[child]
-        parent_keys = tables[parent].select(pk).distinct()
-        orphans = child_df.join(
-            F.broadcast(parent_keys),
-            child_df[ck] == parent_keys[pk],
-            "left_anti",
-        )
-        legs.append(
-            child_df.agg(F.count("*").alias("child_rows"))
-            .crossJoin(orphans.agg(F.count("*").alias("orphan_rows")))
-            .select(
-                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk_edge"),
-                "child_rows",
-                "orphan_rows",
+        edges_by_child.setdefault(child, []).append((ck, parent, pk))
+
+    legs = []
+    for child, edges in edges_by_child.items():
+        cur = tables[child].select(*sorted({ck for ck, _, _ in edges}))
+        probes = []
+        for i, (ck, parent, pk) in enumerate(edges):
+            probe = f"__pk_{i}"
+            cur = cur.join(
+                F.broadcast(parent_keys[parent].select(F.col(pk).alias(probe))),
+                F.col(ck) == F.col(probe),
+                "left",
             )
+            probes.append((ck, parent, pk, probe))
+        row = cur.agg(
+            F.count("*").alias("child_rows"),
+            *[
+                F.coalesce(
+                    F.sum(F.col(probe).isNull().cast("long")), F.lit(0)
+                ).alias(f"__orphans_{i}")
+                for i, (_, _, _, probe) in enumerate(probes)
+            ],
         )
+        per_edge = F.array(
+            *[
+                F.struct(
+                    F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk_edge"),
+                    F.col("child_rows").alias("child_rows"),
+                    F.col(f"__orphans_{i}").alias("orphan_rows"),
+                )
+                for i, (ck, parent, pk, _) in enumerate(probes)
+            ]
+        )
+        legs.append(row.select(F.explode(per_edge).alias("e")).select("e.*"))
     return reduce(DataFrame.unionByName, legs).orderBy("fk_edge")

@@ -301,8 +301,15 @@ def q149_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     density.  Wedge count comes from the degree aggregate (Σ d·(d−1)/2),
     one tiny shuffle; the three scalars meet in 1-row broadcast joins."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = minhash_lsh_pairs(docs).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    # The edge list is referenced FOUR times (three triangle legs + the
+    # degree aggregate); without caching, each leg replays the whole
+    # MinHash-LSH pipeline — at 100 TB that multiplies the dominant cost
+    # by 3-4×.  persist() materializes it once on first action and keeps
+    # lineage for recovery; PLAN_AUDIT's q149 row shows documents×1.
+    edges = (
+        minhash_lsh_pairs(docs)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .persist()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (

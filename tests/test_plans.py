@@ -338,6 +338,25 @@ def test_q155_single_event_shuffle(spark, sf_dir):
     assert plan.count("events.parquet") == 1, plan
 
 
+def test_q149_edges_cached_single_documents_scan(spark, sf_dir):
+    """The near-dup edge list feeds three triangle legs plus the degree
+    aggregate; it must be persisted so the MinHash-LSH pipeline (and the
+    documents scan under it) appears ONCE in the plan, not 4×."""
+    df = q("q149_dup_graph_triangles")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("documents.parquet") <= 2, plan
+    assert "InMemory" in plan, plan
+
+
+def test_q156_single_scan_per_child_table(spark, sf_dir):
+    """All FK edges of a child resolve in ONE pass: lineitem (3 edges,
+    child-only) must appear exactly once in the plan — the naive
+    per-edge count+anti-join formulation reads it six times."""
+    df = q("q156_referential_integrity_audit")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
 def test_no_cartesian_or_nested_loop_in_oracle_queries(spark, sf_dir):
     """Blanket invariant: no oracle-checked query may plan a cartesian
     product or nested-loop join between two MULTI-ROW sides.  Two benign
@@ -360,7 +379,6 @@ def test_no_cartesian_or_nested_loop_in_oracle_queries(spark, sf_dir):
         "q129_class_rebalance",         # majority-count scalar
         "q146_dormant_customers",       # avg threshold scalar
         "q149_dup_graph_triangles",     # triangle-count scalar join
-        "q156_referential_integrity_audit",  # 1-row legs cross-joined
         "q163_psi_value_drift",         # totals row
         "q164_categorical_drift",       # totals row
         "q64_funnel",                   # stage-count scalars
