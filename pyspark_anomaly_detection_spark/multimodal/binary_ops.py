@@ -86,8 +86,8 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 def _decode_payload(payload: bytes, modality: str) -> list[float]:
     """Decode → FEATURE_DIM feature vector.
 
-    Images in a natively-decodable format (PPM/BMP — magic-sniffed) go
-    through the REAL numpy decoder and emit pixel statistics
+    Images in a natively-decodable format (PPM/BMP/PNG — magic-sniffed)
+    go through the REAL numpy decoder and emit pixel statistics
     (``codecs.image_stats_features``: geometry, per-channel moments, luma).
     Audio in RIFF/WAVE 16-bit PCM decodes through ``codecs.decode_wav``
     and emits signal moments + coarse spectrum.  Everything else
@@ -99,7 +99,11 @@ def _decode_payload(payload: bytes, modality: str) -> list[float]:
 
     if payload is None:
         return []
-    if modality == "image" and payload[:2] in (codecs.PPM_MAGIC, codecs.BMP_MAGIC):
+    if modality == "image" and bytes(payload[:2]) in (
+        codecs.PPM_MAGIC,
+        codecs.BMP_MAGIC,
+        codecs.PNG_MAGIC[:2],
+    ):
         return codecs.image_stats_features(codecs.decode_image(bytes(payload)))
     if modality == "audio" and payload[:4] == codecs.WAV_MAGIC:
         return codecs.audio_stats_features(*codecs.decode_wav(bytes(payload)))

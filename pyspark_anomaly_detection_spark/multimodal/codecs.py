@@ -1,11 +1,13 @@
 """Real image codecs for uncompressed formats — pure numpy, zero new deps.
 
-The container ships no media libraries (no Pillow/ffmpeg), but two
+The container ships no media libraries (no Pillow/ffmpeg), but three
 ubiquitous formats need none: binary PPM (P6) and uncompressed 24-bit BMP
-(BI_RGB) are header + raw pixel bytes.  Implementing them here makes the
-multimodal pipeline's decode step REAL — actual width/height parsing,
-actual pixel arrays, actual per-channel statistics — while compressed
-formats (JPEG/PNG) remain the documented Pillow swap-in point.
+(BI_RGB) are header + raw pixel bytes, and PNG's only compression is
+stdlib ``zlib`` (inflate + per-scanline unfiltering, implemented below).
+Implementing them here makes the multimodal pipeline's decode step REAL —
+actual width/height parsing, actual pixel arrays, actual per-channel
+statistics — while lossy formats (JPEG/MP3/MP4) remain the documented
+Pillow/ffmpeg swap-in point.
 
 Both decoders return ``uint8`` arrays shaped ``(height, width, 3)`` in RGB
 order; both encoders round-trip bit-exactly (tests pin this).
@@ -123,18 +125,189 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(bgr[:, :, ::-1])
 
 
+# ------------------------------------------------- PNG (8-bit RGB / RGBA)
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(
+    ftype: int, raw: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Apply PNG filter ``ftype`` to one raw scanline (encode side).
+    All arithmetic mod 256 per spec."""
+    n = len(raw)
+    left = np.zeros(n, dtype=np.int32)
+    left[bpp:] = raw[:-bpp]
+    up = prior.astype(np.int32)
+    r = raw.astype(np.int32)
+    if ftype == 0:
+        out = r
+    elif ftype == 1:
+        out = r - left
+    elif ftype == 2:
+        out = r - up
+    elif ftype == 3:
+        out = r - (left + up) // 2
+    elif ftype == 4:
+        upleft = np.zeros(n, dtype=np.int32)
+        upleft[bpp:] = prior[:-bpp]
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        out = r - pred
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+    return (out % 256).astype(np.uint8)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """RGB (h, w, 3) or RGBA (h, w, 4) uint8 array → PNG bytes.
+
+    ``filter_type`` applies the same filter (0-4) to every scanline so
+    tests can exercise each decode path; real encoders pick per-row."""
+    import zlib
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError(f"expected (h, w, 3|4) array, got {arr.shape}")
+    h, w, ch = arr.shape
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw_rows = arr.reshape(h, w * ch)
+    prior = np.zeros(w * ch, dtype=np.uint8)
+    scanlines = bytearray()
+    for y in range(h):
+        filtered = _png_filter_row(filter_type, raw_rows[y], prior, ch)
+        scanlines.append(filter_type)
+        scanlines.extend(filtered.tobytes())
+        prior = raw_rows[y]
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter_row(
+    ftype: int, fdata: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reverse one scanline's filter (decode side).  Up/None vectorize;
+    Sub/Average/Paeth carry a left-pixel dependency, so they run a
+    per-byte loop — rows are short (w·bpp) and this path is exercised
+    per-batch inside mapInPandas, not per-row on the driver."""
+    n = len(fdata)
+    if ftype == 0:
+        return fdata.copy()
+    if ftype == 2:
+        return ((fdata.astype(np.int32) + prior) % 256).astype(np.uint8)
+    out = np.zeros(n, dtype=np.int32)
+    f = fdata.astype(np.int32)
+    up = prior.astype(np.int32)
+    if ftype == 1:
+        for i in range(n):
+            left = out[i - bpp] if i >= bpp else 0
+            out[i] = (f[i] + left) % 256
+    elif ftype == 3:
+        for i in range(n):
+            left = out[i - bpp] if i >= bpp else 0
+            out[i] = (f[i] + (left + up[i]) // 2) % 256
+    elif ftype == 4:
+        for i in range(n):
+            left = out[i - bpp] if i >= bpp else 0
+            upleft = up[i - bpp] if i >= bpp else 0
+            p = left + up[i] - upleft
+            pa, pb, pc = abs(p - left), abs(p - up[i]), abs(p - upleft)
+            pred = left if pa <= pb and pa <= pc else (up[i] if pb <= pc else upleft)
+            out[i] = (f[i] + pred) % 256
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG (8-bit truecolor RGB/RGBA, non-interlaced, filters 0-4) →
+    uint8 array (h, w, 3|4).
+
+    Pure stdlib-zlib + numpy: chunk walk with CRC verification, IDAT
+    concatenation, inflate, per-scanline unfiltering.  Palette, 16-bit,
+    grayscale, and Adam7 interlace are rejected explicitly — the Pillow
+    swap-in point, never a silent wrong answer.
+
+    Format reference: the public PNG spec (RFC 2083 / W3C PNG) — chunk
+    layout §5, filter algorithms §6."""
+    import zlib
+
+    if not payload.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(PNG_MAGIC), None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _, _, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"only 8-bit RGB/RGBA non-interlaced PNG supported "
+            f"(depth={depth}, color={color_type}, interlace={interlace})"
+        )
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG scanline data: need {h * (stride + 1)} bytes, have {len(raw)}"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        prior = _png_unfilter_row(int(lines[y, 0]), lines[y, 1:], prior, ch)
+        out[y] = prior
+    return out.reshape(h, w, ch)
+
+
 # ----------------------------------------------------------------- dispatch
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-sniffing decode → RGB uint8 (h, w, 3).  Raises ValueError for
-    formats needing a real codec library (JPEG/PNG/...)."""
+    """Magic-sniffing decode → RGB uint8 (h, w, 3).  PNG alpha is dropped
+    (the stats pipeline is RGB); raises ValueError for formats needing a
+    real codec library (JPEG/...)."""
     if payload is None or len(payload) < 2:
         raise ValueError("empty image payload")
     if payload.startswith(PPM_MAGIC):
         return decode_ppm(payload)
     if payload.startswith(BMP_MAGIC):
         return decode_bmp(payload)
+    if payload.startswith(PNG_MAGIC[:2]):
+        arr = decode_png(payload)
+        return np.ascontiguousarray(arr[:, :, :3])
     raise ValueError(
         f"unsupported image format (magic {payload[:2]!r}); "
         "wire Pillow into decode_image for compressed formats"

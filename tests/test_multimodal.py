@@ -187,7 +187,9 @@ def test_codec_rejects_unsupported():
     from pyspark_anomaly_detection_spark.multimodal.codecs import decode_image
 
     with _pytest.raises(ValueError, match="unsupported image format"):
-        decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+        decode_image(b"\xff\xd8\xff\xe0jfif-jpeg-payload")  # JPEG magic
+    with _pytest.raises(ValueError, match="missing IHDR"):
+        decode_image(b"\x89PNG\r\n\x1a\nxxxx")  # PNG magic, no chunks
     with _pytest.raises(ValueError):
         decode_image(b"")
 
@@ -210,6 +212,119 @@ def test_codec_roundtrip_property():
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             assert (decode_ppm(encode_ppm(img)) == img).all(), (w, h)
             assert (decode_bmp(encode_bmp(img)) == img).all(), (w, h)
+
+
+def test_png_roundtrip_every_filter_type():
+    """Property: encode→decode is the identity for every PNG filter type
+    (0 none, 1 sub, 2 up, 3 average, 4 paeth), RGB and RGBA, across
+    geometries — pixels sourced the same way the PPM property test
+    sources them."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for ch in (3, 4):
+        for w, h in ((1, 1), (3, 2), (5, 8), (17, 4)):
+            img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            for ftype in range(5):
+                got = decode_png(encode_png(img, filter_type=ftype))
+                assert got.shape == (h, w, ch), (ch, w, h, ftype)
+                assert (got == img).all(), (ch, w, h, ftype)
+
+
+def test_png_decode_matches_ppm_pixels_and_dispatch():
+    """The same pixel array encoded as PPM and as PNG must decode to
+    identical arrays through the magic-sniffing decode_image; RGBA PNGs
+    drop alpha to stay (h, w, 3) for the stats pipeline."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        decode_image,
+        encode_png,
+        encode_ppm,
+        image_stats_features,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    via_ppm = decode_image(encode_ppm(img))
+    via_png = decode_image(encode_png(img, filter_type=4))
+    assert (via_ppm == via_png).all()
+    assert image_stats_features(via_ppm) == image_stats_features(via_png)
+
+    rgba = np.dstack([img, np.full((6, 9), 128, dtype=np.uint8)])
+    via_rgba = decode_image(encode_png(rgba, filter_type=2))
+    assert via_rgba.shape == (6, 9, 3)
+    assert (via_rgba == img).all()
+
+
+def test_png_crc_and_unsupported_variants_rejected():
+    import numpy as np
+    import pytest as _pytest
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        PNG_MAGIC,
+        decode_png,
+        encode_png,
+    )
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(encode_png(img))
+    # flip a byte inside IHDR data (offset: 8 magic + 8 len/type + 2)
+    payload[18] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(payload))
+
+    # 16-bit / grayscale / interlaced IHDRs must be rejected, not garbled
+    import struct as _struct
+    import zlib as _zlib
+
+    def ihdr_only(depth, color, interlace):
+        data = _struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        chunk = (
+            _struct.pack(">I", len(data))
+            + b"IHDR"
+            + data
+            + _struct.pack(">I", _zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF)
+        )
+        return PNG_MAGIC + chunk
+
+    for depth, color, interlace in ((16, 2, 0), (8, 0, 0), (8, 3, 0), (8, 2, 1)):
+        with _pytest.raises(ValueError, match="only 8-bit RGB/RGBA"):
+            decode_png(ihdr_only(depth, color, interlace))
+
+
+def test_png_payloads_decode_in_spark_pipeline(spark):
+    """extract_features over REAL PNG payloads: features must be the
+    hand-computed pixel statistics (width/height parsed from IHDR, pixel
+    moments through inflate + unfiltering), not the histogram fallback."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal import codecs
+    from pyspark_anomaly_detection_spark.multimodal.binary_ops import (
+        extract_features,
+    )
+
+    rng = np.random.default_rng(3)
+    imgs = {i: rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8) for i in range(3)}
+    rows = [
+        (i, "image", bytearray(codecs.encode_png(img, filter_type=i % 5)))
+        for i, img in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, "media_id long, modality string, payload binary")
+    got = {r.media_id: r for r in extract_features(df).collect()}
+    import numpy as _np
+
+    for i, img in imgs.items():
+        assert got[i].decode_ok == "ok"
+        # FEATURE_SCHEMA carries float32 — compare at float32 precision
+        want = _np.array(codecs.image_stats_features(img), dtype=_np.float32)
+        assert (_np.array(got[i].feature, dtype=_np.float32) == want).all()
+        assert got[i].feature[0] == 12.0 and got[i].feature[1] == 8.0
 
 
 def test_real_decode_in_spark_pipeline(spark, sf_dir):
