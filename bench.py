@@ -34,6 +34,42 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = all_queries()
+    if "--all" in sys.argv:
+        # Full-registry sweep: per-query wall time for EVERY registered
+        # query — the tail-latency guard the 15-query headline suite
+        # can't provide.  Warmup at sf0.001 per plan (codegen compiles
+        # per distinct plan), then timed at sf_dir.
+        timings: dict[str, float] = {}
+        errors: dict[str, str] = {}
+        for name, query in sorted(registry.items()):
+            try:
+                materialize(query.fn(spark, "/root/testdata/sf0.001"))
+            except Exception as e:  # noqa: BLE001 - sweep robustness
+                errors[name] = str(e)[:200]
+                continue
+            start = time.perf_counter()
+            try:
+                materialize(query.fn(spark, sf_dir))
+                timings[name] = round(time.perf_counter() - start, 3)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = str(e)[:200]
+            print(f"  {name}: {timings.get(name, 'ERR')}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "full_registry_seconds",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "errors": errors,
+                    "n_queries": len(registry),
+                    "sf": sf,
+                }
+            )
+        )
+        spark.stop()
+        return
+
     headline = {n: q for n, q in registry.items() if q.headline}
 
     # JVM/codegen warmup on the smallest SF so timings measure the engine,
