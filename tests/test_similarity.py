@@ -153,6 +153,37 @@ def test_pq_ann_recall_and_determinism(spark, sf_dir):
     assert (merged["cos_sim_pq"] - merged["cos_sim_ex"]).abs().max() == 0.0
 
 
+def test_ivf_and_pq_deterministic_under_repartition(spark, sf_dir):
+    """Shuffle-order independence: the same top-k sets must come back
+    regardless of how the input happens to be partitioned — pins that
+    centroid training / probe selection / shortlist ranking carry no
+    hidden dependence on partition layout or row order."""
+    from pyspark_anomaly_detection_spark.similarity.ann import pq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+
+    base_ivf = {
+        (r.query_id, r.cand_id) for r in ivf_topk(emb, queries).collect()
+    }
+    repart_ivf = {
+        (r.query_id, r.cand_id)
+        for r in ivf_topk(emb.repartition(13), queries.repartition(5)).collect()
+    }
+    assert base_ivf == repart_ivf
+
+    base_pq = {
+        (r.query_id, r.cand_id) for r in pq_ann_topk(queries, emb).collect()
+    }
+    repart_pq = {
+        (r.query_id, r.cand_id)
+        for r in pq_ann_topk(
+            queries.repartition(7), emb.repartition(13)
+        ).collect()
+    }
+    assert base_pq == repart_pq
+
+
 def test_pq_and_ivf_tiny_inputs(spark):
     """Robustness: candidate sets smaller than the centroid count must
     still train (tiled init), and empty candidates fail loudly."""
