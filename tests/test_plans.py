@@ -357,6 +357,29 @@ def test_q156_single_scan_per_child_table(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan
 
 
+def test_plan_audit_covers_current_registry():
+    """PLAN_AUDIT.md must stay in lockstep with the registry: one row per
+    registered query, no ERROR rows — regenerate with
+    ``python tools/plan_audit.py`` after adding/renaming queries."""
+    import os
+
+    from pyspark_anomaly_detection_spark.registry import all_queries
+
+    audit = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLAN_AUDIT.md")
+    rows = [
+        line
+        for line in open(audit)
+        if line.startswith("| q") and not line.startswith("| query ")
+    ]
+    audited = {line.split("|")[1].strip() for line in rows}
+    assert audited == set(all_queries()), (
+        f"stale PLAN_AUDIT.md: missing {sorted(set(all_queries()) - audited)[:5]}, "
+        f"extra {sorted(audited - set(all_queries()))[:5]}"
+    )
+    errors = [line for line in rows if "ERROR" in line]
+    assert not errors, errors[:3]
+
+
 def test_no_cartesian_or_nested_loop_in_oracle_queries(spark, sf_dir):
     """Blanket invariant: no oracle-checked query may plan a cartesian
     product or nested-loop join between two MULTI-ROW sides.  Two benign
