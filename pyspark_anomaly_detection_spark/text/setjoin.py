@@ -81,7 +81,12 @@ def prefix_jaccard_pairs(
 ) -> DataFrame:
     """All (doc_a < doc_b) pairs with shingle-set Jaccard ≥ threshold —
     exact result, prefix-filtered + length-filtered candidates."""
-    sh = shingle_sets(docs)
+    # The distinct (doc_id, elem) set feeds BOTH the df ranking and the
+    # per-doc aggregation, and per_doc below feeds three join legs —
+    # persist both so the shingle explode/distinct runs once, not 8×
+    # (same lesson as q149's edge-list cache; PLAN_AUDIT pins the scan
+    # count).
+    sh = shingle_sets(docs).persist()
 
     # Global order: ascending doc-frequency, ties by element value.
     df_rank = sh.groupBy("elem").agg(F.count("*").alias("df"))
@@ -102,7 +107,7 @@ def prefix_jaccard_pairs(
         # PPJoin prefix length for Jaccard θ: n − ⌈θ·n⌉ + 1
         "prefix_len",
         F.col("n_elems") - F.ceil(F.lit(threshold) * F.col("n_elems")) + 1,
-    )
+    ).persist()
 
     prefix = per_doc.select(
         "doc_id",
