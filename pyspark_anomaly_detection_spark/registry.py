@@ -79,10 +79,12 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.relational.tpch_more  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.ann  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.neardup  # noqa: F401
+    import pyspark_anomaly_detection_spark.similarity.pca  # noqa: F401
     import pyspark_anomaly_detection_spark.text.clusters  # noqa: F401
     import pyspark_anomaly_detection_spark.text.dedup  # noqa: F401
     import pyspark_anomaly_detection_spark.text.search  # noqa: F401
     import pyspark_anomaly_detection_spark.text.setjoin  # noqa: F401
+    import pyspark_anomaly_detection_spark.text.shards  # noqa: F401
     import pyspark_anomaly_detection_spark.text.splits  # noqa: F401
     import pyspark_anomaly_detection_spark.text.stats  # noqa: F401
     import pyspark_anomaly_detection_spark.text.udtf_ops  # noqa: F401

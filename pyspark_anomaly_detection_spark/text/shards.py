@@ -1,0 +1,163 @@
+"""Data-loader sharding and incremental corpus dedup — the two batch
+operators that turn a cleaned corpus into something a 1000-GPU training
+job and a daily ingest pipeline can actually consume.
+
+* **Shard manifest** (q168): assign every document to one of N_SHARDS
+  shards by content hash — deterministic on any engine/partitioning (the
+  same md5-based assignment the split family uses, splits.py docstring),
+  no global sort, no global row_number (a global row_number is a single
+  task at 100 TB; hash-mod sharding is embarrassingly parallel and keeps
+  shards statistically balanced).  The manifest row per shard (doc/token/
+  byte totals, id range) is what a data loader reads to plan epochs.
+
+* **Incremental dedup** (q169): dedup a new batch AGAINST the historical
+  corpus without recomputing history — the daily-ingest shape: exact
+  content digests of the increment anti-joined to the history digest
+  set, then within-increment keep-min-id.  Shuffle carries 32-byte
+  digests, never text; both classification joins share the digest
+  shuffle key.  At 100 TB the history digest set is a bucketed table
+  maintained incrementally (io/writers.py::write_bucketed) so the join
+  co-locates without re-shuffling history.
+
+Reference parity: the reference has no sharding/incremental layer (its
+pipeline is single-batch, run_pipeline.py); these are the beyond-
+reference LLM-pipeline operators the brief calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.functions import MD5_LONG60_SQL, md5_long60
+from pyspark_anomaly_detection_spark.io.readers import load_table
+from pyspark_anomaly_detection_spark.registry import register
+from pyspark_anomaly_detection_spark.text.dedup import content_digest
+
+N_SHARDS = 16
+
+#: History/increment boundary for the incremental-dedup demonstration:
+#: the same stable content-hash bucketing the split family uses, so the
+#: halves are deterministic on any engine.
+HISTORY_BUCKET_PCT = 50
+
+_DIGEST_SQL = "sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+
+def shard_assign(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Stable shard id in [0, N_SHARDS) from the key's content hash."""
+    return df.withColumn(
+        "shard_id", md5_long60(F.col(key_col).cast("string")) % N_SHARDS
+    )
+
+
+@register(
+    "q168_shard_manifest",
+    oracle=f"""
+    SELECT
+      ({MD5_LONG60_SQL.format(x="CAST(doc_id AS VARCHAR)")}) % {N_SHARDS}
+        AS shard_id,
+      COUNT(*) AS n_docs,
+      CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS token_sum,
+      CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+      CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+      CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+)
+def q168_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of the hash-sharded corpus: doc/token/char
+    totals + id range per shard — one scan, one hash aggregation; the
+    assignment itself is oracle-pinned through the totals."""
+    docs = shard_assign(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("token_sum"),
+            F.sum("n_chars").alias("char_sum"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@register(
+    "q169_incremental_dedup",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT source, doc_id, {_DIGEST_SQL} AS digest,
+             ({MD5_LONG60_SQL.format(x="CAST(doc_id AS VARCHAR)")}) % 100
+               < {HISTORY_BUCKET_PCT} AS is_history
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT digest FROM tagged WHERE is_history),
+    inc AS (
+      SELECT source, doc_id, digest,
+             digest IN (SELECT digest FROM hist) AS vs_history,
+             ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rk
+      FROM tagged WHERE NOT is_history
+    )
+    SELECT
+      source,
+      COUNT(*) AS n_incoming,
+      CAST(SUM(CASE WHEN vs_history THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_vs_history,
+      CAST(SUM(CASE WHEN NOT vs_history AND rk > 1 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_dup_within,
+      CAST(SUM(CASE WHEN NOT vs_history AND rk = 1 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_kept,
+      CAST(MIN(CASE WHEN NOT vs_history AND rk = 1 THEN doc_id END)
+        AS BIGINT) AS min_kept_doc
+    FROM inc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q169_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup the increment half of the corpus against the history half:
+    per source, how many incoming docs are exact duplicates of history,
+    duplicates within the increment, and survivors.
+
+    Plan shape: history is scanned once for its distinct digest set;
+    the increment classifies every row in one pass — a left join to the
+    history digests plus a keep-min-id window, both keyed on the digest,
+    then one aggregation.  Only digests shuffle."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long60(F.col("doc_id").cast("string")) % 100
+    tagged = docs.select(
+        "source",
+        "doc_id",
+        content_digest(F.col("text")).alias("digest"),
+        (bucket < HISTORY_BUCKET_PCT).alias("is_history"),
+    )
+    hist = (
+        tagged.filter("is_history").select("digest").distinct()
+        .withColumn("_in_hist", F.lit(True))
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    inc = (
+        tagged.filter(~F.col("is_history"))
+        .join(hist, "digest", "left")
+        .withColumn("vs_history", F.coalesce("_in_hist", F.lit(False)))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    kept = ~F.col("vs_history") & (F.col("rk") == 1)
+    return (
+        inc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum(F.col("vs_history").cast("long")).alias("n_dup_vs_history"),
+            F.sum((~F.col("vs_history") & (F.col("rk") > 1)).cast("long")).alias(
+                "n_dup_within"
+            ),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.min(F.when(kept, F.col("doc_id"))).alias("min_kept_doc"),
+        )
+        .orderBy("source")
+    )
