@@ -293,11 +293,19 @@ def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, max_rows: int = 1000) -> DataFrame:
-    """All-pairs exact Jaccard — a VERIFICATION operator, theta-join only
-    (BroadcastNestedLoop): refuses unsampled input above ``max_rows``
-    because pair count grows N².  The production dedup path is the banded
-    LSH pipeline (``minhash_lsh_pairs``); this exists to audit its recall
-    on keyed samples."""
+    """Exact Jaccard for every pair sharing ≥ 1 shingle — the
+    VERIFICATION operator auditing the banded LSH pipeline's recall on
+    keyed samples.
+
+    Computed via the inverted-index formulation, not a nested-loop
+    all-pairs: explode shingle sets, equi-join on the shingle, count
+    shared elements per pair, join set sizes back — identical exact
+    output (a pair appears iff intersection ≥ 1; the division is the
+    same single IEEE op over exact ints), but the join is hash-based and
+    the shuffle carries (element, doc_id) pairs.  Still guarded: the
+    OUTPUT is quadratic in co-occurring docs per shingle, so unsampled
+    corpora are refused — the production dedup path remains
+    ``minhash_lsh_pairs``."""
     n = docs.count()
     if n > max_rows:
         raise ValueError(
@@ -308,20 +316,25 @@ def ngram_jaccard_pairs(docs: DataFrame, max_rows: int = 1000) -> DataFrame:
     sh = docs.select(
         "doc_id",
         F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_N)).alias("sset"),
+    ).persist()
+    sizes = sh.select("doc_id", F.size("sset").alias("n_elems"))
+    elems = sh.select("doc_id", F.explode("sset").alias("elem"))
+    a, b = elems.alias("a"), elems.alias("b")
+    pairs = (
+        a.join(b, "elem")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("_inter"))
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
-    union = F.size(F.col("a.sset")) + F.size(F.col("b.sset")) - inter
+    union = F.col("n_a") + F.col("n_b") - F.col("_inter")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_elems").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_elems").alias("n_b")), "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (inter.cast("double") / union).alias("jaccard"),
-            inter.alias("_inter"),
+            "doc_a",
+            "doc_b",
+            (F.col("_inter").cast("double") / union).alias("jaccard"),
         )
-        .filter(F.col("_inter") > 0)
-        .drop("_inter")
         .orderBy("doc_a", "doc_b")
     )
 

@@ -408,7 +408,6 @@ def test_no_cartesian_or_nested_loop_in_oracle_queries(spark, sf_dir):
     }
     allowed_theta = {
         "q12_range_join",           # pure range theta (verification form)
-        "q35_ngram_jaccard_pairs",  # sampled LSH-verification all-pairs
         "q37_ann_cosine_topk",      # broadcast query-matrix scorer
         "q45_levenshtein_pairs",    # `<` self-join on a keyed sample
         "q52_embedding_neardup",    # exact oracle baseline (size-guarded)
