@@ -158,3 +158,85 @@ def read_value_histogram(spark: SparkSession, bins_path: str) -> DataFrame:
         .groupBy("bin_id")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of incremental exact dedup (the streaming form of
+    the batch operator ``text.shards.q169_incremental_dedup``).
+
+    Within-batch keep-min-id, then anti-join against the accumulated
+    digest store EXCLUDING this batch's own partition — so a replayed
+    batch does not see its own digests and rewrites its two partitions
+    to the identical result (idempotent under at-least-once delivery).
+    Shuffles carry 32-byte digests, never text; the store is batch_id-
+    partitioned parquet, compacted/bucketed at cluster scale."""
+    from pyspark.sql.window import Window
+
+    from pyspark_anomaly_detection_spark.text.dedup import content_digest
+
+    spark = batch_df.sparkSession
+    w = Window.partitionBy("_digest").orderBy(id_col)
+    batch_min = (
+        batch_df.withColumn("_digest", content_digest(F.col(text_col)))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    try:
+        seen = (
+            spark.read.parquet(store_path)
+            .filter(F.col("batch_id") != int(batch_id))
+            .select("digest")
+            .distinct()
+        )
+    except Exception:  # first batch: no store yet
+        seen = None
+    kept = batch_min
+    if seen is not None:
+        kept = batch_min.join(
+            seen, batch_min["_digest"] == seen["digest"], "left_anti"
+        )
+    kept = kept.withColumn("batch_id", F.lit(int(batch_id))).persist()
+    overwrite_partitions(kept.drop("_digest"), out_path, ["batch_id"])
+    overwrite_partitions(
+        kept.select(F.col("_digest").alias("digest"), "batch_id"),
+        store_path,
+        ["batch_id"],
+    )
+    kept.unpersist()
+
+
+def start_incremental_dedup(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Exact-dedup a document stream against everything already ingested:
+    each micro-batch keeps only content never seen in prior batches, and
+    appends its new digests to the store.  State is the digest store
+    itself (32 bytes/unique doc — the minimum any exact dedup can hold),
+    not executor memory, so the operator survives restarts and scales to
+    corpus-lifetime history."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dedup_batch(batch_df, batch_id, store_path, out_path, text_col, id_col)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

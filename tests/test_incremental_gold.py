@@ -106,6 +106,62 @@ def test_incremental_cms_converges_to_batch_sketch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_incremental_dedup_keeps_each_content_once(spark, sf_dir, tmp_path):
+    """Streaming exact dedup against the accumulated digest store: across
+    all micro-batches every distinct content survives EXACTLY once (the
+    dedup guarantee, independent of batch order), and replaying a batch
+    with the same batch_id rewrites its partitions to the identical
+    result (at-least-once safety)."""
+    from pyspark_anomaly_detection_spark.streaming.incremental import (
+        dedup_batch,
+        start_incremental_dedup,
+    )
+    from pyspark_anomaly_detection_spark.text.dedup import content_digest
+
+    raw = str(tmp_path / "docs")
+    store = str(tmp_path / "digests")
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, sf_dir, "documents")
+    # the corpus has no natural exact dups — inject cross-batch copies
+    # (same text, new ids) as a separate file so later batches must drop
+    # them against the store
+    copies = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    docs.repartition(3).write.parquet(raw)
+    copies.coalesce(1).write.mode("append").parquet(raw)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(raw).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(raw)
+    )
+    q = start_incremental_dedup(stream, store, out, ckpt)
+    q.awaitTermination()
+
+    n_batches = spark.read.parquet(out).select("batch_id").distinct().count()
+    assert n_batches > 1, "maxFilesPerTrigger=1 must produce multiple batches"
+    docs = docs.unionByName(copies)
+
+    kept = spark.read.parquet(out)
+    kept_digests = [
+        r.d for r in kept.select(content_digest(F.col("text")).alias("d")).collect()
+    ]
+    all_digests = {
+        r.d for r in docs.select(content_digest(F.col("text")).alias("d")).collect()
+    }
+    assert len(kept_digests) == len(set(kept_digests)), "a content survived twice"
+    assert set(kept_digests) == all_digests, "a content was lost"
+
+    # replay batch 0 (same batch_id, same rows): outputs must not change
+    before = {tuple(r) for r in kept.collect()}
+    batch0 = kept.filter(F.col("batch_id") == 0).drop("batch_id")
+    dedup_batch(batch0, 0, store, out)
+    after = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert after == before
+
+
 def test_incremental_drift_histogram_converges_to_batch(spark, sf_dir, tmp_path):
     """Streaming drift maintenance: per-batch bin-count deltas merge to
     exactly the one-shot batch histogram (bin-count additivity), giving
