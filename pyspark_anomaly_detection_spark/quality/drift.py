@@ -82,10 +82,10 @@ def _bin_case_sql(col: str) -> str:
       bin_id,
       base_n,
       new_n,
-      CAST(base_n AS DOUBLE) / base_t AS p_base,
-      CAST(new_n AS DOUBLE) / new_t AS p_new,
-      (CAST(base_n AS DOUBLE) / base_t)
-        / NULLIF(CAST(new_n AS DOUBLE) / new_t, 0) AS odds_ratio
+      CAST(base_n AS DOUBLE) / NULLIF(base_t, 0) AS p_base,
+      CAST(new_n AS DOUBLE) / NULLIF(new_t, 0) AS p_new,
+      (CAST(base_n AS DOUBLE) / NULLIF(base_t, 0))
+        / NULLIF(CAST(new_n AS DOUBLE) / NULLIF(new_t, 0), 0) AS odds_ratio
     FROM counts, totals
     ORDER BY bin_id
     """,
@@ -110,8 +110,8 @@ def q163_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("base_n").cast("double").alias("base_t"),
         F.sum("new_n").cast("double").alias("new_t"),
     )
-    p_base = F.col("base_n").cast("double") / F.col("base_t")
-    p_new = F.col("new_n").cast("double") / F.col("new_t")
+    p_base = F.try_divide(F.col("base_n").cast("double"), F.col("base_t"))
+    p_new = F.try_divide(F.col("new_n").cast("double"), F.col("new_t"))
     return (
         counts.crossJoin(F.broadcast(totals))
         .select(
@@ -162,9 +162,9 @@ def psi_from_components(rows) -> float:
       event_type,
       base_n,
       new_n,
-      CAST(base_n AS DOUBLE) / base_t AS p_base,
-      CAST(new_n AS DOUBLE) / new_t AS p_new,
-      CAST(new_n AS DOUBLE) / new_t - CAST(base_n AS DOUBLE) / base_t
+      CAST(base_n AS DOUBLE) / NULLIF(base_t, 0) AS p_base,
+      CAST(new_n AS DOUBLE) / NULLIF(new_t, 0) AS p_new,
+      CAST(new_n AS DOUBLE) / NULLIF(new_t, 0) - CAST(base_n AS DOUBLE) / NULLIF(base_t, 0)
         AS share_delta
     FROM counts, totals
     ORDER BY event_type
@@ -184,8 +184,8 @@ def q164_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("base_n").cast("double").alias("base_t"),
         F.sum("new_n").cast("double").alias("new_t"),
     )
-    p_base = F.col("base_n").cast("double") / F.col("base_t")
-    p_new = F.col("new_n").cast("double") / F.col("new_t")
+    p_base = F.try_divide(F.col("base_n").cast("double"), F.col("base_t"))
+    p_new = F.try_divide(F.col("new_n").cast("double"), F.col("new_t"))
     return (
         counts.crossJoin(F.broadcast(totals))
         .select(

@@ -505,6 +505,53 @@ def test_q163_odds_ratio_null_on_empty_bin(spark, tmp_path):
     assert got == oracle
 
 
+def test_drift_queries_survive_empty_half(spark, tmp_path):
+    """If EVERY event lands before the split (a plausible regenerated-
+    testdata shape), new_t is 0 — both drift queries must yield NULL
+    shares, not an ANSI DIVIDE_BY_ZERO, and agree with the NULLIF-guarded
+    oracle."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_anomaly_detection_spark.quality.drift import (
+        q163_psi_value_drift,
+        q164_categorical_drift,
+    )
+    from pyspark_anomaly_detection_spark.registry import all_queries
+
+    day = datetime.datetime(2024, 1, 2)  # everything in the base half
+    n = 6
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([day] * n, pa.timestamp("us")),
+            "user_id": pa.array(range(n), pa.int64()),
+            "event_type": pa.array(["view", "click"] * 3, pa.string()),
+            "value": pa.array([1.0, 10.0, 40.0, 90.0, 200.0, 400.0], pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    for fn, name in (
+        (q163_psi_value_drift, "q163_psi_value_drift"),
+        (q164_categorical_drift, "q164_categorical_drift"),
+    ):
+        got = [tuple(r) for r in fn(spark, str(tmp_path)).collect()]
+        want = [tuple(r) for r in con.execute(all_queries()[name].oracle).fetchall()]
+        assert got == want, name
+        # every share over the empty half is NULL, never an error
+        assert all(r[4] is None for r in got), name
+    con.close()
+
+
 def test_bm25_empty_corpus_hit_returns_empty(spark):
     """If no query term occurs in the corpus the ranking must be an empty
     DataFrame with the output schema, not an .isin() arity error."""
