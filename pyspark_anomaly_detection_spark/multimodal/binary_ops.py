@@ -418,20 +418,23 @@ RESIZE_SCHEMA = StructType(
 def resize_images(
     df: DataFrame, target_w: int = 64, target_h: int = 64
 ) -> DataFrame:
-    """Image-resize plumbing over ``mapInPandas``: Arrow batches of binary
+    """REAL image resize over ``mapInPandas``: Arrow batches of binary
     payloads in, resized payloads + updated width/height metadata out,
     per-row error capture (``resize_ok``) instead of task failure.
 
-    The codec is STUBBED (no Pillow in this container): the "resized"
-    payload is a deterministic ``target_w·target_h``-byte downsample of
-    the input bytes (stride sampling — shape-correct, reproducible).
-    Swap ``_stub_resize`` for ``PIL.Image.resize`` in production; the
-    Spark-side contract (schema, batch shape, metadata update, error
-    quarantine) is what this function owns and what the tests pin.
+    Natively-decodable payloads (PPM/BMP/PNG — magic-sniffed) go through
+    the real path: decode → nearest-neighbor pixel resample
+    (``codecs.resize_pixels``) → re-encode as a standalone binary PPM
+    (``resize_ok='ok'``).  Undecodable formats (JPEG/...) fall back to a
+    deterministic byte-stride downsample marked ``resize_ok='stub'`` —
+    the Pillow swap-in point, never silently wrong.
     """
     import pandas as pd
 
+    from pyspark_anomaly_detection_spark.multimodal import codecs
+
     n_out = target_w * target_h
+    decodable = (codecs.PPM_MAGIC, codecs.BMP_MAGIC, codecs.PNG_MAGIC[:2])
 
     def _stub_resize(payload: bytes) -> bytes:
         if not payload:
@@ -451,10 +454,18 @@ def resize_images(
             }
             for payload in pdf["payload"]:
                 try:
-                    out["payload"].append(_stub_resize(bytes(payload)))
+                    raw = bytes(payload)
+                    if raw[:2] in decodable:
+                        small = codecs.resize_pixels(
+                            codecs.decode_image(raw), target_w, target_h
+                        )
+                        out["payload"].append(codecs.encode_ppm(small))
+                        out["resize_ok"].append("ok")
+                    else:
+                        out["payload"].append(_stub_resize(raw))
+                        out["resize_ok"].append("stub")
                     out["width"].append(target_w)
                     out["height"].append(target_h)
-                    out["resize_ok"].append("ok")
                 except Exception as exc:
                     out["payload"].append(None)
                     out["width"].append(None)

@@ -350,6 +350,16 @@ def image_stats_features(arr: np.ndarray) -> list[float]:
     ]
 
 
+def resize_pixels(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (h, w, c) → (target_h, target_w, c) via
+    numpy index sampling — pixel-center convention (the OpenCV/PIL
+    NEAREST default), deterministic on any platform."""
+    h, w = arr.shape[:2]
+    rows = np.minimum(((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(target_w) + 0.5) * w / target_w).astype(np.int64), w - 1)
+    return arr[rows[:, None], cols[None, :]]
+
+
 # ------------------------------------------------- WAV (RIFF, 16-bit PCM)
 
 WAV_MAGIC = b"RIFF"

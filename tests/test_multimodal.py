@@ -73,15 +73,18 @@ def test_frame_sampling(media_frame):
     assert (pdf["offset_ms"] % 1000 == 0).all()
 
 
-def test_resize_images_plumbing(spark, sf_dir):
-    """Resize contract: every image row survives with exactly w×h payload
-    bytes, updated metadata, deterministic output across runs."""
+def test_resize_images_real_decode_resample_reencode(spark, sf_dir):
+    """Resize contract: every synthesized PPM image row goes through the
+    REAL path — decoded, nearest-neighbor resampled, re-encoded as a
+    standalone 8×4 PPM — with updated metadata and deterministic output
+    across runs."""
     from pyspark_anomaly_detection_spark.io.readers import load_table
     from pyspark_anomaly_detection_spark.multimodal.binary_ops import (
         attach_media_metadata,
         media_table_from_documents,
         resize_images,
     )
+    from pyspark_anomaly_detection_spark.multimodal.codecs import decode_ppm
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_metadata(media_table_from_documents(docs))
@@ -91,10 +94,53 @@ def test_resize_images_plumbing(spark, sf_dir):
     rows = resized.collect()
     assert len(rows) == n_images > 0
     assert all(r.resize_ok == "ok" for r in rows)
-    assert all(len(r.payload) == 32 and (r.width, r.height) == (8, 4) for r in rows)
+    assert all((r.width, r.height) == (8, 4) for r in rows)
+    for r in rows[:5]:
+        small = decode_ppm(bytes(r.payload))
+        assert small.shape == (4, 8, 3)
 
     again = {r.media_id: bytes(r.payload) for r in resize_images(media, 8, 4).collect()}
     assert all(bytes(r.payload) == again[r.media_id] for r in rows)
+
+
+def test_resize_pixels_hand_computed_and_stub_fallback(spark):
+    """Nearest-neighbor semantics pinned on a hand-checkable 4×4 block
+    image (2× downsample picks the block centers), PNG inputs resize
+    through the same path, and undecodable payloads fall back to the
+    byte-stride stub marked 'stub'."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.binary_ops import (
+        resize_images,
+    )
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        decode_ppm,
+        encode_png,
+        encode_ppm,
+        resize_pixels,
+    )
+
+    # 4×4 image of 2×2 constant blocks → 2×2 resize must pick one pixel
+    # from each block
+    blocks = np.zeros((4, 4, 3), dtype=np.uint8)
+    for bi, val in zip([(0, 0), (0, 1), (1, 0), (1, 1)], [10, 60, 110, 210]):
+        blocks[2 * bi[0] : 2 * bi[0] + 2, 2 * bi[1] : 2 * bi[1] + 2] = val
+    small = resize_pixels(blocks, 2, 2)
+    assert small[..., 0].tolist() == [[10, 60], [110, 210]]
+    # identity resize is a no-op
+    assert (resize_pixels(blocks, 4, 4) == blocks).all()
+
+    rows = [
+        (0, "image", bytearray(encode_ppm(blocks))),
+        (1, "image", bytearray(encode_png(blocks, filter_type=3))),
+        (2, "image", bytearray(b"\xff\xd8jpeg-not-decodable-payload-xyz")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, modality string, payload binary")
+    got = {r.media_id: r for r in resize_images(df, 2, 2).collect()}
+    for i in (0, 1):
+        assert got[i].resize_ok == "ok"
+        assert (decode_ppm(bytes(got[i].payload))[..., 0] == [[10, 60], [110, 210]]).all()
+    assert got[2].resize_ok == "stub" and len(got[2].payload) == 4
 
 
 # ---------------------------------------------------------------- codecs
