@@ -85,6 +85,62 @@ def q168_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-stratum keep rates for the deterministic sampler, in basis points
+#: (exact integer thresholds — no float compare ambiguity across engines).
+SAMPLE_RATES_BP = {"view": 1000, "click": 5000, "purchase": 10000, "error": 10000, "signup": 2500}
+
+
+@register(
+    "q173_deterministic_stratified_sample",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type, event_id,
+             ({MD5_LONG60_SQL.format(x="CAST(event_id AS VARCHAR)")}) % 10000
+               AS bp
+      FROM events
+    )
+    SELECT
+      event_type,
+      COUNT(*) AS n_total,
+      CAST(SUM(CASE WHEN bp < CASE event_type
+        {" ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES_BP.items())}
+        ELSE 0 END THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      CAST(MIN(CASE WHEN bp < CASE event_type
+        {" ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES_BP.items())}
+        ELSE 0 END THEN event_id END) AS BIGINT) AS min_sampled_id
+    FROM hashed
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q173_deterministic_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stratified sampling the REPRODUCIBLE way: keep a row iff the md5
+    hash of its id falls under the stratum's basis-point threshold —
+    the same row is kept on any engine, any run, any partitioning, and
+    growing the table never resamples existing rows (none of which
+    ``sampleBy``'s seeded RNG guarantees; that is why q88 is rows-only
+    while THIS query is fully oracle-hashed).  One scan, one hash
+    aggregation; the full assignment is pinned through per-stratum
+    counts + min sampled id."""
+    ev = load_table(spark, sf_dir, "events")
+    bp = md5_long60(F.col("event_id").cast("string")) % 10000
+    rate = F.lit(0)
+    for etype, rate_bp in SAMPLE_RATES_BP.items():
+        rate = F.when(F.col("event_type") == etype, F.lit(rate_bp)).otherwise(rate)
+    kept = bp < rate
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_sampled"),
+            F.min(F.when(kept, F.col("event_id"))).alias("min_sampled_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "q169_incremental_dedup",
     oracle=f"""
