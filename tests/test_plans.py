@@ -380,6 +380,26 @@ def test_plan_audit_covers_current_registry():
     assert not errors, errors[:3]
 
 
+def test_bench_all_artifact_consistent():
+    """The committed full-registry sweep artifact must parse, carry zero
+    errors, and reference only registered queries (subset, not equality —
+    the 15-minute sweep is refreshed per round, not per commit)."""
+    import glob
+    import json
+    import os
+
+    from pyspark_anomaly_detection_spark.registry import all_queries
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    artifacts = sorted(glob.glob(os.path.join(root, "BENCH_ALL_r*.json")))
+    assert artifacts, "full-registry sweep artifact missing"
+    data = json.load(open(artifacts[-1]))
+    assert data["errors"] == {}, data["errors"]
+    unknown = set(data["queries"]) - set(all_queries())
+    assert not unknown, f"artifact references unregistered queries: {unknown}"
+    assert max(data["queries"].values()) <= 10.0, "tail query exceeds 10 s cap"
+
+
 def test_no_cartesian_or_nested_loop_in_oracle_queries(spark, sf_dir):
     """Blanket invariant: no oracle-checked query may plan a cartesian
     product or nested-loop join between two MULTI-ROW sides.  Two benign
