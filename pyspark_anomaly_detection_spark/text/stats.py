@@ -848,3 +848,80 @@ def q165_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0)
     merges = bpe_train(sample)
     return bpe_encode(docs, merges).orderBy("doc_id")
+
+
+# ----------------------------------------- compressibility quality (q174)
+
+#: zlib level is pinned so compressed lengths are deterministic for a
+#: given zlib build; thresholds below are ratio-based, robust to the
+#: ±few-byte variation across zlib versions.
+ZLIB_LEVEL = 6
+
+#: compressed/raw below this ⇒ the text is dominated by long-range
+#: repetition (boilerplate, template spam) — the flag threshold the
+#: Gopher/CCNet-style cleaning stacks apply.
+LOW_COMPRESS_RATIO = 0.35
+
+
+def compressibility(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document zlib compression ratio — the long-range-redundancy
+    quality signal that token-level repetition (q96) cannot see: a
+    document alternating two sentences has near-zero immediate-repeat
+    ratio but compresses to almost nothing.
+
+    DEFLATE runs as an Arrow-batched ``mapInPandas`` (C-speed zlib per
+    batch, no per-row Python overhead beyond the call); the aggregation
+    stays JVM-side.  This is the legitimate pandas path: compression is
+    not a relational expression.
+    """
+    import zlib
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raw, comp = [], []
+            for text in pdf[text_col]:
+                b = (text or "").encode("utf-8")
+                raw.append(len(b))
+                comp.append(len(zlib.compress(b, ZLIB_LEVEL)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": pd.Series(raw, dtype="int64"),
+                    "comp_len": pd.Series(comp, dtype="int64"),
+                }
+            )
+
+    out = docs.select("doc_id", text_col).mapInPandas(
+        score, "doc_id long, raw_len long, comp_len long"
+    )
+    return out.withColumn(
+        "ratio",
+        F.try_divide(F.col("comp_len").cast("double"), F.col("raw_len").cast("double")),
+    )
+
+
+@register("q174_compressibility_quality", oracle=None)  # zlib is not a SQL
+# expression; hand-computed ratios + redundancy monotonicity pinned in
+# tests/test_text_quality.py
+def q174_compressibility_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compressibility profile: document counts, mean
+    compression ratio, and how many docs fall under the boilerplate
+    threshold — the corpus-cleaning dashboard row for long-range
+    redundancy."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = compressibility(docs)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("ratio").alias("mean_ratio"),
+            F.min("ratio").alias("min_ratio"),
+            F.sum((F.col("ratio") < LOW_COMPRESS_RATIO).cast("long")).alias(
+                "n_boilerplate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,60 @@
+"""Compressibility quality signal: hand-computed zlib ratios, redundancy
+monotonicity, and the per-source profile row shape."""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.text.stats import (
+    LOW_COMPRESS_RATIO,
+    ZLIB_LEVEL,
+    compressibility,
+)
+
+
+def test_compressibility_matches_local_zlib(spark):
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog in the yard"),
+        (1, "spam spam spam spam spam spam spam spam spam spam spam"),
+        (2, "x" * 400),
+        (3, "a perfectly ordinary sentence with varied words here"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r.doc_id: r for r in compressibility(df).collect()}
+    for doc_id, text in texts:
+        b = text.encode("utf-8")
+        assert got[doc_id].raw_len == len(b)
+        assert got[doc_id].comp_len == len(zlib.compress(b, ZLIB_LEVEL))
+        assert got[doc_id].ratio == got[doc_id].comp_len / got[doc_id].raw_len
+    # long-range redundancy compresses harder than varied prose
+    assert got[2].ratio < got[1].ratio < got[0].ratio
+    assert got[2].ratio < LOW_COMPRESS_RATIO  # degenerate text is flagged
+
+
+def test_q174_per_source_profile(spark, sf_dir):
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+    from pyspark_anomaly_detection_spark.registry import all_queries
+
+    rows = all_queries()["q174_compressibility_quality"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources
+    total = sum(r.n_docs for r in rows)
+    assert total == docs.count()
+    for r in rows:
+        assert 0.0 < r.min_ratio <= r.mean_ratio
+        assert 0 <= r.n_boilerplate <= r.n_docs
+
+
+def test_compressibility_deterministic_across_partitionings(spark, sf_dir):
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {(r.doc_id, r.comp_len) for r in compressibility(docs).collect()}
+    b = {
+        (r.doc_id, r.comp_len)
+        for r in compressibility(docs.repartition(13)).collect()
+    }
+    assert a == b
