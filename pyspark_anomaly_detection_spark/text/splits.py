@@ -20,6 +20,7 @@ from pyspark_anomaly_detection_spark.functions import (
     fmt_ts,
     md5_long60,
     sum_dbl,
+    tokens,
 )
 from pyspark_anomaly_detection_spark.io.readers import load_table
 from pyspark_anomaly_detection_spark.registry import register
@@ -805,4 +806,69 @@ def q137_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------- curriculum deciles (q175)
+
+
+@register(
+    "q175_curriculum_deciles",
+    oracle="""
+    WITH scored AS (
+      SELECT
+        source, doc_id,
+        len(str_split(text, ' ')) AS n_tokens,
+        len(list_distinct(str_split(text, ' '))) AS difficulty
+      FROM documents
+    ),
+    staged AS (
+      SELECT source, doc_id, n_tokens, difficulty,
+             NTILE(10) OVER (PARTITION BY source
+                             ORDER BY difficulty, doc_id) AS decile
+      FROM scored
+    )
+    SELECT
+      source, decile,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      CAST(MIN(difficulty) AS BIGINT) AS min_difficulty,
+      CAST(MAX(difficulty) AS BIGINT) AS max_difficulty
+    FROM staged
+    GROUP BY source, decile
+    ORDER BY source, decile
+    """,
+)
+def q175_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordering manifest: documents ranked easy→hard per source
+    (difficulty proxy = distinct-token count, an exact integer so both
+    engines order identically; ties by doc_id) and bucketed into deciles —
+    the stage table a curriculum sampler walks from decile 1 upward.
+
+    NTILE is PARTITIONED BY SOURCE deliberately: a global ntile is a
+    single-task sort at 100 TB, while the per-source form shuffles once
+    on the source key and sorts within partitions (at extreme per-source
+    cardinality the same manifest falls out of a two-pass histogram +
+    range assignment — noted, not needed here)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("difficulty"),
+    )
+    w = Window.partitionBy("source").orderBy("difficulty", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("difficulty").alias("min_difficulty"),
+            F.max("difficulty").alias("max_difficulty"),
+        )
+        .orderBy("source", "decile")
     )
