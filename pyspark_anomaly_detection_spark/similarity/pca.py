@@ -21,6 +21,11 @@ query is rows-only by design (like every float fixpoint here), pinned by
 property tests: projected variance per component equals the eigenvalue,
 components are orthonormal, eigenvalues match numpy's exact PCA on the
 collected corpus at test scale.
+
+Reference parity: the reference has no linear-algebra operators (its ML
+surface is the MLlib pipeline, src/models/train.py); this is a
+beyond-reference LLM-pipeline operator per the harness brief (embedding
+whitening feeds ANN index quality and PQ codebook training).
 """
 
 from __future__ import annotations

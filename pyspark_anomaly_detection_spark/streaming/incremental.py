@@ -189,6 +189,8 @@ def dedup_batch(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+    from pyspark.errors import AnalysisException
+
     try:
         seen = (
             spark.read.parquet(store_path)
@@ -196,7 +198,7 @@ def dedup_batch(
             .select("digest")
             .distinct()
         )
-    except Exception:  # first batch: no store yet
+    except AnalysisException:  # first batch: no store yet
         seen = None
     kept = batch_min
     if seen is not None:
