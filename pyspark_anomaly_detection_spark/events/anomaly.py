@@ -635,3 +635,78 @@ def q135_pandas_udaf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- seasonal profile (q176)
+
+
+@register(
+    "q176_seasonal_residuals",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             dayofweek(ts) AS dow,
+             hour(ts) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,2))) AS dec_sum
+      FROM events GROUP BY event_type, dow, hod
+    ),
+    typ AS (
+      SELECT event_type,
+             SUM(dec_sum) AS t_sum,
+             CAST(SUM(n_events) AS BIGINT) AS t_n
+      FROM cells GROUP BY event_type
+    )
+    SELECT
+      c.event_type, c.dow, c.hod, c.n_events,
+      CAST(c.dec_sum AS DOUBLE) / c.n_events AS cell_mean,
+      (CAST(c.dec_sum AS DOUBLE) / c.n_events)
+        / (CAST(t.t_sum AS DOUBLE) / t.t_n) AS seasonal_index
+    FROM cells c JOIN typ t USING (event_type)
+    ORDER BY event_type, dow, hod
+    """,
+)
+def q176_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly×hourly seasonal profile per event_type — the seasonality
+    operator the anomaly family lacked: mean value per (day-of-week,
+    hour-of-day) cell and its index against the series mean.  An index
+    far from 1.0 IS the expected seasonal swing; residual-based alerting
+    (q130's daily monitor) divides by this profile so Monday-morning
+    peaks stop paging anyone.
+
+    Exactness: cell and series means come from one decimal-sum
+    aggregation tree (cells → type totals, partials add exactly), each
+    emitted double is a single identical IEEE division in both engines.
+    One scan, two hash aggregations, a broadcast-size (type) join —
+    the always-on profile query shape at 100 TB.
+
+    Day-of-week convention: DuckDB ``dayofweek`` is 0=Sunday;
+    Spark ``dayofweek`` is 1=Sunday, so the Spark side subtracts 1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec2("value")).alias("dec_sum"),
+    )
+    typ = cells.groupBy("event_type").agg(
+        F.sum("dec_sum").alias("t_sum"),
+        F.sum("n_events").alias("t_n"),
+    )
+    cell_mean = F.col("dec_sum").cast("double") / F.col("n_events")
+    type_mean = F.col("t_sum").cast("double") / F.col("t_n")
+    return (
+        cells.join(F.broadcast(typ), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "hod",
+            "n_events",
+            cell_mean.alias("cell_mean"),
+            (cell_mean / type_mean).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow", "hod")
+    )
