@@ -78,3 +78,32 @@ def test_text_pipeline_at_1m_docs(spark):
 
     scored = docs.select("doc_id", *quality_columns(F.col("text")))
     assert scored.filter(F.col("n_tokens") >= 5).count() == n
+
+
+def test_shard_and_sample_at_20m_rows(spark):
+    """The sharding/sampling layer at 33×-testdata volume: md5-hash shard
+    assignment stays balanced (every shard within 5% of uniform — the
+    data-loader's epoch-planning assumption) and hash-threshold sampling
+    is bit-deterministic under repartitioning (identical kept-count, no
+    RNG, no partition dependence)."""
+    from pyspark_anomaly_detection_spark.functions import md5_long60
+    from pyspark_anomaly_detection_spark.text.shards import N_SHARDS, shard_assign
+
+    n = 20_000_000
+    rows = spark.range(n, numPartitions=64).select(F.col("id").alias("doc_id"))
+
+    counts = {
+        r.shard_id: r.n
+        for r in shard_assign(rows).groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(counts) == N_SHARDS
+    uniform = n / N_SHARDS
+    assert all(abs(c - uniform) / uniform < 0.05 for c in counts.values()), counts
+
+    kept = F.sum(
+        (md5_long60(F.col("doc_id").cast("string")) % 10000 < 1000).cast("long")
+    )
+    a = rows.agg(kept.alias("k")).collect()[0].k
+    b = rows.repartition(17).agg(kept.alias("k")).collect()[0].k
+    assert a == b
+    assert abs(a / n - 0.10) < 0.005  # ~10% rate, hash-uniform
