@@ -59,8 +59,12 @@ def mllib_minhash_pairs(
         inputCol="text", outputCol="toks", pattern=" ", minTokenLength=1
     )
     ngram = NGram(n=3, inputCol="toks", outputCol="shingles")
-    shingled = ngram.transform(tok.transform(docs)).filter(
-        F.size("shingles") > 0
+    # shingled feeds BOTH the CountVectorizer fit and the transform —
+    # persist so tokenize+ngram runs once (measured 5.1 → 4.0 s at sf0.1).
+    shingled = (
+        ngram.transform(tok.transform(docs))
+        .filter(F.size("shingles") > 0)
+        .persist()
     )
     cv = CountVectorizer(
         inputCol="shingles", outputCol="features", binary=True
