@@ -17,10 +17,13 @@ moments + an 8-band spectrum (``codecs.audio_stats_features``).  Video
 decode is REAL for RIFF/AVI uncompressed DIB: ``codecs.decode_avi``
 walks the container and emits luma/motion statistics
 (``codecs.video_stats_features``); ``sample_frames`` extracts real
-frames and re-encodes each as a standalone PPM.  Compressed formats
-(JPEG/PNG/MP3/MP4/...) remain the documented Pillow/ffmpeg swap-in
-point (see ``REAL_CODECS_AVAILABLE``); those payloads fall back to a
-deterministic byte-histogram feature so the plumbing stays total.
+frames and re-encodes each as a standalone PPM.  PNG (stdlib zlib) and
+baseline-sequential JPEG (pure-numpy Huffman + iDCT, multimodal/jpeg.py)
+decode natively too — exercised distributed by q178.  The remaining
+compressed formats (progressive JPEG/MP3/MP4/...) are the documented
+Pillow/ffmpeg swap-in point (see ``REAL_CODECS_AVAILABLE``); those
+payloads fall back to a deterministic byte-histogram feature so the
+plumbing stays total.
 """
 
 from __future__ import annotations
@@ -86,7 +89,8 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 def _decode_payload(payload: bytes, modality: str) -> list[float]:
     """Decode → FEATURE_DIM feature vector.
 
-    Images in a natively-decodable format (PPM/BMP/PNG — magic-sniffed)
+    Images in a natively-decodable format (PPM/BMP/PNG/baseline-JPEG —
+    magic-sniffed)
     go through the REAL numpy decoder and emit pixel statistics
     (``codecs.image_stats_features``: geometry, per-channel moments, luma).
     Audio in RIFF/WAVE 16-bit PCM decodes through ``codecs.decode_wav``
@@ -103,6 +107,7 @@ def _decode_payload(payload: bytes, modality: str) -> list[float]:
         codecs.PPM_MAGIC,
         codecs.BMP_MAGIC,
         codecs.PNG_MAGIC[:2],
+        b"\xff\xd8",  # baseline JPEG (multimodal/jpeg.py)
     ):
         return codecs.image_stats_features(codecs.decode_image(bytes(payload)))
     if modality == "audio" and payload[:4] == codecs.WAV_MAGIC:
@@ -311,6 +316,88 @@ def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.element_at("feature", 1)).alias("f1_sum"),
         )
         .orderBy("modality", "decode_ok")
+    )
+
+
+#: q178 synthetic JPEG geometry (width must differ from height so the
+#: decoded-geometry assertion catches a transposed decode).
+_JPEG_W, _JPEG_H = 24, 16
+
+
+def jpeg_media_from_documents(
+    docs: DataFrame, every: int = 7, quality: int = 85
+) -> DataFrame:
+    """Deterministic JPEG payloads synthesized DISTRIBUTED (mapInPandas):
+    each kept doc derives a 16×24 RGB image from chained md5(text ‖ i)
+    digests — the same trick the JVM-side PPM synthesis uses — then
+    encodes it as baseline 4:2:0 JPEG (multimodal/jpeg.py).  Unlike the
+    PPM/WAV payloads, JPEG bytes cannot be built with SQL expressions,
+    so this stage doubles as a distributed ENCODE exercise; q178 decodes
+    the result back through the standard feature extractor.  Content
+    depends only on (text), never on partitioning — repartition-stable."""
+    import hashlib
+
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    n_bytes = _JPEG_W * _JPEG_H * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = bytearray()
+                i = 0
+                while len(raw) < n_bytes:
+                    raw += hashlib.md5(f"{text}|{i}".encode()).digest()
+                    i += 1
+                pixels = (
+                    np.frombuffer(bytes(raw[:n_bytes]), dtype=np.uint8)
+                    .reshape(_JPEG_H, _JPEG_W, 3)
+                )
+                payloads.append(
+                    encode_jpeg_baseline(pixels, quality=quality, subsampling="420")
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "modality": "image",
+                    "codec": "jpeg",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.filter(F.col("doc_id") % every == 0).select(
+        "doc_id", "text"
+    ).mapInPandas(
+        run,
+        schema="media_id long, modality string, codec string, payload binary",
+    )
+
+
+@register("q178_jpeg_decode_stats", oracle=None)  # rows-only: python codec path
+def q178_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed JPEG round trip: synthesize deterministic baseline
+    4:2:0 JPEGs from document text (mapInPandas encode), then run them
+    through the standard Arrow-batched decode + feature extraction.
+    Aggregate pins the codec end-to-end: every row must decode ok with
+    the exact synthesized geometry, and the mean-luma sum is a stable
+    corpus statistic (invariants in tests/test_jpeg.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_metadata(jpeg_media_from_documents(docs))
+    feats = extract_features(media)
+    return (
+        feats.groupBy("decode_ok")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum(F.element_at("feature", 1)).alias("width_sum"),
+            F.sum(F.element_at("feature", 2)).alias("height_sum"),
+            F.avg(F.element_at("feature", 15)).alias("mean_luma"),
+        )
+        .orderBy("decode_ok")
     )
 
 

@@ -6,8 +6,10 @@ ubiquitous formats need none: binary PPM (P6) and uncompressed 24-bit BMP
 stdlib ``zlib`` (inflate + per-scanline unfiltering, implemented below).
 Implementing them here makes the multimodal pipeline's decode step REAL —
 actual width/height parsing, actual pixel arrays, actual per-channel
-statistics — while lossy formats (JPEG/MP3/MP4) remain the documented
-Pillow/ffmpeg swap-in point.
+statistics.  Baseline-sequential JPEG (Huffman + dequant + iDCT, pure
+numpy) lives in the sibling ``multimodal/jpeg.py``; the remaining lossy
+formats (progressive JPEG, MP3/MP4) are the documented Pillow/ffmpeg
+swap-in point.
 
 Both decoders return ``uint8`` arrays shaped ``(height, width, 3)`` in RGB
 order; both encoders round-trip bit-exactly (tests pin this).
@@ -297,8 +299,10 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-sniffing decode → RGB uint8 (h, w, 3).  PNG alpha is dropped
-    (the stats pipeline is RGB); raises ValueError for formats needing a
-    real codec library (JPEG/...)."""
+    (the stats pipeline is RGB); baseline JPEG decodes via the pure-numpy
+    T.81 implementation (multimodal/jpeg.py); remaining compressed
+    formats (progressive JPEG, WebP, ...) raise for the documented
+    Pillow swap-in."""
     if payload is None or len(payload) < 2:
         raise ValueError("empty image payload")
     if payload.startswith(PPM_MAGIC):
@@ -308,6 +312,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload.startswith(PNG_MAGIC[:2]):
         arr = decode_png(payload)
         return np.ascontiguousarray(arr[:, :, :3])
+    if payload.startswith(b"\xff\xd8"):
+        from pyspark_anomaly_detection_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(
         f"unsupported image format (magic {payload[:2]!r}); "
         "wire Pillow into decode_image for compressed formats"

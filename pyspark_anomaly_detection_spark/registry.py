@@ -43,12 +43,27 @@ REGISTRY: dict[str, Query] = {}
 
 
 def register(name: str, oracle: str | None = None, headline: bool = False):
-    """Decorator: register a named query with its DuckDB oracle SQL."""
+    """Decorator: register a named query with its DuckDB oracle SQL.
+
+    Each registered fn is wrapped to release the PREVIOUS query's tracked
+    persist() pool on entry (see cachepool.py) — so sweeps that run the
+    whole registry in one session keep at most one query's working set
+    cached instead of accumulating entries per invocation."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(fn=fn, oracle=oracle, headline=headline)
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from pyspark_anomaly_detection_spark.cachepool import release_tracked
+
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        REGISTRY[name] = Query(fn=wrapped, oracle=oracle, headline=headline)
         return fn
 
     return deco

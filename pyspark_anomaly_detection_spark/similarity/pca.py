@@ -72,6 +72,13 @@ def embedding_moments(
         .collect()
     )
     n = sum(r.n for r in rows)
+    if n < 2:
+        # the n−1 denominator below would divide by zero and flow
+        # silently (inf/nan) into eigh/pca_fit — fail loudly instead,
+        # matching the empty-input error above.
+        raise ValueError(
+            f"embedding_moments: sample covariance needs n >= 2 rows, got {n}"
+        )
     s = np.sum([np.asarray(r.s) for r in rows], axis=0)
     o = np.sum([np.asarray(r.o) for r in rows], axis=0).reshape(d, d)
     mean = s / n

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark_anomaly_detection_spark.cachepool import tracked_persist
 from pyspark_anomaly_detection_spark.io.readers import load_table
 from pyspark_anomaly_detection_spark.registry import register
 from pyspark_anomaly_detection_spark.text.dedup import minhash_lsh_pairs
@@ -164,7 +165,7 @@ def q76_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash+LSH pipeline once per iteration (measured 27 s → ~4 s at
     # sf0.1).  cache() + eager count pins the ~|pairs| rows in memory; at
     # cluster scale this is a checkpoint/staging-table write instead.
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b").cache()
+    pairs = tracked_persist(minhash_lsh_pairs(docs).select("doc_a", "doc_b"))
     pairs.count()
     pairs.createOrReplaceTempView("_cc_pairs")
     return spark.sql(_RECURSIVE_REACH_SQL.format(pairs="_cc_pairs"))
@@ -306,10 +307,10 @@ def q149_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash-LSH pipeline — at 100 TB that multiplies the dominant cost
     # by 3-4×.  persist() materializes it once on first action and keeps
     # lineage for recovery; PLAN_AUDIT's q149 row shows documents×1.
-    edges = (
-        minhash_lsh_pairs(docs)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .persist()
+    edges = tracked_persist(
+        minhash_lsh_pairs(docs).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (

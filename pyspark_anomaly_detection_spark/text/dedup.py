@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark_anomaly_detection_spark.cachepool import tracked_persist
 from pyspark_anomaly_detection_spark.functions import (
     MD5_LONG60_SQL,
     MINHASH_P,
@@ -313,10 +314,14 @@ def ngram_jaccard_pairs(docs: DataFrame, max_rows: int = 1000) -> DataFrame:
             "sample the input (e.g. a keyed doc_id % k filter) or use the "
             "banded LSH pipeline for production dedup"
         )
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_N)).alias("sset"),
-    ).persist()
+    sh = tracked_persist(
+        docs.select(
+            "doc_id",
+            F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_N)).alias(
+                "sset"
+            ),
+        )
+    )
     sizes = sh.select("doc_id", F.size("sset").alias("n_elems"))
     elems = sh.select("doc_id", F.explode("sset").alias("elem"))
     a, b = elems.alias("a"), elems.alias("b")

@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_anomaly_detection_spark.cachepool import tracked_persist
 from pyspark_anomaly_detection_spark.functions import (
     MD5_LONG60_SQL,
     md5_long60,
@@ -76,17 +77,20 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def prefix_jaccard_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
-) -> DataFrame:
-    """All (doc_a < doc_b) pairs with shingle-set Jaccard ≥ threshold —
-    exact result, prefix-filtered + length-filtered candidates."""
+def _prefix_stage(
+    docs: DataFrame, threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """(per_doc, candidate pairs) — the blocking half of the PPJoin.
+
+    Split out so tests can pin BLOCKING quality numerically
+    (|candidates| vs |true pairs| — tests/test_blocking_telemetry.py),
+    not just the end result."""
     # The distinct (doc_id, elem) set feeds BOTH the df ranking and the
     # per-doc aggregation, and per_doc below feeds three join legs —
     # persist both so the shingle explode/distinct runs once, not 8×
     # (same lesson as q149's edge-list cache; PLAN_AUDIT pins the scan
     # count).
-    sh = shingle_sets(docs).persist()
+    sh = tracked_persist(shingle_sets(docs))
 
     # Global order: ascending doc-frequency, ties by element value.
     df_rank = sh.groupBy("elem").agg(F.count("*").alias("df"))
@@ -103,11 +107,14 @@ def prefix_jaccard_pairs(
         "doc_id",
         F.transform("ordered", lambda s: s["elem"]).alias("elems"),
         F.size("ordered").alias("n_elems"),
-    ).withColumn(
-        # PPJoin prefix length for Jaccard θ: n − ⌈θ·n⌉ + 1
-        "prefix_len",
-        F.col("n_elems") - F.ceil(F.lit(threshold) * F.col("n_elems")) + 1,
-    ).persist()
+    )
+    per_doc = tracked_persist(
+        per_doc.withColumn(
+            # PPJoin prefix length for Jaccard θ: n − ⌈θ·n⌉ + 1
+            "prefix_len",
+            F.col("n_elems") - F.ceil(F.lit(threshold) * F.col("n_elems")) + 1,
+        )
+    )
 
     prefix = per_doc.select(
         "doc_id",
@@ -134,6 +141,15 @@ def prefix_jaccard_pairs(
         )
         .distinct()
     )
+    return per_doc, cands
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """All (doc_a < doc_b) pairs with shingle-set Jaccard ≥ threshold —
+    exact result, prefix-filtered + length-filtered candidates."""
+    per_doc, cands = _prefix_stage(docs, threshold)
 
     left = per_doc.select(
         F.col("doc_id").alias("doc_a"),

@@ -24,6 +24,17 @@ def sf_dir() -> str:
     return SF_DIR
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Drop the tracked persist() pool after every test (cachepool.py) —
+    tests that call operators directly (bypassing the registry wrapper)
+    must not accumulate cache entries across the suite."""
+    yield
+    from pyspark_anomaly_detection_spark.cachepool import release_tracked
+
+    release_tracked()
+
+
 @pytest.fixture(scope="session")
 def duck():
     """DuckDB connection with the testdata tables registered as views —

@@ -198,3 +198,90 @@ def test_incremental_drift_histogram_converges_to_batch(spark, sf_dir, tmp_path)
         .collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_restart_recovery(spark, sf_dir, tmp_path):
+    """Kill-and-resume (round-3 verdict directive #6): stop the dedup
+    stream after the first micro-batch commits, restart from the SAME
+    checkpoint, and drain.  Exactly-once digest semantics must hold
+    across the restart: every distinct content survives once, the digest
+    store holds each digest once, and the restarted query continues from
+    the checkpointed offset (batch ids keep increasing — committed
+    batches are not reprocessed into different partitions)."""
+    import time
+
+    from pyspark_anomaly_detection_spark.streaming.incremental import (
+        start_incremental_dedup,
+    )
+    from pyspark_anomaly_detection_spark.text.dedup import content_digest
+
+    raw = str(tmp_path / "docs")
+    store = str(tmp_path / "digests")
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    docs.repartition(4).write.parquet(raw)
+    copies.coalesce(1).write.mode("append").parquet(raw)
+    all_docs = docs.unionByName(copies)
+
+    def make_stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(raw).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(raw)
+        )
+
+    # phase 1: continuous trigger, stop as soon as one batch commits
+    q = start_incremental_dedup(make_stream(), store, out, ckpt,
+                                available_now=False)
+    deadline = time.time() + 60
+    committed = 0
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] is not None and p["numInputRows"] > 0:
+            committed += 1
+            if committed >= 1:
+                break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    assert committed >= 1, "stream never committed a batch before the kill"
+    batches_before = {
+        r.batch_id for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    }
+    assert batches_before, "no output partition before the restart"
+
+    # phase 2: resume from the SAME checkpoint and drain the backlog
+    q2 = start_incremental_dedup(make_stream(), store, out, ckpt,
+                                 available_now=True)
+    q2.awaitTermination()
+
+    batches_after = {
+        r.batch_id for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    }
+    # resumed query continued the checkpointed batch numbering
+    assert batches_before <= batches_after
+    assert len(batches_after) > len(batches_before)
+
+    kept_digests = [
+        r.d
+        for r in spark.read.parquet(out)
+        .select(content_digest(F.col("text")).alias("d"))
+        .collect()
+    ]
+    all_digests = {
+        r.d
+        for r in all_docs.select(content_digest(F.col("text")).alias("d")).collect()
+    }
+    assert len(kept_digests) == len(set(kept_digests)), (
+        "restart duplicated a content"
+    )
+    assert set(kept_digests) == all_digests, "restart lost a content"
+
+    # digest store: exactly one row per distinct digest across partitions
+    store_digests = [r.digest for r in spark.read.parquet(store).collect()]
+    assert len(store_digests) == len(set(store_digests))
+    assert set(store_digests) == all_digests

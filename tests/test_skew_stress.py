@@ -71,21 +71,43 @@ def _window_checksum(df):
     )
 
 
-def test_salted_window_equal_and_faster_under_skew(hot_key_events):
+def test_salted_window_equal_and_salted_plan_shape(hot_key_events):
+    """Hard asserts are EQUALITY and the PLAN property (the salt column
+    participates in the window partitioning, so the hot key spreads over
+    its time chunks); the wall-clock ratio is advisory only — timing
+    assertions flake on contended hosts (round-3 ADVICE)."""
+    from pyspark_anomaly_detection_spark import plans
+
+    salted_df = salted_trailing_window(hot_key_events)
+    plain_df = unsalted_trailing_window(hot_key_events)
+
+    # plan property: salted window partitions by (user_id, _home) — the
+    # chunk salt must reach the Window operator's partition spec; the
+    # unsalted twin must NOT have it.
+    salted_plan = plans.formatted_plan(salted_df)
+    plain_plan = plans.formatted_plan(plain_df)
+    assert "_home" in salted_plan, "chunk salt missing from salted window plan"
+    assert "_home" not in plain_plan
+
     t0 = time.perf_counter()
-    plain = _window_checksum(unsalted_trailing_window(hot_key_events))
+    plain = _window_checksum(plain_df)
     t_plain = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    salted = _window_checksum(salted_trailing_window(hot_key_events))
+    salted = _window_checksum(salted_df)
     t_salted = time.perf_counter() - t0
 
     assert salted == plain
     ratio = t_salted / t_plain
-    assert ratio < 0.8, (
-        f"salted window no longer pays under skew: {t_salted:.1f}s vs "
-        f"{t_plain:.1f}s unsalted (ratio {ratio:.2f})"
-    )
+    if ratio >= 0.8:  # advisory: calibrated ~0.45 on idle local[8]
+        import warnings
+
+        warnings.warn(
+            f"salted window advisory: ratio {ratio:.2f} >= 0.8 "
+            f"({t_salted:.1f}s salted vs {t_plain:.1f}s plain) — "
+            "expected <0.8 on an idle host",
+            stacklevel=1,
+        )
 
 
 def test_salted_join_equals_plain_under_skew(hot_key_events, spark):

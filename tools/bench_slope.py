@@ -1,0 +1,109 @@
+"""Multi-scale sweep slope guard (round-3 verdict directive #3): run the
+full-registry sweep at two scale factors and assert every query scales
+sub-quadratically — the automatic catcher for q172-class degeneracies
+(a hidden all-pairs join looks fine at one SF and explodes at the next).
+
+Usage:
+    python tools/bench_slope.py            # run both sweeps + check
+    python tools/bench_slope.py --check    # check committed artifacts only
+
+Artifacts: BENCH_ALL_sf0.01.json and BENCH_ALL_sf0.1.json at the repo
+root (stable names — refreshed per round, diffable in git history).
+tests/test_bench_slope.py re-runs the check on the committed pair so a
+regression cannot land silently alongside stale artifacts.
+
+Method: for 10× rows, a linear operator costs ~10×, an n·log n one a bit
+more, a quadratic one ~100×.  The bound is ratio < SLOPE_BOUND (15) for
+every query whose small-SF time exceeds NOISE_FLOOR (0.3 s) — below the
+floor, constant per-query overhead (session, planning, codegen) dominates
+and ratios are noise, so those queries are instead bounded ABSOLUTELY
+(t_big < ABS_BOUND).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SMALL = "/root/testdata/sf0.01"
+BIG = "/root/testdata/sf0.1"
+SMALL_ART = os.path.join(REPO, "BENCH_ALL_sf0.01.json")
+BIG_ART = os.path.join(REPO, "BENCH_ALL_sf0.1.json")
+
+SLOPE_BOUND = 15.0  # 10× data may cost at most 15×
+NOISE_FLOOR = 0.3  # seconds at the small SF before ratios mean anything
+ABS_BOUND = 12.0  # big-SF ceiling for queries too fast to ratio
+
+
+def run_sweep(sf_dir: str, artifact: str) -> None:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--all"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    ).stdout
+    # bench prints ONE json line (stderr carries progress)
+    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    with open(artifact, "w") as f:
+        f.write(line + "\n")
+
+
+def check(small_art: str = SMALL_ART, big_art: str = BIG_ART) -> list[str]:
+    """Return a list of violation strings (empty = pass)."""
+    with open(small_art) as f:
+        small = json.load(f)
+    with open(big_art) as f:
+        big = json.load(f)
+    problems = []
+    if small.get("errors"):
+        problems.append(f"small-SF sweep errors: {sorted(small['errors'])}")
+    if big.get("errors"):
+        problems.append(f"big-SF sweep errors: {sorted(big['errors'])}")
+    sq, bq = small["queries"], big["queries"]
+    if set(sq) != set(bq):
+        problems.append(
+            f"query sets differ: only-small={sorted(set(sq) - set(bq))} "
+            f"only-big={sorted(set(bq) - set(sq))}"
+        )
+    for name in sorted(set(sq) & set(bq)):
+        ts, tb = sq[name], bq[name]
+        if ts >= NOISE_FLOOR:
+            ratio = tb / ts
+            if ratio >= SLOPE_BOUND:
+                problems.append(
+                    f"{name}: {ts:.2f}s → {tb:.2f}s = {ratio:.1f}× for 10× "
+                    f"data (bound {SLOPE_BOUND}×) — super-linear blow-up"
+                )
+        elif tb >= ABS_BOUND:
+            problems.append(
+                f"{name}: {tb:.2f}s at sf0.1 from {ts:.2f}s at sf0.01 — "
+                f"absolute ceiling {ABS_BOUND}s exceeded"
+            )
+    return problems
+
+
+def main() -> None:
+    if "--check" not in sys.argv:
+        print(f"sweep at {SMALL} → {SMALL_ART}", file=sys.stderr)
+        run_sweep(SMALL, SMALL_ART)
+        print(f"sweep at {BIG} → {BIG_ART}", file=sys.stderr)
+        run_sweep(BIG, BIG_ART)
+    problems = check()
+    if problems:
+        print("SLOPE CHECK FAILED:")
+        for p in problems:
+            print(f"  {p}")
+        sys.exit(1)
+    with open(SMALL_ART) as f:
+        n = len(json.load(f)["queries"])
+    print(f"slope check OK: {n} queries sub-quadratic across sf0.01 → sf0.1")
+
+
+if __name__ == "__main__":
+    main()
