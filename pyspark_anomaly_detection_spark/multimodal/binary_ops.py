@@ -108,6 +108,7 @@ def _decode_payload(payload: bytes, modality: str) -> list[float]:
         codecs.BMP_MAGIC,
         codecs.PNG_MAGIC[:2],
         b"\xff\xd8",  # baseline JPEG (multimodal/jpeg.py)
+        b"GI",  # GIF87a/89a (multimodal/gif.py)
     ):
         return codecs.image_stats_features(codecs.decode_image(bytes(payload)))
     if modality == "audio" and payload[:4] == codecs.WAV_MAGIC:

@@ -316,6 +316,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from pyspark_anomaly_detection_spark.multimodal.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload.startswith(b"GIF8"):
+        from pyspark_anomaly_detection_spark.multimodal.gif import decode_gif
+
+        return decode_gif(payload)
     raise ValueError(
         f"unsupported image format (magic {payload[:2]!r}); "
         "wire Pillow into decode_image for compressed formats"

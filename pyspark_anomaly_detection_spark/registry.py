@@ -79,6 +79,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.events.temporal  # noqa: F401
     import pyspark_anomaly_detection_spark.io.pydatasource  # noqa: F401
     import pyspark_anomaly_detection_spark.events.time_windows  # noqa: F401
+    import pyspark_anomaly_detection_spark.ml.clustering  # noqa: F401
     import pyspark_anomaly_detection_spark.ml.lsh  # noqa: F401
     import pyspark_anomaly_detection_spark.ml.pipeline  # noqa: F401
     import pyspark_anomaly_detection_spark.multimodal.binary_ops  # noqa: F401

@@ -233,7 +233,9 @@ def test_codec_rejects_unsupported():
     from pyspark_anomaly_detection_spark.multimodal.codecs import decode_image
 
     with _pytest.raises(ValueError, match="unsupported image format"):
-        decode_image(b"\xff\xd8\xff\xe0jfif-jpeg-payload")  # JPEG magic
+        decode_image(b"II*\x00tiff-payload")  # TIFF magic: no native codec
+    with _pytest.raises(ValueError):  # JPEG magic but truncated garbage
+        decode_image(b"\xff\xd8\xff\xe0jfif-jpeg-payload")
     with _pytest.raises(ValueError, match="missing IHDR"):
         decode_image(b"\x89PNG\r\n\x1a\nxxxx")  # PNG magic, no chunks
     with _pytest.raises(ValueError):
