@@ -131,32 +131,49 @@ def q63_sessionization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q64_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase: each stage keeps users whose
     first stage-event strictly follows their previous stage's first event.
-    Per-stage tables are per-user minima (tiny relative to raw events) —
-    broadcast onward, so raw events shuffle only for the groupBys."""
+
+    SINGLE-SCAN formulation (round 4; was 6 scans / 9 shuffles as
+    per-stage broadcast joins): the three stage timestamps are cascaded
+    per-user window minima over ONE pass of the filtered events —
+    ``c_ts = min(click ts > v_ts)`` can reference ``v_ts`` because the
+    unbounded window computed it in the same partition, and all three
+    Window ops share one ``partitionBy(user_id)`` exchange (Catalyst
+    reuses the sort/partitioning; PLAN_AUDIT: events×1, 3 shuffles).
+    Nulls cascade exactly like the join chain: no view ⇒ v_ts null ⇒
+    the click predicate is null ⇒ c_ts null ⇒ p_ts null.  Skew bound:
+    a celebrity user's events land in one window partition — identical
+    to the old per-stage groupBy, not a regression."""
     ev = load_table(spark, sf_dir, "events")
-
-    def first_after(etype: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .join(F.broadcast(prev), "user_id")
-            .filter(F.col("ts") > F.col(prev_ts))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out_ts))
+    w = Window.partitionBy("user_id")
+    t = F.col("event_type")
+    per_event = (
+        ev.filter(t.isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+        .withColumn("v_ts", F.min(F.when(t == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when((t == "click") & (F.col("ts") > F.col("v_ts")), F.col("ts"))
+            ).over(w),
         )
-
-    first_view = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("v_ts"))
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (t == "purchase") & (F.col("ts") > F.col("c_ts")), F.col("ts")
+                )
+            ).over(w),
+        )
     )
-    first_click = first_after("click", first_view, "v_ts", "c_ts")
-    first_purchase = first_after("purchase", first_click, "c_ts", "p_ts")
-    return (
-        first_view.agg(F.count("*").alias("n_viewed"))
-        .crossJoin(first_click.agg(F.count("*").alias("n_clicked_after_view")))
-        .crossJoin(
-            first_purchase.agg(F.count("*").alias("n_purchased_after_click"))
-        )
+    per_user = per_event.groupBy("user_id").agg(
+        F.first("v_ts").alias("v_ts"),
+        F.first("c_ts").alias("c_ts"),
+        F.first("p_ts").alias("p_ts"),
+    )
+    return per_user.agg(
+        F.count("v_ts").alias("n_viewed"),
+        F.count("c_ts").alias("n_clicked_after_view"),
+        F.count("p_ts").alias("n_purchased_after_click"),
     )
 
 

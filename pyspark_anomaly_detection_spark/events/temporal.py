@@ -265,17 +265,26 @@ def q74_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_seq")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
     )
+    # (+1, −1) points via explode of ONE sessions reference — a union of
+    # two selects replays the whole sessionization pipeline per leg
+    # (PLAN_AUDIT round 3: events×4, 9 shuffles; now events×1).
     points = sessions.select(
-        F.col("s_start").alias("pt"), F.lit(1).alias("delta"), "user_id", "session_seq"
-    ).unionByName(
-        sessions.select(
-            F.col("s_end").alias("pt"),
-            F.lit(-1).alias("delta"),
-            "user_id",
-            "session_seq",
-        )
-    )
+        "user_id",
+        "session_seq",
+        F.explode(
+            F.array(
+                F.struct(F.col("s_start").alias("pt"), F.lit(1).alias("delta")),
+                F.struct(F.col("s_end").alias("pt"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+    ).select(F.col("p.pt").alias("pt"), F.col("p.delta").alias("delta"), "user_id", "session_seq")
     points = points.withColumn("day", F.date_trunc("day", "pt"))
+    # distributed_running_sum reads points twice (per-day sweep + the
+    # prefix-offset table); points is 2 rows/session — persist it rather
+    # than re-running sessionization (events×2 → ×1).
+    from pyspark_anomaly_detection_spark.cachepool import tracked_persist
+
+    points = tracked_persist(points)
     swept = distributed_running_sum(
         points,
         "day",

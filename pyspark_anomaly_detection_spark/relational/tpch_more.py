@@ -382,17 +382,16 @@ def q162_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").cast("double").alias("s_acctbal"),
         "n_name",
     )
-    best = euro_supply.groupBy("sp_partkey").agg(
-        F.min("supply_cost").alias("best_cost")
-    )
+    # per-part MIN as a window aggregate instead of groupBy + join-back:
+    # the join-back referenced euro_supply twice, replaying the lineitem
+    # aggregation per leg (PLAN_AUDIT round 3: lineitem×2, 9 scans, 6
+    # shuffles; now each table scans once) — the window reuses the one
+    # hash-partitioning by part key.
+    w_min = Window.partitionBy("sp_partkey")
     w = Window.partitionBy("p_partkey").orderBy(F.desc("s_acctbal"), F.asc("s_name"))
     return (
-        euro_supply.join(
-            best,
-            (euro_supply.sp_partkey == best.sp_partkey)
-            & (euro_supply.supply_cost == best.best_cost),
-        )
-        .drop(best.sp_partkey)
+        euro_supply.withColumn("best_cost", F.min("supply_cost").over(w_min))
+        .filter(F.col("supply_cost") == F.col("best_cost"))
         .join(F.broadcast(part), F.col("p_partkey") == F.col("sp_partkey"))
         .select(
             "p_partkey",

@@ -35,9 +35,20 @@ def connected_components(
 ) -> DataFrame:
     """Min-label propagation → (node, component) where component is the
     smallest node id in the connected component."""
+    # both directions via explode of ONE edges reference — a union of two
+    # selects would replay the upstream pair pipeline per leg on the
+    # first materialization (the persist below caches the RESULT, not
+    # the computation).
     und = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()
         .persist()
     )
@@ -211,9 +222,20 @@ def pagerank(
     property test, since float accumulation order makes the low bits
     engine-specific — this is a rows-only operator by design).
     """
+    # both directions via explode of ONE edges reference — a union of two
+    # selects would replay the upstream pair pipeline per leg on the
+    # first materialization (the persist below caches the RESULT, not
+    # the computation).
     und = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()
         .persist()
     )

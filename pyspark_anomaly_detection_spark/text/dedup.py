@@ -509,8 +509,11 @@ def q131_dup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair list — the q113 skew pattern applied to the graph."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs)
-    und = pairs.select(F.col("doc_a").alias("node")).unionAll(
-        pairs.select(F.col("doc_b").alias("node"))
+    # both endpoints via explode of ONE pairs reference — unionAll of two
+    # selects replays the whole MinHash+LSH pipeline per leg (PLAN_AUDIT
+    # round 3: documents×2, 11 shuffles; now ×1).
+    und = pairs.select(
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("node")
     )
     degrees = und.groupBy("node").agg(F.count("*").alias("degree"))
     return (
