@@ -211,3 +211,177 @@ def delete_keys(
         "partitions_rewritten": len(touched),
         "rows_deleted": n_before - n_after,
     }
+
+
+def merge_keys(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str],
+    key_col: str,
+    updates: DataFrame,
+) -> dict[str, int]:
+    """Keyed MERGE (upsert) into a hive-partitioned Parquet table — the
+    Delta-Lake ``MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    MATCHED THEN INSERT *`` semantics (reference silver layer's write
+    pattern, src/data/silver.py) re-expressed on plain Parquet for
+    environments without the Delta runtime (jars absent here; the
+    skip-gated tests/test_delta_integration.py covers the native form).
+
+    Plan shape at 100 TB (mirrors :func:`delete_keys`): rewrite set =
+    partitions currently holding a matched key (the key's OLD home —
+    handles updates that MOVE a key across partitions) ∪ partitions the
+    update rows land in.  Those partitions are read back partition-
+    pruned, matched keys anti-joined out, update rows unioned in, and
+    dynamic partition overwrite rewrites exactly that set — untouched
+    partitions are never read or written.  ``updates`` must carry the
+    full table schema including the partition columns; one row per key
+    (enforced — ambiguous multi-row updates are an error, matching
+    Delta's behavior).  Returns ``{"partitions_rewritten": …,
+    "rows_updated": …, "rows_inserted": …}``.
+    """
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.io.writers import overwrite_partitions
+
+    dup = (
+        updates.groupBy(key_col).agg(F.count("*").alias("n")).filter("n > 1")
+    )
+    n_dup = dup.count()
+    if n_dup:
+        raise ValueError(
+            f"merge_keys: {n_dup} keys appear in multiple update rows — "
+            "MERGE requires at most one source row per key"
+        )
+
+    table = spark.read.parquet(path)
+    key_set = F.broadcast(updates.select(key_col).distinct())
+
+    old_parts = (
+        table.join(key_set, key_col, "left_semi")
+        .select(*partition_by)
+        .distinct()
+    )
+    new_parts = updates.select(*partition_by).distinct()
+    touched = old_parts.unionByName(new_parts).distinct().collect()
+    n_matched = table.join(key_set, key_col, "left_semi").count()
+
+    pred = None
+    for row in touched:
+        clause = None
+        for col in partition_by:
+            c = F.col(col) == F.lit(row[col])
+            clause = c if clause is None else (clause & c)
+        pred = clause if pred is None else (pred | clause)
+
+    kept = table.filter(pred).join(key_set, key_col, "left_anti")
+    merged = kept.select(*updates.columns).unionByName(updates)
+
+    jvm = spark.sparkContext._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    staging = path.rstrip("/") + "__merge_staging"
+    _clear_leftover(fs, jvm, staging)
+    merged.write.mode("overwrite").parquet(staging)
+    staged = spark.read.schema(merged.schema).parquet(staging)
+    overwrite_partitions(staged, path, partition_by)
+    _clear_leftover(fs, jvm, staging)
+    return {
+        "partitions_rewritten": len(touched),
+        "rows_updated": n_matched,
+        "rows_inserted": updates.count() - n_matched,
+    }
+
+
+def scd2_apply(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    attr_cols: list[str],
+    updates: DataFrame,
+    effective_col: str = "effective_ts",
+) -> dict[str, int]:
+    """Apply a batch of attribute changes to an SCD-type-2 dimension
+    table — the WRITER-side twin of the q73 range reader (events/
+    temporal.py): each key keeps full history as [valid_from, valid_to)
+    rows, ``valid_to IS NULL`` marking the current version.
+
+    ``updates`` carries (key, attrs…, effective_ts).  Per key: if the
+    current row's attributes differ (or no row exists), the current row
+    is CLOSED (valid_to = effective_ts) and a new current row opens at
+    effective_ts; identical attributes are a no-op (idempotent replays).
+    At most one update per key per batch (enforced, like merge_keys).
+
+    Scale note: an SCD2 dimension is dimension-sized, so this performs a
+    staged full-table rewrite — the standard lakehouse pattern for
+    versioned dims; fact-sized tables should use partition-pruned
+    :func:`merge_keys` instead.  All comparison/closing logic is one
+    declarative plan (outer join on key against current rows), no
+    driver loops.  Returns row counts: ``{"rows_closed", "rows_opened",
+    "rows_unchanged"}``.
+    """
+    from pyspark.sql import functions as F
+
+    dup = updates.groupBy(key_col).agg(F.count("*").alias("n")).filter("n > 1")
+    if dup.count():
+        raise ValueError("scd2_apply: at most one update row per key per batch")
+
+    table = spark.read.parquet(path)
+    cur = table.filter(F.col("valid_to").isNull())
+    hist = table.filter(F.col("valid_to").isNotNull())
+
+    u = updates.select(
+        F.col(key_col),
+        *[F.col(c).alias(f"_u_{c}") for c in attr_cols],
+        F.col(effective_col).alias("_eff"),
+    )
+    j = cur.join(u, key_col, "full_outer")
+
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+    has_update = F.col("_eff").isNotNull()
+    is_new_key = F.col("valid_from").isNull()
+
+    # existing current rows: close if a DIFFERENT update arrived
+    kept_current = j.filter(~is_new_key).select(
+        key_col,
+        *attr_cols,
+        "valid_from",
+        F.when(has_update & changed, F.col("_eff")).otherwise(None).alias(
+            "valid_to"
+        ),
+    )
+    # new current versions: changed keys + brand-new keys
+    opened = j.filter(has_update & (is_new_key | changed)).select(
+        key_col,
+        *[F.col(f"_u_{c}").alias(c) for c in attr_cols],
+        F.col("_eff").alias("valid_from"),
+        F.lit(None).cast(cur.schema["valid_to"].dataType).alias("valid_to"),
+    )
+    out_cols = [key_col, *attr_cols, "valid_from", "valid_to"]
+    merged = (
+        hist.select(*out_cols)
+        .unionByName(kept_current.select(*out_cols))
+        .unionByName(opened.select(*out_cols))
+    )
+
+    n_closed = j.filter(~is_new_key & has_update & changed).count()
+    n_opened = j.filter(has_update & (is_new_key | changed)).count()
+    n_unchanged = j.filter(~is_new_key & has_update & ~changed).count()
+
+    jvm = spark.sparkContext._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    staging = path.rstrip("/") + "__scd2_staging"
+    _clear_leftover(fs, jvm, staging)
+    merged.write.mode("overwrite").parquet(staging)
+    staged = spark.read.schema(merged.schema).parquet(staging)
+    staged.write.mode("overwrite").parquet(path)
+    _clear_leftover(fs, jvm, staging)
+    return {
+        "rows_closed": n_closed,
+        "rows_opened": n_opened,
+        "rows_unchanged": n_unchanged,
+    }

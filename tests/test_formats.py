@@ -285,3 +285,124 @@ def test_delete_keys_noop_when_keys_absent(spark, tmp_path):
     stats = delete_keys(spark, path, ["day"], "user_id", keys)
     assert stats == {"partitions_rewritten": 0, "rows_deleted": 0}
     assert spark.read.parquet(path).count() == 2
+
+
+def test_merge_keys_upsert_update_insert_and_move(spark, tmp_path):
+    """Delta-MERGE semantics on plain Parquet: matched keys updated
+    (including one whose partition value CHANGES — old home purged, new
+    home written), unmatched keys inserted, untouched partitions keep
+    their files byte-for-byte."""
+    import os
+
+    from pyspark_anomaly_detection_spark.io.maintenance import merge_keys
+
+    path = str(tmp_path / "dim_by_day")
+    base = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30), (4, "d3", 40)],
+        ["user_id", "day", "v"],
+    )
+    base.write.partitionBy("day").parquet(path)
+    d3_mtime = os.path.getmtime(os.path.join(path, "day=d3"))
+
+    updates = spark.createDataFrame(
+        [
+            (1, "d1", 11),   # in-place update
+            (3, "d1", 31),   # key MOVES d2 -> d1
+            (7, "d2", 70),   # insert into existing partition
+            (8, "d4", 80),   # insert into brand-new partition
+        ],
+        ["user_id", "day", "v"],
+    )
+    stats = merge_keys(spark, path, ["day"], "user_id", updates)
+    assert stats == {
+        "partitions_rewritten": 3,  # d1 (update+move-in), d2 (move-out+insert), d4 (new)
+        "rows_updated": 2,
+        "rows_inserted": 2,
+    }
+    got = {
+        (r.user_id, r.day, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "d1", 11),
+        (2, "d1", 20),
+        (3, "d1", 31),
+        (7, "d2", 70),
+        (4, "d3", 40),
+        (8, "d4", 80),
+    }
+    # key 3 no longer lives in d2
+    assert (3, "d2", 30) not in got
+    # untouched d3 was never rewritten
+    assert os.path.getmtime(os.path.join(path, "day=d3")) == d3_mtime
+
+
+def test_merge_keys_rejects_ambiguous_updates(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark_anomaly_detection_spark.io.maintenance import merge_keys
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a", 0)], ["user_id", "day", "v"]).write.partitionBy(
+        "day"
+    ).parquet(path)
+    dup = spark.createDataFrame(
+        [(1, "a", 1), (1, "a", 2)], ["user_id", "day", "v"]
+    )
+    with _pytest.raises(ValueError, match="one source row per key"):
+        merge_keys(spark, path, ["day"], "user_id", dup)
+
+
+def test_scd2_apply_close_open_noop_and_replay_idempotent(spark, tmp_path):
+    """SCD2 writer: a changed attribute closes the current row at the
+    effective ts and opens a new current one; an identical update is a
+    no-op; a new key opens its first version; replaying the SAME batch
+    changes nothing (idempotent)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.io.maintenance import scd2_apply
+
+    path = str(tmp_path / "dim_scd2")
+    spark.createDataFrame(
+        [
+            (1, "gold", "2024-01-01 00:00:00", None),
+            (1, "silver", "2023-01-01 00:00:00", "2024-01-01 00:00:00"),
+            (2, "bronze", "2024-02-01 00:00:00", None),
+            (3, "gold", "2024-03-01 00:00:00", None),
+        ],
+        "user_id long, tier string, valid_from string, valid_to string",
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [
+            (1, "platinum", "2024-06-01 00:00:00"),  # change -> close + open
+            (2, "bronze", "2024-06-01 00:00:00"),    # identical -> no-op
+            (9, "silver", "2024-06-01 00:00:00"),    # new key -> open
+        ],
+        "user_id long, tier string, effective_ts string",
+    )
+    stats = scd2_apply(spark, path, "user_id", ["tier"], updates)
+    assert stats == {"rows_closed": 1, "rows_opened": 2, "rows_unchanged": 1}
+
+    t = spark.read.parquet(path)
+    cur = {
+        (r.user_id, r.tier, r.valid_from)
+        for r in t.filter(F.col("valid_to").isNull()).collect()
+    }
+    assert cur == {
+        (1, "platinum", "2024-06-01 00:00:00"),
+        (2, "bronze", "2024-02-01 00:00:00"),
+        (3, "gold", "2024-03-01 00:00:00"),
+        (9, "silver", "2024-06-01 00:00:00"),
+    }
+    # key 1's old current row is closed exactly at the effective ts
+    closed = t.filter(
+        (F.col("user_id") == 1) & (F.col("tier") == "gold")
+    ).collect()[0]
+    assert closed.valid_to == "2024-06-01 00:00:00"
+    # full history preserved: 4 original + 2 opened
+    assert t.count() == 6
+
+    # replay the same batch: every key now matches its current version
+    stats2 = scd2_apply(spark, path, "user_id", ["tier"], updates)
+    assert stats2 == {"rows_closed": 0, "rows_opened": 0, "rows_unchanged": 3}
+    assert spark.read.parquet(path).count() == 6
