@@ -255,6 +255,10 @@ def merge_keys(
 
     table = spark.read.parquet(path)
     key_set = F.broadcast(updates.select(key_col).distinct())
+    # count BEFORE the rewrite: `updates` may be a lazy plan reading this
+    # very table (e.g. the streaming CDC gate) — after the overwrite its
+    # source files are gone and any late action on it fails.
+    n_updates = updates.count()
 
     old_parts = (
         table.join(key_set, key_col, "left_semi")
@@ -284,12 +288,29 @@ def merge_keys(
     _clear_leftover(fs, jvm, staging)
     merged.write.mode("overwrite").parquet(staging)
     staged = spark.read.schema(merged.schema).parquet(staging)
-    overwrite_partitions(staged, path, partition_by)
+    if staged.limit(1).count() > 0:
+        overwrite_partitions(staged, path, partition_by)
+
+    # Dynamic overwrite only replaces partitions PRESENT in the staged
+    # frame — when every row of a key's OLD partition moved away and no
+    # update landed there, that partition is absent from staging and its
+    # stale files would survive as duplicates.  Delete emptied partitions
+    # explicitly (same hazard + fix as delete_keys).
+    staged_parts = {
+        tuple(row[c] for c in partition_by)
+        for row in staged.select(*partition_by).distinct().collect()
+    }
+    for row in touched:
+        if tuple(row[c] for c in partition_by) not in staged_parts:
+            part_dir = "/".join(f"{c}={row[c]}" for c in partition_by)
+            p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + part_dir)
+            if fs.exists(p):
+                fs.delete(p, True)
     _clear_leftover(fs, jvm, staging)
     return {
         "partitions_rewritten": len(touched),
         "rows_updated": n_matched,
-        "rows_inserted": updates.count() - n_matched,
+        "rows_inserted": n_updates - n_matched,
     }
 
 

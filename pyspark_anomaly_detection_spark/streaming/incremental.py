@@ -242,3 +242,81 @@ def start_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_upsert(
+    stream: DataFrame,
+    table_path: str,
+    partition_by: list[str],
+    key_col: str,
+    checkpoint: str,
+    order_col: str = "ts",
+    available_now: bool = True,
+):
+    """CDC-apply: maintain a keyed Parquet table from a change stream via
+    ``foreachBatch`` + :func:`io.maintenance.merge_keys` — the streaming
+    form of Delta's ``MERGE INTO`` (reference silver-layer semantics)
+    without the Delta runtime.
+
+    Each micro-batch collapses to latest-change-per-key (max ``order_col``,
+    deterministic) and is then applied CONDITIONALLY — ``WHEN MATCHED AND
+    source.order_col >= target.order_col THEN UPDATE`` — so out-of-order
+    batches (a later file carrying older events) cannot regress a key:
+    the table always converges to the global latest-per-key regardless of
+    file arrival order.  Idempotent under at-least-once delivery:
+    replaying a batch re-applies the same values onto the already-updated
+    rows.  Write amplification is bounded by the touched-partitions set
+    per batch, not table size (merge_keys' partition-pruned rewrite)."""
+    from pyspark.sql.window import Window
+
+    from pyspark_anomaly_detection_spark.io.maintenance import merge_keys
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tiebreak = [
+            F.desc(c)
+            for c in batch_df.columns
+            if c not in (key_col, order_col)
+        ]
+        w = Window.partitionBy(key_col).orderBy(F.desc(order_col), *tiebreak)
+        latest = (
+            batch_df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        try:
+            existing = spark.read.parquet(table_path)
+        except Exception:  # first batch: table does not exist yet
+            latest.write.partitionBy(*partition_by).parquet(table_path)
+            return
+        # anti-regression gate: drop updates older than the stored row.
+        # Scale shape: semi-filter the table by the BATCH's keys first
+        # (batch keys broadcast), so the per-key order lookup is bounded
+        # by batch size, never table size — then that small frame
+        # broadcasts back onto the batch.
+        batch_keys = F.broadcast(latest.select(key_col).distinct())
+        cur = F.broadcast(
+            existing.join(batch_keys, key_col, "left_semi").select(
+                F.col(key_col), F.col(order_col).alias("_cur_ord")
+            )
+        )
+        gated = (
+            latest.join(cur, key_col, "left_outer")
+            .filter(
+                F.col("_cur_ord").isNull()
+                | (F.col(order_col) >= F.col("_cur_ord"))
+            )
+            .drop("_cur_ord")
+        )
+        if gated.isEmpty():
+            return
+        merge_keys(spark, table_path, partition_by, key_col, gated)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -285,3 +285,66 @@ def test_incremental_dedup_restart_recovery(spark, sf_dir, tmp_path):
     store_digests = [r.digest for r in spark.read.parquet(store).collect()]
     assert len(store_digests) == len(set(store_digests))
     assert set(store_digests) == all_digests
+
+
+def test_incremental_upsert_converges_to_latest_per_key(spark, sf_dir, tmp_path):
+    """Streaming CDC-apply over the events table: after draining the
+    backlog the keyed table holds exactly the latest event per user —
+    the same answer a one-shot batch latest-per-key computes — and a
+    second identical run (fresh checkpoint, same files) leaves the table
+    unchanged (merge idempotence)."""
+    from pyspark.sql.window import Window
+
+    from pyspark_anomaly_detection_spark.streaming.incremental import (
+        start_incremental_upsert,
+    )
+
+    raw = str(tmp_path / "changes")
+    table = str(tmp_path / "keyed")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", F.to_date("ts").alias("day")
+    )
+    events.repartition(4).write.parquet(raw)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(raw).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(raw)
+        )
+        start_incremental_upsert(
+            stream, table, ["day"], "user_id", ckpt
+        ).awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+
+    got = {
+        (r.user_id, r.event_type, str(r.ts))
+        for r in spark.read.parquet(table)
+        .select("user_id", "event_type", "ts")
+        .collect()
+    }
+    # batch expectation: latest event per user, ties broken identically
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_type"), F.desc("value"), F.desc("day")
+    )
+    want = {
+        (r.user_id, r.event_type, str(r.ts))
+        for r in events.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .collect()
+    }
+    # per-key uniqueness always holds
+    n_keys = events.select("user_id").distinct().count()
+    assert spark.read.parquet(table).count() == n_keys
+    assert got == want
+
+    # replay everything with a fresh checkpoint: table must not change
+    run(str(tmp_path / "ckpt2"))
+    again = {
+        (r.user_id, r.event_type, str(r.ts))
+        for r in spark.read.parquet(table)
+        .select("user_id", "event_type", "ts")
+        .collect()
+    }
+    assert again == got
