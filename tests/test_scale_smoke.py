@@ -107,3 +107,49 @@ def test_shard_and_sample_at_20m_rows(spark):
     b = rows.repartition(17).agg(kept.alias("k")).collect()[0].k
     assert a == b
     assert abs(a / n - 0.10) < 0.005  # ~10% rate, hash-uniform
+
+
+def test_funnel_window_cascade_at_20m_rows(spark):
+    """The q64 cascaded-window funnel shape at 20M events over 1M users:
+    three per-user window minima in one partitioning must complete and
+    produce funnel counts that are (a) monotone non-increasing down the
+    funnel and (b) exactly reproduced by a direct groupBy formulation of
+    the first stage."""
+    ev = spark.range(N_FACT, numPartitions=64).select(
+        F.pmod(F.xxhash64("id"), F.lit(N_USERS)).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase"), F.lit("other")),
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(4)) + 1).cast("int"),
+        ).alias("event_type"),
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(1_000_000_000)).alias("ts"),
+    )
+    w = Window.partitionBy("user_id")
+    t = F.col("event_type")
+    per_event = (
+        ev.filter(t.isin("view", "click", "purchase"))
+        .withColumn("v_ts", F.min(F.when(t == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "c_ts",
+            F.min(F.when((t == "click") & (F.col("ts") > F.col("v_ts")), F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(F.when((t == "purchase") & (F.col("ts") > F.col("c_ts")), F.col("ts"))).over(w),
+        )
+    )
+    row = (
+        per_event.groupBy("user_id")
+        .agg(F.first("v_ts").alias("v"), F.first("c_ts").alias("c"), F.first("p_ts").alias("p"))
+        .agg(
+            F.count("v").alias("n_v"),
+            F.count("c").alias("n_c"),
+            F.count("p").alias("n_p"),
+        )
+        .collect()[0]
+    )
+    assert row.n_v >= row.n_c >= row.n_p > 0
+    # stage-1 cross-check: users with ≥1 view, computed independently
+    n_viewers = (
+        ev.filter(t == "view").select("user_id").distinct().count()
+    )
+    assert row.n_v == n_viewers
