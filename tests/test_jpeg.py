@@ -227,3 +227,15 @@ def test_q178_jpeg_decode_stats_geometry_and_determinism(spark, sf_dir):
         .collect()[0]
     )
     assert abs(again.luma_sum / n - rows[0].mean_luma) < 1e-4
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 §B.1.1.2 allows 0xFF fill bytes before any marker — inject
+    some between segments and decode must be unaffected."""
+    img = np.full((16, 16, 3), 90, dtype=np.uint8)
+    enc = encode_jpeg_baseline(img)
+    # insert fill bytes before the SOF0 marker
+    i = enc.find(b"\xff\xc0")
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    out = decode_jpeg(padded)
+    assert np.array_equal(out, decode_jpeg(enc))
