@@ -872,3 +872,141 @@ def q175_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# --------------------------------------- weighted sampling (q180/q181)
+
+#: Sample size for the weighted corpus draw.
+WSAMPLE_K = 40
+
+#: Per-source token budget (chars stand in for tokens in the testdata)
+#: for the quality-budget selection.
+QBUDGET_CHARS = 2_000
+
+
+@register(
+    "q180_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+        power(
+          (CAST({MD5_LONG60_SQL.format(x="CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1.0)
+            / 1152921504606846977.0,
+          1.0 / CAST(greatest(n_chars, 1) AS DOUBLE)
+        ) AS es_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+        ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rank
+      FROM keyed
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, source,
+           CAST(n_chars AS BIGINT) AS weight
+    FROM ranked WHERE rank <= {WSAMPLE_K}
+    ORDER BY rank
+    """,
+)
+def q180_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis, public): per row draw u ∈ (0,1] from the
+    portable md5 hash (not a seeded RNG — same rows selected on any
+    engine/partitioning), key = u^(1/weight), keep the top-K keys.
+    Inclusion probability rises with weight (n_chars here — longer docs
+    stand in for higher-value docs), which uniform hash-rank sampling
+    (q137) cannot express.  One global top-K — TakeOrderedAndProject,
+    no full sort; weights shuffle, text does not."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    u = (md5_long60(F.col("doc_id").cast("string")).cast("double") + 1.0) / F.lit(
+        float((1 << 60) + 1)
+    )
+    key = F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"))
+    # distributed top-K FIRST (orderBy+limit → TakeOrderedAndProject, no
+    # global single-task sort), THEN rank the K survivors — the global
+    # row_number window only ever sees K rows.
+    topk = docs.withColumn("es_key", key).orderBy(
+        F.desc("es_key"), F.asc("doc_id")
+    ).limit(WSAMPLE_K)
+    w = Window.orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("weight"),
+        )
+        .orderBy("rank")
+    )
+
+
+@register(
+    "q181_quality_budget_selection",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+          / greatest(length(text), 1) AS q_score
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_chars, q_score,
+        SUM(n_chars) OVER (
+          PARTITION BY source ORDER BY q_score DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum_chars
+      FROM scored
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_selected,
+      CAST(SUM(n_chars) AS BIGINT) AS chars_used,
+      CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+      CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM cum WHERE cum_chars <= {QBUDGET_CHARS}
+    GROUP BY source ORDER BY source
+    """,
+)
+def q181_quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-budget curation: order each source's docs by a
+    quality score (token density — tokens per char), admit greedily
+    until the source's char budget is filled (window cumulative sum ≤
+    budget).  The nucleus-style counterpart of q137's fixed-share mix:
+    budget allocated to the BEST docs of each source rather than a
+    uniform draw.  One shuffle on source; the cumsum window reuses it."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            n_tokens.cast("double")
+            / F.greatest(F.length("text"), F.lit(1)).cast("double")
+        ).alias("q_score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_chars", F.sum("n_chars").over(w))
+        .filter(F.col("cum_chars") <= QBUDGET_CHARS)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.sum("n_chars").cast("long").alias("chars_used"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )

