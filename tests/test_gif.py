@@ -114,3 +114,22 @@ def test_truncated_stream_raises():
     payload = encode_gif(img)
     with pytest.raises(ValueError):
         decode_gif(payload[: len(payload) // 2])
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    n_colors=st.integers(1, 256),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_fuzz(h, w, n_colors, interlace, seed):
+    """Property: encode→decode is the identity for ANY geometry, palette
+    size, interlace flag, and pixel content (GIF is lossless)."""
+    img = _test_image(h, w, n_colors, seed=seed)
+    out = decode_gif(encode_gif(img, interlace=interlace))
+    assert np.array_equal(out, img)

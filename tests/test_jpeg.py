@@ -239,3 +239,31 @@ def test_fill_bytes_before_markers_tolerated():
     padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
     out = decode_jpeg(padded)
     assert np.array_equal(out, decode_jpeg(enc))
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(8, 48),
+    w=st.integers(8, 48),
+    subsampling=st.sampled_from(["444", "420"]),
+    rst=st.integers(0, 4),
+    phase=st.floats(0.0, 6.28),
+)
+def test_jpeg_roundtrip_fuzz_smooth_images(h, w, subsampling, rst, phase):
+    """Property: any smooth (low-frequency) image round-trips above the
+    PSNR floor for every geometry, subsampling mode, and restart
+    interval — the codec must not have size-dependent corruption."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 90 * np.sin(xx / 17.0 + phase) * np.cos(yy / 13.0 - phase)
+    img = np.stack(
+        [base, np.roll(base, 3, axis=1), np.roll(base, 2, axis=0)], axis=2
+    )
+    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+    out = decode_jpeg(
+        encode_jpeg_baseline(img, quality=85, subsampling=subsampling, restart_interval=rst)
+    )
+    assert out.shape == img.shape
+    assert _psnr(out, img) >= 30.0
