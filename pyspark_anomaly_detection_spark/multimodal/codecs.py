@@ -398,27 +398,71 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return header + data
 
 
-def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """RIFF/WAVE 16-bit PCM → (sample_rate, int16 array (n, channels)).
+def _ulaw2linear_scalar(u: int) -> int:
+    """G.711 §4.2 (CCITT reference decoder, public): one μ-law byte →
+    linear int16."""
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
 
-    Walks the chunk list (fmt/data may be separated by LIST/fact chunks in
-    the wild); rejects compressed codecs (non-PCM format tags) — those are
-    the torchaudio/ffmpeg swap-in point, not silent wrong answers."""
+
+def _alaw2linear_scalar(a: int) -> int:
+    """G.711 §4.1: one A-law byte → linear int16."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t += 0x108
+        t <<= seg - 1
+    return t if (a & 0x80) else -t
+
+
+#: 256-entry expansion tables — decode is a vectorized numpy lookup.
+ULAW_TABLE = np.array([_ulaw2linear_scalar(i) for i in range(256)], dtype=np.int16)
+ALAW_TABLE = np.array([_alaw2linear_scalar(i) for i in range(256)], dtype=np.int16)
+
+#: WAVE format tags (RFC 2361 registry, public).
+WAVE_PCM, WAVE_ALAW, WAVE_ULAW = 1, 6, 7
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE → (sample_rate, int16 array (n, channels)).
+
+    Supports 16-bit linear PCM (tag 1) and 8-bit G.711 μ-law / A-law
+    (tags 7 / 6 — telephony corpora), expanded to int16 via the CCITT
+    reference tables.  Walks the chunk list (fmt/data may be separated
+    by LIST/fact chunks in the wild); other compressed codecs raise —
+    the torchaudio/ffmpeg swap-in point, never silent wrong answers."""
     if not payload.startswith(WAV_MAGIC) or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, ch, bits, data = 12, None, None, None, None
+    pos, rate, ch, bits, data, fmt_tag = 12, None, None, None, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt_tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
-            if fmt_tag != 1:
-                raise ValueError(f"only PCM WAV supported (format tag {fmt_tag})")
+            if fmt_tag not in (WAVE_PCM, WAVE_ALAW, WAVE_ULAW):
+                raise ValueError(
+                    f"unsupported WAV codec (format tag {fmt_tag}); "
+                    "PCM16 and G.711 u-law/A-law decode natively"
+                )
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if fmt_tag in (WAVE_ALAW, WAVE_ULAW):
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit (bits={bits})")
+        table = ULAW_TABLE if fmt_tag == WAVE_ULAW else ALAW_TABLE
+        n_frames = len(data) // ch
+        codes = np.frombuffer(data[: n_frames * ch], dtype=np.uint8)
+        return rate, table[codes].reshape(n_frames, ch)
     if bits != 16:
         raise ValueError(f"only 16-bit PCM supported (bits={bits})")
     n_frames = len(data) // (2 * ch)
@@ -578,3 +622,27 @@ def video_stats_features(fps: float, frames: np.ndarray) -> list[float]:
         float(f[..., 0].mean()), float(f[..., 1].mean()), float(f[..., 2].mean()),
         float(per_frame[0]), float(per_frame[-1]),
     ]
+
+
+def encode_wav_g711(
+    codes: np.ndarray, law: str = "ulaw", sample_rate: int = 8000
+) -> bytes:
+    """G.711 fixture encoder: raw 8-bit companded CODES (n,) or (n, ch)
+    → RIFF/WAVE with format tag 7 (μ-law) or 6 (A-law).  Takes code
+    bytes, not linear samples — tests feed all 256 codes and check the
+    decoder's expansion against an independent reference."""
+    tag = WAVE_ULAW if law == "ulaw" else WAVE_ALAW
+    arr = np.ascontiguousarray(codes, dtype=np.uint8)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = arr.tobytes()
+    byte_rate = sample_rate * ch
+    header = (
+        struct.pack("<4sI4s", WAV_MAGIC, 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, tag, ch, sample_rate, byte_rate, ch, 8
+        )
+        + struct.pack("<4sI", b"data", len(data))
+    )
+    return header + data

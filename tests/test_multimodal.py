@@ -642,3 +642,50 @@ def test_frame_sampling_stub_path_preserved(spark):
     assert list(pdf["offset_ms"]) == [0, 1000, 2000]
     assert (pdf["decode_ok"] == "stub").all()
     assert bytes(pdf.loc[0, "frame_payload"]) == bytes(range(200))[0:64]
+
+
+def test_g711_wav_decode_matches_reference_tables():
+    """μ-law/A-law expansion checked against the stdlib audioop reference
+    (an INDEPENDENT G.711 implementation) over every possible code byte;
+    geometry and interleave via a 2-channel payload."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    for law, audioop_fn in (("ulaw", "ulaw2lin"), ("alaw", "alaw2lin")):
+        payload = encode_wav_g711(codes, law=law)
+        rate, samples = decode_wav(payload)
+        assert rate == 8000 and samples.shape == (256, 1)
+        try:
+            import audioop  # deprecated but present on 3.11
+        except ImportError:
+            continue
+        want = np.frombuffer(
+            getattr(audioop, audioop_fn)(codes.tobytes(), 2), dtype="<i2"
+        )
+        assert np.array_equal(samples[:, 0], want), law
+
+    # stereo interleave survives
+    stereo = np.stack([codes[:100], codes[100:200]], axis=1)
+    rate, samples = decode_wav(encode_wav_g711(stereo, law="ulaw"))
+    assert samples.shape == (100, 2)
+
+
+def test_wav_rejects_unknown_codec_tag():
+    import numpy as np
+    import pytest as _pytest
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    payload = bytearray(encode_wav_g711(np.zeros(4, dtype=np.uint8)))
+    # rewrite format tag to 2 (ADPCM) — must refuse, not garble
+    payload[20:22] = (2).to_bytes(2, "little")
+    with _pytest.raises(ValueError, match="unsupported WAV codec"):
+        decode_wav(bytes(payload))
