@@ -240,22 +240,27 @@ def _png_unfilter_row(
     return out.astype(np.uint8)
 
 
+#: PNG color type → channels in the filtered scanline (8-bit depth).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG (8-bit truecolor RGB/RGBA, non-interlaced, filters 0-4) →
-    uint8 array (h, w, 3|4).
+    """PNG (8-bit, non-interlaced, filters 0-4; color types 0 grayscale,
+    2 RGB, 3 palette, 4 gray+alpha, 6 RGBA) → uint8 array (h, w, 3|4).
+    Grayscale replicates to RGB; palette indices expand through PLTE.
 
     Pure stdlib-zlib + numpy: chunk walk with CRC verification, IDAT
-    concatenation, inflate, per-scanline unfiltering.  Palette, 16-bit,
-    grayscale, and Adam7 interlace are rejected explicitly — the Pillow
-    swap-in point, never a silent wrong answer.
+    concatenation, inflate, per-scanline unfiltering.  16-bit depth and
+    Adam7 interlace are rejected explicitly — the Pillow swap-in point,
+    never a silent wrong answer.
 
     Format reference: the public PNG spec (RFC 2083 / W3C PNG) — chunk
-    layout §5, filter algorithms §6."""
+    layout §5, filter algorithms §6, palette §4.1.2."""
     import zlib
 
     if not payload.startswith(PNG_MAGIC):
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = len(PNG_MAGIC), None, bytearray()
+    pos, ihdr, idat, plte = len(PNG_MAGIC), None, bytearray(), None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -265,6 +270,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -273,12 +282,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _, _, interlace = ihdr
-    if depth != 8 or color_type not in (2, 6) or interlace != 0:
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
         raise ValueError(
-            f"only 8-bit RGB/RGBA non-interlaced PNG supported "
+            f"only 8-bit non-interlaced PNG supported "
             f"(depth={depth}, color={color_type}, interlace={interlace})"
         )
-    ch = 3 if color_type == 2 else 4
+    ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
@@ -291,7 +300,21 @@ def decode_png(payload: bytes) -> np.ndarray:
     for y in range(h):
         prior = _png_unfilter_row(int(lines[y, 0]), lines[y, 1:], prior, ch)
         out[y] = prior
-    return out.reshape(h, w, ch)
+    px = out.reshape(h, w, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    if color_type == 0:
+        g = px[:, :, 0]
+        return np.stack([g, g, g], axis=2)
+    if color_type == 4:
+        g, a = px[:, :, 0], px[:, :, 1]
+        return np.stack([g, g, g, a], axis=2)
+    return px
 
 
 # ----------------------------------------------------------------- dispatch

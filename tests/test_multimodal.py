@@ -341,8 +341,10 @@ def test_png_crc_and_unsupported_variants_rejected():
         )
         return PNG_MAGIC + chunk
 
-    for depth, color, interlace in ((16, 2, 0), (8, 0, 0), (8, 3, 0), (8, 2, 1)):
-        with _pytest.raises(ValueError, match="only 8-bit RGB/RGBA"):
+    # grayscale/palette now decode (see the color-type test below); the
+    # remaining unsupported variants are 16-bit depth and Adam7 interlace
+    for depth, color, interlace in ((16, 2, 0), (8, 2, 1)):
+        with _pytest.raises(ValueError, match="only 8-bit non-interlaced"):
             decode_png(ihdr_only(depth, color, interlace))
 
 
@@ -689,3 +691,59 @@ def test_wav_rejects_unknown_codec_tag():
     payload[20:22] = (2).to_bytes(2, "little")
     with _pytest.raises(ValueError, match="unsupported WAV codec"):
         decode_wav(bytes(payload))
+
+
+def test_png_palette_grayscale_and_gray_alpha_decode():
+    """Color types 0/3/4 decoded from hand-assembled PNG bytes (the
+    module encoder only emits RGB/RGBA, so these payloads are built
+    chunk-by-chunk in the test — non-circular)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        PNG_MAGIC,
+        _png_chunk,
+        decode_png,
+    )
+
+    def build(color_type, ch, w, h, scanbytes, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        raw = b"".join(b"\x00" + scanbytes[y * w * ch : (y + 1) * w * ch] for y in range(h))
+        return (
+            PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + extra
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # palette: 3 colors, 3x2 image
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = bytes([0, 1, 2, 2, 1, 0])
+    png = build(3, 1, 3, 2, idx, extra=_png_chunk(b"PLTE", palette.tobytes()))
+    out = decode_png(png)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out.reshape(-1, 3), palette[list(idx)])
+
+    # grayscale: values replicate to RGB
+    gray = bytes([0, 80, 160, 255])
+    out = decode_png(build(0, 1, 2, 2, gray))
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out[:, :, 0].reshape(-1), np.frombuffer(gray, np.uint8))
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+
+    # gray+alpha: (g, a) interleaved → (g, g, g, a)
+    ga = bytes([10, 255, 200, 128])
+    out = decode_png(build(4, 2, 2, 1, ga))
+    assert out.shape == (1, 2, 4)
+    assert out[0, 0].tolist() == [10, 10, 10, 255]
+    assert out[0, 1].tolist() == [200, 200, 200, 128]
+
+    # palette index beyond PLTE refuses
+    bad = build(3, 1, 1, 1, bytes([7]), extra=_png_chunk(b"PLTE", palette.tobytes()))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
