@@ -175,11 +175,41 @@ def _png_filter_row(
     return (out % 256).astype(np.uint8)
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass.
+ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _filter_subimage(
+    rows: np.ndarray, ch: int, filter_type: int
+) -> bytearray:
+    """Filter a (h, w·ch) sub-image into PNG scanline bytes."""
+    out = bytearray()
+    prior = np.zeros(rows.shape[1], dtype=np.uint8)
+    for y in range(rows.shape[0]):
+        filtered = _png_filter_row(filter_type, rows[y], prior, ch)
+        out.append(filter_type)
+        out.extend(filtered.tobytes())
+        prior = rows[y]
+    return out
+
+
+def encode_png(
+    pixels: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
     """RGB (h, w, 3) or RGBA (h, w, 4) uint8 array → PNG bytes.
 
     ``filter_type`` applies the same filter (0-4) to every scanline so
-    tests can exercise each decode path; real encoders pick per-row."""
+    tests can exercise each decode path; real encoders pick per-row.
+    ``interlace=True`` emits the Adam7 seven-pass layout (each pass its
+    own filtered sub-image)."""
     import zlib
 
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
@@ -187,15 +217,20 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         raise ValueError(f"expected (h, w, 3|4) array, got {arr.shape}")
     h, w, ch = arr.shape
     color_type = 2 if ch == 3 else 6
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw_rows = arr.reshape(h, w * ch)
-    prior = np.zeros(w * ch, dtype=np.uint8)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     scanlines = bytearray()
-    for y in range(h):
-        filtered = _png_filter_row(filter_type, raw_rows[y], prior, ch)
-        scanlines.append(filter_type)
-        scanlines.extend(filtered.tobytes())
-        prior = raw_rows[y]
+    if interlace:
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            scanlines += _filter_subimage(
+                sub.reshape(sub.shape[0], -1), ch, filter_type
+            )
+    else:
+        scanlines = _filter_subimage(arr.reshape(h, w * ch), ch, filter_type)
     return (
         PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
@@ -250,9 +285,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     Grayscale replicates to RGB; palette indices expand through PLTE.
 
     Pure stdlib-zlib + numpy: chunk walk with CRC verification, IDAT
-    concatenation, inflate, per-scanline unfiltering.  16-bit depth and
-    Adam7 interlace are rejected explicitly — the Pillow swap-in point,
-    never a silent wrong answer.
+    concatenation, inflate, per-scanline unfiltering; Adam7 interlace
+    decodes as seven independently-filtered sub-images.  16-bit depth is
+    rejected explicitly — the Pillow swap-in point, never a silent
+    wrong answer.
 
     Format reference: the public PNG spec (RFC 2083 / W3C PNG) — chunk
     layout §5, filter algorithms §6, palette §4.1.2."""
@@ -282,25 +318,47 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _, _, interlace = ihdr
-    if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace not in (0, 1):
         raise ValueError(
-            f"only 8-bit non-interlaced PNG supported "
+            f"only 8-bit PNG supported "
             f"(depth={depth}, color={color_type}, interlace={interlace})"
         )
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"PNG scanline data: need {h * (stride + 1)} bytes, have {len(raw)}"
-        )
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        prior = _png_unfilter_row(int(lines[y, 0]), lines[y, 1:], prior, ch)
-        out[y] = prior
-    px = out.reshape(h, w, ch)
+
+    def unfilter(lines: np.ndarray, width: int) -> np.ndarray:
+        out = np.empty((lines.shape[0], width * ch), dtype=np.uint8)
+        prior = np.zeros(width * ch, dtype=np.uint8)
+        for y in range(lines.shape[0]):
+            prior = _png_unfilter_row(int(lines[y, 0]), lines[y, 1:], prior, ch)
+            out[y] = prior
+        return out
+
+    if interlace == 1:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            wi = len(range(x0, w, dx))
+            hi = len(range(y0, h, dy))
+            if wi == 0 or hi == 0:
+                continue
+            need = hi * (wi * ch + 1)
+            block = raw[pos2 : pos2 + need]
+            if len(block) < need:
+                raise ValueError("PNG Adam7 pass truncated")
+            pos2 += need
+            lines = np.frombuffer(block, dtype=np.uint8).reshape(hi, wi * ch + 1)
+            px[y0::dy, x0::dx] = unfilter(lines, wi).reshape(hi, wi, ch)
+        if pos2 != len(raw):
+            raise ValueError("PNG Adam7 trailing bytes")
+    else:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"PNG scanline data: need {h * (stride + 1)} bytes, have {len(raw)}"
+            )
+        lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        px = unfilter(lines, w).reshape(h, w, ch)
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")

@@ -341,10 +341,10 @@ def test_png_crc_and_unsupported_variants_rejected():
         )
         return PNG_MAGIC + chunk
 
-    # grayscale/palette now decode (see the color-type test below); the
-    # remaining unsupported variants are 16-bit depth and Adam7 interlace
-    for depth, color, interlace in ((16, 2, 0), (8, 2, 1)):
-        with _pytest.raises(ValueError, match="only 8-bit non-interlaced"):
+    # grayscale/palette/interlace now decode (tests below); the one
+    # remaining unsupported variant is 16-bit depth
+    for depth, color, interlace in ((16, 2, 0),):
+        with _pytest.raises(ValueError, match="only 8-bit"):
             decode_png(ihdr_only(depth, color, interlace))
 
 
@@ -747,3 +747,27 @@ def test_png_palette_grayscale_and_gray_alpha_decode():
 
     with _pytest.raises(ValueError, match="palette index"):
         decode_png(bad)
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: encode→decode identity across geometries that exercise
+    empty passes (tiny images), odd dims, RGBA, and non-zero filters."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w, ch, ft in (
+        (1, 1, 3, 0),    # only pass 1 non-empty
+        (3, 5, 3, 0),    # several empty passes
+        (8, 8, 3, 2),    # exactly one tile, Up filter
+        (16, 24, 4, 4),  # RGBA + Paeth
+        (33, 41, 3, 3),  # odd dims + Average
+    ):
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.int64).astype(np.uint8)
+        out = decode_png(encode_png(img, filter_type=ft, interlace=True))
+        assert out.shape == img.shape, (h, w, ch)
+        assert np.array_equal(out, img), (h, w, ch, ft)
