@@ -280,15 +280,15 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG (8-bit, non-interlaced, filters 0-4; color types 0 grayscale,
-    2 RGB, 3 palette, 4 gray+alpha, 6 RGBA) → uint8 array (h, w, 3|4).
-    Grayscale replicates to RGB; palette indices expand through PLTE.
+    """PNG (8/16-bit, filters 0-4, sequential or Adam7; color types 0
+    grayscale, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA) → uint8 array
+    (h, w, 3|4).  Grayscale replicates to RGB; palette indices expand
+    through PLTE.
 
     Pure stdlib-zlib + numpy: chunk walk with CRC verification, IDAT
     concatenation, inflate, per-scanline unfiltering; Adam7 interlace
-    decodes as seven independently-filtered sub-images.  16-bit depth is
-    rejected explicitly — the Pillow swap-in point, never a silent
-    wrong answer.
+    decodes as seven independently-filtered sub-images; 16-bit samples
+    downsample to their high byte (the stats pipeline is uint8).
 
     Format reference: the public PNG spec (RFC 2083 / W3C PNG) — chunk
     layout §5, filter algorithms §6, palette §4.1.2."""
@@ -318,47 +318,59 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _, _, interlace = ihdr
-    if depth != 8 or color_type not in _PNG_CHANNELS or interlace not in (0, 1):
+    if (
+        depth not in (8, 16)
+        or color_type not in _PNG_CHANNELS
+        or interlace not in (0, 1)
+        or (depth == 16 and color_type == 3)  # palette is 8-bit max per spec
+    ):
         raise ValueError(
-            f"only 8-bit PNG supported "
+            f"only 8/16-bit PNG supported "
             f"(depth={depth}, color={color_type}, interlace={interlace})"
         )
     ch = _PNG_CHANNELS[color_type]
+    # filters operate on BYTES with the pixel byte-width as the left
+    # offset (spec §6): 16-bit samples double the per-pixel byte count
+    bypp = ch * (depth // 8)
     raw = zlib.decompress(bytes(idat))
 
     def unfilter(lines: np.ndarray, width: int) -> np.ndarray:
-        out = np.empty((lines.shape[0], width * ch), dtype=np.uint8)
-        prior = np.zeros(width * ch, dtype=np.uint8)
+        out = np.empty((lines.shape[0], width * bypp), dtype=np.uint8)
+        prior = np.zeros(width * bypp, dtype=np.uint8)
         for y in range(lines.shape[0]):
-            prior = _png_unfilter_row(int(lines[y, 0]), lines[y, 1:], prior, ch)
+            prior = _png_unfilter_row(int(lines[y, 0]), lines[y, 1:], prior, bypp)
             out[y] = prior
         return out
 
     if interlace == 1:  # Adam7: seven independently-filtered sub-images
-        px = np.zeros((h, w, ch), dtype=np.uint8)
+        px = np.zeros((h, w, bypp), dtype=np.uint8)
         pos2 = 0
         for x0, y0, dx, dy in ADAM7_PASSES:
             wi = len(range(x0, w, dx))
             hi = len(range(y0, h, dy))
             if wi == 0 or hi == 0:
                 continue
-            need = hi * (wi * ch + 1)
+            need = hi * (wi * bypp + 1)
             block = raw[pos2 : pos2 + need]
             if len(block) < need:
                 raise ValueError("PNG Adam7 pass truncated")
             pos2 += need
-            lines = np.frombuffer(block, dtype=np.uint8).reshape(hi, wi * ch + 1)
-            px[y0::dy, x0::dx] = unfilter(lines, wi).reshape(hi, wi, ch)
+            lines = np.frombuffer(block, dtype=np.uint8).reshape(hi, wi * bypp + 1)
+            px[y0::dy, x0::dx] = unfilter(lines, wi).reshape(hi, wi, bypp)
         if pos2 != len(raw):
             raise ValueError("PNG Adam7 trailing bytes")
     else:
-        stride = w * ch
+        stride = w * bypp
         if len(raw) != h * (stride + 1):
             raise ValueError(
                 f"PNG scanline data: need {h * (stride + 1)} bytes, have {len(raw)}"
             )
         lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-        px = unfilter(lines, w).reshape(h, w, ch)
+        px = unfilter(lines, w).reshape(h, w, bypp)
+    if depth == 16:
+        # big-endian sample pairs → keep the high byte (the standard
+        # 16→8 downsample; the stats pipeline is uint8)
+        px = px.reshape(h, w, ch, 2)[:, :, :, 0]
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")

@@ -341,10 +341,10 @@ def test_png_crc_and_unsupported_variants_rejected():
         )
         return PNG_MAGIC + chunk
 
-    # grayscale/palette/interlace now decode (tests below); the one
-    # remaining unsupported variant is 16-bit depth
-    for depth, color, interlace in ((16, 2, 0),):
-        with _pytest.raises(ValueError, match="only 8-bit"):
+    # every standard 8/16-bit variant decodes now; malformed combos
+    # (16-bit palette is illegal per spec) still refuse
+    for depth, color, interlace in ((16, 3, 0), (4, 2, 0)):
+        with _pytest.raises(ValueError, match="only 8/16-bit"):
             decode_png(ihdr_only(depth, color, interlace))
 
 
@@ -771,3 +771,35 @@ def test_png_adam7_interlace_roundtrip():
         out = decode_png(encode_png(img, filter_type=ft, interlace=True))
         assert out.shape == img.shape, (h, w, ch)
         assert np.array_equal(out, img), (h, w, ch, ft)
+
+
+def test_png_16bit_decodes_high_byte():
+    """16-bit RGB PNG hand-assembled (big-endian sample pairs, filter 0):
+    decode keeps the high byte of each sample — including a value whose
+    low byte differs, proving the byte order is right."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        PNG_MAGIC,
+        _png_chunk,
+        decode_png,
+    )
+
+    # 2×1 image; samples (hi, lo): pixel0 = (10,99),(20,1),(30,255),
+    # pixel1 = (200,0),(150,77),(0,128)
+    samples = [10, 99, 20, 1, 30, 255, 200, 0, 150, 77, 0, 128]
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+    raw = b"\x00" + bytes(samples)
+    png = (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out.shape == (1, 2, 3)
+    assert out[0, 0].tolist() == [10, 20, 30]
+    assert out[0, 1].tolist() == [200, 150, 0]
