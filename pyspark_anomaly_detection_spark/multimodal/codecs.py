@@ -318,55 +318,75 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _, _, interlace = ihdr
+    sub_byte_ok = color_type in (0, 3) and depth in (1, 2, 4)
     if (
-        depth not in (8, 16)
+        (depth not in (8, 16) and not sub_byte_ok)
         or color_type not in _PNG_CHANNELS
         or interlace not in (0, 1)
         or (depth == 16 and color_type == 3)  # palette is 8-bit max per spec
     ):
         raise ValueError(
-            f"only 8/16-bit PNG supported "
+            f"unsupported PNG variant "
             f"(depth={depth}, color={color_type}, interlace={interlace})"
         )
     ch = _PNG_CHANNELS[color_type]
     # filters operate on BYTES with the pixel byte-width as the left
-    # offset (spec §6): 16-bit samples double the per-pixel byte count
-    bypp = ch * (depth // 8)
+    # offset (spec §6): 16-bit samples double the per-pixel byte count;
+    # sub-byte depths (1/2/4-bit gray/palette) pack pixels MSB-first and
+    # filter with a 1-byte offset
+    bypp = max(1, ch * depth // 8)
+
+    def row_bytes(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
     raw = zlib.decompress(bytes(idat))
 
     def unfilter(lines: np.ndarray, width: int) -> np.ndarray:
-        out = np.empty((lines.shape[0], width * bypp), dtype=np.uint8)
-        prior = np.zeros(width * bypp, dtype=np.uint8)
+        rb = row_bytes(width)
+        out = np.empty((lines.shape[0], rb), dtype=np.uint8)
+        prior = np.zeros(rb, dtype=np.uint8)
         for y in range(lines.shape[0]):
             prior = _png_unfilter_row(int(lines[y, 0]), lines[y, 1:], prior, bypp)
             out[y] = prior
         return out
 
+    def expand(rows: np.ndarray, width: int) -> np.ndarray:
+        """(h, row_bytes) filtered bytes → (h, width, bypp-or-1) samples."""
+        if depth >= 8:
+            return rows.reshape(rows.shape[0], width, bypp)
+        bits = np.unpackbits(rows, axis=1)  # MSB-first per spec
+        vals = np.zeros((rows.shape[0], width), dtype=np.uint8)
+        for b in range(depth):
+            vals = (vals << 1) | bits[:, b :: depth][:, :width]
+        return vals[:, :, None]
+
     if interlace == 1:  # Adam7: seven independently-filtered sub-images
-        px = np.zeros((h, w, bypp), dtype=np.uint8)
+        px = np.zeros((h, w, bypp if depth >= 8 else 1), dtype=np.uint8)
         pos2 = 0
         for x0, y0, dx, dy in ADAM7_PASSES:
             wi = len(range(x0, w, dx))
             hi = len(range(y0, h, dy))
             if wi == 0 or hi == 0:
                 continue
-            need = hi * (wi * bypp + 1)
+            need = hi * (row_bytes(wi) + 1)
             block = raw[pos2 : pos2 + need]
             if len(block) < need:
                 raise ValueError("PNG Adam7 pass truncated")
             pos2 += need
-            lines = np.frombuffer(block, dtype=np.uint8).reshape(hi, wi * bypp + 1)
-            px[y0::dy, x0::dx] = unfilter(lines, wi).reshape(hi, wi, bypp)
+            lines = np.frombuffer(block, dtype=np.uint8).reshape(
+                hi, row_bytes(wi) + 1
+            )
+            px[y0::dy, x0::dx] = expand(unfilter(lines, wi), wi)
         if pos2 != len(raw):
             raise ValueError("PNG Adam7 trailing bytes")
     else:
-        stride = w * bypp
+        stride = row_bytes(w)
         if len(raw) != h * (stride + 1):
             raise ValueError(
                 f"PNG scanline data: need {h * (stride + 1)} bytes, have {len(raw)}"
             )
         lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-        px = unfilter(lines, w).reshape(h, w, bypp)
+        px = expand(unfilter(lines, w), w)
     if depth == 16:
         # big-endian sample pairs → keep the high byte (the standard
         # 16→8 downsample; the stats pipeline is uint8)
@@ -380,6 +400,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         return plte[idx]
     if color_type == 0:
         g = px[:, :, 0]
+        if depth < 8:  # scale sub-byte gray levels to full 8-bit range
+            g = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
         return np.stack([g, g, g], axis=2)
     if color_type == 4:
         g, a = px[:, :, 0], px[:, :, 1]

@@ -341,10 +341,10 @@ def test_png_crc_and_unsupported_variants_rejected():
         )
         return PNG_MAGIC + chunk
 
-    # every standard 8/16-bit variant decodes now; malformed combos
-    # (16-bit palette is illegal per spec) still refuse
-    for depth, color, interlace in ((16, 3, 0), (4, 2, 0)):
-        with _pytest.raises(ValueError, match="only 8/16-bit"):
+    # every standard variant decodes now; malformed combos (16-bit
+    # palette, sub-byte truecolor — both illegal per spec) still refuse
+    for depth, color, interlace in ((16, 3, 0), (4, 2, 0), (2, 6, 0)):
+        with _pytest.raises(ValueError, match="unsupported PNG variant"):
             decode_png(ihdr_only(depth, color, interlace))
 
 
@@ -803,3 +803,76 @@ def test_png_16bit_decodes_high_byte():
     assert out.shape == (1, 2, 3)
     assert out[0, 0].tolist() == [10, 20, 30]
     assert out[0, 1].tolist() == [200, 150, 0]
+
+
+def test_png_sub_byte_palette_and_gray():
+    """1/2/4-bit packed scanlines, hand-assembled: palette indices unpack
+    MSB-first; sub-byte grayscale scales to the full 8-bit range."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import (
+        PNG_MAGIC,
+        _png_chunk,
+        decode_png,
+    )
+
+    def build(color_type, depth, w, h, rows, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in rows)
+        return (
+            PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + extra
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 2-bit palette, 5 pixels/row (rows pad to byte): indices 0,1,2,3,0
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8
+    )
+    row = bytes([0b00_01_10_11, 0b00_000000])  # MSB-first: 0,1,2,3 then 0
+    png = build(3, 2, 5, 1, [row], extra=_png_chunk(b"PLTE", palette.tobytes()))
+    out = decode_png(png)
+    assert out.shape == (1, 5, 3)
+    assert np.array_equal(out[0], palette[[0, 1, 2, 3, 0]])
+
+    # 1-bit grayscale 8×1: 0b10110001 → 255/0 pattern
+    png = build(0, 1, 8, 1, [bytes([0b10110001])])
+    out = decode_png(png)
+    assert out[0, :, 0].tolist() == [255, 0, 255, 255, 0, 0, 0, 255]
+
+    # 4-bit grayscale: values 0..15 scale by 17
+    png = build(0, 4, 4, 1, [bytes([0x0F, 0x5A])])
+    out = decode_png(png)
+    assert out[0, :, 0].tolist() == [0, 255, 5 * 17, 10 * 17]
+
+
+def test_wild_system_images_decode():
+    """Real-world files shipped with the OS/python install — decoded by
+    code paths never touched by this repo's encoders (palette PNG, 2-bit
+    palette PNG, RGBA PNG, baseline JPEG, LZW GIFs)."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import decode_image
+
+    candidates = [
+        "/usr/share/gitweb/static/git-logo.png",       # 8-bit palette
+        "/usr/share/gitweb/static/git-favicon.png",    # 2-bit palette
+        "/usr/share/doc/python3/_static/file.png",     # RGBA
+    ] + glob.glob(
+        "/root/.pyenv/versions/*/lib/python3.*/site-packages/IPython/core/tests/2x2.jpg"
+    ) + glob.glob("/usr/share/doc/libxslt1-dev/html/*.gif")[:3]
+    present = [f for f in candidates if os.path.exists(f)]
+    if not present:
+        _pytest.skip("no system images on this host")
+    for f in present:
+        arr = decode_image(open(f, "rb").read())
+        assert arr.ndim == 3 and arr.shape[2] in (3, 4) and arr.size > 0, f
+        assert 0.0 <= float(arr.mean()) <= 255.0
