@@ -220,12 +220,14 @@ def merge_keys(
     key_col: str,
     updates: DataFrame,
 ) -> dict[str, int]:
-    """Keyed MERGE (upsert) into a hive-partitioned Parquet table — the
-    Delta-Lake ``MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT
-    MATCHED THEN INSERT *`` semantics (reference silver layer's write
-    pattern, src/data/silver.py) re-expressed on plain Parquet for
+    """Keyed MERGE (upsert) into a hive-partitioned Parquet table —
+    Delta Lake's ``MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    MATCHED THEN INSERT *`` semantics re-expressed on plain Parquet for
     environments without the Delta runtime (jars absent here; the
     skip-gated tests/test_delta_integration.py covers the native form).
+    The reference itself only overwrite-writes its silver Delta table
+    (src/data/silver.py:56) — MERGE is the incremental upgrade a real
+    deployment of that storage layer would use.
 
     Plan shape at 100 TB (mirrors :func:`delete_keys`): rewrite set =
     partitions currently holding a matched key (the key's OLD home —
@@ -236,8 +238,15 @@ def merge_keys(
     partitions are never read or written.  ``updates`` must carry the
     full table schema including the partition columns; one row per key
     (enforced — ambiguous multi-row updates are an error, matching
-    Delta's behavior).  Returns ``{"partitions_rewritten": …,
-    "rows_updated": …, "rows_inserted": …}``.
+    Delta's behavior).  Precondition: the TARGET table must also hold
+    at most one row per key (the invariant every prior merge_keys call
+    preserves) — with duplicate target keys, all duplicates of a
+    matched key are collapsed into the single update row and
+    ``rows_updated``/``rows_inserted`` count rows, not keys, so
+    ``rows_inserted`` can go negative.  Returns
+    ``{"partitions_rewritten": …, "rows_updated": …,
+    "rows_inserted": …}``.  An empty ``updates`` frame is a clean
+    no-op returning all-zero counts.
     """
     from pyspark.sql import functions as F
 
@@ -259,6 +268,14 @@ def merge_keys(
     # very table (e.g. the streaming CDC gate) — after the overwrite its
     # source files are gone and any late action on it fails.
     n_updates = updates.count()
+    if n_updates == 0:
+        # No-op merge: without this guard `touched` is empty, `pred`
+        # stays None and table.filter(None) raises an opaque Py4J error.
+        return {
+            "partitions_rewritten": 0,
+            "rows_updated": 0,
+            "rows_inserted": 0,
+        }
 
     old_parts = (
         table.join(key_set, key_col, "left_semi")

@@ -348,8 +348,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 interval_idx += 1
-                if interval_idx < len(intervals):
-                    reader = _BitReader(intervals[interval_idx])
+                if interval_idx >= len(intervals):
+                    # Fail loud on truncated entropy data (matches the
+                    # decoder's other malformed-input paths) instead of
+                    # re-reading the exhausted interval as garbage pixels.
+                    raise ValueError(
+                        "JPEG truncated: fewer restart intervals than MCUs require"
+                    )
+                reader = _BitReader(intervals[interval_idx])
                 preds = {cid: 0 for cid in preds}
             for cid, hs, vs, qzz, dct_dc, dct_ac in scan_info:
                 for by in range(vs):

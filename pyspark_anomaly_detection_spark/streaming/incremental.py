@@ -255,8 +255,10 @@ def start_incremental_upsert(
 ):
     """CDC-apply: maintain a keyed Parquet table from a change stream via
     ``foreachBatch`` + :func:`io.maintenance.merge_keys` — the streaming
-    form of Delta's ``MERGE INTO`` (reference silver-layer semantics)
-    without the Delta runtime.
+    form of Delta's ``MERGE INTO`` semantics, without the Delta runtime
+    (the reference's silver layer, src/data/silver.py, only
+    overwrite-writes; this is the incremental form a real deployment of
+    that storage layer would use).
 
     Each micro-batch collapses to latest-change-per-key (max ``order_col``,
     deterministic) and is then applied CONDITIONALLY — ``WHEN MATCHED AND

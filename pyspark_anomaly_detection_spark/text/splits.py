@@ -889,11 +889,11 @@ QBUDGET_CHARS = 2_000
     oracle=f"""
     WITH keyed AS (
       SELECT doc_id, source, n_chars,
-        power(
+        round(power(
           (CAST({MD5_LONG60_SQL.format(x="CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1.0)
             / 1152921504606846977.0,
           1.0 / CAST(greatest(n_chars, 1) AS DOUBLE)
-        ) AS es_key
+        ), 12) AS es_key
       FROM documents
     ),
     ranked AS (
@@ -924,7 +924,12 @@ def q180_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (md5_long60(F.col("doc_id").cast("string")).cast("double") + 1.0) / F.lit(
         float((1 << 60) + 1)
     )
-    key = F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"))
+    # round the pow() result to 12 decimals: Java Math.pow and DuckDB's
+    # libm power can differ in the last ULPs, which could reorder
+    # near-tied keys at the top-K cutoff and flake the oracle compare.
+    key = F.round(
+        F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")), 12
+    )
     # distributed top-K FIRST (orderBy+limit → TakeOrderedAndProject, no
     # global single-task sort), THEN rank the K survivors — the global
     # row_number window only ever sees K rows.

@@ -352,6 +352,32 @@ def test_merge_keys_rejects_ambiguous_updates(spark, tmp_path):
         merge_keys(spark, path, ["day"], "user_id", dup)
 
 
+def test_merge_keys_empty_updates_is_clean_noop(spark, tmp_path):
+    """An empty updates frame must be a no-op with all-zero counts, not
+    an opaque filter(None) Py4J error, and must leave the table files
+    untouched."""
+    import os
+
+    from pyspark_anomaly_detection_spark.io.maintenance import merge_keys
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], ["user_id", "day", "v"]
+    )
+    base.write.partitionBy("day").parquet(path)
+    mtime = os.path.getmtime(os.path.join(path, "day=a"))
+
+    empty = spark.createDataFrame([], base.schema)
+    stats = merge_keys(spark, path, ["day"], "user_id", empty)
+    assert stats == {
+        "partitions_rewritten": 0,
+        "rows_updated": 0,
+        "rows_inserted": 0,
+    }
+    assert spark.read.parquet(path).count() == 2
+    assert os.path.getmtime(os.path.join(path, "day=a")) == mtime
+
+
 def test_scd2_apply_close_open_noop_and_replay_idempotent(spark, tmp_path):
     """SCD2 writer: a changed attribute closes the current row at the
     effective ts and opens a new current one; an identical update is a

@@ -133,7 +133,13 @@ def test_brp_candidate_pruning_and_bucket_occupancy(spark, sf_dir):
     # measured 0.936-0.939 across SFs at T=48 — the honest ceiling for
     # OR-only amplification on this low-contrast corpus (near/random
     # distance ratio ≈0.81); the degenerate config gives exactly 1.0.
-    assert frac < 0.96, f"bucket join degenerated to cross product: {frac}"
+    # Bound = measured + ~0.007 margin (candidate count is deterministic
+    # given the fixed seed), so even a partial bucketing regression —
+    # one table collapsing pushes frac up several points — fails here,
+    # not just the full cross product.  A 0.5-style bound is unreachable
+    # for the stock OR-amplified approxSimilarityJoin on this corpus;
+    # the repo's own ANN stack (q37/q38/q53/q116/q140) is the scale path.
+    assert frac < 0.945, f"bucket join degenerated toward cross product: {frac}"
 
     cands = _prep_units(emb, "vec_id")
     brp = _fit_brp(cands, 64, seed=11)
