@@ -6,7 +6,15 @@ executes every headline query end-to-end (materialized via the noop sink —
 full execution, no driver collect), and prints ONE JSON line::
 
     {"metric": "headline_suite_seconds", "value": N, "unit": "sec",
-     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1,
+     "reps": 5, "dispersion": {"q01_pricing_summary":
+        {"min": s, "max": s, "stdev": s, "samples": [...]}, ...}}
+
+Per-query numbers are the TRIMMED MEAN of ``$SPARK_GRAFT_BENCH_REPS``
+(default 5) repetitions — drop the single min and max, average the rest —
+so round-over-round deltas of a few percent are decidable against the
+recorded spread instead of being single-shot noise.  ``value`` is the sum
+of the per-query trimmed means.
 """
 
 from __future__ import annotations
@@ -71,6 +79,7 @@ def main() -> None:
         return
 
     headline = {n: q for n, q in registry.items() if q.headline}
+    reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
 
     # JVM/codegen warmup on the smallest SF so timings measure the engine,
     # not first-query initialization. Whole-stage codegen compiles per
@@ -78,23 +87,41 @@ def main() -> None:
     for query in headline.values():
         materialize(query.fn(spark, "/root/testdata/sf0.001"))
 
+    # Interleave repetitions (rep-major, not query-major) so a transient
+    # machine-wide slowdown lands on ONE sample of many queries instead of
+    # all samples of one query — the trimmed mean then drops it.
+    samples: dict[str, list[float]] = {n: [] for n in headline}
+    for _ in range(reps):
+        for name, query in sorted(headline.items()):
+            start = time.perf_counter()
+            materialize(query.fn(spark, sf_dir))
+            samples[name].append(round(time.perf_counter() - start, 3))
+
     timings: dict[str, float] = {}
-    total = 0.0
-    for name, query in sorted(headline.items()):
-        start = time.perf_counter()
-        materialize(query.fn(spark, sf_dir))
-        elapsed = round(time.perf_counter() - start, 3)
-        timings[name] = elapsed
-        total += elapsed
+    dispersion: dict[str, dict] = {}
+    for name, vals in samples.items():
+        core = sorted(vals)[1:-1] if len(vals) >= 3 else vals
+        timings[name] = round(sum(core) / len(core), 3)
+        mean = sum(vals) / len(vals)
+        dispersion[name] = {
+            "min": min(vals),
+            "max": max(vals),
+            "stdev": round(
+                (sum((v - mean) ** 2 for v in vals) / (len(vals) - 1)) ** 0.5, 3
+            ),
+            "samples": vals,
+        }
 
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
-                "value": round(total, 3),
+                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": dict(sorted(timings.items())),
                 "sf": sf,
+                "reps": reps,
+                "dispersion": dict(sorted(dispersion.items())),
             }
         )
     )
