@@ -1,0 +1,150 @@
+"""Multi-SF oracle-parity sweep → committed evidence artifact.
+
+The pytest parity harness (tests/test_oracle_parity.py) compares every
+registered oracle pair exactly, but only at ONE scale factor per run
+(``$SPARK_GRAFT_TEST_SF_DIR``, default sf0.001), and the driver's own
+gate runs at sf0.01.  Bugs in SIZE-DEPENDENT dispatch (q52's
+exact-below-cap / LSH-above switch is the canonical example) are
+invisible to any single-SF run — they only show when the same oracle
+comparison is executed at a second scale.
+
+This tool runs the identical comparison (same normalization, same
+exact-match rule, no float tolerance) for EVERY registered oracle pair
+at one or more SF dirs and writes ``PARITY_sf{sf}.json`` per SF::
+
+    {"sf_dir": ..., "n_oracle": N, "n_pass": N, "n_fail": 0,
+     "queries": {"q01_...": "pass", ...}, "failures": {}}
+
+Usage::
+
+    python tools/parity_check.py                 # sf0.001 + sf0.01
+    python tools/parity_check.py /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb
+import pandas as pd
+
+from pyspark_anomaly_detection_spark.io.readers import TABLE_NAMES
+from pyspark_anomaly_detection_spark.registry import all_queries
+from pyspark_anomaly_detection_spark.session import get_spark_session
+
+#: Same whitelist as tests/test_oracle_parity.py — queries whose oracle
+#: binds as subset-containment above their exact-dispatch cap.
+ADAPTIVE_SUBSET_CASES = {"q52_embedding_neardup"}
+
+
+def _cell(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = df.copy()
+    for col in out.columns:
+        out[col] = out[col].map(_cell)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> str | None:
+    """None if parity holds, else a short failure description."""
+    if name in ADAPTIVE_SUBSET_CASES and len(spark_pdf) < len(duck_pdf):
+        key = ["a_id", "b_id"]
+        merged = spark_pdf.merge(duck_pdf, on=key, suffixes=("_s", "_d"))
+        if len(merged) != len(spark_pdf):
+            return "blocked pair not in exact set"
+        if (merged["cos_sim_s"] - merged["cos_sim_d"]).abs().max() != 0.0:
+            return "cos_sim mismatch in subset"
+        return None
+    if len(spark_pdf) != len(duck_pdf):
+        return f"rows {len(spark_pdf)} != {len(duck_pdf)}"
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return f"columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    if not _normalize(spark_pdf).equals(_normalize(duck_pdf)):
+        return "value mismatch"
+    return None
+
+
+def run_sf(sf_dir: str) -> dict:
+    spark = get_spark_session("parity", master="local[16]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    registry = all_queries()
+    statuses: dict[str, str] = {}
+    failures: dict[str, str] = {}
+    start = time.perf_counter()
+    for name, query in sorted(registry.items()):
+        if not query.oracle:
+            continue
+        try:
+            spark_pdf = query.fn(spark, sf_dir).toPandas()
+            duck_pdf = con.execute(query.oracle).df()
+            err = compare(spark_pdf, duck_pdf, name)
+        except Exception as e:  # noqa: BLE001 - sweep robustness
+            err = f"error: {str(e)[:200]}"
+        if err is None:
+            statuses[name] = "pass"
+        else:
+            statuses[name] = "fail"
+            failures[name] = err
+        print(f"  {name}: {statuses[name]}", file=sys.stderr)
+    elapsed = round(time.perf_counter() - start, 1)
+    con.close()
+    spark.stop()
+    return {
+        "sf_dir": sf_dir,
+        "n_oracle": len(statuses),
+        "n_pass": sum(1 for s in statuses.values() if s == "pass"),
+        "n_fail": len(failures),
+        "elapsed_sec": elapsed,
+        "queries": statuses,
+        "failures": failures,
+    }
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+    ]
+    for sf_dir in sf_dirs:
+        result = run_sf(sf_dir)
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        out = os.path.join(REPO, f"PARITY_{tag}.json")
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=False)
+            f.write("\n")
+        print(
+            f"{tag}: {result['n_pass']}/{result['n_oracle']} pass, "
+            f"{result['n_fail']} fail → {out}"
+        )
+        if result["n_fail"]:
+            for name, why in result["failures"].items():
+                print(f"  FAIL {name}: {why}")
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
