@@ -3,10 +3,14 @@ stdlib, zero new deps.  Real multimodal corpora are JPEG-dominated, so
 the image decode path needs this to be real, not a Pillow swap-in stub
 (round-3 verdict directive #2).
 
-Scope: baseline DCT, Huffman entropy coding, 8-bit precision, grayscale
-or YCbCr, any sampling factors up to 2×2 (4:4:4, 4:2:2, 4:2:0), restart
-intervals, JFIF/APPn/COM segments skipped.  Progressive/arithmetic/
-12-bit are out of scope (rare in training corpora; raise cleanly).
+Scope: baseline DCT (SOF0/1) AND progressive DCT (SOF2 — spectral
+selection + successive approximation, EOB runs, DC/AC refinement
+scans), Huffman entropy coding, 8-bit precision, grayscale or YCbCr,
+any sampling factors up to 2×2 (4:4:4, 4:2:2, 4:2:0), restart
+intervals, JFIF/APPn/COM segments skipped.  Real web corpora are
+heavily progressive, so SOF2 is first-class, not a raise.  Arithmetic
+coding / lossless / hierarchical / 12-bit are out of scope (rare in
+training corpora; raise cleanly).
 
 The encoder exists for round-trip testing and fixture generation: it
 emits standards-compliant baseline files (Annex K quantization + Huffman
@@ -216,17 +220,48 @@ def _extend(code: int, s: int) -> int:
 # -------------------------------------------------------------- decoder
 
 
+def _entropy_intervals(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Collect the entropy-coded data starting at ``pos``: unstuff
+    FF 00 → FF, split at RSTn markers.  Returns (intervals, position of
+    the next non-RST marker's 0xFF byte)."""
+    intervals: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b == 0xFF and i + 1 < n:
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    intervals.append(bytes(cur))
+    return intervals, i
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → RGB uint8 (h, w, 3).  Grayscale replicates to 3
-    channels so downstream feature extraction sees one shape."""
+    """Baseline or progressive JPEG → RGB uint8 (h, w, 3).  Grayscale
+    replicates to 3 channels so downstream feature extraction sees one
+    shape."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}  # id → 64 ints, zigzag order
     htables: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
     frame = None  # (h, w, comps) ; comps = [(cid, hs, vs, tq)]
+    progressive = False
     restart_interval = 0
     scan = None
+    prog_scans: list[tuple] = []  # (scan_comps, ss, se, ah, al, dri, intervals)
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -267,7 +302,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -278,10 +313,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
                 f"unsupported JPEG mode (SOF{marker - 0xC0}); "
-                "only baseline sequential is implemented"
+                "baseline sequential and progressive are implemented"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -290,35 +326,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
                     for i in range(ns)]
             pos += seglen
-            break  # entropy-coded data follows
+            if not progressive:
+                break  # single entropy-coded segment follows
+            # Progressive: §B.2.3 scan header carries spectral selection
+            # (Ss..Se) + successive approximation (Ah, Al); Huffman
+            # tables are resolved NOW (DHT may be redefined per scan).
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            scan_comps = [
+                (cid, htables.get((0, td)), htables.get((1, ta)))
+                for cid, td, ta in scan
+            ]
+            intervals, pos = _entropy_intervals(payload, pos)
+            prog_scans.append(
+                (scan_comps, ss, se, a >> 4, a & 0xF, restart_interval, intervals)
+            )
+            continue
         pos += seglen
+
+    if progressive:
+        if frame is None or not prog_scans:
+            raise ValueError("JPEG missing SOF/SOS")
+        return _decode_progressive(frame, prog_scans, qtables)
 
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
 
     # --- collect entropy segments, splitting at restart markers and
     # unstuffing FF 00 → FF
-    intervals: list[bytes] = []
-    cur = bytearray()
-    i = pos
-    n = len(payload)
-    while i < n:
-        b = payload[i]
-        if b == 0xFF and i + 1 < n:
-            nxt = payload[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        i += 1
-    intervals.append(bytes(cur))
+    intervals, _ = _entropy_intervals(payload, pos)
 
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
@@ -387,7 +423,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
 
-    # upsample to full resolution, crop, color-convert
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(
+    planes: dict, comps: list, h: int, w: int, hmax: int, vmax: int
+) -> np.ndarray:
+    """Upsample component planes to full resolution, crop, color-convert."""
     full = []
     for cid, hs, vs, _ in comps:
         p = planes[cid]
@@ -402,6 +444,207 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------- progressive decoder (SOF2)
+#
+# T.81 §G.2: the frame's DCT coefficients are assembled across MULTIPLE
+# scans before a single dequantize+iDCT pass.  Each scan carries either
+# a spectral band of one component (AC scans: Ss..Se, always
+# non-interleaved) or the DC coefficients of one or more components
+# (Ss = Se = 0, may be interleaved), at successive-approximation
+# precision Al; scans with Ah > 0 refine one extra magnitude bit of an
+# earlier scan's coefficients.  AC scans add EOB-run symbols (EOBn =
+# RRRRSSSS with SSSS = 0, RRRR < 15) that end 2^r..2^(r+1)-1 blocks at
+# once (§G.1.2.2); AC refinement scans (§G.1.2.3) interleave correction
+# bits for already-nonzero coefficients with newly-significant ±1 bits.
+
+
+def _dc_first_block(reader, table, blk, pred: int, al: int) -> int:
+    s = reader.read_symbol(table)
+    diff = _extend(reader.read_bits(s), s) if s else 0
+    pred += diff
+    blk[0] = pred << al
+    return pred
+
+
+def _dc_refine_block(reader, blk, al: int) -> None:
+    # §G.1.2.1: DC point transform is an arithmetic shift, so the
+    # refinement bit ORs into the two's-complement value directly.
+    if reader.read_bit():
+        blk[0] |= 1 << al
+
+
+def _ac_first_block(reader, table, blk, ss, se, al, eobrun: int) -> int:
+    """§G.1.2.2 first AC scan of a band; returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r (+ extra bits) ended blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("JPEG progressive AC index overrun")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, table, blk, ss, se, al, eobrun: int) -> int:
+    """§G.1.2.3 AC refinement: correction bits for already-nonzero
+    coefficients, ±1<<Al for newly-significant ones.  Returns the
+    updated EOB run."""
+    plus = 1 << al
+
+    def correct(k: int) -> None:
+        if reader.read_bit() and (blk[k] & plus) == 0:
+            blk[k] += plus if blk[k] > 0 else -plus
+
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            if blk[k] != 0:
+                correct(k)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(table)
+        r, s = rs >> 4, rs & 0xF
+        val = 0
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                # run out the remainder of THIS block reading correction
+                # bits only (r larger than any band length)
+                r = 64
+        else:
+            if s != 1:
+                raise ValueError("JPEG progressive AC refine symbol != 1")
+            val = plus if reader.read_bit() else -plus
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            else:
+                if r == 0:
+                    if val:
+                        blk[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    return eobrun
+
+
+def _decode_progressive(frame, scans, qtables) -> np.ndarray:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    comp_by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    # Coefficient accumulators over the INTERLEAVED (padded) block grid,
+    # zigzag index order; scans mutate rows in place.
+    coef = {
+        cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+        for cid, hs, vs, _ in comps
+    }
+
+    for scan_comps, ss, se, ah, al, dri, intervals in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("JPEG progressive scan mixes DC and AC")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError("JPEG progressive AC scan must be non-interleaved")
+        reader = _BitReader(intervals[0])
+        interval_idx = 0
+        preds = {cid: 0 for cid, _, _ in scan_comps}
+        eobrun = 0
+        unit_count = 0
+
+        def next_interval():
+            nonlocal reader, interval_idx, preds, eobrun
+            interval_idx += 1
+            if interval_idx >= len(intervals):
+                raise ValueError(
+                    "JPEG truncated: fewer restart intervals than MCUs require"
+                )
+            reader = _BitReader(intervals[interval_idx])
+            preds = {cid: 0 for cid in preds}
+            eobrun = 0
+
+        if ss == 0 and len(scan_comps) > 1:
+            # interleaved DC scan: MCU order, all components
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if dri and unit_count and unit_count % dri == 0:
+                        next_interval()
+                    for cid, dc_tab, _ in scan_comps:
+                        hs, vs, _ = comp_by_id[cid]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blk = coef[cid][my * vs + by, mx * hs + bx]
+                                if ah == 0:
+                                    preds[cid] = _dc_first_block(
+                                        reader, dc_tab, blk, preds[cid], al
+                                    )
+                                else:
+                                    _dc_refine_block(reader, blk, al)
+                    unit_count += 1
+        else:
+            # non-interleaved scan (single component): raster over the
+            # component's OWN block grid (§A.2.2 — ceil of the
+            # component's sample dims, NOT the padded MCU grid)
+            cid, dc_tab, ac_tab = scan_comps[0]
+            hs, vs, _ = comp_by_id[cid]
+            cbx = -(-(-(-w * hs // hmax)) // 8)
+            cby = -(-(-(-h * vs // vmax)) // 8)
+            for byi in range(cby):
+                for bxi in range(cbx):
+                    if dri and unit_count and unit_count % dri == 0:
+                        next_interval()
+                    blk = coef[cid][byi, bxi]
+                    if ss == 0:
+                        if ah == 0:
+                            preds[cid] = _dc_first_block(
+                                reader, dc_tab, blk, preds[cid], al
+                            )
+                        else:
+                            _dc_refine_block(reader, blk, al)
+                    elif ah == 0:
+                        eobrun = _ac_first_block(
+                            reader, ac_tab, blk, ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _ac_refine_block(
+                            reader, ac_tab, blk, ss, se, al, eobrun
+                        )
+                    unit_count += 1
+
+    # single dequantize + iDCT pass, same per-block expression as the
+    # baseline path (bit-identical reconstruction for identical coefs)
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        qzz = qtables[tq]
+        grid = coef[cid]
+        plane = np.zeros((grid.shape[0] * 8, grid.shape[1] * 8))
+        for byi in range(grid.shape[0]):
+            for bxi in range(grid.shape[1]):
+                block = np.zeros((8, 8))
+                block[_ZZ_ROWS, _ZZ_COLS] = grid[byi, bxi] * qzz
+                plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = (
+                    _DCT.T @ block @ _DCT + 128.0
+                )
+        planes[cid] = plane
+    return _planes_to_rgb(planes, comps, h, w, hmax, vmax)
 
 
 # -------------------------------------------------------------- encoder
@@ -496,17 +739,13 @@ def _fdct_quant(block: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     return q[_ZZ_ROWS, _ZZ_COLS]
 
 
-def encode_jpeg_baseline(
-    pixels: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """RGB uint8 (h, w, 3) → baseline JFIF bytes.  subsampling: '444' or
-    '420'.  restart_interval > 0 emits DRI + RSTn markers every that
-    many MCUs (exercises the decoder's restart path)."""
+def _encode_setup(pixels: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color-convert, subsample, block grids
+    (luma padded to the full MCU grid), quality-scaled quant tables.
+    Returns (h, w, ql, qc, ql_zz, qc_zz, yb, cbb, crb, hs_l, vs_l,
+    mcus_x, mcus_y)."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
-        raise ValueError("encode_jpeg_baseline expects (h, w, 3) RGB")
+        raise ValueError("JPEG encoder expects (h, w, 3) RGB")
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     h, w = pixels.shape[:2]
@@ -549,6 +788,21 @@ def encode_jpeg_baseline(
         for bxi in range(yb.shape[1], need_bx):
             pad_b[:, bxi] = pad_b[:, yb.shape[1] - 1]
         yb = pad_b
+    return h, w, ql, qc, ql_zz, qc_zz, yb, cbb, crb, hs_l, vs_l, mcus_x, mcus_y
+
+
+def encode_jpeg_baseline(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """RGB uint8 (h, w, 3) → baseline JFIF bytes.  subsampling: '444' or
+    '420'.  restart_interval > 0 emits DRI + RSTn markers every that
+    many MCUs (exercises the decoder's restart path)."""
+    (h, w, ql, qc, ql_zz, qc_zz, yb, cbb, crb, hs_l, vs_l, mcus_x, mcus_y) = (
+        _encode_setup(pixels, quality, subsampling)
+    )
 
     dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -612,4 +866,261 @@ def encode_jpeg_baseline(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------- progressive encoder
+#
+# Fixture generator for the SOF2 decoder: emits a standards-compliant
+# progressive stream using the standard 10-scan script (DC with one
+# successive-approximation refinement; luma AC split into a 1..5 band
+# then 6..63, refined twice; chroma AC full-band, refined once) — the
+# same shape libjpeg's default progressive script produces, so every
+# decoder path (spectral bands, DC/AC refinement, EOB runs) is
+# exercised.  Huffman tables are FIXED uniform tables (all 256 RS
+# symbols present) rather than per-scan optimized ones: Annex K's
+# example tables lack the EOBn symbols (0x10, 0x20, …) progressive AC
+# scans need, and test fixtures trade ~2× bitstream size for zero
+# table-derivation code.
+
+#: (component indices, Ss, Se, Ah, Al) per scan — components 0=Y 1=Cb 2=Cr.
+_PROGRESSIVE_SCRIPT = [
+    ([0, 1, 2], 0, 0, 0, 1),  # DC first pass, interleaved
+    ([0], 1, 5, 0, 2),        # luma AC low band
+    ([2], 1, 63, 0, 1),       # chroma AC full band
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),       # luma AC high band
+    ([0], 1, 63, 2, 1),       # luma AC refine 2→1
+    ([0, 1, 2], 0, 0, 1, 0),  # DC refinement
+    ([2], 1, 63, 1, 0),       # chroma AC refine 1→0
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),       # luma AC refine 1→0
+]
+
+#: Uniform Huffman specs: DC = 16 categories at 5 bits; AC = all 256
+#: RS symbols at 9 bits (255) + 10 bits (1).  Kraft sums < 1, no
+#: all-ones max-length code — valid canonical tables.
+_UNIFORM_DC_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_UNIFORM_DC_VALS = list(range(16))
+_UNIFORM_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_UNIFORM_AC_VALS = list(range(256))
+
+
+class _EobrunBuffer:
+    """Pending EOB run (+ buffered AC-refinement correction bits) —
+    §G.1.2.2/G.1.2.3 encoder state, flushed before any non-EOB symbol,
+    at restart boundaries, and at scan end."""
+
+    __slots__ = ("writer", "codes", "run", "bits")
+
+    def __init__(self, writer: _BitWriter, codes: dict):
+        self.writer = writer
+        self.codes = codes
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        if self.run > 0:
+            r = self.run.bit_length() - 1
+            code, length = self.codes[r << 4]
+            self.writer.write(code, length)
+            if r:
+                self.writer.write(self.run - (1 << r), r)
+        for b in self.bits:
+            self.writer.write(b, 1)
+        self.run = 0
+        self.bits = []
+
+    def add(self, correction_bits: list[int]) -> None:
+        self.run += 1
+        self.bits.extend(correction_bits)
+        if self.run == 0x7FFF:  # EOB14 ceiling
+            self.flush()
+
+
+def _encode_ac_first(writer, eob, blk, ss, se, al, ac_codes) -> None:
+    run = 0
+    emitted = False
+    for k in range(ss, se + 1):
+        t = int(blk[k])
+        v = t >> al if t >= 0 else -((-t) >> al)
+        if v == 0:
+            run += 1
+            continue
+        eob.flush()
+        emitted = True
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_codes[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run > 0 or not emitted:
+        eob.add([])
+
+
+def _encode_ac_refine(writer, eob, blk, ss, se, al, ac_codes) -> None:
+    band = [int(blk[k]) for k in range(ss, se + 1)]
+    absv = [(abs(t) >> al) for t in band]
+    last_sig = -1  # band-relative index of last newly-significant coef
+    for i, t in enumerate(absv):
+        if t == 1:
+            last_sig = i
+    run = 0
+    corrections: list[int] = []  # bits for already-nonzero coefs in run
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        # ZRL flush runs at EVERY nonzero coefficient (also t > 1 ones):
+        # this keeps run ≤ 15 whenever a correction bit is buffered, so
+        # every buffered bit falls inside the decoder's current ZRL
+        # window (16 zero-history skips).  ZRLs past the last newly-
+        # significant coefficient fold into the EOB run instead.
+        while run > 15 and i <= last_sig:
+            eob.flush()
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            run -= 16
+            for b in corrections:
+                writer.write(b, 1)
+            corrections = []
+        if t > 1:  # already nonzero: correction bit; run NOT broken
+            corrections.append(t & 1)
+            continue
+        # newly significant (magnitude 1 at this precision)
+        eob.flush()
+        code, length = ac_codes[(run << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if band[i] > 0 else 0, 1)
+        for b in corrections:
+            writer.write(b, 1)
+        corrections = []
+        run = 0
+    if run > 0 or corrections:
+        eob.add(corrections)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """RGB uint8 (h, w, 3) → progressive (SOF2) JFIF bytes using the
+    standard 10-scan script.  Quantization is identical to
+    ``encode_jpeg_baseline`` at the same quality/subsampling, so the two
+    decode to bit-identical pixels."""
+    (h, w, ql, qc, ql_zz, qc_zz, yb, cbb, crb, hs_l, vs_l, mcus_x, mcus_y) = (
+        _encode_setup(pixels, quality, subsampling)
+    )
+
+    # quantized zigzag coefficient grids per component (0=Y 1=Cb 2=Cr)
+    def coef_grid(blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+        nby, nbx = blocks.shape[:2]
+        out = np.zeros((nby, nbx, 64), dtype=np.int32)
+        for byi in range(nby):
+            for bxi in range(nbx):
+                out[byi, bxi] = _fdct_quant(blocks[byi, bxi], qtab)
+        return out
+
+    grids = [coef_grid(yb, ql), coef_grid(cbb, qc), coef_grid(crb, qc)]
+    samp = [(hs_l, vs_l), (1, 1), (1, 1)]
+    comp_ids = [1, 2, 3]
+
+    dc_codes = _canonical_codes(_UNIFORM_DC_BITS, _UNIFORM_DC_VALS)
+    ac_codes = _canonical_codes(_UNIFORM_AC_BITS, _UNIFORM_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x00]) + bytes(
+        ql_zz.astype(np.uint8).tolist()
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0x01]) + bytes(
+        qc_zz.astype(np.uint8).tolist()
+    )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hs_l << 4) | vs_l, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for tc, th, bits, vals in (
+        (0, 0, _UNIFORM_DC_BITS, _UNIFORM_DC_VALS),
+        (1, 0, _UNIFORM_AC_BITS, _UNIFORM_AC_VALS),
+    ):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    for comp_idxs, ss, se, ah, al in _PROGRESSIVE_SCRIPT:
+        ns = len(comp_idxs)
+        sos = bytes([ns])
+        for ci in comp_idxs:
+            sos += bytes([comp_ids[ci], 0x00])  # Td=0, Ta=0 (uniform)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        # units of this scan: interleaved MCUs (DC, ns>1) or raster
+        # blocks of the single component's own grid
+        units: list[list[tuple[int, np.ndarray]]] = []
+        if ss == 0 and ns > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    unit = []
+                    for ci in comp_idxs:
+                        hs, vs = samp[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                unit.append(
+                                    (ci, grids[ci][my * vs + by, mx * hs + bx])
+                                )
+                    units.append(unit)
+        else:
+            ci = comp_idxs[0]
+            hs, vs = samp[ci]
+            hmax, vmax = samp[0]
+            cbx = -(-(-(-w * hs // hmax)) // 8)
+            cby = -(-(-(-h * vs // vmax)) // 8)
+            for byi in range(cby):
+                for bxi in range(cbx):
+                    units.append([(ci, grids[ci][byi, bxi])])
+
+        # split into restart chunks; fresh predictors/EOB state per chunk
+        chunk_size = restart_interval or len(units)
+        rst_n = 0
+        for start in range(0, len(units), max(1, chunk_size)):
+            if start:
+                out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+                rst_n += 1
+            writer = _BitWriter()
+            eob = _EobrunBuffer(writer, ac_codes)
+            preds = [0, 0, 0]
+            for unit in units[start : start + chunk_size]:
+                for ci, blk in unit:
+                    if ss == 0 and ah == 0:
+                        v = int(blk[0]) >> al  # arithmetic shift (§G.1.2.1)
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _category(diff)
+                        code, length = dc_codes[s]
+                        writer.write(code, length)
+                        if s:
+                            writer.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+                    elif ss == 0:
+                        writer.write((int(blk[0]) >> al) & 1, 1)
+                    elif ah == 0:
+                        _encode_ac_first(writer, eob, blk, ss, se, al, ac_codes)
+                    else:
+                        _encode_ac_refine(writer, eob, blk, ss, se, al, ac_codes)
+            eob.flush()
+            writer.flush()
+            out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -166,12 +166,19 @@ def test_decode_image_dispatch_sniffs_jpeg():
     assert np.array_equal(out, img)
 
 
-def test_progressive_rejected_cleanly():
+def test_unsupported_sof_rejected_cleanly():
+    """Lossless (SOF3) stays a clean raise; progressive (SOF2) is now
+    implemented — a baseline stream rewritten to SOF2 has an illegal
+    full-band interleaved scan and must also fail loud, not decode
+    garbage."""
     img = np.full((16, 16, 3), 10, dtype=np.uint8)
     enc = bytearray(encode_jpeg_baseline(img))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    enc[i + 1] = 0xC3  # rewrite SOF0 → SOF3 (lossless)
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(bytes(enc))
+    enc[i + 1] = 0xC2  # SOF2 with a baseline Ss=0..Se=63 scan: malformed
+    with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(enc))
 
 
