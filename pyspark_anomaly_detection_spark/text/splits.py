@@ -889,11 +889,11 @@ QBUDGET_CHARS = 2_000
     oracle=f"""
     WITH keyed AS (
       SELECT doc_id, source, n_chars,
-        round(power(
+        CAST(floor(power(
           (CAST({MD5_LONG60_SQL.format(x="CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1.0)
             / 1152921504606846977.0,
           1.0 / CAST(greatest(n_chars, 1) AS DOUBLE)
-        ), 12) AS es_key
+        ) * 1000000000000.0) AS BIGINT) AS es_key
       FROM documents
     ),
     ranked AS (
@@ -924,11 +924,17 @@ def q180_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (md5_long60(F.col("doc_id").cast("string")).cast("double") + 1.0) / F.lit(
         float((1 << 60) + 1)
     )
-    # round the pow() result to 12 decimals: Java Math.pow and DuckDB's
-    # libm power can differ in the last ULPs, which could reorder
-    # near-tied keys at the top-K cutoff and flake the oracle compare.
-    key = F.round(
-        F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")), 12
+    # INTEGER-domain key: floor(pow·1e12) as BIGINT.  Java Math.pow and
+    # DuckDB's libm power can differ in the last ULPs, and the engines'
+    # round() functions differ in KIND (Spark: BigDecimal HALF_UP;
+    # DuckDB: float rounding), so a fractional key can order differently
+    # per engine near the top-K cutoff.  IEEE double multiply + floor is
+    # bit-identical on both engines given the same pow result, leaving
+    # only the (fixed-testdata-safe) pow-ULP-at-bin-edge case; ties
+    # within a 1e-12 bin break by doc_id identically on both sides.
+    key = F.floor(
+        F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"))
+        * F.lit(1e12)
     )
     # distributed top-K FIRST (orderBy+limit → TakeOrderedAndProject, no
     # global single-task sort), THEN rank the K survivors — the global
