@@ -102,10 +102,18 @@ def shingles(tok: Column, n: int = 3) -> Column:
     Oracle: ``list_transform(range(len(t)-n+1), i -> array_to_string(t[i+1:i+n], ' '))``
     (DuckDB slices are 1-based inclusive).  Empty when fewer than n tokens.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
-    )
+    # Guard short inputs explicitly: Spark's sequence(0, stop) DESCENDS
+    # when stop < 0 (yielding [0, -1] → slice start 0 → runtime error),
+    # unlike the SQL twin's range() which is empty — without the when()
+    # a doc with fewer than n tokens crashes the Spark side while the
+    # oracle side silently produces no shingles.
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles_sql(tok_sql: str, n: int = 3) -> str:

@@ -329,3 +329,99 @@ def q53_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return ivf_topk(emb, queries).orderBy("query_id", "rk")
+
+
+# ------------------------------- semantic dedup keep-set (q183, SemDeDup)
+
+
+def semantic_dedup_keep(
+    emb: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style selection (Abbas et al., "SemDeDup", public): the
+    near-dup PAIR listing (q52) turned into the decision a pipeline
+    actually ships — which rows to KEEP.  Near-dup pairs → connected
+    components (min-label propagation, text/clusters.py) → keep the
+    min-id representative of each component; singletons keep themselves.
+
+    Output: (vec_id, component, cluster_size, keep) — a full manifest,
+    not just survivors, so the drop set is auditable.
+
+    Scale: pair generation is the adaptive exact/LSH-blocked dispatch
+    (same as q52); components iterate over the EDGE list only (near-dup
+    edges ≪ corpus); the final left join broadcasts nothing and
+    shuffles (id, component) longs.  Above the exact cap the LSH pairs
+    are a subset of the exact ones, so components split and the keep
+    set can only GROW — dedup never drops a non-duplicate by blocking
+    (tested as containment in the parity harness)."""
+    from pyspark_anomaly_detection_spark.text.clusters import (
+        connected_components,
+    )
+
+    pairs = adaptive_neardup_pairs(emb, threshold, id_col, vec_col)
+    comp = connected_components(pairs, src="a_id", dst="b_id")
+    base = emb.select(F.col(id_col))
+    joined = base.join(
+        comp, base[id_col] == comp["node"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+    return (
+        joined.withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("component")).cast("long"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("component"))
+        .orderBy(id_col)
+    )
+
+
+@register(
+    "q183_semantic_dedup_keep",
+    oracle=f"""
+    WITH RECURSIVE vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
+            >= {NEARDUP_THRESHOLD}
+    ),
+    und AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS vec_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ),
+    joined AS (
+      SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component
+      FROM (SELECT vec_id FROM embeddings) e
+      LEFT JOIN comp c USING (vec_id)
+    )
+    SELECT vec_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+             AS cluster_size,
+           (vec_id = component) AS keep
+    FROM joined
+    ORDER BY vec_id
+    """,
+)
+def q183_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop manifest for embedding-level semantic dedup (see
+    semantic_dedup_keep): exact components at oracle scales, LSH-blocked
+    above the all-pairs cap (keep-set containment replaces equality
+    there, mirroring q52's dispatch)."""
+    return semantic_dedup_keep(load_table(spark, sf_dir, "embeddings"))

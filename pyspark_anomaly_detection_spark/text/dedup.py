@@ -666,3 +666,294 @@ def q138_chunk_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ----------------- rolling-window duplicated spans (q182, Lee et al.)
+
+#: Rolling window width (tokens) for the span-level substring profile.
+DUP_WINDOW_TOKENS = 8
+
+
+def dup_span_intervals(
+    docs: DataFrame,
+    window_tokens: int = DUP_WINDOW_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Merged duplicated-token intervals per document: (id, n_tokens,
+    s, e) with 0-based inclusive token positions — the shared blocking +
+    merge stage behind the q182 profile and the q184 span stripper."""
+    tok = tokens(text_col)
+    wins = docs.select(
+        F.col(id_col),
+        F.size(tok).alias("n_tokens"),
+        F.posexplode(shingles(tok, window_tokens)).alias("pos", "win"),
+    ).select(id_col, "n_tokens", "pos", md5_long60(F.col("win")).alias("wh"))
+    wins = tracked_persist(wins)  # feeds the count agg AND the join back
+    dup_hashes = (
+        wins.groupBy("wh").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    )
+    dup = wins.join(dup_hashes, "wh").select(
+        id_col,
+        "n_tokens",
+        "pos",
+        (F.col("pos") + window_tokens - 1).alias("end_pos"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("end_pos").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dup.withColumn(
+        "new_span",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    )
+    return (
+        marked.withColumn(
+            "grp",
+            F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "n_tokens", "grp")
+        .agg(F.min("pos").alias("s"), F.max("end_pos").alias("e"))
+    )
+
+
+def rolling_dup_spans(
+    docs: DataFrame,
+    window_tokens: int = DUP_WINDOW_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Position-level exact-substring duplication profile: every
+    ``window_tokens``-token ROLLING window (stride 1 — unlike q138's
+    non-overlapping chunks) is hashed; windows whose hash occurs ≥2
+    times corpus-wide (cross-doc or within-doc) mark their token range
+    as duplicated; per document the marked ranges are merged into
+    maximal spans and the covered-token fraction reported.  This is the
+    distributed re-expression of the suffix-array substring dedup of
+    Lee et al. ("Deduplicating Training Data Makes Language Models
+    Better", public) at fixed window granularity: a length-L duplicated
+    passage (L ≥ window) is covered exactly by its L−window+1 rolling
+    windows, so merged spans reproduce the passage boundaries to ±0
+    tokens (suffix arrays additionally find shorter matches; the
+    window floor plays the role of their min-match-length threshold).
+
+    Scale design: the corpus token stream explodes to one row per
+    position — linear in corpus TOKENS, the honest cost of substring
+    dedup — but every shuffled row is (60-bit window hash, doc_id,
+    pos), never text.  The occurrence count is a partial-aggregated
+    groupBy on the hash; the join back is on the same key (exchange
+    reuse); the span merge is one window pass per doc.  A boilerplate
+    window shared by B docs produces B rows, not B² — no pair
+    explosion anywhere."""
+    spans = dup_span_intervals(docs, window_tokens, text_col, id_col)
+    per_doc = spans.groupBy(id_col, "n_tokens").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    base = docs.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
+    return (
+        base.join(per_doc, [id_col, "n_tokens"], "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .orderBy(id_col)
+    )
+
+
+_DW = DUP_WINDOW_TOKENS
+_WIN_STR_SQL = f"array_to_string(t[pos+1:pos+{_DW}], ' ')"
+
+
+@register(
+    "q182_rolling_dup_spans",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, str_split(text, chr(32)) AS t FROM documents
+    ),
+    pos_t AS (
+      SELECT doc_id, len(t) AS n_tokens, t,
+             unnest(range(0, greatest(len(t) - {_DW} + 1, 0))) AS pos
+      FROM base
+    ),
+    wins AS (
+      SELECT doc_id, n_tokens, pos,
+             {MD5_LONG60_SQL.format(x=_WIN_STR_SQL)} AS wh
+      FROM pos_t
+    ),
+    cnt AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2),
+    dup AS (
+      SELECT w.doc_id, w.n_tokens, w.pos, w.pos + {_DW - 1} AS end_pos
+      FROM wins w JOIN cnt USING (wh)
+    ),
+    marked AS (
+      SELECT doc_id, n_tokens, pos, end_pos,
+        CASE WHEN pos > COALESCE(MAX(end_pos) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_span
+      FROM dup
+    ),
+    grouped AS (
+      SELECT doc_id, n_tokens, pos, end_pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, grp, MIN(pos) AS s, MAX(end_pos) AS e
+      FROM grouped GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+      SELECT doc_id, n_tokens, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY 1, 2
+    ),
+    alldocs AS (
+      SELECT doc_id, len(str_split(text, chr(32))) AS n_tokens FROM documents
+    )
+    SELECT a.doc_id,
+           CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+             / CAST(a.n_tokens AS DOUBLE) AS dup_fraction
+    FROM alldocs a LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY a.doc_id
+    """,
+)
+def q182_rolling_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span profile from corpus-wide rolling
+    {DUP_WINDOW_TOKENS}-token window hashes (see rolling_dup_spans):
+    (doc_id, n_tokens, n_spans, dup_tokens, dup_fraction)."""
+    return rolling_dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------- duplicated-span stripping rewrite (q184)
+
+
+def strip_dup_spans(
+    docs: DataFrame,
+    window_tokens: int = DUP_WINDOW_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REWRITE step of substring dedup: remove every token covered
+    by a duplicated span (q182's intervals) and re-join the survivors —
+    the conservative boilerplate-strip policy (all occurrences removed;
+    Lee et al.'s keep-one-occurrence variant would additionally need a
+    global per-window owner election, which the q169 incremental-dedup
+    family covers at document granularity).
+
+    Spark shape: the per-doc span LIST is collected into one array
+    column (spans per doc are few — merged maximal intervals), then the
+    token filter runs as a JVM higher-order function: transform-with-
+    index → exists(span covers i) → filter → concat_ws.  No Python, no
+    per-token shuffle: the only shuffles are q182's hash-count and the
+    doc-keyed span aggregation."""
+    spans = dup_span_intervals(docs, window_tokens, text_col, id_col)
+    span_arrs = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("_spans")
+    )
+    tok = tokens(text_col)
+    joined = docs.join(span_arrs, id_col, "left").select(
+        F.col(id_col),
+        tok.alias("_toks"),
+        F.coalesce(F.col("_spans"), F.array().cast("array<struct<s:long,e:long>>"))
+        .alias("_spans"),
+    )
+    indexed = F.transform(
+        F.col("_toks"), lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda st: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (st["i"] >= sp["s"]) & (st["i"] <= sp["e"]),
+        ),
+    )
+    return (
+        joined.select(
+            id_col,
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("kept_tokens"),
+            F.concat_ws(" ", F.transform(kept, lambda st: st["t"])).alias(
+                "cleaned_text"
+            ),
+        )
+        .orderBy(id_col)
+    )
+
+
+@register(
+    "q184_strip_dup_spans",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, str_split(text, chr(32)) AS t FROM documents
+    ),
+    pos_t AS (
+      SELECT doc_id, len(t) AS n_tokens, t,
+             unnest(range(0, greatest(len(t) - {_DW} + 1, 0))) AS pos
+      FROM base
+    ),
+    wins AS (
+      SELECT doc_id, n_tokens, pos,
+             {MD5_LONG60_SQL.format(x=_WIN_STR_SQL)} AS wh
+      FROM pos_t
+    ),
+    cnt AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2),
+    dup AS (
+      SELECT w.doc_id, w.pos, w.pos + {_DW - 1} AS end_pos
+      FROM wins w JOIN cnt USING (wh)
+    ),
+    marked AS (
+      SELECT doc_id, pos, end_pos,
+        CASE WHEN pos > COALESCE(MAX(end_pos) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_span
+      FROM dup
+    ),
+    grouped AS (
+      SELECT doc_id, pos, end_pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, grp, MIN(pos) AS s, MAX(end_pos) AS e
+      FROM grouped GROUP BY 1, 2
+    ),
+    tok_pos AS (
+      SELECT doc_id, pos AS tpos, t[pos+1] AS tokn
+      FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos FROM base)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.tpos, tp.tokn
+      FROM tok_pos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = tp.doc_id AND tp.tpos BETWEEN s.s AND s.e
+      )
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+             string_agg(tokn, ' ' ORDER BY tpos) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.t) AS BIGINT) AS n_tokens,
+           COALESCE(g.kept_tokens, 0) AS kept_tokens,
+           COALESCE(g.cleaned_text, '') AS cleaned_text
+    FROM base b LEFT JOIN agg g USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def q184_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span strip rewrite over documents (see
+    strip_dup_spans): (doc_id, n_tokens, kept_tokens, cleaned_text)."""
+    return strip_dup_spans(load_table(spark, sf_dir, "documents"))

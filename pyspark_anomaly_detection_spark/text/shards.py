@@ -217,3 +217,82 @@ def q169_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------- scalable global ordinals (q185)
+
+
+def global_row_ids(
+    df: DataFrame, order_col: str = "doc_id", num_partitions: int | None = None
+) -> DataFrame:
+    """Contiguous 1-based global row ids in ``order_col`` order WITHOUT
+    the single-task global sort — the scalable form of
+    ``ROW_NUMBER() OVER (ORDER BY order_col)`` (which Spark plans as ONE
+    window partition = one task = a cluster-wide serialization point at
+    100 TB; cf. tests/test_plans.py::test_peak_concurrency_has_no_global_window).
+
+    Two-phase zipWithIndex, DataFrame-native:
+
+    1. ``repartitionByRange(order_col)`` + ``sortWithinPartitions`` —
+       range exchange, every partition sorted independently, partition
+       index increases with the key.
+    2. ``monotonically_increasing_id()`` then decomposes per row into
+       (partition index, local offset) — NO further exchange.  One
+       cheap count-per-partition job collects a BOUNDED driver artifact
+       (one long per partition) whose cumulative sums become a literal
+       broadcast map; row_id = offset[pid] + local + 1.
+
+    The input is persisted across the two jobs so both see the identical
+    physical partitioning.  ``order_col`` must be UNIQUE (ties would get
+    an arbitrary but deterministic-within-run order; the SQL twin's
+    ROW_NUMBER has the same caveat)."""
+    from pyspark_anomaly_detection_spark.cachepool import tracked_persist
+
+    n_parts = (
+        num_partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
+    part = tracked_persist(
+        df.repartitionByRange(n_parts, F.col(order_col)).sortWithinPartitions(
+            order_col
+        )
+    )
+    mid = F.monotonically_increasing_id()
+    pid = F.shiftrightunsigned(F.col("_mid"), 33)
+    local = F.col("_mid").bitwiseAND((1 << 33) - 1)
+    with_mid = part.withColumn("_mid", mid)
+    counts = (
+        with_mid.groupBy(pid.alias("_pid")).count().collect()
+    )  # bounded: one row per partition
+    offsets: dict[int, int] = {}
+    total = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = total
+        total += row["count"]
+    omap = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    )
+    return (
+        with_mid.withColumn(
+            "row_id", (omap[pid] + local + 1).cast("long")
+        )
+        .drop("_mid")
+    )
+
+
+@register(
+    "q185_global_row_ids",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS row_id,
+           doc_id, source
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q185_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous ordinals over documents (see global_row_ids) —
+    the resumable-data-loader offset column: (row_id, doc_id, source)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return global_row_ids(docs).select("row_id", "doc_id", "source").orderBy(
+        "doc_id"
+    )

@@ -1,0 +1,209 @@
+"""Unit tests for the round-6 additions: q182 rolling-window dup spans
+(Lee-et-al-shape substring dedup) and q183 semantic-dedup keep-set.
+
+The oracle parity harness proves engine equality; these tests pin the
+SEMANTICS against hand-constructed corpora where the right answer is
+knowable by inspection — planted boilerplate with exact span boundaries,
+and a vector corpus with a known component structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.similarity.neardup import (
+    semantic_dedup_keep,
+)
+from pyspark_anomaly_detection_spark.text.dedup import (
+    DUP_WINDOW_TOKENS,
+    rolling_dup_spans,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_planted_boilerplate_span_boundaries(spark):
+    """A shared 12-token passage inside otherwise-unique 30-token docs:
+    with window K, the passage is covered by 12-K+1 rolling windows that
+    merge into EXACTLY one span of 12 tokens per doc — boundary-exact,
+    which chunk-level q138 cannot deliver."""
+    boiler = _words("shared", 12)
+    texts = [
+        f"{_words('a', 9)} {boiler} {_words('b', 9)}",
+        f"{_words('c', 9)} {boiler} {_words('d', 9)}",
+        _words("unique", 30),
+    ]
+    out = rolling_dup_spans(_docs(spark, texts)).collect()
+    by_id = {r.doc_id: r for r in out}
+    for doc in (0, 1):
+        r = by_id[doc]
+        assert r.n_tokens == 30
+        assert r.n_spans == 1
+        assert r.dup_tokens == 12, f"span not boundary-exact: {r.dup_tokens}"
+        assert abs(r.dup_fraction - 12 / 30) < 1e-15
+    assert by_id[2].n_spans == 0 and by_id[2].dup_tokens == 0
+    assert by_id[2].dup_fraction == 0.0
+
+
+def test_two_disjoint_passages_stay_two_spans(spark):
+    """Two shared passages separated by a unique gap > window width must
+    NOT merge into one span."""
+    p1, p2 = _words("x", 10), _words("y", 10)
+    texts = [
+        f"{p1} {_words('gapa', 15)} {p2}",
+        f"{p1} {_words('gapb', 15)} {p2}",
+    ]
+    out = {r.doc_id: r for r in rolling_dup_spans(_docs(spark, texts)).collect()}
+    for doc in (0, 1):
+        assert out[doc].n_spans == 2
+        assert out[doc].dup_tokens == 20
+
+
+def test_within_doc_repetition_counts(spark):
+    """A window repeated INSIDE one document is duplication too (count
+    ≥2 corpus-wide, not distinct-doc ≥2) — degenerate looping text must
+    not score clean just because it is unique to its document."""
+    k = DUP_WINDOW_TOKENS
+    loop = _words("loop", k)
+    texts = [f"{loop} {loop} {loop}", _words("clean", 3 * k)]
+    out = {r.doc_id: r for r in rolling_dup_spans(_docs(spark, texts)).collect()}
+    assert out[0].dup_fraction == 1.0  # every window recurs
+    assert out[1].dup_tokens == 0
+
+
+def test_doc_shorter_than_window_scores_zero(spark):
+    texts = ["only three tokens", _words("z", 40), _words("z", 40)]
+    out = {r.doc_id: r for r in rolling_dup_spans(_docs(spark, texts)).collect()}
+    assert out[0].n_tokens == 3
+    assert out[0].n_spans == 0 and out[0].dup_tokens == 0
+    assert out[1].dup_fraction == 1.0 and out[2].dup_fraction == 1.0
+
+
+def _emb(spark, vectors):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        ["vec_id", "embedding"],
+    )
+
+
+def test_semantic_keep_known_components(spark):
+    """4 vectors: {0,1} identical direction, {2} nearly opposite, {3}
+    orthogonal ⇒ components {0,1}, {2}, {3}; keep = {0, 2, 3}."""
+    vecs = [
+        [1.0, 0.0, 0.0],
+        [2.0, 0.0, 0.0],   # same direction as 0 → cos 1.0
+        [-1.0, 0.1, 0.0],  # cos ≈ -1 vs 0/1
+        [0.0, 0.0, 5.0],   # orthogonal to all
+    ]
+    out = {r.vec_id: r for r in semantic_dedup_keep(_emb(spark, vecs)).collect()}
+    assert out[0].component == 0 and out[0].keep and out[0].cluster_size == 2
+    assert out[1].component == 0 and not out[1].keep
+    assert out[2].component == 2 and out[2].keep and out[2].cluster_size == 1
+    assert out[3].component == 3 and out[3].keep
+
+
+def test_semantic_keep_transitive_chain(spark):
+    """A near-dup CHAIN a~b~c where a and c are NOT direct near-dups
+    must still collapse to one component (the SemDeDup cluster
+    semantic, not pairwise-only)."""
+    a = np.array([1.0, 0.0])
+    b = np.array([np.cos(0.6), np.sin(0.6)])   # cos(a,b) ≈ 0.83
+    c = np.array([np.cos(1.2), np.sin(1.2)])   # cos(b,c) ≈ 0.83, cos(a,c) ≈ 0.36
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup_keep(_emb(spark, [a, b, c]), threshold=0.8).collect()
+    }
+    assert [out[i].component for i in range(3)] == [0, 0, 0]
+    assert [out[i].keep for i in range(3)] == [True, False, False]
+    assert out[0].cluster_size == 3
+
+
+def test_keep_set_respects_containment_under_lsh(spark):
+    """Above the exact cap the LSH path may split components but must
+    never drop an exact-kept representative — the invariant the parity
+    harness asserts at sf0.1, reproduced here on a controlled corpus."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(60, 16))
+    # 30 planted near-dup partners → 30 components of 2 + no singleton loss
+    vecs = np.vstack([base, base + rng.normal(scale=0.01, size=(60, 16))])
+    emb = _emb(spark, vecs)
+    exact = {
+        r.vec_id: r.keep
+        for r in semantic_dedup_keep(emb, threshold=0.99).collect()
+    }
+    from pyspark_anomaly_detection_spark.similarity import neardup as nd
+    from pyspark_anomaly_detection_spark.text.clusters import (
+        connected_components,
+    )
+
+    lsh_pairs = nd.lsh_blocked_neardup(emb, threshold=0.99)
+    comp = connected_components(lsh_pairs, src="a_id", dst="b_id")
+    dropped_lsh = {r.node for r in comp.collect() if r.node != r.component}
+    kept_exact = {v for v, k in exact.items() if k}
+    assert kept_exact.isdisjoint(dropped_lsh), (
+        "LSH dropped an exact-kept representative"
+    )
+
+
+def test_strip_dup_spans_rewrites_exactly(spark):
+    """Planted boilerplate: the cleaned text must be the original with
+    PRECISELY the shared passage removed — boundary-exact rewrite."""
+    from pyspark_anomaly_detection_spark.text.dedup import strip_dup_spans
+
+    boiler = _words("shared", 12)
+    head0, tail0 = _words("a", 9), _words("b", 9)
+    head1, tail1 = _words("c", 9), _words("d", 9)
+    texts = [
+        f"{head0} {boiler} {tail0}",
+        f"{head1} {boiler} {tail1}",
+        _words("unique", 30),
+    ]
+    out = {r.doc_id: r for r in strip_dup_spans(_docs(spark, texts)).collect()}
+    assert out[0].cleaned_text == f"{head0} {tail0}"
+    assert out[1].cleaned_text == f"{head1} {tail1}"
+    assert out[0].kept_tokens == 18 and out[0].n_tokens == 30
+    assert out[2].cleaned_text == texts[2]  # untouched
+    assert out[2].kept_tokens == 30
+
+
+def test_strip_fully_duplicated_doc_empties(spark):
+    from pyspark_anomaly_detection_spark.text.dedup import strip_dup_spans
+
+    t = _words("z", 40)
+    out = {r.doc_id: r for r in strip_dup_spans(_docs(spark, [t, t])).collect()}
+    assert out[0].cleaned_text == "" and out[0].kept_tokens == 0
+    assert out[1].cleaned_text == "" and out[1].kept_tokens == 0
+
+
+def test_global_row_ids_match_row_number(spark):
+    """q185's two-phase ids vs literal ROW_NUMBER semantics on a skewed,
+    shuffled key distribution, at several partition counts."""
+    from pyspark_anomaly_detection_spark.text.shards import global_row_ids
+
+    keys = [(k * 37) % 10_007 for k in range(2_000)]  # permuted, unique
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).repartition(13)
+    for n_parts in (1, 4, 32):
+        got = {
+            r.k: r.row_id
+            for r in global_row_ids(df, "k", num_partitions=n_parts).collect()
+        }
+        expected = {k: i + 1 for i, k in enumerate(sorted(keys))}
+        assert got == expected, f"mismatch at num_partitions={n_parts}"
+
+
+def test_global_row_ids_contiguous_on_documents(spark, sf_dir):
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+    from pyspark_anomaly_detection_spark.text.shards import global_row_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = sorted(r.row_id for r in global_row_ids(docs).collect())
+    assert ids == list(range(1, len(ids) + 1))

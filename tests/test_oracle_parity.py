@@ -46,8 +46,23 @@ def _cell(v) -> str:
 #: (sf0.1's 2000 vectors), where output is a recall<1 SUBSET of the
 #: exact join — containment is asserted instead of equality.  The
 #: driver's gate runs at sf0.01, where the exact path is taken and full
-#: parity holds.
-ADAPTIVE_SUBSET_CASES = {"q52_embedding_neardup"}
+#: parity holds.  q183 builds on the same dispatch: above the cap its
+#: LSH pairs split components, so keep-set CONTAINMENT (exact-kept ⊆
+#: spark-kept, components refine) replaces equality.
+ADAPTIVE_SUBSET_CASES = {"q52_embedding_neardup", "q183_semantic_dedup_keep"}
+
+
+def check_semantic_keep_containment(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
+    """Above-cap q183 check: LSH pairs ⊆ exact pairs ⇒ spark components
+    REFINE the oracle's, so per vector spark_component ≥ oracle_component,
+    cluster sizes shrink, every spark component maps into exactly one
+    oracle component, and every oracle-kept vector stays kept."""
+    m = spark_pdf.merge(duck_pdf, on="vec_id", suffixes=("_s", "_d"))
+    assert len(m) == len(spark_pdf) == len(duck_pdf)
+    assert (m["component_s"] >= m["component_d"]).all()
+    assert (m["cluster_size_s"] <= m["cluster_size_d"]).all()
+    assert m.groupby("component_s")["component_d"].nunique().max() == 1
+    assert m.loc[m["keep_d"], "keep_s"].all(), "oracle-kept vector dropped"
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
@@ -56,12 +71,16 @@ def test_oracle_parity(spark, duck, sf_dir, name):
     spark_pdf = query.fn(spark, sf_dir).toPandas()
     duck_pdf = duck.execute(query.oracle).df()
 
-    if name in ADAPTIVE_SUBSET_CASES and len(spark_pdf) < len(duck_pdf):
+    if name == "q52_embedding_neardup" and len(spark_pdf) < len(duck_pdf):
         # above the exact-dispatch cap: assert threshold-respecting subset
         key = ["a_id", "b_id"]
         merged = spark_pdf.merge(duck_pdf, on=key, suffixes=("_s", "_d"))
         assert len(merged) == len(spark_pdf), f"{name}: blocked pair not in exact set"
         assert (merged["cos_sim_s"] - merged["cos_sim_d"]).abs().max() == 0.0
+        return
+    if name == "q183_semantic_dedup_keep" and len(spark_pdf) > 1000:
+        # above MAX_EXACT_ROWS: keep-set containment instead of equality
+        check_semantic_keep_containment(spark_pdf, duck_pdf)
         return
 
     assert len(spark_pdf) == len(duck_pdf), (
