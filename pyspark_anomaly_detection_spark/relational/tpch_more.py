@@ -407,3 +407,137 @@ def q162_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
+
+
+# ---- round-6 wave: the last three uncovered TPC-H shapes (Q6/Q13/Q16)
+
+
+@register(
+    "q186_forecast_revenue_change",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        AS revenue_increase,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE EXTRACT(year FROM l_shipdate) = 1997
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q186_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue that WOULD have been earned had small-quantity
+    discounts in a band been revoked for one year — a pure scan-filter-
+    aggregate with a conjunctive triple predicate.  The discount bounds
+    compare the RAW doubles (both engines parse 0.05/0.07 to identical
+    IEEE values — no decimal rounding inside a predicate), the money sum
+    is exact decimal per the suite convention.  Catalyst pushes all
+    three conjuncts to the parquet scan; no shuffle at all beyond the
+    final scalar aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.year("l_shipdate") == 1997)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec2("l_extendedprice") * dec2("l_discount"))
+        .cast("double")
+        .alias("revenue_increase"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q187_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COALESCE(n, 0) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderpriority <> '1-URGENT'
+        GROUP BY o_custkey
+      ) ON o_custkey = c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q187_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts INCLUDING
+    zero-order customers (the outer-join shape; priority filter stands
+    in for the comment NOT LIKE).  Aggregate-then-join: orders reduce to
+    (custkey, n) via a partially-aggregated groupBy BEFORE touching
+    customer, so the left join carries one row per customer-with-orders
+    instead of one per order — at 100 TB that is the difference between
+    joining a fact and joining a key-count table.  Customers with no
+    match coalesce to 0; the second groupBy is over ≤ max-order-count
+    distinct values."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    per_cust = cust.join(
+        counts, cust["c_custkey"] == counts["o_custkey"], "left"
+    ).select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q188_supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#11'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q188_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: how many distinct suppliers can deliver each qualifying
+    (brand, type, size) — observed (partkey, suppkey) pairs from lineitem
+    stand in for partsupp, negative-balance suppliers for the complaints
+    NOT IN.  The NOT IN decorrelates to a broadcast LEFT ANTI join (the
+    excluded set is tiny); the part predicate trio is broadcast with the
+    dim; distinct-pairs reduce lineitem BEFORE the join so the exchange
+    carries (partkey, suppkey) longs only."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    return (
+        ps.join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
