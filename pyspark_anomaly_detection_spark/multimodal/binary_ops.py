@@ -18,12 +18,12 @@ decode is REAL for RIFF/AVI uncompressed DIB: ``codecs.decode_avi``
 walks the container and emits luma/motion statistics
 (``codecs.video_stats_features``); ``sample_frames`` extracts real
 frames and re-encodes each as a standalone PPM.  PNG (stdlib zlib) and
-baseline-sequential JPEG (pure-numpy Huffman + iDCT, multimodal/jpeg.py)
-decode natively too — exercised distributed by q178.  The remaining
-compressed formats (progressive JPEG/MP3/MP4/...) are the documented
-Pillow/ffmpeg swap-in point (see ``REAL_CODECS_AVAILABLE``); those
-payloads fall back to a deterministic byte-histogram feature so the
-plumbing stays total.
+JPEG — baseline-sequential AND progressive/SOF2 (pure-numpy Huffman +
+iDCT, multimodal/jpeg.py) — decode natively too, both modes exercised
+distributed by q178.  The remaining compressed formats (MP3/MP4/...)
+are the documented Pillow/ffmpeg swap-in point (see
+``REAL_CODECS_AVAILABLE``); those payloads fall back to a deterministic
+byte-histogram feature so the plumbing stays total.
 """
 
 from __future__ import annotations
@@ -331,17 +331,23 @@ def jpeg_media_from_documents(
     """Deterministic JPEG payloads synthesized DISTRIBUTED (mapInPandas):
     each kept doc derives a 16×24 RGB image from chained md5(text ‖ i)
     digests — the same trick the JVM-side PPM synthesis uses — then
-    encodes it as baseline 4:2:0 JPEG (multimodal/jpeg.py).  Unlike the
-    PPM/WAV payloads, JPEG bytes cannot be built with SQL expressions,
-    so this stage doubles as a distributed ENCODE exercise; q178 decodes
-    the result back through the standard feature extractor.  Content
-    depends only on (text), never on partitioning — repartition-stable."""
+    encodes it as 4:2:0 JPEG (multimodal/jpeg.py), ALTERNATING baseline
+    (SOF0) and progressive (SOF2) by doc_id so the distributed decode
+    path exercises both modes — real web corpora are format-mixed.  The
+    two encoders quantize identically, so their decodes are bit-equal
+    and the q178 aggregate does not depend on which mode a doc drew.
+    Unlike the PPM/WAV payloads, JPEG bytes cannot be built with SQL
+    expressions, so this stage doubles as a distributed ENCODE exercise;
+    q178 decodes the result back through the standard feature extractor.
+    Content depends only on (doc_id, text), never on partitioning —
+    repartition-stable."""
     import hashlib
 
     import numpy as np
 
     from pyspark_anomaly_detection_spark.multimodal.jpeg import (
         encode_jpeg_baseline,
+        encode_jpeg_progressive,
     )
 
     n_bytes = _JPEG_W * _JPEG_H * 3
@@ -349,7 +355,7 @@ def jpeg_media_from_documents(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for text in pdf["text"]:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = bytearray()
                 i = 0
                 while len(raw) < n_bytes:
@@ -359,8 +365,13 @@ def jpeg_media_from_documents(
                     np.frombuffer(bytes(raw[:n_bytes]), dtype=np.uint8)
                     .reshape(_JPEG_H, _JPEG_W, 3)
                 )
+                encode = (
+                    encode_jpeg_baseline
+                    if (int(doc_id) // every) % 2 == 0
+                    else encode_jpeg_progressive
+                )
                 payloads.append(
-                    encode_jpeg_baseline(pixels, quality=quality, subsampling="420")
+                    encode(pixels, quality=quality, subsampling="420")
                 )
             yield pd.DataFrame(
                 {
