@@ -164,12 +164,33 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return codes
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol lookup for the bit-serial decoder."""
-    return {
-        (length, code): sym
-        for sym, (code, length) in _canonical_codes(bits, vals).items()
-    }
+#: Fast-lookup width: codes up to this length resolve with ONE table
+#: index (stb_image-style).  10 covers every Annex K code ≤ 10 bits AND
+#: the uniform 9/10-bit progressive-fixture tables.
+_FAST_BITS = 10
+
+
+class _HuffTable:
+    """Decode table: a 2^{_FAST_BITS}-entry (symbol, length) fast array
+    for short codes + the (length, code) dict for the rare long ones."""
+
+    __slots__ = ("codes", "fast")
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        canonical = _canonical_codes(bits, vals)
+        self.codes = {
+            (length, code): sym for sym, (code, length) in canonical.items()
+        }
+        self.fast: list[tuple[int, int] | None] = [None] * (1 << _FAST_BITS)
+        for sym, (code, length) in canonical.items():
+            if length <= _FAST_BITS:
+                prefix = code << (_FAST_BITS - length)
+                for i in range(1 << (_FAST_BITS - length)):
+                    self.fast[prefix | i] = (sym, length)
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    return _HuffTable(bits, vals)
 
 
 # ----------------------------------------------------------- bit reader
@@ -197,16 +218,50 @@ class _BitReader:
         return b
 
     def read_bits(self, n: int) -> int:
+        # byte-chunked: pulls up to 8 bits per iteration instead of one
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        data, size = self.data, len(self.data)
+        while n > 0:
+            if self.pos >= size:
+                return (v << n) | ((1 << n) - 1)  # 1-padding at the tail
+            take = 8 - self.bit
+            if take > n:
+                take = n
+            chunk = (data[self.pos] >> (8 - self.bit - take)) & ((1 << take) - 1)
+            v = (v << take) | chunk
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+            n -= take
         return v
 
-    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+    def _peek_fast(self) -> int:
+        """Next _FAST_BITS bits without consuming (1-padded past the end)."""
+        data, size, p = self.data, len(self.data), self.pos
+        b0 = data[p] if p < size else 0xFF
+        b1 = data[p + 1] if p + 1 < size else 0xFF
+        b2 = data[p + 2] if p + 2 < size else 0xFF
+        return ((b0 << 16) | (b1 << 8) | b2) >> (
+            24 - _FAST_BITS - self.bit
+        ) & ((1 << _FAST_BITS) - 1)
+
+    def _skip(self, n: int) -> None:
+        self.bit += n
+        self.pos += self.bit >> 3
+        self.bit &= 7
+
+    def read_symbol(self, table: _HuffTable) -> int:
+        hit = table.fast[self._peek_fast()]
+        if hit is not None:
+            self._skip(hit[1])
+            return hit[0]
+        # long code (> _FAST_BITS) or invalid: bit-serial walk
+        codes = table.codes
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
+            sym = codes.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid JPEG Huffman code")
