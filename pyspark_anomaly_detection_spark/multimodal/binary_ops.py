@@ -326,7 +326,7 @@ _JPEG_W, _JPEG_H = 24, 16
 
 
 def jpeg_media_from_documents(
-    docs: DataFrame, every: int = 7, quality: int = 85
+    docs: DataFrame, every: int = 7, quality: int = 85, with_exif: bool = False
 ) -> DataFrame:
     """Deterministic JPEG payloads synthesized DISTRIBUTED (mapInPandas):
     each kept doc derives a 16×24 RGB image from chained md5(text ‖ i)
@@ -345,6 +345,10 @@ def jpeg_media_from_documents(
 
     import numpy as np
 
+    from pyspark_anomaly_detection_spark.multimodal.exif import (
+        build_exif_app1,
+        inject_exif,
+    )
     from pyspark_anomaly_detection_spark.multimodal.jpeg import (
         encode_jpeg_baseline,
         encode_jpeg_progressive,
@@ -370,9 +374,23 @@ def jpeg_media_from_documents(
                     if (int(doc_id) // every) % 2 == 0
                     else encode_jpeg_progressive
                 )
-                payloads.append(
-                    encode(pixels, quality=quality, subsampling="420")
-                )
+                jpeg = encode(pixels, quality=quality, subsampling="420")
+                if with_exif:
+                    # tag values are CLOSED-FORM in doc_id so the q189
+                    # oracle can predict the metadata without bytes
+                    did = int(doc_id)
+                    jpeg = inject_exif(
+                        jpeg,
+                        build_exif_app1(
+                            orientation=1 + did % 8,
+                            make=f"Cam{did % 3}",
+                            model=f"M{did % 5}",
+                            width=_JPEG_W,
+                            height=_JPEG_H,
+                            big_endian=(did // every) % 2 == 1,
+                        ),
+                    )
+                payloads.append(jpeg)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
@@ -410,6 +428,92 @@ def q178_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.element_at("feature", 15)).alias("mean_luma"),
         )
         .orderBy("decode_ok")
+    )
+
+
+
+# ------------------------------------------------ EXIF metadata (q189)
+
+_EXIF_SCHEMA = (
+    "media_id long, exif_ok string, orientation long, make string, "
+    "model string, pixel_x long, pixel_y long"
+)
+
+
+def extract_exif(df: DataFrame) -> DataFrame:
+    """Distributed EXIF extraction (multimodal/exif.py inside the Arrow
+    batch): metadata only — the entropy-coded image data is never
+    decoded, which is the point: at 100 TB orientation/camera/dimension
+    filters run over file HEADS, orders of magnitude cheaper than
+    decode.  Missing or malformed EXIF degrades to exif_ok='absent',
+    never a task failure."""
+    from pyspark_anomaly_detection_spark.multimodal.exif import parse_exif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "exif_ok", "orientation", "make", "model",
+            "pixel_x", "pixel_y",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = (
+                    parse_exif(bytes(payload)) if payload is not None else None
+                )
+                if meta is None:
+                    rows.append((mid, "absent", None, None, None, None, None))
+                else:
+                    rows.append(
+                        (
+                            mid,
+                            "ok",
+                            meta.get("orientation"),
+                            meta.get("make"),
+                            meta.get("model"),
+                            meta.get("pixel_x"),
+                            meta.get("pixel_y"),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=_EXIF_SCHEMA)
+
+
+@register(
+    "q189_exif_orientation_profile",
+    oracle=f"""
+    SELECT CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           'Cam' || CAST(doc_id % 3 AS VARCHAR) AS make,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST({_JPEG_W} * COUNT(*) AS BIGINT) AS px_sum,
+           CAST({_JPEG_H} * COUNT(*) AS BIGINT) AS py_sum
+    FROM documents
+    WHERE doc_id % 7 = 0
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q189_exif_orientation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orientation × camera-make census over EXIF-tagged JPEGs — and an
+    END-TO-END BINARY ORACLE: the Spark side synthesizes real JPEG bytes
+    (baseline AND progressive, little- AND big-endian TIFF headers),
+    injects APP1/EXIF whose tag values are closed-form in doc_id, then
+    parses the bytes back distributed; the DuckDB oracle computes the
+    same census from the closed form WITHOUT ever seeing a byte.  A
+    green hash therefore proves the writer→injector→marker-scan→TIFF-
+    walk pipeline end to end, not just that two engines agree on SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = jpeg_media_from_documents(docs, with_exif=True)
+    ex = extract_exif(media)
+    return (
+        ex.filter(F.col("exif_ok") == "ok")
+        .groupBy("orientation", "make")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("pixel_x").alias("px_sum"),
+            F.sum("pixel_y").alias("py_sum"),
+        )
+        .orderBy("orientation", "make")
     )
 
 

@@ -282,9 +282,11 @@ def test_sql_broadcast_hint_honored(spark, sf_dir):
 def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
     """Blanket invariant: every oracle-checked query stays on the JVM —
     Python evaluation in a relational plan is a 10-100× scale regression.
-    The single deliberate exception is q135 (the grouped-agg pandas UDAF
-    exists to exercise that API; MAD has no algebraic JVM form)."""
-    allowed_python = {"q135_pandas_udaf_mad"}
+    Deliberate exceptions: q135 (the grouped-agg pandas UDAF exists to
+    exercise that API; MAD has no algebraic JVM form) and q189 (byte-level
+    JPEG/EXIF codec work in mapInPandas — the oracle checks its closed-form
+    metadata census, and the Python stage IS the operator under test)."""
+    allowed_python = {"q135_pandas_udaf_mad", "q189_exif_orientation_profile"}
     offenders = []
     for name, query in sorted(REGISTRY.items()):
         if query.oracle is None or name in allowed_python:
