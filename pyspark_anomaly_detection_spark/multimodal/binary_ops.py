@@ -517,6 +517,143 @@ def q189_exif_orientation_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+
+# --------------------------------------- MP3 frame-header census (q190)
+
+_MP3_SCHEMA = (
+    "media_id long, version string, layer long, sample_rate long, "
+    "channels long, n_frames long, duration_ms long, mean_bitrate long, "
+    "parsed_ok boolean"
+)
+
+#: q190 synthesis parameters — closed-form in doc_id so the oracle can
+#: predict every census cell without bytes.
+_MP3_RATE = 44100
+_MP3_BITRATES = (64, 128, 192, 320)
+
+
+def mp3_media_from_documents(docs: DataFrame, every: int = 5) -> DataFrame:
+    """Deterministic MPEG-1 Layer III streams synthesized distributed
+    (mapInPandas): frame count, bitrate, channel mode, and an optional
+    ID3v2 tag all derive from doc_id, so stream metadata is closed-form
+    while the BYTES are real frame sequences any header walker can
+    verify."""
+    from pyspark_anomaly_detection_spark.multimodal.mp3 import build_mp3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                payloads.append(
+                    build_mp3(
+                        n_frames=20 + did % 30,
+                        bitrate_kbps=_MP3_BITRATES[did % 4],
+                        sample_rate=_MP3_RATE,
+                        mono=did % 2 == 1,
+                        id3_bytes=64 if did % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "modality": "audio",
+                    "codec": "mp3",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.filter(F.col("doc_id") % every == 0).select("doc_id").mapInPandas(
+        run,
+        schema="media_id long, modality string, codec string, payload binary",
+    )
+
+
+def extract_mp3_info(df: DataFrame) -> DataFrame:
+    """Distributed MP3 frame-header walk (multimodal/mp3.py inside the
+    Arrow batch): duration / bitrate / channel census from the 4-byte
+    headers alone — the audio payload is never decoded, so at corpus
+    scale this reads stream structure, not sound."""
+    from pyspark_anomaly_detection_spark.multimodal.mp3 import mp3_stream_info
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "version", "layer", "sample_rate", "channels",
+            "n_frames", "duration_ms", "mean_bitrate", "parsed_ok",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = (
+                    mp3_stream_info(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if info is None:
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None, False)
+                    )
+                else:
+                    rows.append(
+                        (
+                            mid,
+                            info["version"],
+                            info["layer"],
+                            info["sample_rate"],
+                            info["channels"],
+                            info["n_frames"],
+                            info["duration_ms"],
+                            info["mean_bitrate"],
+                            info["parsed_ok"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=_MP3_SCHEMA)
+
+
+@register(
+    "q190_mp3_stream_census",
+    oracle=f"""
+    SELECT CAST(b AS BIGINT) AS mean_bitrate,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(frames) AS BIGINT) AS frames_sum,
+           CAST(SUM(dur) AS BIGINT) AS duration_sum_ms
+    FROM (
+      SELECT
+        1000 * (CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 128
+                                WHEN 2 THEN 192 ELSE 320 END) AS b,
+        CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS ch,
+        20 + doc_id % 30 AS frames,
+        (20 + doc_id % 30) * 1152 * 1000 // {_MP3_RATE} AS dur
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q190_mp3_stream_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitrate × channel-mode census over synthesized MP3 streams — the
+    audio sibling of q189's end-to-end binary oracle: Spark builds REAL
+    frame sequences (ID3v2 tags on every third stream), walks the
+    headers back distributed, and aggregates; DuckDB computes the same
+    census from the closed form without seeing a byte.  Green hash =
+    writer→ID3-skip→sync-scan→frame-arithmetic proven end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    info = extract_mp3_info(mp3_media_from_documents(docs))
+    return (
+        info.filter(F.col("parsed_ok"))
+        .groupBy("mean_bitrate", "channels")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_frames").alias("frames_sum"),
+            F.sum("duration_ms").alias("duration_sum_ms"),
+        )
+        .orderBy("mean_bitrate", "channels")
+    )
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -283,10 +283,15 @@ def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
     """Blanket invariant: every oracle-checked query stays on the JVM —
     Python evaluation in a relational plan is a 10-100× scale regression.
     Deliberate exceptions: q135 (the grouped-agg pandas UDAF exists to
-    exercise that API; MAD has no algebraic JVM form) and q189 (byte-level
-    JPEG/EXIF codec work in mapInPandas — the oracle checks its closed-form
-    metadata census, and the Python stage IS the operator under test)."""
-    allowed_python = {"q135_pandas_udaf_mad", "q189_exif_orientation_profile"}
+    exercise that API; MAD has no algebraic JVM form) and q189/q190
+    (byte-level JPEG-EXIF / MP3-header codec work in mapInPandas — the
+    oracles check their closed-form metadata censuses, and the Python
+    stage IS the operator under test)."""
+    allowed_python = {
+        "q135_pandas_udaf_mad",
+        "q189_exif_orientation_profile",
+        "q190_mp3_stream_census",
+    }
     offenders = []
     for name, query in sorted(REGISTRY.items()):
         if query.oracle is None or name in allowed_python:
