@@ -654,6 +654,132 @@ def q190_mp3_stream_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ------------------------------------------ MP4 box-tree census (q191)
+
+_MP4_SCHEMA = (
+    "media_id long, brand string, timescale long, duration_ms long, "
+    "n_tracks long, n_video long, n_audio long, width long, height long, "
+    "parsed_ok boolean"
+)
+
+
+def mp4_media_from_documents(docs: DataFrame, every: int = 6) -> DataFrame:
+    """Deterministic ISO-BMFF box trees (ftyp + moov/mvhd/trak + empty
+    mdat) synthesized distributed; every structural parameter is
+    closed-form in doc_id, alternating mvhd version 0/1 and 1 kHz /
+    90 kHz timescales so the census exercises both layouts."""
+    from pyspark_anomaly_detection_spark.multimodal.mp4 import build_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                payloads.append(
+                    build_mp4(
+                        duration_ms=1000 + (did % 600) * 100,
+                        timescale=90000 if did % 2 else 1000,
+                        video_tracks=1 + did % 2,
+                        audio_tracks=did % 3,
+                        width=320 * (1 + did % 4),
+                        height=240 * (1 + did % 4),
+                        version1_mvhd=did % 2 == 1,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "modality": "video",
+                    "codec": "mp4",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.filter(F.col("doc_id") % every == 0).select("doc_id").mapInPandas(
+        run,
+        schema="media_id long, modality string, codec string, payload binary",
+    )
+
+
+def extract_mp4_info(df: DataFrame) -> DataFrame:
+    """Distributed ISO-BMFF box walk (multimodal/mp4.py inside the Arrow
+    batch): duration / track / geometry census from the moov tree only —
+    sample data (mdat) is never read, which is what makes video triage
+    tractable at corpus scale."""
+    from pyspark_anomaly_detection_spark.multimodal.mp4 import parse_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "brand", "timescale", "duration_ms", "n_tracks",
+            "n_video", "n_audio", "width", "height", "parsed_ok",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_mp4(bytes(payload)) if payload is not None else None
+                if info is None:
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None, None,
+                         False)
+                    )
+                else:
+                    handlers = info.get("handlers", [])
+                    rows.append(
+                        (
+                            mid,
+                            info.get("brand"),
+                            info.get("timescale"),
+                            info.get("duration_ms"),
+                            info.get("n_tracks"),
+                            sum(1 for h in handlers if h == "vide"),
+                            sum(1 for h in handlers if h == "soun"),
+                            info.get("width"),
+                            info.get("height"),
+                            True,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=_MP4_SCHEMA)
+
+
+@register(
+    "q191_mp4_track_census",
+    oracle="""
+    SELECT CAST(nt AS BIGINT) AS n_tracks,
+           CAST(w AS BIGINT) AS width,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(d) AS BIGINT) AS duration_sum_ms
+    FROM (
+      SELECT 1 + doc_id % 2 + doc_id % 3 AS nt,
+             320 * (1 + doc_id % 4) AS w,
+             1000 + (doc_id % 600) * 100 AS d
+      FROM documents WHERE doc_id % 6 = 0
+    )
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q191_mp4_track_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Track-count × resolution census over synthesized ISO-BMFF trees —
+    the video member of the end-to-end binary-oracle triptych
+    (q189 EXIF / q190 MP3 / q191 MP4): real box trees built and walked
+    back distributed (both mvhd versions, both timescales), vs a DuckDB
+    census computed from the closed form without seeing a byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    info = extract_mp4_info(mp4_media_from_documents(docs))
+    return (
+        info.filter(F.col("parsed_ok"))
+        .groupBy("n_tracks", "width")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("duration_ms").alias("duration_sum_ms"),
+        )
+        .orderBy("n_tracks", "width")
+    )
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

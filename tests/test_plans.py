@@ -291,6 +291,7 @@ def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
         "q135_pandas_udaf_mad",
         "q189_exif_orientation_profile",
         "q190_mp3_stream_census",
+        "q191_mp4_track_census",
     }
     offenders = []
     for name, query in sorted(REGISTRY.items()):
