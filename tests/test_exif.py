@@ -126,3 +126,15 @@ def test_distributed_exif_census(spark, sf_dir):
         assert r.orientation == 1 + r.media_id % 8
         assert r.make == f"Cam{r.media_id % 3}"
         assert (r.pixel_x, r.pixel_y) == (24, 16)
+
+
+def test_decode_jpeg_tolerates_exif_segment():
+    """The decoder must skip APP1 like any APPn: decoding an
+    EXIF-tagged payload yields the identical pixels."""
+    import numpy as np
+    from pyspark_anomaly_detection_spark.multimodal.jpeg import decode_jpeg
+
+    img = np.full((16, 24, 3), 99, dtype=np.uint8)
+    plain = _jpeg()
+    tagged = inject_exif(plain, build_exif_app1(orientation=7, make="X"))
+    assert np.array_equal(decode_jpeg(plain), decode_jpeg(tagged))
