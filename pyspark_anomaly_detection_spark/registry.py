@@ -77,6 +77,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.events.rollup  # noqa: F401
     import pyspark_anomaly_detection_spark.events.snapshots  # noqa: F401
     import pyspark_anomaly_detection_spark.events.temporal  # noqa: F401
+    import pyspark_anomaly_detection_spark.io.introspect  # noqa: F401
     import pyspark_anomaly_detection_spark.io.pydatasource  # noqa: F401
     import pyspark_anomaly_detection_spark.events.time_windows  # noqa: F401
     import pyspark_anomaly_detection_spark.ml.clustering  # noqa: F401

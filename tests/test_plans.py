@@ -292,6 +292,7 @@ def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
         "q189_exif_orientation_profile",
         "q190_mp3_stream_census",
         "q191_mp4_track_census",
+        "q192_footer_row_counts",  # pyarrow footer walk vs scan recount
     }
     offenders = []
     for name, query in sorted(REGISTRY.items()):
