@@ -296,3 +296,93 @@ def q185_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_ids(docs).select("row_id", "doc_id", "source").orderBy(
         "doc_id"
     )
+
+
+# --------------------- deterministic epoch shuffle manifest (q194)
+
+#: Epochs and shards for the registered manifest query.
+EPOCH_COUNT = 2
+EPOCH_SHARDS = 8
+
+
+def epoch_shuffle_manifest(
+    docs: DataFrame,
+    n_epochs: int = EPOCH_COUNT,
+    n_shards: int = EPOCH_SHARDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible per-epoch training order WITHOUT a seeded RNG or a
+    global sort: each (epoch, doc) gets a portable md5 shuffle key;
+    shard = key mod n_shards; position = rank within (epoch, shard) by
+    (key, id).  Every epoch is a different pseudorandom permutation,
+    identical on any engine/partitioning/rerun — the property resumable
+    multi-epoch training needs.  The window partitions on
+    (epoch, shard), so ordering work splits into epochs × shards
+    independent sorts (thousands of shards at 100 TB, never one task);
+    cross-shard order is by shard id, the same contract as the q168
+    manifest."""
+    epoch = F.explode(
+        F.array(*[F.lit(e) for e in range(n_epochs)])
+    ).alias("epoch")
+    keyed = docs.select(F.col(id_col), epoch).select(
+        "epoch",
+        F.col(id_col),
+        md5_long60(
+            F.concat_ws(":", F.col("epoch").cast("string"),
+                        F.col(id_col).cast("string"))
+        ).alias("shuffle_key"),
+    )
+    keyed = keyed.withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("long")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("epoch", "shard").orderBy("shuffle_key", id_col)
+    return (
+        keyed.withColumn("position", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "shard",
+            "position",
+            id_col,
+            "shuffle_key",
+        )
+        .orderBy("epoch", "shard", "position")
+    )
+
+
+_EPOCH_KEY_SQL = MD5_LONG60_SQL.format(
+    x="CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+)
+
+
+@register(
+    "q194_epoch_shuffle_manifest",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT epoch, doc_id, {_EPOCH_KEY_SQL} AS shuffle_key
+      FROM documents
+      CROSS JOIN (SELECT unnest(range({EPOCH_COUNT})) AS epoch)
+    ),
+    sharded AS (
+      SELECT epoch, doc_id, shuffle_key,
+             shuffle_key % {EPOCH_SHARDS} AS shard
+      FROM keyed
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY epoch, shard ORDER BY shuffle_key, doc_id
+           ) AS BIGINT) AS position,
+           doc_id,
+           shuffle_key
+    FROM sharded
+    ORDER BY epoch, shard, position
+    """,
+)
+def q194_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch sharded shuffle manifest over documents (see
+    epoch_shuffle_manifest): (epoch, shard, position, doc_id,
+    shuffle_key), fully deterministic on any engine."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle_manifest(docs)

@@ -45,3 +45,34 @@ def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
             n, p = totals[etype], frac
             sigma = math.sqrt(n * p * (1 - p))
             assert abs(kept.get(etype, 0) - n * p) <= 4 * sigma, etype
+
+
+def test_epoch_shuffle_manifest_properties(spark, sf_dir):
+    """q194: every (epoch, doc) appears exactly once; positions are
+    contiguous per (epoch, shard); epochs give DIFFERENT orders; the
+    whole manifest is partitioning-invariant."""
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+    from pyspark_anomaly_detection_spark.text.shards import (
+        EPOCH_COUNT,
+        epoch_shuffle_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    man = epoch_shuffle_manifest(docs).collect()
+    assert len(man) == EPOCH_COUNT * n
+    per_shard = {}
+    for r in man:
+        per_shard.setdefault((r.epoch, r.shard), []).append(r.position)
+    for key, positions in per_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), key
+    order0 = [r.doc_id for r in sorted(
+        (r for r in man if r.epoch == 0),
+        key=lambda r: (r.shard, r.position))]
+    order1 = [r.doc_id for r in sorted(
+        (r for r in man if r.epoch == 1),
+        key=lambda r: (r.shard, r.position))]
+    assert sorted(order0) == sorted(order1)
+    assert order0 != order1, "epochs must be distinct permutations"
+    again = epoch_shuffle_manifest(docs.repartition(13)).collect()
+    assert sorted(map(tuple, man)) == sorted(map(tuple, again))
