@@ -11,10 +11,15 @@ full execution, no driver collect), and prints ONE JSON line::
         {"min": s, "max": s, "stdev": s, "samples": [...]}, ...}}
 
 Per-query numbers are the TRIMMED MEAN of ``$SPARK_GRAFT_BENCH_REPS``
-(default 5) repetitions — drop the single min and max, average the rest —
-so round-over-round deltas of a few percent are decidable against the
-recorded spread instead of being single-shot noise.  ``value`` is the sum
-of the per-query trimmed means.
+(default 5; values of 1 or 2 are honored for quick runs — trimming only
+applies at ≥3 reps) repetitions — drop the single min and max, average
+the rest — so round-over-round deltas of a few percent are decidable
+against the recorded spread instead of being single-shot noise.
+``value`` is the sum of the per-query trimmed means.
+
+The stdout line keeps per-query min/max/stdev but moves the full
+per-sample vectors to ``BENCH_DISPERSION.json`` next to this file, so
+the line stays self-contained under tail-capture limits (~2000 chars).
 """
 
 from __future__ import annotations
@@ -79,7 +84,7 @@ def main() -> None:
         return
 
     headline = {n: q for n, q in registry.items() if q.headline}
-    reps = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
 
     # JVM/codegen warmup on the smallest SF so timings measure the engine,
     # not first-query initialization. Whole-stage codegen compiles per
@@ -107,10 +112,24 @@ def main() -> None:
             "min": min(vals),
             "max": max(vals),
             "stdev": round(
-                (sum((v - mean) ** 2 for v in vals) / (len(vals) - 1)) ** 0.5, 3
+                (sum((v - mean) ** 2 for v in vals) / max(len(vals) - 1, 1)) ** 0.5,
+                3,
             ),
-            "samples": vals,
         }
+
+    # Full per-sample vectors go to a sidecar so the stdout line stays
+    # short enough that a 2000-char tail capture keeps the whole object
+    # (metric/value included) — the r6 artifact lost its head to this.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DISPERSION.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump(
+            {"sf": sf, "reps": reps, "samples": dict(sorted(samples.items()))},
+            f,
+            indent=1,
+        )
+        f.write("\n")
 
     print(
         json.dumps(
@@ -122,7 +141,8 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "dispersion": dict(sorted(dispersion.items())),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -122,7 +122,16 @@ def inject_exif(jpeg: bytes, app1: bytes) -> bytes:
 # ---------------------------------------------------------------- parser
 
 
-def _read_ifd(tiff: bytes, off: int, bo: str, out: dict) -> None:
+def _read_ifd(
+    tiff: bytes, off: int, bo: str, out: dict, _seen: set | None = None
+) -> None:
+    # Visited-offset guard: a malformed TIFF whose ExifIFD pointer loops
+    # back at an already-walked IFD must terminate, not recurse forever.
+    if _seen is None:
+        _seen = set()
+    if off in _seen or len(_seen) > 32:
+        return
+    _seen.add(off)
     if off + 2 > len(tiff):
         return
     (n,) = struct.unpack_from(f"{bo}H", tiff, off)
@@ -142,7 +151,7 @@ def _read_ifd(tiff: bytes, off: int, bo: str, out: dict) -> None:
             continue  # malformed offset: skip field, keep parsing
         if tag == TAG_EXIF_IFD and typ == 4:
             (ptr,) = struct.unpack_from(f"{bo}I", tiff, val_off)
-            _read_ifd(tiff, ptr, bo, out)
+            _read_ifd(tiff, ptr, bo, out, _seen)
         elif typ == 2:  # ASCII
             raw = tiff[val_off : val_off + count]
             out[tag] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")

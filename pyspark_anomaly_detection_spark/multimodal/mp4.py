@@ -62,7 +62,7 @@ def parse_mp4(payload: bytes) -> dict | None:
     if ftyp is not None and ftyp[1] - ftyp[0] >= 4:
         out["brand"] = payload[ftyp[0] : ftyp[0] + 4].decode("ascii", "replace")
     mvhd = _find(payload, moov[0], moov[1], b"mvhd")
-    if mvhd is not None:
+    if mvhd is not None and mvhd[1] - mvhd[0] >= 1:
         ver = payload[mvhd[0]]
         try:
             if ver == 1:
@@ -84,7 +84,7 @@ def parse_mp4(payload: bytes) -> dict | None:
         if t != b"trak":
             continue
         tkhd = _find(payload, b, e, b"tkhd")
-        if tkhd is not None:
+        if tkhd is not None and tkhd[1] - tkhd[0] >= 1:
             ver = payload[tkhd[0]]
             # width/height: last 8 bytes of tkhd, 16.16 fixed point
             try:

@@ -40,8 +40,9 @@ from pyspark_anomaly_detection_spark.registry import all_queries
 from pyspark_anomaly_detection_spark.session import get_spark_session
 
 #: Same whitelist as tests/test_oracle_parity.py — queries whose oracle
-#: binds as subset-containment above their exact-dispatch cap.
-ADAPTIVE_SUBSET_CASES = {"q52_embedding_neardup"}
+#: binds as subset-containment above their exact-dispatch cap.  Keep in
+#: sync with tests/test_oracle_parity.py::ADAPTIVE_SUBSET_CASES.
+ADAPTIVE_SUBSET_CASES = {"q52_embedding_neardup", "q183_semantic_dedup_keep"}
 
 
 def _cell(v) -> str:
@@ -64,8 +65,33 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _semantic_keep_containment(
+    spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame
+) -> str | None:
+    """Above-cap q183 rule (mirrors tests/test_oracle_parity.py::
+    check_semantic_keep_containment): LSH pairs ⊆ exact pairs ⇒ spark
+    components REFINE the oracle's.  Triggered by SCALE (row count above
+    MAX_EXACT_ROWS), not by a row-count mismatch — q183 returns one row
+    per vector in both engines regardless of dispatch."""
+    m = spark_pdf.merge(duck_pdf, on="vec_id", suffixes=("_s", "_d"))
+    if not (len(m) == len(spark_pdf) == len(duck_pdf)):
+        return "vec_id sets differ"
+    if not (m["component_s"] >= m["component_d"]).all():
+        return "component not refined (id decreased)"
+    if not (m["cluster_size_s"] <= m["cluster_size_d"]).all():
+        return "cluster size grew under blocking"
+    if m.groupby("component_s")["component_d"].nunique().max() != 1:
+        return "spark component spans multiple oracle components"
+    if not m.loc[m["keep_d"], "keep_s"].all():
+        return "oracle-kept vector dropped"
+    return None
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> str | None:
     """None if parity holds, else a short failure description."""
+    if name == "q183_semantic_dedup_keep" and len(spark_pdf) > 1000:
+        # above MAX_EXACT_ROWS the exact leg is capped: containment rule
+        return _semantic_keep_containment(spark_pdf, duck_pdf)
     if name in ADAPTIVE_SUBSET_CASES and len(spark_pdf) < len(duck_pdf):
         key = ["a_id", "b_id"]
         merged = spark_pdf.merge(duck_pdf, on=key, suffixes=("_s", "_d"))
