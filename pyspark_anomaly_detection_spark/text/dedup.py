@@ -674,31 +674,29 @@ def q138_chunk_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_WINDOW_TOKENS = 8
 
 
-def dup_span_intervals(
+def _rolling_window_hashes(
     docs: DataFrame,
-    window_tokens: int = DUP_WINDOW_TOKENS,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    window_tokens: int,
+    text_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """Merged duplicated-token intervals per document: (id, n_tokens,
-    s, e) with 0-based inclusive token positions — the shared blocking +
-    merge stage behind the q182 profile and the q184 span stripper."""
+    """One row per rolling-window position: (id, n_tokens, pos, wh) —
+    the shared explode+hash stage of the span-dedup family.  Every
+    shuffled row is (60-bit hash, doc_id, pos) longs, never text."""
     tok = tokens(text_col)
-    wins = docs.select(
+    return docs.select(
         F.col(id_col),
         F.size(tok).alias("n_tokens"),
         F.posexplode(shingles(tok, window_tokens)).alias("pos", "win"),
     ).select(id_col, "n_tokens", "pos", md5_long60(F.col("win")).alias("wh"))
-    wins = tracked_persist(wins)  # feeds the count agg AND the join back
-    dup_hashes = (
-        wins.groupBy("wh").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
-    )
-    dup = wins.join(dup_hashes, "wh").select(
-        id_col,
-        "n_tokens",
-        "pos",
-        (F.col("pos") + window_tokens - 1).alias("end_pos"),
-    )
+
+
+def _merge_marked_intervals(
+    dup: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merge per-doc marked windows (id, n_tokens, pos, end_pos) into
+    maximal disjoint intervals (id, n_tokens, grp, s, e) — one window
+    pass per document, the shared merge stage of the span family."""
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max("end_pos").over(w.rowsBetween(Window.unboundedPreceding, -1))
     marked = dup.withColumn(
@@ -713,6 +711,66 @@ def dup_span_intervals(
         .groupBy(id_col, "n_tokens", "grp")
         .agg(F.min("pos").alias("s"), F.max("end_pos").alias("e"))
     )
+
+
+def dup_span_intervals(
+    docs: DataFrame,
+    window_tokens: int = DUP_WINDOW_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Merged duplicated-token intervals per document: (id, n_tokens,
+    s, e) with 0-based inclusive token positions — the shared blocking +
+    merge stage behind the q182 profile and the q184 span stripper.
+    EVERY occurrence of a ≥2-count window marks its range (strip-all
+    policy); see keep_one_span_intervals for the owner-election
+    variant."""
+    wins = _rolling_window_hashes(docs, window_tokens, text_col, id_col)
+    wins = tracked_persist(wins)  # feeds the count agg AND the join back
+    dup_hashes = (
+        wins.groupBy("wh").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    )
+    dup = wins.join(dup_hashes, "wh").select(
+        id_col,
+        "n_tokens",
+        "pos",
+        (F.col("pos") + window_tokens - 1).alias("end_pos"),
+    )
+    return _merge_marked_intervals(dup, id_col)
+
+
+def keep_one_span_intervals(
+    docs: DataFrame,
+    window_tokens: int = DUP_WINDOW_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Owner-election variant of dup_span_intervals — the canonical
+    Lee et al. keep-ONE-occurrence semantics: for each duplicated
+    window hash the globally-first occurrence (min (doc_id, pos)) is
+    the OWNER and marks nothing; every other occurrence marks its
+    range.  The corpus keeps exactly one copy of each duplicated
+    window instead of zero.
+
+    Scale shape: a single row_number window over the hash key — ONE
+    shuffle on (wh), strictly cheaper than the strip-all plan's
+    count+join pair (the election subsumes the ≥2 filter: non-owner
+    rows exist only for hashes with ≥2 occurrences).  A boilerplate
+    window shared by B docs elects one owner and marks B−1 rows —
+    still linear, no pair explosion."""
+    wins = _rolling_window_hashes(docs, window_tokens, text_col, id_col)
+    w = Window.partitionBy("wh").orderBy(id_col, "pos")
+    dup = (
+        wins.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") >= 2)
+        .select(
+            id_col,
+            "n_tokens",
+            "pos",
+            (F.col("pos") + window_tokens - 1).alias("end_pos"),
+        )
+    )
+    return _merge_marked_intervals(dup, id_col)
 
 
 def rolling_dup_spans(
@@ -852,11 +910,45 @@ def strip_dup_spans(
 
     Spark shape: the per-doc span LIST is collected into one array
     column (spans per doc are few — merged maximal intervals), then the
-    token filter runs as a JVM higher-order function: transform-with-
-    index → exists(span covers i) → filter → concat_ws.  No Python, no
-    per-token shuffle: the only shuffles are q182's hash-count and the
-    doc-keyed span aggregation."""
+    survivors are materialized by COMPLEMENT-GAP SLICING, all JVM
+    higher-order functions: sort the disjoint spans, zip shifted
+    span-edges into the gap intervals between them, and ``slice`` the
+    token array per gap — O(tokens + spans) per document.  (The naive
+    per-token ``exists`` over the span array is O(tokens × spans): a
+    pathological megadoc with ~n/window alternating duplicated spans
+    turns one task quadratic; the gap form stays linear — see
+    tests/test_dup_spans.py adversarial case.)  No Python, no per-token
+    shuffle: the only shuffles are q182's hash-count and the doc-keyed
+    span aggregation."""
     spans = dup_span_intervals(docs, window_tokens, text_col, id_col)
+    return _strip_by_spans(docs, spans, text_col, id_col)
+
+
+def keep_one_dup_spans(
+    docs: DataFrame,
+    window_tokens: int = DUP_WINDOW_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-one-occurrence substring dedup (canonical Lee et al.
+    semantics): strip only tokens covered by NON-OWNER duplicated
+    windows (see keep_one_span_intervals) — the corpus-wide first
+    occurrence of every duplicated passage survives verbatim.  Same
+    output shape as strip_dup_spans: (doc_id, n_tokens, kept_tokens,
+    cleaned_text)."""
+    spans = keep_one_span_intervals(docs, window_tokens, text_col, id_col)
+    return _strip_by_spans(docs, spans, text_col, id_col)
+
+
+def _strip_by_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared rewrite stage: remove tokens covered by ``spans`` (disjoint
+    intervals per doc) via complement-gap slicing — O(tokens + spans)
+    per document, all JVM higher-order functions."""
     span_arrs = spans.groupBy(id_col).agg(
         F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("_spans")
     )
@@ -864,27 +956,50 @@ def strip_dup_spans(
     joined = docs.join(span_arrs, id_col, "left").select(
         F.col(id_col),
         tok.alias("_toks"),
-        F.coalesce(F.col("_spans"), F.array().cast("array<struct<s:long,e:long>>"))
-        .alias("_spans"),
+        F.array_sort(
+            F.coalesce(
+                F.col("_spans"), F.array().cast("array<struct<s:long,e:long>>")
+            )
+        ).alias("_spans"),
     )
-    indexed = F.transform(
-        F.col("_toks"), lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i"))
+    # Disjoint sorted spans ⇒ the kept tokens are exactly the gaps
+    # between them: pair (prev span end, next span start) with sentinels
+    # -1 / n_tokens at the edges, drop empty gaps, slice each gap out.
+    n_toks = F.size("_toks").cast("long")
+    gap_lo = F.concat(
+        F.array(F.lit(-1).cast("long")),
+        F.transform(F.col("_spans"), lambda sp: sp["e"]),
     )
-    kept = F.filter(
-        indexed,
-        lambda st: ~F.exists(
-            F.col("_spans"),
-            lambda sp: (st["i"] >= sp["s"]) & (st["i"] <= sp["e"]),
+    gap_hi = F.concat(
+        F.transform(F.col("_spans"), lambda sp: sp["s"]),
+        F.array(n_toks),
+    )
+    gaps = F.filter(
+        F.zip_with(
+            gap_lo,
+            gap_hi,
+            lambda pe, ns: F.struct(
+                (pe + 1).alias("gs"), (ns - 1).alias("ge")
+            ),
         ),
+        lambda g: g["gs"] <= g["ge"],
+    )
+    kept = F.flatten(
+        F.transform(
+            gaps,
+            lambda g: F.slice(
+                F.col("_toks"),
+                (g["gs"] + 1).cast("int"),
+                (g["ge"] - g["gs"] + 1).cast("int"),
+            ),
+        )
     )
     return (
         joined.select(
             id_col,
             F.size("_toks").cast("long").alias("n_tokens"),
             F.size(kept).cast("long").alias("kept_tokens"),
-            F.concat_ws(" ", F.transform(kept, lambda st: st["t"])).alias(
-                "cleaned_text"
-            ),
+            F.concat_ws(" ", kept).alias("cleaned_text"),
         )
         .orderBy(id_col)
     )
@@ -957,3 +1072,79 @@ def q184_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span strip rewrite over documents (see
     strip_dup_spans): (doc_id, n_tokens, kept_tokens, cleaned_text)."""
     return strip_dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------- keep-one-occurrence substring dedup (q195)
+
+
+@register(
+    "q195_keep_one_dup_spans",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, str_split(text, chr(32)) AS t FROM documents
+    ),
+    pos_t AS (
+      SELECT doc_id, len(t) AS n_tokens, t,
+             unnest(range(0, greatest(len(t) - {_DW} + 1, 0))) AS pos
+      FROM base
+    ),
+    wins AS (
+      SELECT doc_id, n_tokens, pos,
+             {MD5_LONG60_SQL.format(x=_WIN_STR_SQL)} AS wh
+      FROM pos_t
+    ),
+    dup AS (
+      SELECT doc_id, pos, pos + {_DW - 1} AS end_pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rk
+        FROM wins
+      ) WHERE rk >= 2
+    ),
+    marked AS (
+      SELECT doc_id, pos, end_pos,
+        CASE WHEN pos > COALESCE(MAX(end_pos) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_span
+      FROM dup
+    ),
+    grouped AS (
+      SELECT doc_id, pos, end_pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, grp, MIN(pos) AS s, MAX(end_pos) AS e
+      FROM grouped GROUP BY 1, 2
+    ),
+    tok_pos AS (
+      SELECT doc_id, pos AS tpos, t[pos+1] AS tokn
+      FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos FROM base)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.tpos, tp.tokn
+      FROM tok_pos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = tp.doc_id AND tp.tpos BETWEEN s.s AND s.e
+      )
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+             string_agg(tokn, ' ' ORDER BY tpos) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.t) AS BIGINT) AS n_tokens,
+           COALESCE(g.kept_tokens, 0) AS kept_tokens,
+           COALESCE(g.cleaned_text, '') AS cleaned_text
+    FROM base b LEFT JOIN agg g USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def q195_keep_one_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-occurrence substring dedup over documents (see
+    keep_one_dup_spans): the globally-first occurrence of every
+    duplicated window survives; later occurrences are stripped.
+    (doc_id, n_tokens, kept_tokens, cleaned_text)."""
+    return keep_one_dup_spans(load_table(spark, sf_dir, "documents"))

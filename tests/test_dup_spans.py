@@ -207,3 +207,105 @@ def test_global_row_ids_contiguous_on_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     ids = sorted(r.row_id for r in global_row_ids(docs).collect())
     assert ids == list(range(1, len(ids) + 1))
+
+
+# ------------------- round 7: keep-one-occurrence policy (q195)
+
+
+def test_keep_one_cross_doc_first_doc_survives(spark):
+    """Shared passage in docs 0 and 1: owner election by (doc_id, pos)
+    keeps doc 0's copy VERBATIM and strips doc 1's — exactly one
+    occurrence survives corpus-wide (the strip-all policy removes
+    both)."""
+    from pyspark_anomaly_detection_spark.text.dedup import (
+        keep_one_dup_spans,
+        strip_dup_spans,
+    )
+
+    boiler = _words("shared", 12)
+    head0, tail0 = _words("a", 9), _words("b", 9)
+    head1, tail1 = _words("c", 9), _words("d", 9)
+    texts = [
+        f"{head0} {boiler} {tail0}",
+        f"{head1} {boiler} {tail1}",
+        _words("unique", 30),
+    ]
+    keep_one = {r.doc_id: r for r in keep_one_dup_spans(_docs(spark, texts)).collect()}
+    assert keep_one[0].cleaned_text == texts[0], "owner copy must survive verbatim"
+    assert keep_one[0].kept_tokens == 30
+    assert keep_one[1].cleaned_text == f"{head1} {tail1}"
+    assert keep_one[1].kept_tokens == 18
+    assert keep_one[2].cleaned_text == texts[2]
+
+    strip_all = {r.doc_id: r for r in strip_dup_spans(_docs(spark, texts)).collect()}
+    assert strip_all[0].kept_tokens == 18, "strip-all removes the owner copy too"
+
+
+def test_keep_one_within_doc_first_occurrence_survives(spark):
+    """A passage repeated twice INSIDE one doc: the first occurrence is
+    the owner.  Exact survivor count: with the passage at positions p2
+    (second copy), windows starting in [p2-K+1, p2+L-K] are non-owner
+    duplicates (the straddle windows repeat around BOTH copies, so the
+    copies' straddles around copy 2 lose the election), stripping a
+    merged span that covers the second copy."""
+    from pyspark_anomaly_detection_spark.text.dedup import keep_one_dup_spans
+
+    k = DUP_WINDOW_TOKENS
+    passage = _words("p", 12)
+    gap = _words("g", 10)
+    text = f"{passage} {gap} {passage}"
+    out = {r.doc_id: r for r in keep_one_dup_spans(_docs(spark, [text])).collect()}
+    r = out[0]
+    assert r.n_tokens == 34
+    # First copy + gap survive; the second copy is stripped entirely
+    # (every window touching it also occurs around the first copy).
+    assert r.cleaned_text.startswith(passage), r.cleaned_text
+    assert "g0" in r.cleaned_text and "g9" in r.cleaned_text
+    # tokens p0..p11 appear exactly once in the survivor text
+    assert r.cleaned_text.split().count("p0") == 1
+    assert r.cleaned_text.split().count("p11") == 1
+
+
+def test_keep_one_identical_docs_keep_exactly_one(spark):
+    from pyspark_anomaly_detection_spark.text.dedup import keep_one_dup_spans
+
+    t = _words("z", 40)
+    out = {r.doc_id: r for r in keep_one_dup_spans(_docs(spark, [t, t, t])).collect()}
+    assert out[0].cleaned_text == t and out[0].kept_tokens == 40
+    assert out[1].cleaned_text == "" and out[1].kept_tokens == 0
+    assert out[2].cleaned_text == "" and out[2].kept_tokens == 0
+
+
+def test_strip_adversarial_alternating_megadoc(spark):
+    """q184 worst case (round-6 verdict item 4): a single doc whose text
+    alternates duplicated windows with unique separators produces ~n/(2K)
+    merged spans in ONE document.  The complement-gap-slice rewrite is
+    O(tokens + spans) per doc, so this completes quickly and exactly;
+    the old per-token exists() over the span array was O(tokens×spans).
+    Correctness is pinned against a pure-Python reference."""
+    from pyspark_anomaly_detection_spark.text.dedup import strip_dup_spans
+
+    k = DUP_WINDOW_TOKENS
+    n_blocks = 400  # ~ 400 spans, ~ 400*(2k) = 6400 tokens in the megadoc
+    blocks = []
+    for i in range(n_blocks):
+        blocks.append(_words("dup", k))          # same k tokens every time
+        blocks.append(_words(f"u{i}x", k))       # unique separator
+    mega = " ".join(blocks)
+    out = {r.doc_id: r for r in strip_dup_spans(_docs(spark, [mega])).collect()}
+    r = out[0]
+    toks = mega.split()
+    assert r.n_tokens == len(toks) == 2 * k * n_blocks
+
+    # Python reference: mark every window whose k-token tuple recurs.
+    from collections import Counter
+
+    wins = [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    counts = Counter(wins)
+    covered = set()
+    for i, w in enumerate(wins):
+        if counts[w] >= 2:
+            covered.update(range(i, i + k))
+    expect_kept = [t for i, t in enumerate(toks) if i not in covered]
+    assert r.kept_tokens == len(expect_kept)
+    assert r.cleaned_text == " ".join(expect_kept)

@@ -195,3 +195,61 @@ def test_similarity_blocking_at_1m_docs(spark):
     _, cands = _prefix_stage(docs, 0.5)
     n_prefix = cands.count()
     assert planted <= n_prefix <= n, (planted, n_prefix)
+
+
+def test_span_dedup_at_12m_tokens(spark):
+    """The span-dedup family (round-6 verdict directive #3) at 12.8M
+    corpus tokens — 200k docs × 64 tokens, ~40× the sf0.1 sweep's token
+    volume.  20k of the doc texts recur once (id % 180k collisions), so
+    exactly 40k docs are fully duplicated: a planted floor for the
+    profile.  Structural linearity: the hash-count stage shuffles
+    EXACTLY one row per rolling window position (n_docs × (64−K+1) —
+    the honest linear cost of substring dedup), never a pair
+    explosion."""
+    from pyspark_anomaly_detection_spark.text.dedup import (
+        DUP_WINDOW_TOKENS,
+        _rolling_window_hashes,
+        rolling_dup_spans,
+    )
+
+    n, distinct, words = 200_000, 180_000, 64
+    k = DUP_WINDOW_TOKENS
+    planted_docs = 2 * (n - distinct)  # both copies of each recurring text
+    docs = spark.range(n, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(words)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64((F.col("id") % distinct) * 131 + i),
+                        F.lit(50_000),
+                    ).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+    # structural: the shuffled-row count of the blocking stage is the
+    # window count, linear in corpus tokens
+    n_wins = _rolling_window_hashes(docs, k, "text", "doc_id").count()
+    assert n_wins == n * (words - k + 1)
+
+    prof = rolling_dup_spans(docs)
+    row = prof.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum("dup_tokens").alias("tot_dup"),
+        F.sum((F.col("dup_fraction") == 1.0).cast("long")).alias("n_full"),
+    ).collect()[0]
+    assert row.n_docs == n
+    assert row.tot_tokens == n * words
+    # floor: every planted copy is fully covered; ceiling: planted +
+    # <1% accidental window collisions across the 50k-word vocabulary
+    assert row.n_full >= planted_docs
+    assert row.tot_dup >= planted_docs * words
+    assert row.tot_dup <= planted_docs * words + 0.01 * n * words, (
+        "dup volume super-linear: blocking stage leaking pairs?"
+    )
