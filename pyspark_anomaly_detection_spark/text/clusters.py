@@ -200,6 +200,117 @@ def q75_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q196_oracle() -> str:
+    from pyspark_anomaly_detection_spark.text.dedup import _minhash_sql
+
+    return f"""
+    WITH RECURSIVE sigs AS (SELECT doc_id, sig FROM {_minhash_sql()}),
+    banded AS (
+      SELECT doc_id, k AS band, sig[k*2+1 : k*2+2] AS band_sig
+      FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS k)
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+    ),
+    und AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    ),
+    full_docs AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    rmax AS (
+      SELECT component, MAX(n_chars) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM full_docs GROUP BY component
+    ),
+    reps AS (
+      SELECT f.component, r.cluster_size, MIN(f.doc_id) AS rep_id
+      FROM full_docs f JOIN rmax r
+        ON f.component = r.component AND f.n_chars = r.mx
+      GROUP BY f.component, r.cluster_size
+    )
+    SELECT f.doc_id, f.component, r.cluster_size, r.rep_id,
+           f.doc_id = r.rep_id AS keep
+    FROM full_docs f JOIN reps r USING (component)
+    ORDER BY f.doc_id
+    """
+
+
+@register("q196_keep_longest_rep", oracle=_q196_oracle())
+def q196_keep_longest_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivor manifest with the KEEP-LONGEST policy: MinHash-
+    LSH pairs → connected components → per component elect the longest
+    member (max n_chars, tie-break min doc_id) as representative —
+    the policy training pipelines prefer when duplicates differ by
+    truncation (q75's min-id election keeps an arbitrary copy;
+    keep-longest keeps the most complete one).  Docs with no near-dup
+    are singleton components and keep themselves.
+
+    Scale shape: the only new stages over q75 are one groupBy on
+    component (max struct — partial-aggregated) and a component-keyed
+    join back; component count ≤ doc count, no new skew beyond the dup
+    clusters themselves."""
+    docs_full = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        minhash_lsh_pairs(docs_full), src="doc_a", dst="doc_b"
+    )
+    return keep_longest_manifest(
+        docs_full.select("doc_id", "n_chars"), comp
+    ).orderBy("doc_id")
+
+
+def keep_longest_manifest(
+    docs: DataFrame,
+    comp: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Survivor-election stage of q196: (id, component, cluster_size,
+    rep_id, keep) where rep = argmax(len_col, tie-break min id) per
+    component; ids absent from ``comp`` (no near-dup) are singleton
+    components keeping themselves."""
+    lab = (
+        docs.join(comp, docs[id_col] == comp["node"], "left")
+        .select(
+            id_col,
+            len_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+    reps = (
+        lab.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max(
+                F.struct(
+                    F.col(len_col).alias("nc"), (-F.col(id_col)).alias("negid")
+                )
+            ).alias("m"),
+        )
+        .select("component", "cluster_size", (-F.col("m.negid")).alias("rep_id"))
+    )
+    return lab.join(reps, "component").select(
+        id_col,
+        "component",
+        "cluster_size",
+        "rep_id",
+        (F.col(id_col) == F.col("rep_id")).alias("keep"),
+    )
+
+
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITERATIONS = 10
 

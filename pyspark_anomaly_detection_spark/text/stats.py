@@ -925,3 +925,68 @@ def q174_compressibility_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Per-language quantile gate: drop the bottom quintile by lexical
+#: diversity WITHIN each language — absolute thresholds (q85) misfire
+#: when languages have different baseline diversity; the quantile form
+#: is the per-group calibrated gate a multilingual pipeline needs.
+QUANTILE_CUT = 0.2
+
+
+@register(
+    "q197_lang_quality_quantile_gate",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+          / len(str_split(text, ' ')) AS lexical_diversity
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, lexical_diversity,
+             PERCENT_RANK() OVER (
+               PARTITION BY lang ORDER BY lexical_diversity, doc_id
+             ) AS pr
+      FROM scored
+    )
+    SELECT doc_id, lang, lexical_diversity, pr,
+           pr >= {QUANTILE_CUT} AS keep
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def q197_lang_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile gate: percent_rank of lexical
+    diversity WITHIN each language (tie-broken by doc_id, so the rank is
+    a total order and cross-engine deterministic); keep = not in the
+    bottom {QUANTILE_CUT:.0%}.  percent_rank = (rank−1)/(n−1) in both
+    engines, an integer-derived division, so the gate is bitwise
+    portable — no float-quantile sketch drift.
+
+    Scale shape: one shuffle on lang (the window partition key); lang is
+    low-cardinality, so at 100 TB this key is salted-by-range the same
+    way events/anomaly.py's salted windows are — the per-lang sort is
+    the honest cost of an exact within-group quantile.  The approximate
+    alternative (percentile_approx per lang, broadcast back) is one
+    aggregate, no sort; this operator is the exact-gate leg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_quantile_gate(docs).orderBy("doc_id")
+
+
+def lang_quantile_gate(
+    docs: DataFrame, cut: float = QUANTILE_CUT, group_col: str = "lang"
+) -> DataFrame:
+    """The gate stage of q197 on any (doc_id, group, text) frame."""
+    tok = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        group_col,
+        (F.size(F.array_distinct(tok)).cast("double") / F.size(tok)).alias(
+            "lexical_diversity"
+        ),
+    )
+    w = Window.partitionBy(group_col).orderBy("lexical_diversity", "doc_id")
+    return scored.withColumn("pr", F.percent_rank().over(w)).withColumn(
+        "keep", F.col("pr") >= cut
+    )

@@ -55,3 +55,28 @@ def test_pagerank_properties(spark):
     hub, leaf = ranks[0], ranks[1]
     assert hub > 2 * leaf  # the star hub dominates its leaves
     assert ranks[11] > ranks[10]  # chain middle beats chain end
+
+
+# ------------------- round 7: keep-longest representative (q196)
+
+
+def test_keep_longest_elects_longest_not_min_id(spark):
+    """Component {1,2,3} where doc 2 is longest: rep must be 2 (the
+    min-id policy would pick 1); tie on length breaks to min id;
+    singleton 9 keeps itself."""
+    from pyspark_anomaly_detection_spark.text.clusters import (
+        keep_longest_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 250), (3, 250), (9, 50)], ["doc_id", "n_chars"]
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["node", "component"]
+    )
+    out = {r.doc_id: r for r in keep_longest_manifest(docs, comp).collect()}
+    assert out[1].rep_id == 2 and not out[1].keep
+    assert out[2].rep_id == 2 and out[2].keep, "longest (tie → min id) wins"
+    assert out[3].rep_id == 2 and not out[3].keep
+    assert out[1].cluster_size == 3
+    assert out[9].component == 9 and out[9].keep and out[9].cluster_size == 1

@@ -58,3 +58,37 @@ def test_compressibility_deterministic_across_partitionings(spark, sf_dir):
         for r in compressibility(docs.repartition(13)).collect()
     }
     assert a == b
+
+
+# ------------------- round 7: per-language quantile gate (q197)
+
+
+def test_lang_quantile_gate_drops_bottom_quintile_per_group(spark):
+    """Two languages with disjoint diversity ranges: an absolute
+    threshold would drop all of the low-diversity language; the quantile
+    gate drops exactly the bottom 20% WITHIN each."""
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.text.stats import lang_quantile_gate
+
+    def doc(i, lang, n_distinct, n_total=10):
+        words = [f"w{k}" for k in range(n_distinct)]
+        toks = (words * n_total)[:n_total]
+        return (i, lang, " ".join(toks))
+
+    rows = [doc(i, "aa", i + 1) for i in range(10)]          # diversity .1–1.
+    rows += [doc(100 + i, "bb", 1 + i % 3) for i in range(10)]  # low range
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = lang_quantile_gate(docs).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        dropped = [r for r in rs if not r.keep]
+        assert 0 < len(dropped) <= 2 + 1, (lang, len(dropped))  # ~bottom 20%
+        worst = min(rs, key=lambda r: (r.lexical_diversity, r.doc_id))
+        assert not worst.keep, f"{lang}: worst doc survived"
+        best = max(rs, key=lambda r: (r.lexical_diversity, r.doc_id))
+        assert best.keep
+    # percent_rank bounds
+    assert all(0.0 <= r.pr <= 1.0 for r in out)
