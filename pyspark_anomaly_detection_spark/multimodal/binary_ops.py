@@ -780,6 +780,216 @@ def q191_mp4_track_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------- exact-roundtrip codec censuses (q198 PNG, q199 JPEG)
+
+#: q198/q199 synthesis parameters — closed-form in doc_id (binary-oracle
+#: pattern: the oracle predicts every census cell without seeing bytes).
+_FLAT_EVERY = 4
+#: DC quant step of the luma table at quality 85: floor((16·30+50)/100).
+#: Gray values 128 + k·5 roundtrip BIT-EXACTLY through the 4:2:0 JPEG
+#: pipeline (uniform block ⇒ all ACs quantize to 0, DC is a multiple of
+#: the step ⇒ dequant is exact; equal RGB channels ⇒ chroma exactly 128).
+_FLAT_QSTEP = 5
+_FLAT_QUALITY = 85
+
+
+def flat_jpeg_media_from_documents(
+    docs: DataFrame, every: int = _FLAT_EVERY
+) -> DataFrame:
+    """Uniform-gray JPEG payloads whose DECODED pixels are closed-form:
+    gray(doc_id) = 128 + ((doc_id % 25) − 12)·{_FLAT_QSTEP}, alternating
+    baseline/progressive encoders.  Unlike q178's hash-noise images
+    (where quantization loss makes pixel stats non-portable), the flat
+    construction survives the lossy pipeline exactly — turning the whole
+    encode→decode lane into hash-verifiable territory."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.jpeg import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                gray = 128 + ((did % 25) - 12) * _FLAT_QSTEP
+                img = np.full((_JPEG_H, _JPEG_W, 3), gray, dtype=np.uint8)
+                encode = (
+                    encode_jpeg_baseline
+                    if (did // every) % 2 == 0
+                    else encode_jpeg_progressive
+                )
+                payloads.append(
+                    encode(img, quality=_FLAT_QUALITY, subsampling="420")
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % every == 0)
+        .select("doc_id")
+        .mapInPandas(run, schema="media_id long, payload binary")
+    )
+
+
+def _decode_uniform_stats(df: DataFrame) -> DataFrame:
+    """Decode each JPEG payload and report the uniform gray value, or −1
+    when the decoded image is NOT perfectly uniform (any quantization
+    drift poisons the census and fails the oracle hash — the point)."""
+    from pyspark_anomaly_detection_spark.multimodal.jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    arr = decode_jpeg(bytes(payload))
+                    h, w = arr.shape[0], arr.shape[1]
+                    gray = (
+                        int(arr.flat[0])
+                        if int(arr.min()) == int(arr.max())
+                        else -1
+                    )
+                    rows.append((mid, w, h, gray))
+                except Exception:  # noqa: BLE001 - census robustness
+                    rows.append((mid, -1, -1, -1))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "gray"]
+            )
+
+    return df.mapInPandas(
+        run, schema="media_id long, width int, height int, gray int"
+    )
+
+
+@register(
+    "q199_flat_jpeg_roundtrip_census",
+    oracle=f"""
+    SELECT CAST(128 + ((doc_id % 25) - 12) * {_FLAT_QSTEP} AS BIGINT) AS gray,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST({_JPEG_W} * COUNT(*) AS BIGINT) AS width_sum,
+           CAST({_JPEG_H} * COUNT(*) AS BIGINT) AS height_sum
+    FROM documents
+    WHERE doc_id % {_FLAT_EVERY} = 0
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q199_flat_jpeg_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY-codec exact-roundtrip census — an end-to-end binary oracle
+    over the full JPEG encode→decode pipeline: uniform-gray images whose
+    gray level is a multiple of the DC quant step survive 4:2:0 JPEG
+    quantization bit-exactly (all ACs quantize to zero, DC dequantizes
+    exactly, chroma is exactly 128), so the DuckDB oracle predicts the
+    decoded-gray census in closed form.  Any drift anywhere in the DCT/
+    quant/Huffman/upsample path makes a decoded image non-uniform, maps
+    it to gray = −1, and fails the hash.  Baseline and progressive
+    encoders alternate by doc, so BOTH entropy layouts are proven."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = _decode_uniform_stats(flat_jpeg_media_from_documents(docs))
+    return (
+        stats.groupBy(F.col("gray").cast("long").alias("gray"))
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("width").cast("long").alias("width_sum"),
+            F.sum("height").cast("long").alias("height_sum"),
+        )
+        .orderBy("gray")
+    )
+
+
+def gradient_png_media_from_documents(
+    docs: DataFrame, every: int = _FLAT_EVERY
+) -> DataFrame:
+    """Row-gradient PNG payloads: scanline y is the uniform value
+    (doc_id + y) % 256 in all channels; filter type cycles doc_id % 5
+    and Adam7 interlacing alternates — every PNG decode path runs
+    distributed, each with a closed-form pixel sum."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                ramp = (did + np.arange(_JPEG_H, dtype=np.int64)) % 256
+                img = np.repeat(
+                    ramp.astype(np.uint8)[:, None, None],
+                    _JPEG_W,
+                    axis=1,
+                ).repeat(3, axis=2)
+                payloads.append(
+                    encode_png(
+                        img,
+                        filter_type=did % 5,
+                        interlace=(did // every) % 2 == 1,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % every == 0)
+        .select("doc_id")
+        .mapInPandas(run, schema="media_id long, payload binary")
+    )
+
+
+@register(
+    "q198_png_pixel_sum_census",
+    oracle=f"""
+    WITH rows_sum AS (
+      SELECT doc_id,
+             (SELECT SUM((doc_id + y.k) % 256)
+              FROM (SELECT unnest(range({_JPEG_H})) AS k) y) AS row_vals
+      FROM documents
+      WHERE doc_id % {_FLAT_EVERY} = 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 5 AS BIGINT) AS filter_type,
+           (doc_id // {_FLAT_EVERY}) % 2 = 1 AS interlaced,
+           CAST(3 * {_JPEG_W} * row_vals AS BIGINT) AS pixel_sum
+    FROM rows_sum
+    ORDER BY media_id
+    """,
+)
+def q198_png_pixel_sum_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS-codec roundtrip census: per-media pixel sum of decoded
+    row-gradient PNGs — closed-form in doc_id, so a green hash proves
+    the scanline filters (all five, cycled) AND the Adam7 interlace
+    reassembly byte-for-byte, per media file, distributed."""
+    from pyspark_anomaly_detection_spark.multimodal.codecs import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    arr = decode_png(bytes(payload))
+                    rows.append((mid, int(arr.sum(dtype="int64"))))
+                except Exception:  # noqa: BLE001 - census robustness
+                    rows.append((mid, -1))
+            yield pd.DataFrame(rows, columns=["media_id", "pixel_sum"])
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = gradient_png_media_from_documents(docs)
+    sums = media.mapInPandas(run, schema="media_id long, pixel_sum long")
+    return sums.select(
+        "media_id",
+        (F.col("media_id") % 5).cast("long").alias("filter_type"),
+        ((F.col("media_id") / _FLAT_EVERY).cast("long") % 2 == 1).alias(
+            "interlaced"
+        ),
+        "pixel_sum",
+    ).orderBy("media_id")
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -138,3 +138,63 @@ def test_decode_jpeg_tolerates_exif_segment():
     plain = _jpeg()
     tagged = inject_exif(plain, build_exif_app1(orientation=7, make="X"))
     assert np.array_equal(decode_jpeg(plain), decode_jpeg(tagged))
+
+
+def test_parse_exif_self_referential_ifd_terminates():
+    """Malformed TIFF whose ExifIFD pointer loops back at IFD0: the
+    visited-offset guard must terminate the walk (previously
+    RecursionError), honoring the never-raises contract."""
+    import struct
+
+    from pyspark_anomaly_detection_spark.multimodal.exif import (
+        TAG_EXIF_IFD,
+        parse_exif,
+    )
+
+    bo = "<"
+    # IFD0 at offset 8 with one entry: ExifIFD pointer -> offset 8 (itself)
+    ifd = struct.pack(f"{bo}H", 1)
+    ifd += struct.pack(f"{bo}HHI", TAG_EXIF_IFD, 4, 1) + struct.pack(f"{bo}I", 8)
+    ifd += struct.pack(f"{bo}I", 0)  # next-IFD
+    tiff = b"II" + struct.pack(f"{bo}HI", 42, 8) + ifd
+    payload = b"Exif\x00\x00" + tiff
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe1"
+        + struct.pack(">H", 2 + len(payload))
+        + payload
+        + b"\xff\xd9"
+    )
+    parse_exif(jpeg)  # must return (any value), not raise
+
+
+def test_parse_exif_mutual_ifd_cycle_terminates():
+    """Two IFDs pointing at each other — the guard must break the cycle,
+    not just direct self-reference."""
+    import struct
+
+    from pyspark_anomaly_detection_spark.multimodal.exif import (
+        TAG_EXIF_IFD,
+        parse_exif,
+    )
+
+    bo = "<"
+
+    def ifd(ptr):
+        b = struct.pack(f"{bo}H", 1)
+        b += struct.pack(f"{bo}HHI", TAG_EXIF_IFD, 4, 1) + struct.pack(f"{bo}I", ptr)
+        b += struct.pack(f"{bo}I", 0)
+        return b
+
+    ifd_a = ifd(8 + 18)  # IFD B offset
+    ifd_b = ifd(8)       # back to IFD A
+    tiff = b"II" + struct.pack(f"{bo}HI", 42, 8) + ifd_a + ifd_b
+    payload = b"Exif\x00\x00" + tiff
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe1"
+        + struct.pack(">H", 2 + len(payload))
+        + payload
+        + b"\xff\xd9"
+    )
+    parse_exif(jpeg)

@@ -70,3 +70,22 @@ def test_distributed_mp4_census(spark, sf_dir):
         assert r.n_video == 1 + r.media_id % 2
         assert r.n_audio == r.media_id % 3
         assert r.width == 320 * (1 + r.media_id % 4)
+
+
+def test_parse_mp4_empty_mvhd_and_tkhd_degrade():
+    """A size-8 mvhd/tkhd (no body) that ends the tree must degrade to a
+    partial census, not IndexError (round-6 ADVICE crash)."""
+    import struct
+
+    from pyspark_anomaly_detection_spark.multimodal.mp4 import parse_mp4
+
+    def box(typ, body=b""):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x00\x00")
+    trak = box(b"trak", box(b"tkhd"))  # empty tkhd
+    moov = box(b"moov", box(b"mvhd") + trak)  # empty mvhd
+    out = parse_mp4(ftyp + moov)
+    assert out is not None and out["brand"] == "isom"
+    assert "timescale" not in out  # degraded, not crashed
+    assert out["n_tracks"] == 0  # no hdlr under the empty-tkhd trak

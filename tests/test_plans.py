@@ -293,6 +293,8 @@ def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
         "q190_mp3_stream_census",
         "q191_mp4_track_census",
         "q192_footer_row_counts",  # pyarrow footer walk vs scan recount
+        "q198_png_pixel_sum_census",  # the Python codec IS the operator
+        "q199_flat_jpeg_roundtrip_census",  # ditto (binary-oracle lane)
     }
     offenders = []
     for name, query in sorted(REGISTRY.items()):
