@@ -309,3 +309,49 @@ def test_strip_adversarial_alternating_megadoc(spark):
     expect_kept = [t for i, t in enumerate(toks) if i not in covered]
     assert r.kept_tokens == len(expect_kept)
     assert r.cleaned_text == " ".join(expect_kept)
+
+
+def test_keep_one_dominates_strip_all_on_random_corpus(spark):
+    """Policy dominance invariant on a high-collision random corpus:
+    non-owner dup windows are a SUBSET of all dup windows, so keep-one's
+    stripped spans are contained in strip-all's — per doc keep-one
+    retains at least as many tokens, and strip-all's survivor string is
+    a subsequence of keep-one's."""
+    import random
+
+    from pyspark_anomaly_detection_spark.text.dedup import (
+        keep_one_dup_spans,
+        strip_dup_spans,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"v{i}" for i in range(12)]  # tiny vocab → dense collisions
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 60)))
+        for _ in range(30)
+    ]
+    # plus one planted pair whose shared passage sits in UNIQUE context:
+    # its owner occurrence cannot be covered by other hashes' spans, so
+    # the election provably beats strip-all somewhere in the corpus
+    boiler = _words("boil", 12)
+    texts += [f"{_words('ctxa', 9)} {boiler}", f"{_words('ctxb', 9)} {boiler}"]
+    docs = _docs(spark, texts)
+    keep_one = {r.doc_id: r for r in keep_one_dup_spans(docs).collect()}
+    strip_all = {r.doc_id: r for r in strip_dup_spans(docs).collect()}
+
+    def is_subsequence(small, big):
+        it = iter(big)
+        return all(tok in it for tok in small)
+
+    total_owner_kept = 0
+    for i in range(len(texts)):
+        ko, sa = keep_one[i], strip_all[i]
+        assert ko.n_tokens == sa.n_tokens
+        assert ko.kept_tokens >= sa.kept_tokens, f"doc {i}: dominance violated"
+        assert is_subsequence(
+            sa.cleaned_text.split(), ko.cleaned_text.split()
+        ), f"doc {i}: strip-all survivors not contained in keep-one's"
+        total_owner_kept += ko.kept_tokens - sa.kept_tokens
+    # the corpus is collision-dense: the election must actually preserve
+    # owner copies somewhere, not degenerate to the strip-all answer
+    assert total_owner_kept > 0
