@@ -876,3 +876,51 @@ def test_wild_system_images_decode():
         arr = decode_image(open(f, "rb").read())
         assert arr.ndim == 3 and arr.shape[2] in (3, 4) and arr.size > 0, f
         assert 0.0 <= float(arr.mean()) <= 255.0
+
+
+def test_metadata_parsers_never_raise_on_fuzzed_bytes():
+    """The non-crash contract of the metadata-triage parsers, fuzzed:
+    random byte strings, truncated valid files, and bit-flipped valid
+    files must parse to SOMETHING (a dict or None), never raise — a
+    corrupt corpus file must cost one bad row, not a Spark task."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.exif import (
+        build_exif_app1,
+        inject_exif,
+        parse_exif,
+    )
+    from pyspark_anomaly_detection_spark.multimodal.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from pyspark_anomaly_detection_spark.multimodal.mp3 import mp3_stream_info
+    from pyspark_anomaly_detection_spark.multimodal.mp4 import parse_mp4
+
+    rng = random.Random(99)
+    parsers = (parse_exif, mp3_stream_info, parse_mp4)
+
+    # pure-noise inputs (with plausible magic prefixes mixed in)
+    prefixes = [b"", b"\xff\xd8", b"ID3", struct.pack(">I", 16) + b"ftyp"]
+    for _ in range(200):
+        blob = rng.choice(prefixes) + bytes(
+            rng.getrandbits(8) for _ in range(rng.randint(0, 64))
+        )
+        for parse in parsers:
+            parse(blob)  # must not raise
+
+    # valid EXIF-tagged JPEG: every truncation point, and bit flips
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    valid = inject_exif(
+        encode_jpeg_baseline(img, quality=85, subsampling="420"),
+        build_exif_app1(orientation=3, make="Cam", model="M", width=8, height=8),
+    )
+    for cut in range(0, min(len(valid), 120)):
+        parse_exif(valid[:cut])
+    for _ in range(150):
+        i = rng.randrange(len(valid))
+        mutated = bytearray(valid)
+        mutated[i] ^= 1 << rng.randrange(8)
+        parse_exif(bytes(mutated))
