@@ -322,3 +322,108 @@ def start_incremental_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def span_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    out_path: str,
+    window_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of incremental KEEP-ONE substring dedup — the
+    streaming form of ``text.dedup.keep_one_dup_spans`` (q195).
+
+    Cross-batch: any window hash already in the store makes EVERY
+    occurrence in this batch non-owner (the global first occurrence
+    lives in an earlier batch).  Within-batch: the same (doc_id, pos)
+    row_number election as the batch operator.  Because keep-one never
+    strips the first occurrence, no batch ever needs retroactive
+    rewriting — when batches arrive in ascending id order the
+    accumulated output EQUALS the batch operator on the full corpus
+    (asserted in tests/test_incremental_gold.py).
+
+    State is the distinct-window-hash store (8 bytes/unique window —
+    the minimum any exact substring dedup can hold), batch_id-
+    partitioned parquet; reads exclude this batch's own partition, so a
+    replayed batch rewrites both partitions identically (idempotent
+    under at-least-once delivery).  Shuffles carry (hash, doc, pos)
+    longs, never text."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.window import Window
+
+    from pyspark_anomaly_detection_spark.text.dedup import (
+        DUP_WINDOW_TOKENS,
+        _merge_marked_intervals,
+        _rolling_window_hashes,
+        _strip_by_spans,
+    )
+
+    k = window_tokens or DUP_WINDOW_TOKENS
+    spark = batch_df.sparkSession
+    wins = _rolling_window_hashes(batch_df, k, text_col, id_col).persist()
+    try:
+        seen = (
+            spark.read.parquet(store_path)
+            .filter(F.col("batch_id") != int(batch_id))
+            .select("wh")
+            .distinct()
+        )
+    except AnalysisException:  # first batch: no store yet
+        seen = None
+    w = Window.partitionBy("wh").orderBy(id_col, "pos")
+    ranked = wins.withColumn("_rk", F.row_number().over(w))
+    non_owner = ranked.filter(F.col("_rk") >= 2).select(id_col, "n_tokens", "pos")
+    if seen is not None:
+        cross = ranked.join(seen, "wh").select(id_col, "n_tokens", "pos")
+        non_owner = non_owner.unionByName(cross).distinct()
+    dup = non_owner.select(
+        id_col, "n_tokens", "pos", (F.col("pos") + k - 1).alias("end_pos")
+    )
+    cleaned = _strip_by_spans(
+        batch_df, _merge_marked_intervals(dup, id_col), text_col, id_col
+    ).withColumn("batch_id", F.lit(int(batch_id)))
+    overwrite_partitions(cleaned, out_path, ["batch_id"])
+
+    new_hashes = wins.select("wh").distinct()
+    if seen is not None:
+        new_hashes = new_hashes.join(seen, "wh", "left_anti")
+    overwrite_partitions(
+        new_hashes.withColumn("batch_id", F.lit(int(batch_id))),
+        store_path,
+        ["batch_id"],
+    )
+    wins.unpersist()
+
+
+def start_incremental_span_dedup(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    window_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Keep-one substring dedup over a document stream: each micro-batch
+    strips every token range whose window was already seen (in the store
+    or earlier in the batch by the (doc_id, pos) election) and appends
+    its new window hashes to the store."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        span_dedup_batch(
+            batch_df, batch_id, store_path, out_path,
+            window_tokens, text_col, id_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

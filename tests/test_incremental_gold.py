@@ -348,3 +348,69 @@ def test_incremental_upsert_converges_to_latest_per_key(spark, sf_dir, tmp_path)
         .collect()
     }
     assert again == got
+
+
+def test_incremental_span_dedup_equals_batch_keep_one(spark, sf_dir, tmp_path):
+    """Streaming keep-one substring dedup: with batches in ascending
+    doc_id order the accumulated cleaned output must EQUAL the batch
+    q195 operator on the full corpus — keep-one never strips a first
+    occurrence, so no retroactive rewrite is ever needed and the
+    incremental decomposition is exact.  Also: replaying the last batch
+    rewrites its partitions to the identical result."""
+    from pyspark_anomaly_detection_spark.streaming.incremental import (
+        span_dedup_batch,
+        start_incremental_span_dedup,
+    )
+    from pyspark_anomaly_detection_spark.text.dedup import keep_one_dup_spans
+
+    raw = str(tmp_path / "docs")
+    store = str(tmp_path / "winhashes")
+    out = str(tmp_path / "cleaned")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = 250
+    # ascending-id batches: file order = arrival order under
+    # maxFilesPerTrigger=1 (mirrors the exact-dedup test above)
+    docs.filter(F.col("doc_id") < cut).coalesce(1).write.parquet(raw)
+    docs.filter(F.col("doc_id") >= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(raw)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(raw).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(raw)
+    )
+    q = start_incremental_span_dedup(stream, store, out, ckpt)
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    n_batches = got.select("batch_id").distinct().count()
+    assert n_batches > 1, "maxFilesPerTrigger=1 must produce multiple batches"
+
+    expected = {
+        r.doc_id: r for r in keep_one_dup_spans(docs).collect()
+    }
+    rows = got.collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        e = expected[r.doc_id]
+        assert (r.n_tokens, r.kept_tokens, r.cleaned_text) == (
+            e.n_tokens, e.kept_tokens, e.cleaned_text,
+        ), f"doc {r.doc_id} diverges from batch keep-one"
+
+    # at-least-once safety: replay the LAST batch by hand
+    last_bid = max(r.batch_id for r in rows)
+    before = sorted(
+        (r.doc_id, r.kept_tokens, r.cleaned_text)
+        for r in got.filter(F.col("batch_id") == last_bid).collect()
+    )
+    replay_df = docs.filter(F.col("doc_id") >= cut)
+    span_dedup_batch(replay_df, last_bid, store, out)
+    after_df = spark.read.parquet(out)
+    after = sorted(
+        (r.doc_id, r.kept_tokens, r.cleaned_text)
+        for r in after_df.filter(F.col("batch_id") == last_bid).collect()
+    )
+    assert before == after, "replayed batch not idempotent"
