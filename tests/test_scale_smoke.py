@@ -253,3 +253,76 @@ def test_span_dedup_at_12m_tokens(spark):
     assert row.tot_dup <= planted_docs * words + 0.01 * n * words, (
         "dup volume super-linear: blocking stage leaking pairs?"
     )
+
+
+def test_keep_one_election_at_12m_tokens(spark):
+    """The q195 owner election at the same 12.8M-token corpus: one
+    row_number window over the hash key must mark EXACTLY the planted
+    non-owner windows (every window of the 20k recurring copies, since
+    each copy's partner owns every hash) plus <1% vocabulary-collision
+    noise — the election subsumes the ≥2-count filter with ONE shuffle,
+    and stays linear at scale."""
+    from pyspark.sql.window import Window
+
+    from pyspark_anomaly_detection_spark.text.dedup import (
+        DUP_WINDOW_TOKENS,
+        _rolling_window_hashes,
+    )
+
+    n, distinct, words = 200_000, 180_000, 64
+    k = DUP_WINDOW_TOKENS
+    wins_per_doc = words - k + 1
+    docs = spark.range(n, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(words)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64((F.col("id") % distinct) * 131 + i),
+                        F.lit(50_000),
+                    ).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    wins = _rolling_window_hashes(docs, k, "text", "doc_id")
+    w = Window.partitionBy("wh").orderBy("doc_id", "pos")
+    n_non_owner = (
+        wins.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") >= 2)
+        .count()
+    )
+    planted = (n - distinct) * wins_per_doc  # the higher copy of each pair
+    assert planted <= n_non_owner <= planted + 0.01 * n * wins_per_doc, (
+        planted,
+        n_non_owner,
+    )
+
+
+def test_connected_components_at_200k_nodes(spark):
+    """Dedup clustering at 200k planted pair-edges (doc i ↔ i+200k):
+    min-label propagation must converge in O(diameter)=1 effective
+    rounds to exactly 200k two-node components — the shape the
+    similarity-blocking stack feeds it at corpus scale."""
+    from pyspark_anomaly_detection_spark.text.clusters import (
+        connected_components,
+    )
+
+    n_pairs = 200_000
+    edges = spark.range(n_pairs, numPartitions=32).select(
+        F.col("id").alias("doc_a"), (F.col("id") + n_pairs).alias("doc_b")
+    )
+    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    agg = comp.groupBy("component").count()
+    row = agg.agg(
+        F.count("*").alias("n_comp"),
+        F.min("count").alias("mn"),
+        F.max("count").alias("mx"),
+    ).collect()[0]
+    assert row.n_comp == n_pairs
+    assert row.mn == row.mx == 2
+    # labels are the min node id of each pair
+    assert comp.filter(F.col("component") >= n_pairs).count() == 0
