@@ -355,3 +355,50 @@ def test_keep_one_dominates_strip_all_on_random_corpus(spark):
     # the corpus is collision-dense: the election must actually preserve
     # owner copies somewhere, not degenerate to the strip-all answer
     assert total_owner_kept > 0
+
+
+def test_strip_by_spans_random_disjoint_intervals(spark):
+    """_strip_by_spans vs a pure-Python reference on random DISJOINT
+    span sets (edge-touching, adjacent, whole-doc, empty) — the gap
+    construction must complement arbitrary disjoint interval layouts,
+    not just dup-derived ones."""
+    import random
+
+    from pyspark_anomaly_detection_spark.text.dedup import _strip_by_spans
+
+    rng = random.Random(77)
+    docs_rows, span_rows, expected = [], [], {}
+    for doc_id in range(40):
+        n = rng.randint(0, 50)
+        toks = [f"t{doc_id}_{j}" for j in range(n)]
+        docs_rows.append((doc_id, " ".join(toks)))
+        # random disjoint intervals: walk positions, flip coverage
+        spans, pos = [], 0
+        while pos < n:
+            if rng.random() < 0.4:
+                end = min(n - 1, pos + rng.randint(0, 6))
+                spans.append((pos, end))
+                pos = end + 2  # ≥1 gap… unless the next span touches
+            else:
+                pos += rng.randint(1, 4)
+        if rng.random() < 0.2 and n >= 1:
+            spans = [(0, n - 1)]  # whole-doc span
+        for s, e in spans:
+            span_rows.append((doc_id, s, e))
+        covered = {i for s, e in spans for i in range(s, e + 1)}
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        expected[doc_id] = (n, len(kept), " ".join(kept))
+
+    docs = spark.createDataFrame(docs_rows, ["doc_id", "text"])
+    spans_df = spark.createDataFrame(
+        [(d, s, e) for d, s, e in span_rows], ["doc_id", "s", "e"]
+    ).selectExpr("doc_id", "CAST(s AS LONG) s", "CAST(e AS LONG) e")
+    out = {r.doc_id: r for r in _strip_by_spans(docs, spans_df).collect()}
+    for doc_id, (n, n_kept, text) in expected.items():
+        r = out[doc_id]
+        got = (r.n_tokens, r.kept_tokens, r.cleaned_text)
+        # empty text tokenizes to [''] in Spark's split — skip the
+        # degenerate zero-token doc the same way the operators do
+        if n == 0:
+            continue
+        assert got == (n, n_kept, text), f"doc {doc_id}: {got} != {(n, n_kept, text)}"
