@@ -326,3 +326,24 @@ def test_connected_components_at_200k_nodes(spark):
     assert row.mn == row.mx == 2
     # labels are the min node id of each pair
     assert comp.filter(F.col("component") >= n_pairs).count() == 0
+
+
+def test_global_row_ids_at_20m_rows(spark):
+    """q185's two-phase global ordinals at 20M rows: the per-partition
+    offset map (the only driver-side state, bounded by partition count)
+    must compose to an exact 1..N contiguous assignment — checked via
+    aggregates, never a driver collect of the ids."""
+    from pyspark_anomaly_detection_spark.text.shards import global_row_ids
+
+    n = 20_000_000
+    rows = spark.range(n, numPartitions=64).select(
+        F.xxhash64("id").alias("k")  # unique, unordered, skew-free keys
+    )
+    ids = global_row_ids(rows, "k", num_partitions=64)
+    row = ids.agg(
+        F.count("*").alias("n"),
+        F.min("row_id").alias("mn"),
+        F.max("row_id").alias("mx"),
+        F.countDistinct("row_id").alias("nd"),
+    ).collect()[0]
+    assert (row.n, row.mn, row.mx, row.nd) == (n, 1, n, n)
