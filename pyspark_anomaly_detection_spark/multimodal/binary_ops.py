@@ -1153,3 +1153,175 @@ def resize_images(
         "media_id", "modality", "payload"
     )
     return images.mapInPandas(run, RESIZE_SCHEMA)
+
+
+# ------------- frame-sampling + resize censuses (q200, q201)
+
+#: q200/q201 synthesis cadence and resize geometry (closed-form oracle).
+_FS_EVERY = 4
+_RS_W, _RS_H = 5, 4  # resize target; source is the 16-row gradient
+
+
+def uniform_avi_media_from_documents(
+    docs: DataFrame, every: int = _FS_EVERY
+) -> DataFrame:
+    """REAL RIFF/AVI payloads whose frames are UNIFORM: frame f of doc d
+    is the constant value (d + 7·f) % 256 in every channel — built
+    entirely JVM-side (constant container skeleton + `unhex(repeat(hex))`
+    frame bodies), so the luma of every decoded frame is closed-form:
+    (77v+150v+29v)>>8 = v exactly for equal channels."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal import codecs
+
+    template = codecs.encode_avi(
+        np.zeros(
+            (_SYNTH_AVI_FRAMES, _SYNTH_AVI_H, _SYNTH_AVI_W, 3), dtype=np.uint8
+        ),
+        fps=_SYNTH_AVI_FPS,
+    )
+    val = lambda f: F.lpad(  # noqa: E731 - tiny expression factory
+        F.hex((F.col("doc_id") + 7 * f) % 256), 2, "0"
+    )
+    parts: list[F.Column] = []
+    pos = 0
+    for frame in range(_SYNTH_AVI_FRAMES):
+        body_start = template.index(b"00db", pos) + 8
+        parts.append(F.lit(template[pos:body_start]))
+        parts.append(F.unhex(F.repeat(val(frame), _SYNTH_AVI_BODY)))
+        pos = body_start + _SYNTH_AVI_BODY
+    parts.append(F.lit(template[pos:]))
+    return docs.filter(F.col("doc_id") % every == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.concat(*parts).alias("payload"),
+        F.lit(_SYNTH_AVI_FRAMES * 1000 // _SYNTH_AVI_FPS)
+        .cast("int")
+        .alias("duration_ms"),
+    )
+
+
+@register(
+    "q200_frame_sample_census",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(k.k AS BIGINT) AS frame_idx,
+           CAST(250 * k.k AS BIGINT) AS offset_ms,
+           CAST({_SYNTH_AVI_W} AS BIGINT) AS frame_w,
+           CAST({_SYNTH_AVI_H} AS BIGINT) AS frame_h,
+           CAST((doc_id + 7 * k.k) % 256 AS BIGINT) AS luma
+    FROM documents
+    CROSS JOIN (SELECT unnest(range({_SYNTH_AVI_FRAMES})) AS k) k
+    WHERE doc_id % {_FS_EVERY} = 0
+    ORDER BY media_id, frame_idx
+    """,
+)
+def q200_frame_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling as an end-to-end binary oracle: uniform-frame
+    AVIs (value closed-form in (doc, frame)) are container-encoded
+    JVM-side, then ``sample_frames`` walks the RIFF tree, decodes the
+    frame nearest each 250 ms offset, and reports its luma — at 4 fps ×
+    4 frames each offset lands exactly on frame k, so a green hash
+    proves the container walk, frame indexing, DIB decode, and luma
+    arithmetic per sampled frame.  At 100 TB this lane is the
+    ffmpeg-swap-in point; the Spark plumbing (Arrow batches, per-row
+    quarantine, metadata-only stub path) is what the census pins."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(uniform_avi_media_from_documents(docs), every_ms=250)
+    return (
+        frames.filter(F.col("decode_ok") == "ok")
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("offset_ms").cast("long").alias("offset_ms"),
+            F.col("frame_w").cast("long").alias("frame_w"),
+            F.col("frame_h").cast("long").alias("frame_h"),
+            F.col("luma_mean").cast("long").alias("luma"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@register(
+    "q201_resize_census",
+    oracle=f"""
+    WITH samp AS (
+      SELECT doc_id,
+             ((2 * k.k + 1) * {_SYNTH_H}) // (2 * {_RS_H}) AS sy
+      FROM documents
+      CROSS JOIN (SELECT unnest(range({_RS_H})) AS k) k
+      WHERE doc_id % {_FS_EVERY} = 0
+    ),
+    sums AS (
+      SELECT doc_id, SUM((doc_id + sy) % 256) AS s FROM samp GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST({_RS_W} AS BIGINT) AS width,
+           CAST({_RS_H} AS BIGINT) AS height,
+           CAST(3 * {_RS_W} * s AS BIGINT) AS pixel_sum
+    FROM sums
+    ORDER BY media_id
+    """,
+)
+def q201_resize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize as an end-to-end binary oracle: row-gradient PPMs
+    (row y = (doc + y) % 256) go through the REAL resize lane — decode →
+    pixel-center nearest-neighbor resample → re-encode PPM — and the
+    resized payload is decoded back to a pixel sum.  The oracle computes
+    the same sum from the sampling formula sy = ⌊(2y+1)·H / 2T⌋, so a
+    green hash proves the decode, the exact pixel-center row selection,
+    and the re-encode, per media file."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal import codecs
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                ramp = (did + np.arange(_SYNTH_H, dtype=np.int64)) % 256
+                img = np.repeat(
+                    ramp.astype(np.uint8)[:, None, None], _SYNTH_W, axis=1
+                ).repeat(3, axis=2)
+                payloads.append(codecs.encode_ppm(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "modality": "image",
+                    "payload": payloads,
+                }
+            )
+
+    def measure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    arr = codecs.decode_ppm(bytes(payload))
+                    rows.append(
+                        (mid, arr.shape[1], arr.shape[0], int(arr.sum(dtype="int64")))
+                    )
+                except Exception:  # noqa: BLE001 - census robustness
+                    rows.append((mid, -1, -1, -1))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixel_sum"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        docs.filter(F.col("doc_id") % _FS_EVERY == 0)
+        .select("doc_id")
+        .mapInPandas(
+            synth, schema="media_id long, modality string, payload binary"
+        )
+    )
+    resized = resize_images(media, target_w=_RS_W, target_h=_RS_H)
+    return (
+        resized.filter(F.col("resize_ok") == "ok")
+        .mapInPandas(
+            measure,
+            schema="media_id long, width long, height long, pixel_sum long",
+        )
+        .orderBy("media_id")
+    )

@@ -295,6 +295,8 @@ def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
         "q192_footer_row_counts",  # pyarrow footer walk vs scan recount
         "q198_png_pixel_sum_census",  # the Python codec IS the operator
         "q199_flat_jpeg_roundtrip_census",  # ditto (binary-oracle lane)
+        "q200_frame_sample_census",  # ditto (AVI walk + DIB decode)
+        "q201_resize_census",  # ditto (decode→resample→re-encode)
     }
     offenders = []
     for name, query in sorted(REGISTRY.items()):
