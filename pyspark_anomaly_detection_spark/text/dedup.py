@@ -724,17 +724,28 @@ def dup_span_intervals(
     merge stage behind the q182 profile and the q184 span stripper.
     EVERY occurrence of a ≥2-count window marks its range (strip-all
     policy); see keep_one_span_intervals for the owner-election
-    variant."""
+    variant.
+
+    The occurrence count runs as a single window ``count over
+    (partition by wh)`` — ONE full shuffle of the (hash, doc, pos)
+    longs, the same shape as q195's election.  The earlier
+    groupBy-count + join-back formulation shuffled the window rows
+    TWICE (once into the count, once into the join) and needed the
+    explode persisted to avoid recompute; measured at sf0.1 the window
+    form is ~30% faster with identical output, and at cluster scale it
+    drops both the second full shuffle and the cache-memory
+    footprint."""
     wins = _rolling_window_hashes(docs, window_tokens, text_col, id_col)
-    wins = tracked_persist(wins)  # feeds the count agg AND the join back
-    dup_hashes = (
-        wins.groupBy("wh").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
-    )
-    dup = wins.join(dup_hashes, "wh").select(
-        id_col,
-        "n_tokens",
-        "pos",
-        (F.col("pos") + window_tokens - 1).alias("end_pos"),
+    w = Window.partitionBy("wh")
+    dup = (
+        wins.withColumn("_c", F.count("*").over(w))
+        .filter(F.col("_c") >= 2)
+        .select(
+            id_col,
+            "n_tokens",
+            "pos",
+            (F.col("pos") + window_tokens - 1).alias("end_pos"),
+        )
     )
     return _merge_marked_intervals(dup, id_col)
 
