@@ -983,9 +983,16 @@ def q198_png_pixel_sum_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "media_id",
         (F.col("media_id") % 5).cast("long").alias("filter_type"),
-        ((F.col("media_id") / _FLAT_EVERY).cast("long") % 2 == 1).alias(
-            "interlaced"
-        ),
+        # pure-integer floor division (pmod + div): bitwise-matches the
+        # oracle's Python `//` for ANY id domain, no double rounding
+        (
+            F.expr(
+                f"(media_id - pmod(media_id, {_FLAT_EVERY})) "
+                f"div {_FLAT_EVERY}"
+            )
+            % 2
+            == 1
+        ).alias("interlaced"),
         "pixel_sum",
     ).orderBy("media_id")
 

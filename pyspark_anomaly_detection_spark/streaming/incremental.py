@@ -365,37 +365,43 @@ def span_dedup_batch(
     spark = batch_df.sparkSession
     wins = _rolling_window_hashes(batch_df, k, text_col, id_col).persist()
     try:
-        seen = (
-            spark.read.parquet(store_path)
-            .filter(F.col("batch_id") != int(batch_id))
-            .select("wh")
-            .distinct()
+        try:
+            seen = (
+                spark.read.parquet(store_path)
+                .filter(F.col("batch_id") != int(batch_id))
+                .select("wh")
+                .distinct()
+            )
+        except AnalysisException:  # first batch: no store yet
+            seen = None
+        w = Window.partitionBy("wh").orderBy(id_col, "pos")
+        ranked = wins.withColumn("_rk", F.row_number().over(w))
+        non_owner = ranked.filter(F.col("_rk") >= 2).select(
+            id_col, "n_tokens", "pos"
         )
-    except AnalysisException:  # first batch: no store yet
-        seen = None
-    w = Window.partitionBy("wh").orderBy(id_col, "pos")
-    ranked = wins.withColumn("_rk", F.row_number().over(w))
-    non_owner = ranked.filter(F.col("_rk") >= 2).select(id_col, "n_tokens", "pos")
-    if seen is not None:
-        cross = ranked.join(seen, "wh").select(id_col, "n_tokens", "pos")
-        non_owner = non_owner.unionByName(cross).distinct()
-    dup = non_owner.select(
-        id_col, "n_tokens", "pos", (F.col("pos") + k - 1).alias("end_pos")
-    )
-    cleaned = _strip_by_spans(
-        batch_df, _merge_marked_intervals(dup, id_col), text_col, id_col
-    ).withColumn("batch_id", F.lit(int(batch_id)))
-    overwrite_partitions(cleaned, out_path, ["batch_id"])
+        if seen is not None:
+            cross = ranked.join(seen, "wh").select(id_col, "n_tokens", "pos")
+            non_owner = non_owner.unionByName(cross).distinct()
+        dup = non_owner.select(
+            id_col, "n_tokens", "pos", (F.col("pos") + k - 1).alias("end_pos")
+        )
+        cleaned = _strip_by_spans(
+            batch_df, _merge_marked_intervals(dup, id_col), text_col, id_col
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        overwrite_partitions(cleaned, out_path, ["batch_id"])
 
-    new_hashes = wins.select("wh").distinct()
-    if seen is not None:
-        new_hashes = new_hashes.join(seen, "wh", "left_anti")
-    overwrite_partitions(
-        new_hashes.withColumn("batch_id", F.lit(int(batch_id))),
-        store_path,
-        ["batch_id"],
-    )
-    wins.unpersist()
+        new_hashes = wins.select("wh").distinct()
+        if seen is not None:
+            new_hashes = new_hashes.join(seen, "wh", "left_anti")
+        overwrite_partitions(
+            new_hashes.withColumn("batch_id", F.lit(int(batch_id))),
+            store_path,
+            ["batch_id"],
+        )
+    finally:
+        # unpersist even when a write fails mid-batch: foreachBatch retries
+        # must not accumulate leaked cached datasets in executor memory
+        wins.unpersist()
 
 
 def start_incremental_span_dedup(

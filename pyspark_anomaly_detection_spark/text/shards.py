@@ -298,6 +298,149 @@ def q185_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------- scalable PER-GROUP ordinals (q175/q197 rebase)
+
+
+def grouped_row_ids(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+    ordinal_col: str = "grp_rank",
+    total_col: str = "grp_n",
+) -> DataFrame:
+    """Contiguous 1-based ordinals WITHIN each group, in ``order_cols``
+    order, WITHOUT a single-task-per-group sort — the scalable form of
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...)`` when groups
+    are few and huge (languages, sources): Spark's window plans ONE
+    post-shuffle partition per group, so a dominant language at 100 TB
+    becomes a single-task multi-terabyte sort.  Here the exchange is
+    ``repartitionByRange(group, *order_cols)`` — a skewed group SPANS
+    MANY partitions (range boundaries are sampled from the combined
+    key), each sorted independently.
+
+    Same two-phase zipWithIndex as :func:`global_row_ids`:
+
+    1. range exchange on (group, order…) + ``sortWithinPartitions`` —
+       rows of a group are contiguous across consecutive partitions and
+       sorted within each.
+    2. ``monotonically_increasing_id`` decomposes into (pid, local);
+       ONE bounded count job collects per-(pid, group) ``(count,
+       min_local)`` — at most ``n_parts + n_groups − 1`` rows, because
+       each group occupies a contiguous partition range.  The driver
+       folds them into a literal broadcast map
+       ``pid:group → group-prefix-count − min_local`` so
+       ``rank = map[key] + local + 1`` with NO further exchange, plus a
+       ``group → n`` map (``total_col``) for quantile denominators.
+
+    Requires (group, order…) to be a total order (pass a unique id as
+    the last order col) and a non-null group key.  Adds ``ordinal_col``
+    (1-based rank within group) and ``total_col`` (group size)."""
+    from pyspark_anomaly_detection_spark.cachepool import tracked_persist
+
+    n_parts = (
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    keys = [F.col(group_col)] + [F.col(c) for c in order_cols]
+    part = tracked_persist(
+        df.repartitionByRange(n_parts, *keys).sortWithinPartitions(
+            group_col, *order_cols
+        )
+    )
+    pid = F.shiftrightunsigned(F.col("_mid"), 33)
+    local = F.col("_mid").bitwiseAND((1 << 33) - 1)
+    with_mid = part.withColumn("_mid", F.monotonically_increasing_id())
+    stats = (
+        with_mid.groupBy(
+            pid.alias("_pid"), F.col(group_col).alias("_grp")
+        )
+        .agg(F.count("*").alias("_cnt"), F.min(local).alias("_lo"))
+        .collect()
+    )  # bounded: contiguous group ranges -> <= n_parts + n_groups - 1 rows
+    totals: dict = {}
+    adjust: dict[str, int] = {}
+    for row in sorted(stats, key=lambda r: (str(r["_grp"]), r["_pid"])):
+        g = row["_grp"]
+        adjust[f"{row['_pid']}:{g}"] = totals.get(g, 0) - row["_lo"]
+        totals[g] = totals.get(g, 0) + row["_cnt"]
+    amap = F.create_map(
+        *[F.lit(v) for kv in adjust.items() for v in kv]
+    )
+    tmap = F.create_map(
+        *[F.lit(v) for g_n in totals.items() for v in (str(g_n[0]), g_n[1])]
+    )
+    key = F.concat_ws(
+        ":", pid.cast("string"), F.col(group_col).cast("string")
+    )
+    return (
+        with_mid.withColumn(
+            ordinal_col, (amap[key] + local + 1).cast("long")
+        )
+        .withColumn(
+            total_col, tmap[F.col(group_col).cast("string")].cast("long")
+        )
+        .drop("_mid")
+    )
+
+
+def grouped_percent_rank(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    out_col: str = "pr",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``PERCENT_RANK() OVER (PARTITION BY group ORDER BY ...)`` on the
+    scalable :func:`grouped_row_ids` machinery.  With a total order
+    (unique tie-break in ``order_cols``) rank == row_number, so
+    pr = (rank−1)/(n−1) — an integer-derived IEEE division, bitwise
+    equal to the window form on both engines; n == 1 → 0.0 (the
+    engines' 0/0 convention)."""
+    ranked = grouped_row_ids(
+        df, group_col, order_cols, num_partitions=num_partitions
+    )
+    n1 = F.col("grp_n") - F.lit(1)
+    pr = F.when(n1 == 0, F.lit(0.0)).otherwise(
+        (F.col("grp_rank") - F.lit(1)).cast("double") / n1
+    )
+    return ranked.withColumn(out_col, pr)
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    n_tiles: int,
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(k) OVER (PARTITION BY group ORDER BY ...)`` on
+    :func:`grouped_row_ids` — pure closed-form arithmetic on (rank, n):
+    the first ``n % k`` tiles hold ``⌈n/k⌉`` rows, the rest ``⌊n/k⌋``
+    (both engines' NTILE definition).  Divisions are of exactly-
+    divisible integers (`x − x % k`), so exact for n < 2^53 — no float
+    rounding hazard."""
+    ranked = grouped_row_ids(
+        df, group_col, order_cols, num_partitions=num_partitions
+    )
+    n, r, k = F.col("grp_n"), F.col("grp_rank"), F.lit(n_tiles)
+
+    def _exact_div(a, b):  # floor(a/b): a - a%b is exactly divisible
+        return ((a - a % b) / b).cast("long")
+
+    q = _exact_div(n, k)  # floor(n / k)
+    rem = n % k
+    big = rem * (q + 1)  # rows covered by the (q+1)-sized tiles
+
+    def _ceil_div(a, b):
+        return _exact_div(a + b - 1, b)
+
+    tile = F.when(r <= big, _ceil_div(r, q + 1)).otherwise(
+        rem + _ceil_div(r - big, q)
+    )
+    return ranked.withColumn(out_col, tile.cast("int"))
+
+
 # --------------------- deterministic epoch shuffle manifest (q194)
 
 #: Epochs and shards for the registered manifest query.

@@ -845,12 +845,14 @@ def q175_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines order identically; ties by doc_id) and bucketed into deciles —
     the stage table a curriculum sampler walks from decile 1 upward.
 
-    NTILE is PARTITIONED BY SOURCE deliberately: a global ntile is a
-    single-task sort at 100 TB, while the per-source form shuffles once
-    on the source key and sorts within partitions (at extreme per-source
-    cardinality the same manifest falls out of a two-pass histogram +
-    range assignment — noted, not needed here)."""
-    from pyspark.sql.window import Window
+    Scale shape (round-8 rebase): NO per-source NTILE window (one
+    post-shuffle partition per source = a single-task sort for a
+    dominant source at 100 TB).  The decile comes from
+    text.shards.grouped_ntile: a range exchange on (source, difficulty,
+    doc_id) so one source spans many tasks, then NTILE's closed form on
+    (rank within group, group size) — bitwise-identical to the window
+    form (the DuckDB oracle keeps NTILE as the exact twin)."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_ntile
 
     docs = load_table(spark, sf_dir, "documents")
     tok = tokens(F.col("text"))
@@ -860,9 +862,10 @@ def q175_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tok).alias("n_tokens"),
         F.size(F.array_distinct(tok)).alias("difficulty"),
     )
-    w = Window.partitionBy("source").orderBy("difficulty", "doc_id")
     return (
-        scored.withColumn("decile", F.ntile(10).over(w))
+        grouped_ntile(
+            scored, "source", ["difficulty", "doc_id"], 10, out_col="decile"
+        )
         .groupBy("source", "decile")
         .agg(
             F.count("*").alias("n_docs"),

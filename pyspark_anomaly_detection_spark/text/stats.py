@@ -951,7 +951,8 @@ QUANTILE_CUT = 0.2
       FROM scored
     )
     SELECT doc_id, lang, lexical_diversity, pr,
-           pr >= {QUANTILE_CUT} AS keep
+           pr >= {QUANTILE_CUT}
+             OR COUNT(*) OVER (PARTITION BY lang) = 1 AS keep
     FROM ranked
     ORDER BY doc_id
     """,
@@ -964,12 +965,21 @@ def q197_lang_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFra
     engines, an integer-derived division, so the gate is bitwise
     portable — no float-quantile sketch drift.
 
-    Scale shape: one shuffle on lang (the window partition key); lang is
-    low-cardinality, so at 100 TB this key is salted-by-range the same
-    way events/anomaly.py's salted windows are — the per-lang sort is
-    the honest cost of an exact within-group quantile.  The approximate
-    alternative (percentile_approx per lang, broadcast back) is one
-    aggregate, no sort; this operator is the exact-gate leg."""
+    Small-group guard: a language with a SINGLE document has
+    percent_rank 0.0 by the engines' 0/0 convention, which would always
+    drop the lone doc of a rare language regardless of quality — so
+    keep is also true when the group size is 1 (both engines).
+
+    Scale shape (round-8 rebase): NO per-language window.  The rank
+    comes from text.shards.grouped_percent_rank — a range exchange on
+    (lang, diversity, doc_id) + in-partition sorts + a bounded
+    per-(partition, lang) offset map — so a dominant language spans
+    MANY tasks instead of one single-task multi-terabyte sort.  The
+    window form remains as the DuckDB oracle twin; parity is bitwise
+    because pr = (rank−1)/(n−1) is an integer-derived IEEE division.
+    The approximate alternative (percentile_approx per lang, broadcast
+    back) is one aggregate, no sort; this operator is the exact-gate
+    leg."""
     docs = load_table(spark, sf_dir, "documents")
     return lang_quantile_gate(docs).orderBy("doc_id")
 
@@ -977,7 +987,13 @@ def q197_lang_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFra
 def lang_quantile_gate(
     docs: DataFrame, cut: float = QUANTILE_CUT, group_col: str = "lang"
 ) -> DataFrame:
-    """The gate stage of q197 on any (doc_id, group, text) frame."""
+    """The gate stage of q197 on any (doc_id, group, text) frame —
+    rank via the scalable grouped ordinal, no per-group window sort;
+    lone-doc groups always keep (see q197 docstring)."""
+    from pyspark_anomaly_detection_spark.text.shards import (
+        grouped_percent_rank,
+    )
+
     tok = tokens(F.col("text"))
     scored = docs.select(
         "doc_id",
@@ -986,7 +1002,9 @@ def lang_quantile_gate(
             "lexical_diversity"
         ),
     )
-    w = Window.partitionBy(group_col).orderBy("lexical_diversity", "doc_id")
-    return scored.withColumn("pr", F.percent_rank().over(w)).withColumn(
-        "keep", F.col("pr") >= cut
+    ranked = grouped_percent_rank(
+        scored, group_col, ["lexical_diversity", "doc_id"]
     )
+    return ranked.withColumn(
+        "keep", (F.col("pr") >= cut) | (F.col("grp_n") == 1)
+    ).select("doc_id", group_col, "lexical_diversity", "pr", "keep")

@@ -1,0 +1,120 @@
+"""Round 8: scalable per-group ordinals (text/shards.py::grouped_row_ids)
+and the q175/q197 rebase onto them — equivalence to the window forms,
+the lone-doc quantile guard, and plan shape (range-partitioned sort, no
+per-group Window)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_anomaly_detection_spark import plans
+from pyspark_anomaly_detection_spark.text.shards import (
+    grouped_ntile,
+    grouped_percent_rank,
+    grouped_row_ids,
+)
+
+
+def _skewed_df(spark, n_a=900, n_b=90, n_c=9, n_d=1):
+    """Heavily skewed groups with shuffled insert order and tied values."""
+    rows = []
+    for g, n in (("aa", n_a), ("bb", n_b), ("cc", n_c), ("dd", n_d)):
+        for i in range(n):
+            rows.append((g, (i * 7919) % 100, g + str(i)))  # ties in v
+    rows = rows[::3] + rows[1::3] + rows[2::3]  # de-cluster groups
+    return spark.createDataFrame(rows, ["g", "v", "id"])
+
+
+def test_grouped_row_ids_match_window_row_number(spark):
+    df = _skewed_df(spark)
+    got = {
+        (r.g, r.id): (r.grp_rank, r.grp_n)
+        for r in grouped_row_ids(df, "g", ["v", "id"], num_partitions=16)
+        .collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    cnt = Window.partitionBy("g")
+    want = {
+        (r.g, r.id): (r.rk, r.n)
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(cnt))
+        .collect()
+    }
+    assert got == want
+
+
+def test_grouped_percent_rank_matches_window(spark):
+    df = _skewed_df(spark)
+    got = {
+        r.id: r.pr
+        for r in grouped_percent_rank(df, "g", ["v", "id"]).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        r.id: r.pr
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    # bitwise: both are (rank-1)/(n-1) integer-derived IEEE divisions
+    assert got == want
+
+
+@pytest.mark.parametrize("k", [1, 3, 7, 10, 64])
+def test_grouped_ntile_matches_window(spark, k):
+    """Closed-form NTILE == Spark's NTILE for group sizes above, below,
+    and equal to k (dd has a single row; cc has 9 < most k)."""
+    df = _skewed_df(spark)
+    got = {
+        r.id: r.tile
+        for r in grouped_ntile(df, "g", ["v", "id"], k).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        r.id: r.t for r in df.withColumn("t", F.ntile(k).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_lang_quantile_gate_lone_doc_always_kept(spark):
+    """ADVICE r7: a language with ONE document has percent_rank 0.0 and
+    must still pass the gate — a lone doc in a rare language is not
+    evidence of low quality."""
+    from pyspark_anomaly_detection_spark.text.stats import lang_quantile_gate
+
+    rows = [(i, "aa", " ".join(f"w{j % (i + 1)}" for j in range(10)))
+            for i in range(10)]
+    rows.append((99, "zz", "a a a a a a a a a a"))  # lone, diversity 0.1
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r.doc_id: r for r in lang_quantile_gate(docs).collect()}
+    assert out[99].pr == 0.0
+    assert out[99].keep is True
+    # multi-doc group still drops its bottom quintile
+    assert not out[min(
+        (r.doc_id for r in out.values() if r.lang == "aa"),
+        key=lambda d: (out[d].lexical_diversity, d),
+    )].keep
+
+
+def test_q197_q175_plans_have_no_pergroup_window(spark, sf_dir):
+    """The rebase's point: NO Window operator (no single post-shuffle
+    partition per lang/source); the sort stage is range-partitioned on
+    (group, order cols) so a dominant group spans many tasks."""
+    from pyspark_anomaly_detection_spark.registry import all_queries
+
+    qs = all_queries()
+    for name, grp, ordc in [
+        ("q197_lang_quality_quantile_gate", "lang", "lexical_diversity"),
+        ("q175_curriculum_deciles", "source", "difficulty"),
+    ]:
+        df = qs[name].fn(spark, sf_dir)
+        plan = plans.formatted_plan(df)
+        assert "Window" not in plan, (name, plan)
+        lower = plan.lower()
+        assert "rangepartitioning" in lower, (name, plan)
+        # the range key must include BOTH group and order col — partition
+        # boundaries split groups, the scalable property
+        import re
+
+        rp = re.findall(r"rangepartitioning\(([^)]*)\)", lower)
+        assert any(grp in frag and ordc in frag for frag in rp), (name, rp)

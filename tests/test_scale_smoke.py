@@ -347,3 +347,55 @@ def test_global_row_ids_at_20m_rows(spark):
         F.countDistinct("row_id").alias("nd"),
     ).collect()[0]
     assert (row.n, row.mn, row.mx, row.nd) == (n, 1, n, n)
+
+
+def test_grouped_ordinals_skewed_lang_corpus(spark):
+    """Round-8 rebase smoke: one language is 90% of a 12.8M-token corpus
+    (200k docs x 64 tokens).  The per-group ordinal machinery behind
+    q197/q175 must (a) spread the dominant group across MANY tasks (the
+    whole point vs a per-lang window sort), (b) keep every task's row
+    count near the mean, and (c) still produce exact 1..n_g ordinals per
+    group — checked via aggregates, never a driver collect of the ids."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_row_ids
+
+    n = 200_000
+    docs = spark.range(n, numPartitions=32).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, "en")
+        .otherwise(F.concat(F.lit("l"), (F.col("id") % 10).cast("string")))
+        .alias("lang"),
+        F.array_repeat(F.concat(F.lit("tok"), (F.col("id") % 997).cast("string")), 64)
+        .alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.concat_ws(" ", "toks").alias("text"),
+    )
+    scored = docs.select(
+        "doc_id", "lang", F.length("text").alias("v")  # tied values; id breaks
+    )
+    ranked = grouped_row_ids(
+        scored, "lang", ["v", "doc_id"], num_partitions=32
+    )
+    # (c) exact per-group ordinals, aggregate-only
+    per_g = ranked.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.min("grp_rank").alias("mn"),
+        F.max("grp_rank").alias("mx"),
+        F.countDistinct("grp_rank").alias("nd"),
+        F.max("grp_n").alias("gn"),
+    ).collect()
+    for r in per_g:
+        assert (r.mn, r.mx, r.nd, r.gn) == (1, r.n, r.n, r.n), r
+    dominant = next(r for r in per_g if r.lang == "en")
+    assert dominant.n == 180_000
+    # (a)+(b): the dominant group spans many tasks, each near the mean
+    parts = (
+        ranked.withColumn("p", F.spark_partition_id())
+        .groupBy("p", "lang").count().collect()
+    )
+    en_parts = [r for r in parts if r.lang == "en"]
+    assert len(en_parts) >= 16, f"dominant lang in only {len(en_parts)} tasks"
+    mean = n / 32
+    worst = max(r["count"] for r in parts)
+    assert worst <= 3 * mean, f"skewed task holds {worst} rows (mean {mean})"

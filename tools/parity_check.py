@@ -37,6 +37,7 @@ import pandas as pd
 
 from pyspark_anomaly_detection_spark.io.readers import TABLE_NAMES
 from pyspark_anomaly_detection_spark.registry import all_queries
+from pyspark_anomaly_detection_spark.similarity.neardup import MAX_EXACT_ROWS
 from pyspark_anomaly_detection_spark.session import get_spark_session
 
 #: Same whitelist as tests/test_oracle_parity.py — queries whose oracle
@@ -89,7 +90,7 @@ def _semantic_keep_containment(
 
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> str | None:
     """None if parity holds, else a short failure description."""
-    if name == "q183_semantic_dedup_keep" and len(spark_pdf) > 1000:
+    if name == "q183_semantic_dedup_keep" and len(spark_pdf) > MAX_EXACT_ROWS:
         # above MAX_EXACT_ROWS the exact leg is capped: containment rule
         return _semantic_keep_containment(spark_pdf, duck_pdf)
     if name in ADAPTIVE_SUBSET_CASES and len(spark_pdf) < len(duck_pdf):
