@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark_anomaly_detection_spark.registry import all_queries  # noqa: E402
+from pyspark_anomaly_detection_spark.registry import (  # noqa: E402
+    all_queries,
+    resolve_oracle,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -42,6 +45,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # resolve_oracle binds file-addressing oracles (parquet_metadata) to
+    # the driver's correctness-gate scale (sf0.01)
     return {
-        name: q.oracle for name, q in all_queries().items() if q.oracle is not None
+        name: resolve_oracle(q.oracle)
+        for name, q in all_queries().items()
+        if q.oracle is not None
     }

@@ -115,20 +115,56 @@ def q192_footer_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q193_parquet_layout_census", oracle=None)  # rows-only: footer
-# metadata has no view-level SQL twin; tests/test_introspect.py compares
-# it against DuckDB's independent parquet_metadata() reader instead.
+_META_UNION = "\n      UNION ALL\n".join(
+    f"""      SELECT '{t}' AS table_name, file_name, row_group_id,
+             row_group_num_rows, total_compressed_size,
+             total_uncompressed_size
+      FROM parquet_metadata('{{SF_DIR}}/{t}.parquet')"""
+    for t in TABLE_NAMES
+)
+
+
+@register(
+    "q193_parquet_layout_census",
+    # promoted round 8 from rows-only: DuckDB's INDEPENDENT
+    # parquet_metadata() table function over the SAME binary files is the
+    # oracle — two unrelated parquet footer readers hash-matching.  The
+    # {SF_DIR} token binds to the run's data dir (registry.resolve_oracle;
+    # the driver's correctness gate runs at its sf0.01 default).
+    oracle=f"""
+    WITH m AS (
+{_META_UNION}
+    ),
+    g AS (
+      SELECT table_name,
+             regexp_extract(file_name, '[^/\\\\]+$') AS file_name,
+             row_group_id,
+             CAST(MIN(row_group_num_rows) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_columns,
+             CAST(SUM(total_compressed_size) AS BIGINT) AS compressed_bytes,
+             CAST(SUM(total_uncompressed_size) AS BIGINT)
+               AS uncompressed_bytes
+      FROM m GROUP BY 1, 2, 3
+    )
+    SELECT table_name, file_name, row_group_id, n_rows, n_columns,
+           compressed_bytes, uncompressed_bytes,
+           CAST(uncompressed_bytes AS DOUBLE)
+             / CAST(greatest(compressed_bytes, 1) AS DOUBLE)
+             AS compression_ratio
+    FROM g
+    ORDER BY table_name, file_name, row_group_id
+    """,
+)
 def q193_parquet_layout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full row-group layout census: (table, file, row_group, rows,
     columns, compressed/uncompressed bytes) + derived compression ratio
     — the compaction planner's input (small or skewed row groups are
-    what compact_parquet exists to fix)."""
+    what compact_parquet exists to fix).  The ratio is a plain IEEE
+    division of footer integers (no rounding) so both engines produce
+    the identical double."""
     layout = parquet_layout(spark, sf_dir)
     return layout.withColumn(
         "compression_ratio",
-        F.round(
-            F.col("uncompressed_bytes").cast("double")
-            / F.greatest(F.col("compressed_bytes"), F.lit(1)).cast("double"),
-            4,
-        ),
+        F.col("uncompressed_bytes").cast("double")
+        / F.greatest(F.col("compressed_bytes"), F.lit(1)).cast("double"),
     ).orderBy("table_name", "file_name", "row_group_id")

@@ -41,6 +41,23 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+#: Placeholder an oracle may embed when it must address the parquet FILES
+#: themselves (DuckDB table functions like ``parquet_metadata``) rather
+#: than the pre-registered table views.  Consumers substitute the sf dir
+#: they are running against via :func:`resolve_oracle`; the driver runs
+#: its correctness gate at sf0.01, which is the default.
+SF_DIR_TOKEN = "{SF_DIR}"
+
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def resolve_oracle(oracle: str | None, sf_dir: str | None = None) -> str | None:
+    """Substitute :data:`SF_DIR_TOKEN` with the given sf dir (driver
+    default when None).  No-op for oracles without the token."""
+    if oracle is None:
+        return None
+    return oracle.replace(SF_DIR_TOKEN, sf_dir or DRIVER_SF_DIR)
+
 
 def register(name: str, oracle: str | None = None, headline: bool = False):
     """Decorator: register a named query with its DuckDB oracle SQL.

@@ -1159,3 +1159,172 @@ def q195_keep_one_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated window survives; later occurrences are stripped.
     (doc_id, n_tokens, kept_tokens, cleaned_text)."""
     return keep_one_dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+# ----------- variable-length duplicate-run profile, 8/32 agreement (q202)
+
+#: Coarse rolling-window width for the two-granularity run profile.
+DUP_WINDOW_COARSE = 32
+
+
+def dup_run_profile(
+    docs: DataFrame,
+    w_fine: int = DUP_WINDOW_TOKENS,
+    w_coarse: int = DUP_WINDOW_COARSE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Longest-duplicated-passage profile at TWO window granularities —
+    the variable-length view a fixed-window span dedup (q182) lacks.  A
+    true suffix-array pass (Lee et al. §4, public) also scores the
+    LENGTH of each duplicated match; here the merged-interval machinery
+    already recovers passage extents to ±0 tokens at ≥``w_fine``
+    granularity, so per document:
+
+    * ``max_run_fine`` / ``max_run_coarse`` — longest merged duplicated
+      span (tokens) at each width: the fine width recovers every
+      passage ≥ ``w_fine`` tokens; the coarse width responds only to
+      passages ≥ ``w_coarse`` tokens, so comparing the two separates
+      short boilerplate from long verbatim duplication.
+    * ``dup_tokens_fine`` / ``dup_tokens_coarse`` — covered-token
+      counts (coarse ⊆ fine by construction: every ``w_coarse``-window
+      duplicate is covered by its ``w_fine``-subwindow duplicates).
+    * ``n_uncontained_coarse`` — AGREEMENT check: coarse merged spans
+      not contained in a single fine merged span.  Containment is an
+      invariant of correct span merging (contiguous fine coverage of a
+      coarse span collapses into one merged fine interval), so this is
+      0 for every document — a cross-granularity self-audit both
+      engines compute independently.
+
+    Scale shape: two explode+hash passes over the token stream (the
+    honest cost of two granularities; each is linear in corpus tokens
+    and shuffles (hash, doc, pos) longs only, never text), one
+    doc-keyed containment join between span sets (a handful of rows per
+    doc), and a final broadcast-sized per-doc aggregate join."""
+    fine = dup_span_intervals(docs, w_fine, text_col, id_col)
+    coarse = dup_span_intervals(docs, w_coarse, text_col, id_col)
+    run = (F.col("e") - F.col("s") + 1).cast("long")
+    fine_agg = fine.groupBy(id_col).agg(
+        F.max(run).alias("max_run_fine"),
+        F.sum(run).alias("dup_tokens_fine"),
+    )
+    coarse_agg = coarse.groupBy(id_col).agg(
+        F.max(run).alias("max_run_coarse"),
+        F.sum(run).alias("dup_tokens_coarse"),
+    )
+    c, f = coarse.alias("c"), fine.alias("f")
+    uncontained = (
+        c.join(
+            f,
+            (F.col(f"c.{id_col}") == F.col(f"f.{id_col}"))
+            & (F.col("f.s") <= F.col("c.s"))
+            & (F.col("f.e") >= F.col("c.e")),
+            "left_anti",
+        )
+        .groupBy(F.col(f"c.{id_col}").alias(id_col))
+        .agg(F.count("*").alias("n_uncontained_coarse"))
+    )
+    base = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    out = (
+        base.join(fine_agg, id_col, "left")
+        .join(coarse_agg, id_col, "left")
+        .join(uncontained, id_col, "left")
+    )
+    zero = F.lit(0).cast("long")
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.coalesce("max_run_fine", zero).alias("max_run_fine"),
+        F.coalesce("dup_tokens_fine", zero).alias("dup_tokens_fine"),
+        F.coalesce("max_run_coarse", zero).alias("max_run_coarse"),
+        F.coalesce("dup_tokens_coarse", zero).alias("dup_tokens_coarse"),
+        F.coalesce("n_uncontained_coarse", zero).alias("n_uncontained_coarse"),
+    ).orderBy(id_col)
+
+
+def _span_cte_sql(width: int, prefix: str) -> str:
+    """DuckDB CTE fragment producing merged duplicated spans at one
+    window width — the q182 pipeline parameterized for q202."""
+    win_str = f"array_to_string(t[pos+1:pos+{width}], ' ')"
+    return f"""
+    {prefix}pos AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(len(t) - {width} + 1, 0))) AS pos
+      FROM base
+    ),
+    {prefix}wins AS (
+      SELECT doc_id, pos, {MD5_LONG60_SQL.format(x=win_str)} AS wh
+      FROM {prefix}pos
+    ),
+    {prefix}cnt AS (
+      SELECT wh FROM {prefix}wins GROUP BY wh HAVING COUNT(*) >= 2
+    ),
+    {prefix}dup AS (
+      SELECT w.doc_id, w.pos, w.pos + {width - 1} AS end_pos
+      FROM {prefix}wins w JOIN {prefix}cnt USING (wh)
+    ),
+    {prefix}marked AS (
+      SELECT doc_id, pos, end_pos,
+        CASE WHEN pos > COALESCE(MAX(end_pos) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_span
+      FROM {prefix}dup
+    ),
+    {prefix}grouped AS (
+      SELECT doc_id, pos, end_pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM {prefix}marked
+    ),
+    {prefix}spans AS (
+      SELECT doc_id, grp, MIN(pos) AS s, MAX(end_pos) AS e
+      FROM {prefix}grouped GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "q202_dup_run_profile",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, str_split(text, chr(32)) AS t FROM documents
+    ),{_span_cte_sql(DUP_WINDOW_TOKENS, "f")},{_span_cte_sql(DUP_WINDOW_COARSE, "g")},
+    f_agg AS (
+      SELECT doc_id, CAST(MAX(e - s + 1) AS BIGINT) AS max_run_fine,
+             CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens_fine
+      FROM fspans GROUP BY doc_id
+    ),
+    g_agg AS (
+      SELECT doc_id, CAST(MAX(e - s + 1) AS BIGINT) AS max_run_coarse,
+             CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens_coarse
+      FROM gspans GROUP BY doc_id
+    ),
+    unc AS (
+      SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_uncontained_coarse
+      FROM gspans c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM fspans f
+        WHERE f.doc_id = c.doc_id AND f.s <= c.s AND f.e >= c.e
+      )
+      GROUP BY c.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.t) AS BIGINT) AS n_tokens,
+           COALESCE(fa.max_run_fine, 0) AS max_run_fine,
+           COALESCE(fa.dup_tokens_fine, 0) AS dup_tokens_fine,
+           COALESCE(ga.max_run_coarse, 0) AS max_run_coarse,
+           COALESCE(ga.dup_tokens_coarse, 0) AS dup_tokens_coarse,
+           COALESCE(u.n_uncontained_coarse, 0) AS n_uncontained_coarse
+    FROM base b
+    LEFT JOIN f_agg fa USING (doc_id)
+    LEFT JOIN g_agg ga USING (doc_id)
+    LEFT JOIN unc u USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def q202_dup_run_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-granularity ({DUP_WINDOW_TOKENS}/{DUP_WINDOW_COARSE}-token)
+    longest-duplicated-passage profile with cross-granularity
+    containment audit (see dup_run_profile)."""
+    return dup_run_profile(load_table(spark, sf_dir, "documents"))

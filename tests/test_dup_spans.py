@@ -402,3 +402,41 @@ def test_strip_by_spans_random_disjoint_intervals(spark):
         if n == 0:
             continue
         assert got == (n, n_kept, text), f"doc {doc_id}: {got} != {(n, n_kept, text)}"
+
+
+# ---------------- round 8: two-granularity run profile (q202)
+
+
+def test_dup_run_profile_planted_boundaries(spark):
+    """A 40-token shared passage is recovered at BOTH widths with exact
+    length; a 10-token shared passage only at the fine width; unique
+    docs report zeros; coarse spans always contained in fine spans."""
+    from pyspark_anomaly_detection_spark.text.dedup import dup_run_profile
+
+    long_p = " ".join(f"L{i}" for i in range(40))
+    short_p = " ".join(f"S{i}" for i in range(10))
+
+    def filler(tag, n):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler('a', 12)} {long_p} {filler('b', 7)}"),
+            (2, f"{filler('c', 5)} {long_p} {filler('d', 11)}"),
+            (3, f"{filler('e', 9)} {short_p} {filler('f', 6)}"),
+            (4, f"{short_p} {filler('g', 13)}"),
+            (5, filler("h", 30)),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dup_run_profile(docs).collect()}
+    for d in (1, 2):
+        assert out[d].max_run_fine == 40, out[d]
+        assert out[d].max_run_coarse == 40, out[d]
+        assert out[d].dup_tokens_fine == 40
+        assert out[d].dup_tokens_coarse == 40
+    for d in (3, 4):
+        assert out[d].max_run_fine == 10, out[d]
+        assert out[d].max_run_coarse == 0, out[d]
+    assert out[5].max_run_fine == 0 and out[5].dup_tokens_fine == 0
+    assert all(r.n_uncontained_coarse == 0 for r in out.values())

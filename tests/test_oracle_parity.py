@@ -67,9 +67,11 @@ def check_semantic_keep_containment(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFr
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_oracle_parity(spark, duck, sf_dir, name):
+    from pyspark_anomaly_detection_spark.registry import resolve_oracle
+
     query = REGISTRY[name]
     spark_pdf = query.fn(spark, sf_dir).toPandas()
-    duck_pdf = duck.execute(query.oracle).df()
+    duck_pdf = duck.execute(resolve_oracle(query.oracle, sf_dir)).df()
 
     if name == "q52_embedding_neardup" and len(spark_pdf) < len(duck_pdf):
         # above the exact-dispatch cap: assert threshold-respecting subset

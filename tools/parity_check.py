@@ -36,7 +36,7 @@ import duckdb
 import pandas as pd
 
 from pyspark_anomaly_detection_spark.io.readers import TABLE_NAMES
-from pyspark_anomaly_detection_spark.registry import all_queries
+from pyspark_anomaly_detection_spark.registry import all_queries, resolve_oracle
 from pyspark_anomaly_detection_spark.similarity.neardup import MAX_EXACT_ROWS
 from pyspark_anomaly_detection_spark.session import get_spark_session
 
@@ -127,7 +127,9 @@ def run_sf(sf_dir: str) -> dict:
             continue
         try:
             spark_pdf = query.fn(spark, sf_dir).toPandas()
-            duck_pdf = con.execute(query.oracle).df()
+            duck_pdf = con.execute(
+                resolve_oracle(query.oracle, sf_dir)
+            ).df()
             err = compare(spark_pdf, duck_pdf, name)
         except Exception as e:  # noqa: BLE001 - sweep robustness
             err = f"error: {str(e)[:200]}"
