@@ -320,6 +320,40 @@ def mllib_brp_probe(
     )
 
 
+#: Probe-count threshold for :func:`mllib_brp_probe_auto`: below this,
+#: the interactive per-probe ``approxNearestNeighbors`` driver loop is
+#: fine (each probe = one collected vector + one distributed top-k job);
+#: at or above it, per-probe driver round-trips dominate and the probes
+#: are routed through the q172 set-join as ONE distributed job instead.
+PROBE_BATCH_MIN = 8
+
+
+def mllib_brp_probe_auto(
+    emb: DataFrame, probe_ids: list[int], k: int = 5, seed: int = 11
+) -> DataFrame:
+    """Probe-path dispatcher (round-7 verdict item 7): route <
+    ``PROBE_BATCH_MIN`` probes through the stock per-query
+    ``approxNearestNeighbors`` loop (:func:`mllib_brp_probe`, the
+    interactive API) and ≥ ``PROBE_BATCH_MIN`` probes through the
+    radius-bounded set-join (:func:`mllib_brp_neighbors`, the batch
+    path) — same (query_id, cand_id, eucl_dist) schema either way.
+
+    The two legs are different estimator APIs over the same fitted
+    model, so results may differ at the radius margin: the loop leg
+    ranks ALL corpus rows (multiProbe fallback), while the join leg
+    only sees candidates inside ``brp_radius``.  Both hold the ≥0.8
+    brute-force recall floor (tests/test_mllib_lsh.py, including at
+    10× the interactive probe count)."""
+    if len(probe_ids) < PROBE_BATCH_MIN:
+        return mllib_brp_probe(emb, probe_ids, k=k, seed=seed)
+    queries = emb.filter(F.col("vec_id").isin(probe_ids))
+    found = {int(r["vec_id"]) for r in queries.select("vec_id").collect()}
+    missing = set(probe_ids) - found
+    if missing:
+        raise ValueError(f"probe ids not in embeddings: {sorted(missing)}")
+    return mllib_brp_neighbors(emb, queries, k=k, seed=seed)
+
+
 @register("q172_mllib_brp_ann", oracle=None)  # seeded MLlib projections —
 # not oracle-replayable; recall vs brute force + candidate-pruning bound
 # pinned in tests/test_mllib_lsh.py
@@ -341,5 +375,22 @@ def q177_mllib_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     interactive single-vector path; q172 is the batch set-join form)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return mllib_brp_probe(emb, [0, 40, 100]).orderBy(
+        "query_id", "eucl_dist", "cand_id"
+    )
+
+
+@register("q203_mllib_ann_probe_batched", oracle=None)  # seeded
+# projections — rows-only; dispatch + recall at 10× probe count pinned in
+# tests/test_mllib_lsh.py::test_probe_auto_*
+def q203_mllib_ann_probe_batched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-5 neighbors for 30 probes (10× q177's interactive count) via
+    :func:`mllib_brp_probe_auto` — at this probe count the dispatcher
+    routes through the q172 set-join, ONE distributed job instead of 30
+    driver round-trips."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_ids = [i * 16 for i in range(30)]  # ≤ 464 < every SF's max vec_id
+    return mllib_brp_probe_auto(emb, probe_ids).orderBy(
         "query_id", "eucl_dist", "cand_id"
     )

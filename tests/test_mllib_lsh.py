@@ -185,3 +185,66 @@ def test_brp_probe_matches_brute_force(spark, sf_dir):
         hits += len(bf_set & {r.cand_id for r in rows})
         total += len(bf_set)
     assert hits / total >= 0.8, f"probe recall regressed: {hits}/{total}"
+
+
+def test_probe_auto_dispatch(spark, sf_dir, monkeypatch):
+    """The dispatcher routes < PROBE_BATCH_MIN probes to the interactive
+    per-probe loop and ≥ PROBE_BATCH_MIN to the q172 set-join — verified
+    by instrumenting both legs, not by inspecting plans."""
+    from pyspark_anomaly_detection_spark.ml import lsh
+
+    calls = []
+    real_probe, real_join = lsh.mllib_brp_probe, lsh.mllib_brp_neighbors
+    monkeypatch.setattr(
+        lsh,
+        "mllib_brp_probe",
+        lambda *a, **kw: calls.append("probe") or real_probe(*a, **kw),
+    )
+    monkeypatch.setattr(
+        lsh,
+        "mllib_brp_neighbors",
+        lambda *a, **kw: calls.append("join") or real_join(*a, **kw),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    few = [0, 40, 100]
+    assert len(few) < lsh.PROBE_BATCH_MIN
+    small = lsh.mllib_brp_probe_auto(emb, few)
+    assert calls == ["probe"]
+    many = [i * 16 for i in range(lsh.PROBE_BATCH_MIN)]
+    big = lsh.mllib_brp_probe_auto(emb, many)
+    assert calls == ["probe", "join"]
+    # same output contract either way
+    assert small.columns == big.columns == ["query_id", "cand_id", "eucl_dist"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="probe ids not in embeddings"):
+        lsh.mllib_brp_probe_auto(emb, [10**9 + i for i in range(20)])
+
+
+def test_probe_auto_recall_at_10x_probe_count(spark, sf_dir):
+    """Round-7 verdict item 7 'done' bar: the batched leg holds the SAME
+    ≥0.8 brute-force recall floor as the interactive leg at 10× q177's
+    probe count (30 probes → set-join path)."""
+    from pyspark_anomaly_detection_spark.ml.lsh import (
+        PROBE_BATCH_MIN,
+        mllib_brp_probe_auto,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_ids = [i * 16 for i in range(30)]
+    assert len(probe_ids) >= PROBE_BATCH_MIN
+    got = mllib_brp_probe_auto(emb, probe_ids).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, set()).add(r.cand_id)
+    assert set(per_q) == set(probe_ids)
+
+    units = _units(emb.collect())
+    bf = _brute_topk(units, probe_ids)
+    hits = sum(
+        len({c for _, c in bf[pid]} & per_q[pid]) for pid in probe_ids
+    )
+    total = sum(len(bf[pid]) for pid in probe_ids)
+    assert hits / total >= 0.8, f"batched recall regressed: {hits}/{total}"
