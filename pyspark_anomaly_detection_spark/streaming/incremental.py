@@ -433,3 +433,99 @@ def start_incremental_span_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def minhash_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of incremental NEAR-dup dedup — the streaming form
+    of ``text.dedup.lsh_keep_first`` (q204).
+
+    Cross-batch: any MinHash band bucket already in the store makes every
+    doc touching it a near-dup of an earlier batch (the store's buckets
+    are injected as earlier-than-any-id sentinels).  Within-batch: the
+    same order-independent min-id-per-bucket verdict as the batch
+    operator.  Because the rule judges a doc against ALL earlier docs
+    (kept or dropped), the store must hold the buckets of EVERY seen doc
+    — and then, when batches arrive in ascending id order, the
+    accumulated kept set EQUALS the batch operator on the full corpus
+    (asserted in tests/test_incremental_gold.py).
+
+    State is the distinct (band, band_sig) bucket store (a band id plus
+    two 31-bit hashes per occupied bucket), batch_id-partitioned parquet;
+    reads exclude this batch's own partition, so a replayed batch
+    rewrites both partitions identically (idempotent under at-least-once
+    delivery).  Shuffles carry signatures and verdicts, never text."""
+    from pyspark.errors import AnalysisException
+
+    from pyspark_anomaly_detection_spark.text.dedup import (
+        banded_buckets,
+        lsh_keep_first,
+    )
+
+    spark = batch_df.sparkSession
+    try:
+        occupied = (
+            spark.read.parquet(store_path)
+            .filter(F.col("batch_id") != int(batch_id))
+            .select("band", "band_sig")
+            .distinct()
+        )
+    except AnalysisException:  # first batch: no store yet
+        occupied = None
+    verdicts = lsh_keep_first(batch_df, occupied, text_col=text_col, id_col=id_col)
+    kept = (
+        batch_df.join(
+            verdicts.filter(F.col("kept")).select(id_col), id_col
+        )
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    overwrite_partitions(kept, out_path, ["batch_id"])
+
+    new_buckets = banded_buckets(
+        batch_df, text_col=text_col, id_col=id_col
+    ).select("band", "band_sig").distinct()
+    if occupied is not None:
+        new_buckets = new_buckets.join(
+            occupied, ["band", "band_sig"], "left_anti"
+        )
+    overwrite_partitions(
+        new_buckets.withColumn("batch_id", F.lit(int(batch_id))),
+        store_path,
+        ["batch_id"],
+    )
+
+
+def start_incremental_minhash_dedup(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Near-dup dedup over a document stream: each micro-batch keeps only
+    docs whose MinHash band buckets were never occupied (in the store or
+    by a smaller-id doc within the batch) and appends every bucket the
+    batch touched to the store — continuous-ingest LSH dedup with state
+    on disk, not in executor memory."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        minhash_dedup_batch(
+            batch_df, batch_id, store_path, out_path, text_col, id_col
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

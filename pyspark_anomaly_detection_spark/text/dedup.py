@@ -198,24 +198,7 @@ def minhash_lsh_pairs(
     bands=4 over 8 hashes → rows-per-band r=2 → collision prob ≈ 1-(1-s²)⁴
     for Jaccard s.  Shuffles only (band, hash-slice, id) — never the text.
     """
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures_df(docs, n_hashes, text_col, id_col)
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band).alias(
-                            "band_sig"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bd"),
-    ).select(id_col, "bd.band", "bd.band_sig")
+    banded = banded_buckets(docs, n_hashes, bands, text_col, id_col)
     # Pair generation by BUCKET-GROUPING, not a self-join: Catalyst plans a
     # banded self-join as TWO full signature computations (no exchange
     # reuse fires across the join sides — measured), i.e. the corpus is
@@ -266,6 +249,119 @@ def minhash_lsh_pairs(
 def q34_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+#: Sentinel "earlier-than-any-real-doc" id used to inject already-occupied
+#: LSH buckets into :func:`lsh_keep_first` (streaming incremental form).
+_OCCUPIED_ID = -(1 << 62)
+
+
+def banded_buckets(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_sig) bucket membership rows — the LSH blocking key
+    stream shared by the pair generator and the keep-first survivor
+    census.  Shuffles fixed-width (band, hash-slice, id) rows only."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures_df(docs, n_hashes, text_col, id_col)
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band).alias(
+                            "band_sig"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select(id_col, "bd.band", "bd.band_sig")
+
+
+def lsh_keep_first(
+    docs: DataFrame,
+    occupied: DataFrame | None = None,
+    n_hashes: int = N_MINHASH,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-occurrence near-dup survivor census: ``(doc_id, kept)`` where
+    a doc is kept iff NO smaller-id doc cohabits any of its MinHash band
+    buckets.  Unlike greedy sequential dedup (whose survivor set depends
+    on processing order through non-transitive collisions), this rule is
+    order-independent — every doc is judged against ALL earlier ids, kept
+    or not — so one declarative plan computes it and a DuckDB oracle can
+    replay it bit-for-bit (q204), and the streaming incremental form
+    (streaming/incremental.py::start_incremental_minhash_dedup) provably
+    equals the batch form when batches arrive in id order.
+
+    ``occupied`` (optional): (band, band_sig) buckets already claimed by
+    earlier corpora/batches; injected as a sentinel earlier-than-any id,
+    so any doc touching one is dropped.
+
+    Plan shape: signatures aggregate once (map-side partial min), buckets
+    shuffle once for the per-bucket window min, doc verdicts reduce once
+    — 3 shuffles of fixed-width rows, text never shuffles.  The window
+    has no ORDER BY (whole-partition min frame), so a hot bucket costs a
+    sort of its (band, hash) rows, not a single-task corpus sort."""
+    banded = banded_buckets(docs, n_hashes, bands, text_col, id_col)
+    if occupied is not None:
+        banded = banded.unionByName(
+            occupied.select(
+                F.lit(_OCCUPIED_ID).cast("long").alias(id_col),
+                "band",
+                "band_sig",
+            )
+        )
+    bucket_min = F.min(id_col).over(Window.partitionBy("band", "band_sig"))
+    return (
+        banded.withColumn("_m", bucket_min)
+        .filter(F.col(id_col) != _OCCUPIED_ID)
+        .groupBy(id_col)
+        .agg(F.min("_m").alias("_mm"))
+        .select(
+            F.col(id_col), (F.col("_mm") == F.col(id_col)).alias("kept")
+        )
+    )
+
+
+@register(
+    "q204_lsh_keep_first",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, sig FROM {_minhash_sql()}
+    ),
+    banded AS (
+      SELECT doc_id, k AS band, sig[k*2+1 : k*2+2] AS band_sig
+      FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS k)
+    ),
+    bucket_min AS (
+      SELECT band, band_sig, min(doc_id) AS m
+      FROM banded GROUP BY band, band_sig
+    )
+    SELECT b.doc_id, (min(bm.m) = b.doc_id) AS kept
+    FROM banded b
+    JOIN bucket_min bm ON b.band = bm.band AND b.band_sig = bm.band_sig
+    GROUP BY b.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q204_lsh_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full keep/drop census of the corpus under first-occurrence LSH
+    near-dup dedup — the manifest a training pipeline applies before
+    tokenization.  Fully oracle-hashed: the portable md5 hash family
+    lets DuckDB rebuild identical signatures, buckets, and verdicts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_keep_first(docs).orderBy("doc_id")
 
 
 @register(

@@ -414,3 +414,80 @@ def test_incremental_span_dedup_equals_batch_keep_one(spark, sf_dir, tmp_path):
         for r in after_df.filter(F.col("batch_id") == last_bid).collect()
     )
     assert before == after, "replayed batch not idempotent"
+
+
+def test_incremental_minhash_dedup_equals_batch_keep_first(
+    spark, sf_dir, tmp_path
+):
+    """Streaming LSH near-dup dedup: with batches in ascending doc_id
+    order the accumulated kept set must EQUAL the batch q204 operator on
+    the full corpus — the min-id-per-bucket rule judges every doc
+    against ALL earlier docs (kept or dropped), which is exactly what
+    the every-seen-bucket store reproduces.  Also: replaying the last
+    batch rewrites its partitions to the identical result."""
+    from pyspark_anomaly_detection_spark.streaming.incremental import (
+        minhash_dedup_batch,
+        start_incremental_minhash_dedup,
+    )
+    from pyspark_anomaly_detection_spark.text.dedup import lsh_keep_first
+
+    raw = str(tmp_path / "docs")
+    store = str(tmp_path / "buckets")
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = 250
+    docs.filter(F.col("doc_id") < cut).coalesce(1).write.parquet(raw)
+    docs.filter(F.col("doc_id") >= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(raw)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(raw).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(raw)
+    )
+    q = start_incremental_minhash_dedup(stream, store, out, ckpt)
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    n_batches = got.select("batch_id").distinct().count()
+    assert n_batches > 1, "maxFilesPerTrigger=1 must produce multiple batches"
+
+    expected_kept = {
+        r.doc_id
+        for r in lsh_keep_first(docs).filter(F.col("kept")).collect()
+    }
+    stream_kept = {r.doc_id for r in got.collect()}
+    assert stream_kept == expected_kept, (
+        f"stream != batch: only-stream="
+        f"{sorted(stream_kept - expected_kept)[:5]} "
+        f"only-batch={sorted(expected_kept - stream_kept)[:5]}"
+    )
+    # both batches contributed survivors and some docs were dropped
+    assert 0 < len(stream_kept) < docs.count()
+
+    # at-least-once safety: replay the LAST batch by hand
+    rows = got.collect()
+    last_bid = max(r.batch_id for r in rows)
+    before = sorted(
+        r.doc_id for r in rows if r.batch_id == last_bid
+    )
+    store_before = sorted(
+        (r.band, tuple(r.band_sig))
+        for r in spark.read.parquet(store).collect()
+    )
+    minhash_dedup_batch(docs.filter(F.col("doc_id") >= cut), last_bid, store, out)
+    after = sorted(
+        r.doc_id
+        for r in spark.read.parquet(out)
+        .filter(F.col("batch_id") == last_bid)
+        .collect()
+    )
+    store_after = sorted(
+        (r.band, tuple(r.band_sig))
+        for r in spark.read.parquet(store).collect()
+    )
+    assert before == after, "replayed batch not idempotent (output)"
+    assert store_before == store_after, "replayed batch not idempotent (store)"
