@@ -142,3 +142,49 @@ def cosine(a: Column, b: Column) -> Column:
         )
 
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+#: Bit-spread masks for 64-bit Morton (Z-order) interleaving: after step
+#: k, the input's bits sit 2^k apart.  Plain positive int64 literals, so
+#: Spark and DuckDB run the identical two's-complement arithmetic.
+_ZSPREAD = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _zspread(x: Column) -> Column:
+    """Spread a 32-bit value's bits to the even positions of an int64.
+
+    NB: ``Column.bitwiseOR/bitwiseAND``, not Python ``|``/``&`` — the
+    Python operators resolve to BOOLEAN or/and on Columns."""
+    x = x.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    for shift, mask in _ZSPREAD:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder64(a: Column, b: Column) -> Column:
+    """64-bit Morton (Z-order) key of two NON-NEGATIVE sub-2^31 integer
+    dimensions: ``a``'s bits on even positions, ``b``'s on odd — points
+    close in (a, b) space land close on the key, so range-sorting by it
+    clusters BOTH dimensions into every parquet row group (multi-column
+    data skipping, io/maintenance.py::write_zordered).  Stays positive
+    for 31-bit inputs; oracle twin :func:`zorder64_sql` is bit-identical.
+    """
+    return _zspread(a).bitwiseOR(F.shiftleft(_zspread(b), 1))
+
+
+def _zspread_sql(x_sql: str) -> str:
+    s = f"((CAST(({x_sql}) AS BIGINT)) & 4294967295)"
+    for shift, mask in _ZSPREAD:
+        s = f"((({s}) | (({s}) << {shift})) & {mask})"
+    return s
+
+
+def zorder64_sql(a_sql: str, b_sql: str) -> str:
+    """DuckDB SQL text for :func:`zorder64` over two expressions."""
+    return f"(({_zspread_sql(a_sql)}) | (({_zspread_sql(b_sql)}) << 1))"

@@ -423,3 +423,60 @@ def scd2_apply(
         "rows_opened": n_opened,
         "rows_unchanged": n_unchanged,
     }
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    z_buckets: int = 256,
+) -> None:
+    """Z-order (Morton) layout rewrite: cluster a table on TWO columns at
+    once so parquet min/max footers skip files for predicates on EITHER
+    — the job Delta's ``OPTIMIZE ZORDER BY (a, b)`` runs, from plain
+    DataFrame primitives (q115 is the key-census twin of this writer).
+
+    Each dimension is first normalized to ``z_buckets`` uniform buckets
+    over its observed [min, max] (one tiny scalar aggregate): raw key
+    domains of different magnitudes would otherwise stack one column's
+    high bits above ALL of the other's bits, degenerating the curve into
+    a single-column sort.  Uniform bucketing matches uniform-ish key
+    domains (TPC-H); for skewed dimensions the swap-in is approxQuantile
+    boundaries (rank-space normalization, as Delta does) — same key
+    arithmetic, different bucket map.
+
+    Then one range shuffle on the interleaved ``zorder64`` key with an
+    in-partition sort lays rows out along the curve; no single-task sort
+    anywhere, so the rewrite scales with the cluster like any range
+    partitioning."""
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.functions import zorder64
+
+    bounds = df.agg(
+        F.min(col_a).alias("a_lo"),
+        F.max(col_a).alias("a_hi"),
+        F.min(col_b).alias("b_lo"),
+        F.max(col_b).alias("b_hi"),
+    ).head()
+
+    def bucket(col: str, lo, hi) -> "F.Column":
+        span = int(hi) - int(lo) + 1
+        return F.floor(
+            (F.col(col) - F.lit(int(lo))).cast("long") * z_buckets / span
+        ).cast("long")
+
+    z = zorder64(
+        bucket(col_a, bounds["a_lo"], bounds["a_hi"]),
+        bucket(col_b, bounds["b_lo"], bounds["b_hi"]),
+    )
+    (
+        df.withColumn("_zkey", z)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
