@@ -589,6 +589,7 @@ def q130_daily_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q135_pandas_udaf_mad",
+    python_lane=True,
     oracle="""
     SELECT event_type,
       COUNT(*) AS n,

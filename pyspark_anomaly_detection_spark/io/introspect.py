@@ -96,6 +96,7 @@ _COUNT_ORACLE = "\nUNION ALL\n".join(
 
 @register(
     "q192_footer_row_counts",
+    python_lane=True,
     oracle=f"""
     SELECT table_name, n_rows_total FROM ({_COUNT_ORACLE})
     ORDER BY table_name
@@ -126,6 +127,7 @@ _META_UNION = "\n      UNION ALL\n".join(
 
 @register(
     "q193_parquet_layout_census",
+    python_lane=True,
     # promoted round 8 from rows-only: DuckDB's INDEPENDENT
     # parquet_metadata() table function over the SAME binary files is the
     # oracle — two unrelated parquet footer readers hash-matching.  The

@@ -481,6 +481,7 @@ def extract_exif(df: DataFrame) -> DataFrame:
 
 @register(
     "q189_exif_orientation_profile",
+    python_lane=True,
     oracle=f"""
     SELECT CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
            'Cam' || CAST(doc_id % 3 AS VARCHAR) AS make,
@@ -614,6 +615,7 @@ def extract_mp3_info(df: DataFrame) -> DataFrame:
 
 @register(
     "q190_mp3_stream_census",
+    python_lane=True,
     oracle=f"""
     SELECT CAST(b AS BIGINT) AS mean_bitrate,
            CAST(ch AS BIGINT) AS channels,
@@ -746,6 +748,7 @@ def extract_mp4_info(df: DataFrame) -> DataFrame:
 
 @register(
     "q191_mp4_track_census",
+    python_lane=True,
     oracle="""
     SELECT CAST(nt AS BIGINT) AS n_tracks,
            CAST(w AS BIGINT) AS width,
@@ -867,6 +870,7 @@ def _decode_uniform_stats(df: DataFrame) -> DataFrame:
 
 @register(
     "q199_flat_jpeg_roundtrip_census",
+    python_lane=True,
     oracle=f"""
     SELECT CAST(128 + ((doc_id % 25) - 12) * {_FLAT_QSTEP} AS BIGINT) AS gray,
            CAST(COUNT(*) AS BIGINT) AS n_media,
@@ -943,6 +947,7 @@ def gradient_png_media_from_documents(
 
 @register(
     "q198_png_pixel_sum_census",
+    python_lane=True,
     oracle=f"""
     WITH rows_sum AS (
       SELECT doc_id,
@@ -1210,6 +1215,7 @@ def uniform_avi_media_from_documents(
 
 @register(
     "q200_frame_sample_census",
+    python_lane=True,
     oracle=f"""
     SELECT doc_id AS media_id,
            CAST(k.k AS BIGINT) AS frame_idx,
@@ -1251,6 +1257,7 @@ def q200_frame_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q201_resize_census",
+    python_lane=True,
     oracle=f"""
     WITH samp AS (
       SELECT doc_id,

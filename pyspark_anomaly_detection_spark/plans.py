@@ -76,7 +76,12 @@ def has_python_eval(df: DataFrame) -> bool:
     """True if the plan evaluates Python (UDF) stages — banned in the
     relational hot path; allowed only in explicitly-vectorized operators."""
     plan = formatted_plan(df)
-    return "BatchEvalPython" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan
+    # Spark's Python-eval physical nodes all carry one of these two
+    # spellings: *EvalPython / *AggregatePython / *GroupedMapPython
+    # ("Python") or MapInPandas / FlatMapGroupsInPandas ("InPandas").
+    # Substring-matching both families survives node renames across
+    # Spark versions (4.1 renamed AggregateInPandas → ArrowAggregatePython).
+    return "Python" in plan or "InPandas" in plan
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:

@@ -37,6 +37,14 @@ class Query:
     fn: QueryFn
     oracle: str | None  # None → driver records a weaker rows-only check
     headline: bool = False  # include in bench.py's timed suite
+    #: True → the query's plan deliberately contains a Python evaluation
+    #: stage (pandas UDF / mapInPandas) because the Python code IS the
+    #: operator under test (codec lanes, footer walks, rank-statistic
+    #: UDAFs).  The blanket no-Python-on-the-JVM-path plan contract
+    #: (tests/test_plans.py) exempts exactly these — declaring it at the
+    #: registration site keeps the contract in lockstep with oracle
+    #: promotions instead of a test-side whitelist that can go stale.
+    python_lane: bool = False
 
 
 REGISTRY: dict[str, Query] = {}
@@ -59,7 +67,12 @@ def resolve_oracle(oracle: str | None, sf_dir: str | None = None) -> str | None:
     return oracle.replace(SF_DIR_TOKEN, sf_dir or DRIVER_SF_DIR)
 
 
-def register(name: str, oracle: str | None = None, headline: bool = False):
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    python_lane: bool = False,
+):
     """Decorator: register a named query with its DuckDB oracle SQL.
 
     Each registered fn is wrapped to release the PREVIOUS query's tracked
@@ -80,7 +93,9 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         wrapped.__wrapped__ = fn
-        REGISTRY[name] = Query(fn=wrapped, oracle=oracle, headline=headline)
+        REGISTRY[name] = Query(
+            fn=wrapped, oracle=oracle, headline=headline, python_lane=python_lane
+        )
         return fn
 
     return deco

@@ -282,30 +282,32 @@ def test_sql_broadcast_hint_honored(spark, sf_dir):
 def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
     """Blanket invariant: every oracle-checked query stays on the JVM —
     Python evaluation in a relational plan is a 10-100× scale regression.
-    Deliberate exceptions: q135 (the grouped-agg pandas UDAF exists to
-    exercise that API; MAD has no algebraic JVM form) and q189/q190
-    (byte-level JPEG-EXIF / MP3-header codec work in mapInPandas — the
-    oracles check their closed-form metadata censuses, and the Python
-    stage IS the operator under test)."""
-    allowed_python = {
-        "q135_pandas_udaf_mad",
-        "q189_exif_orientation_profile",
-        "q190_mp3_stream_census",
-        "q191_mp4_track_census",
-        "q192_footer_row_counts",  # pyarrow footer walk vs scan recount
-        "q198_png_pixel_sum_census",  # the Python codec IS the operator
-        "q199_flat_jpeg_roundtrip_census",  # ditto (binary-oracle lane)
-        "q200_frame_sample_census",  # ditto (AVI walk + DIB decode)
-        "q201_resize_census",  # ditto (decode→resample→re-encode)
-    }
+    Deliberate exceptions are declared at the registration site via
+    ``python_lane=True`` (codec lanes, pyarrow footer walks, the MAD
+    rank-statistic UDAF) so oracle promotion can never desync a
+    test-side whitelist (round-8 lesson: q193)."""
     offenders = []
     for name, query in sorted(REGISTRY.items()):
-        if query.oracle is None or name in allowed_python:
+        if query.oracle is None or query.python_lane:
             continue
         df = query.fn(spark, sf_dir)
         if plans.has_python_eval(df):
             offenders.append(name)
     assert not offenders, f"fell off the JVM path: {offenders}"
+
+
+def test_python_lane_flags_are_honest(spark, sf_dir):
+    """The inverse contract: every query declared ``python_lane=True``
+    really does contain a Python evaluation stage.  A stale flag would
+    silently exempt a future JVM-only rewrite from the blanket check."""
+    dishonest = []
+    for name, query in sorted(REGISTRY.items()):
+        if not query.python_lane:
+            continue
+        df = query.fn(spark, sf_dir)
+        if not plans.has_python_eval(df):
+            dishonest.append(name)
+    assert not dishonest, f"python_lane=True but JVM-only plan: {dishonest}"
 
 
 def test_round2_tpch_shapes_broadcast_dims(spark, sf_dir):
