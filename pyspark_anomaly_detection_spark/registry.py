@@ -128,6 +128,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.relational.tpch  # noqa: F401
     import pyspark_anomaly_detection_spark.relational.tpch_more  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.ann  # noqa: F401
+    import pyspark_anomaly_detection_spark.streaming.watermark_replay  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.neardup  # noqa: F401
     import pyspark_anomaly_detection_spark.similarity.pca  # noqa: F401
     import pyspark_anomaly_detection_spark.text.clusters  # noqa: F401

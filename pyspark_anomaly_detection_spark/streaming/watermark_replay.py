@@ -1,0 +1,189 @@
+"""Driver-visible watermark-semantics queries (VERDICT r8 item 4).
+
+The round-8 watermark fixtures (tests/test_streaming_watermark_fixtures.py)
+prove Spark's late/out-of-order rules with hand-computed expectations, but
+only inside pytest.  q205/q206 replay the SAME arrival batches through the
+real Structured Streaming path — one ``availableNow`` run per batch over a
+shared checkpoint, so watermark advancement is deterministic — and return
+the final append-mode sink as a DataFrame.
+
+Because the inputs are fixed and the semantics deterministic, the
+hand-computed expectation table IS a full value oracle: it is registered
+as a constant ``VALUES`` relation for DuckDB, which upgrades these from
+rows-only to hash-verified.  The fixture test keeps its own independently
+hand-derived expectations (importing only the shared arrival batches), so
+the oracle here and the pytest assertions cross-check each other rather
+than sharing one source of truth.
+
+Watermark traces justifying each constant row are documented in the
+fixture test's module docstring; the reference
+(q138ben/pyspark-anomaly-detection) has no streaming surface at all —
+this is SURVEY §2.12 stretch coverage.
+
+Scale note: the replay is a fixed 7-event fixture regardless of sf_dir —
+the ``collect()`` is fixture-bounded (≤4 rows), used only to detach the
+result from the temp sink before cleanup.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.registry import register
+from pyspark_anomaly_detection_spark.streaming.jobs import (
+    read_event_stream,
+    session_counts,
+    tumbling_counts,
+)
+
+D = "2023-06-01 "
+
+#: Arrival batches shared with tests/test_streaming_watermark_fixtures.py
+#: (tuples of (event_id, ts, user_id, event_type)); each inner list is one
+#: micro-batch, i.e. one parquet file + one availableNow run.
+TUMBLING_BATCHES: list[list[tuple[int, str, int, str]]] = [
+    [
+        (1, D + "10:10:00", 1, "A"),
+        (2, D + "10:20:00", 1, "B"),
+        (3, D + "11:05:00", 1, "A"),
+    ],
+    [
+        (4, D + "09:30:00", 1, "A"),  # late beyond watermark: dropped
+        (5, D + "12:10:00", 2, "B"),  # advances wm to 11:10
+    ],
+    [
+        (6, D + "11:20:00", 1, "A"),  # late, window still open: merges
+        (7, D + "13:05:00", 3, "C"),  # advances wm to 12:05
+    ],
+]
+
+SESSION_BATCHES: list[list[tuple[int, str, int, str]]] = [
+    [
+        (1, D + "10:00:00", 1, "A"),
+        (2, D + "10:20:00", 1, "A"),
+        (3, D + "10:05:00", 2, "A"),
+    ],
+    [
+        (4, D + "10:40:00", 1, "A"),  # merges into u1's open session
+        (5, D + "13:00:00", 3, "A"),  # advances wm to 12:00
+    ],
+    [
+        (6, D + "10:45:00", 1, "A"),  # late: session finalized, dropped
+        (7, D + "14:31:00", 4, "A"),  # advances wm to 13:31
+    ],
+]
+
+
+def replay_batches(
+    spark: SparkSession,
+    agg: Callable[[DataFrame], DataFrame],
+    batches: Sequence[Sequence[tuple[int, str, int, str]]],
+) -> DataFrame:
+    """Replay arrival batches through a streaming aggregation and return
+    the final append-mode output, detached from its temp sink.
+
+    One ``availableNow`` run per appended file over a SHARED checkpoint:
+    the watermark persists in the checkpoint between runs, so batch
+    boundaries — and therefore which rows are late — are fully
+    deterministic (unlike maxFilesPerTrigger file ordering)."""
+    base = tempfile.mkdtemp(prefix="wm_replay_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    os.makedirs(src)
+    try:
+        for rows in batches:
+            spark.createDataFrame(
+                [(e, ts, u, t, 1.0, "{}") for e, ts, u, t in rows],
+                "event_id long, ts string, user_id long, event_type string,"
+                " value double, props string",
+            ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = (
+                agg(read_event_stream(spark, src))
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(sink)
+        # Fixture-bounded collect (≤4 rows): re-create as a local relation
+        # so the temp sink can be removed before returning.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q205_watermark_tumbling_replay",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('2023-06-01 10:00:00', 'A', CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)),
+      ('2023-06-01 10:00:00', 'B', CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)),
+      ('2023-06-01 11:00:00', 'A', CAST(2 AS BIGINT), CAST(2.0 AS DOUBLE))
+    ) AS t(window_start, event_type, n_events, total_value)
+    ORDER BY window_start, event_type
+    """,
+)
+def q205_watermark_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1 h windows under a 1 h watermark, replayed through real
+    Structured Streaming in append mode.  Exercises: late-beyond-watermark
+    drop (A@09:30), late-but-open merge (A@11:20 into [11:00,12:00)), and
+    never-finalized state staying unemitted ([12:00,13:00)+).  The oracle
+    is the hand-computed finalization table — see the watermark trace in
+    tests/test_streaming_watermark_fixtures.py."""
+    res = replay_batches(
+        spark,
+        lambda s: tumbling_counts(s, width="1 hour", watermark="1 hour"),
+        TUMBLING_BATCHES,
+    )
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "q206_watermark_session_replay",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), '2023-06-01 10:00:00', '2023-06-01 11:10:00',
+       CAST(3 AS BIGINT)),
+      (CAST(2 AS BIGINT), '2023-06-01 10:05:00', '2023-06-01 10:35:00',
+       CAST(1 AS BIGINT)),
+      (CAST(3 AS BIGINT), '2023-06-01 13:00:00', '2023-06-01 13:30:00',
+       CAST(1 AS BIGINT))
+    ) AS t(user_id, session_start, session_end, n_events)
+    ORDER BY user_id
+    """,
+)
+def q206_watermark_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30 m session windows under a 1 h watermark, replayed through real
+    Structured Streaming in append mode.  Exercises: open-session
+    extension across micro-batches (u1 10:00→11:10 over two batches),
+    exactly-once emission on finalization, a late row NOT resurrecting an
+    emitted session (u1@10:45), and never-finalized state (u4) staying
+    unemitted."""
+    res = replay_batches(
+        spark,
+        lambda s: session_counts(s, gap="30 minutes", watermark="1 hour"),
+        SESSION_BATCHES,
+    )
+    return res.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    ).orderBy("user_id")

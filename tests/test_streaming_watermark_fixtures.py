@@ -31,8 +31,11 @@ from pyspark_anomaly_detection_spark.streaming.jobs import (
     session_counts,
     tumbling_counts,
 )
+from pyspark_anomaly_detection_spark.streaming.watermark_replay import (
+    SESSION_BATCHES,
+    TUMBLING_BATCHES,
+)
 
-D = "2023-06-01 "
 
 #: (test id, agg builder, batches in arrival order, expected final rows)
 #:
@@ -47,21 +50,10 @@ D = "2023-06-01 "
 TUMBLING_CASE = (
     "tumbling_1h",
     lambda stream: tumbling_counts(stream, width="1 hour", watermark="1 hour"),
-    [
-        [
-            (1, D + "10:10:00", 1, "A"),
-            (2, D + "10:20:00", 1, "B"),
-            (3, D + "11:05:00", 1, "A"),
-        ],
-        [
-            (4, D + "09:30:00", 1, "A"),  # late beyond watermark: dropped
-            (5, D + "12:10:00", 2, "B"),  # advances wm to 11:10
-        ],
-        [
-            (6, D + "11:20:00", 1, "A"),  # late, window still open: merges
-            (7, D + "13:05:00", 3, "C"),  # advances wm to 12:05
-        ],
-    ],
+    # Arrival batches shared with the registered q205 replay query (the
+    # expectations below stay independently hand-derived, so the query's
+    # VALUES oracle and this test cross-check rather than share a truth).
+    TUMBLING_BATCHES,
     lambda df: {
         (r.window_start.strftime("%H:%M"), r.event_type): r.n_events
         for r in df.collect()
@@ -81,21 +73,7 @@ TUMBLING_CASE = (
 SESSION_CASE = (
     "session_30m",
     lambda stream: session_counts(stream, gap="30 minutes", watermark="1 hour"),
-    [
-        [
-            (1, D + "10:00:00", 1, "A"),
-            (2, D + "10:20:00", 1, "A"),
-            (3, D + "10:05:00", 2, "A"),
-        ],
-        [
-            (4, D + "10:40:00", 1, "A"),  # merges into u1's open session
-            (5, D + "13:00:00", 3, "A"),  # advances wm to 12:00
-        ],
-        [
-            (6, D + "10:45:00", 1, "A"),  # late: session finalized, dropped
-            (7, D + "14:31:00", 4, "A"),  # advances wm to 13:31
-        ],
-    ],
+    SESSION_BATCHES,
     lambda df: {
         (
             r.user_id,
