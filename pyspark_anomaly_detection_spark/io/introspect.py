@@ -170,3 +170,98 @@ def q193_parquet_layout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uncompressed_bytes").cast("double")
         / F.greatest(F.col("compressed_bytes"), F.lit(1)).cast("double"),
     ).orderBy("table_name", "file_name", "row_group_id")
+
+
+def _footer_column_ranges(path: str, col_a: str, col_b: str):
+    """Per-file (min_a, max_a, min_b, max_b) from parquet footers — the
+    statistics a scan's file-skipping consults.  Driver-side pyarrow walk
+    over a bounded file set (n_files is a parameter of the rewrite; at a
+    real lake these ranges live in the catalog/manifest already)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for frag in sorted(pq.ParquetDataset(path).files):
+        md = pq.ParquetFile(frag).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ia, ib = names.index(col_a), names.index(col_b)
+        stats = [
+            (md.row_group(g).column(ia).statistics, md.row_group(g).column(ib).statistics)
+            for g in range(md.num_row_groups)
+        ]
+        out.append(
+            (
+                min(sa.min for sa, _ in stats),
+                max(sa.max for sa, _ in stats),
+                min(sb.min for _, sb in stats),
+                max(sb.max for _, sb in stats),
+            )
+        )
+    return out
+
+
+@register("q207_zorder_pruning_stats")
+def q207_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping proof for the Z-order rewrite (io/maintenance.py::
+    write_zordered): write lineitem twice — Morton-clustered on
+    (l_partkey, l_suppkey) vs linearly sorted on l_partkey alone — then,
+    from the real parquet footers, count how many files a quarter-domain
+    range predicate on EACH dimension would open.  Output is one row per
+    (layout, dimension): files_total, files_opened, frac_opened.
+
+    The expected shape (pinned in tests/test_zorder_layout.py): the
+    linear layout skips on its sort column but opens EVERY file for the
+    other dimension; the z-order layout skips on BOTH, and its combined
+    two-query scan cost beats linear.  Rows-only for the driver: the
+    file boundaries depend on Spark's range-partitioner sampling, which
+    no independent SQL oracle can reproduce — the pytest floor
+    (files_opened bounded on both dimensions) is the quantitative check.
+
+    Scale note: the rewrite itself is one range shuffle (no single-task
+    sort); the footer walk is bounded metadata (n_files entries)."""
+    import shutil
+    import tempfile
+
+    from pyspark_anomaly_detection_spark.io.maintenance import write_zordered
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    n_files = 16
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).head()
+    a_lo, a_hi, b_lo, b_hi = (int(v) for v in b)
+    quarter = {
+        "l_partkey": (a_lo, a_lo + (a_hi - a_lo) // 4),
+        "l_suppkey": (b_lo, b_lo + (b_hi - b_lo) // 4),
+    }
+
+    base = tempfile.mkdtemp(prefix="zorder_stats_")
+    try:
+        zpath, lpath = os.path.join(base, "zorder"), os.path.join(base, "linear")
+        write_zordered(li, zpath, "l_partkey", "l_suppkey", n_files)
+        (
+            li.repartitionByRange(n_files, "l_partkey")
+            .sortWithinPartitions("l_partkey")
+            .write.parquet(lpath)
+        )
+        rows = []
+        for layout, path in (("zorder", zpath), ("linear", lpath)):
+            ranges = _footer_column_ranges(path, "l_partkey", "l_suppkey")
+            for dim_idx, dim in enumerate(("l_partkey", "l_suppkey")):
+                q_lo, q_hi = quarter[dim]
+                opened = sum(
+                    1
+                    for r in ranges
+                    if not (r[2 * dim_idx + 1] < q_lo or r[2 * dim_idx] > q_hi)
+                )
+                rows.append((layout, dim, len(ranges), opened, opened / len(ranges)))
+        return spark.createDataFrame(
+            rows,
+            "layout string, dimension string, files_total long, "
+            "files_opened long, frac_opened double",
+        ).orderBy("layout", "dimension")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -126,3 +126,30 @@ def test_write_zordered_skips_on_both_dimensions(spark, sf_dir, tmp_path, n_file
     assert z_a + z_b < l_total, (
         f"zorder ({z_a}+{z_b}) not better than linear ({l_total})"
     )
+
+
+def test_q207_pruning_stats_floor(spark, sf_dir):
+    """The registered pruning-proof query (rows-only for the driver) is
+    quantitatively bounded here: z-order skips >=2x on BOTH dimensions,
+    the linear layout cannot skip on its non-sort column, and z-order's
+    combined two-query scan cost beats linear's."""
+    from pyspark_anomaly_detection_spark.io.introspect import (
+        q207_zorder_pruning_stats,
+    )
+
+    got = {
+        (r.layout, r.dimension): r
+        for r in q207_zorder_pruning_stats(spark, sf_dir).collect()
+    }
+    z_a, z_b = got[("zorder", "l_partkey")], got[("zorder", "l_suppkey")]
+    l_a, l_b = got[("linear", "l_partkey")], got[("linear", "l_suppkey")]
+
+    # >=2x pruning on both dimensions under z-order
+    assert z_a.files_opened * 2 <= z_a.files_total, z_a
+    assert z_b.files_opened * 2 <= z_b.files_total, z_b
+    # linear bounds only its sort column
+    assert l_b.files_opened == l_b.files_total, l_b
+    # combined scan cost: z-order strictly beats linear
+    assert (
+        z_a.files_opened + z_b.files_opened < l_a.files_opened + l_b.files_opened
+    )
