@@ -529,3 +529,111 @@ def start_incremental_minhash_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+#: Sentinel partition holding folded (compacted) bucket-store batches.
+#: Never a real micro-batch id (Spark batch ids start at 0), so replay's
+#: ``batch_id != current`` store read always includes it.
+COMPACTED_BATCH_ID = -1
+
+
+def compact_minhash_store(
+    spark: SparkSession,
+    store_path: str,
+    keep_latest: int = 1,
+    target_file_bytes: int | None = None,
+) -> dict[str, int]:
+    """Fold committed batch partitions of the incremental minhash bucket
+    store into one compacted sentinel partition (``batch_id=-1``).
+
+    ``start_incremental_minhash_dedup`` appends one ``batch_id=N``
+    partition (>=1 file) per micro-batch, so file count grows linearly
+    with stream lifetime while each file holds only one batch's new
+    buckets — the small-file problem ``compact_parquet`` exists to fix,
+    but the store cannot use it directly: a flat rewrite would break the
+    partition layout that replay idempotence depends on.  This fold
+    preserves it:
+
+    * only batches OLDER than the newest ``keep_latest`` are folded —
+      under at-least-once delivery the only partition a restart can
+      rewrite is the last uncommitted batch, which stays unfolded, so a
+      replay never finds its own buckets pre-folded (which would mark
+      the whole batch as dups and empty its output partition);
+    * the store's contract is set-union semantics (readers ``distinct()``
+      the buckets), so the fold — a ``distinct()`` over the folded
+      batches plus any prior sentinel partition — changes no read
+      result, and a crash between staging swap and source-dir cleanup
+      leaves only harmless duplicates that the next fold removes.
+
+    Same single-writer caveat as ``compact_parquet``: the sentinel
+    partition briefly vacates between the two renames.  Returns
+    ``{"folded_batches", "files_written", "buckets"}`` (zeros when there
+    is nothing to fold)."""
+    from pyspark_anomaly_detection_spark.io.maintenance import (
+        TARGET_FILE_BYTES,
+        _clear_leftover,
+        _rename_or_raise,
+        plan_file_count,
+    )
+
+    target = target_file_bytes or TARGET_FILE_BYTES
+    jvm = spark.sparkContext._jvm
+    fs_path = jvm.org.apache.hadoop.fs.Path
+    base = fs_path(store_path)
+    fs = base.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        return {"folded_batches": 0, "files_written": 0, "buckets": 0}
+
+    ids = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            ids.append(int(name.split("=", 1)[1]))
+    real = sorted(b for b in ids if b != COMPACTED_BATCH_ID)
+    fold = real[: -keep_latest] if keep_latest else real
+    sources = fold + ([COMPACTED_BATCH_ID] if COMPACTED_BATCH_ID in ids else [])
+    if len(sources) < 2:
+        return {"folded_batches": 0, "files_written": 0, "buckets": 0}
+
+    def part_dir(bid: int) -> str:
+        return f"{store_path.rstrip('/')}/batch_id={bid}"
+
+    total_bytes = sum(
+        fs.getContentSummary(fs_path(part_dir(b))).getLength() for b in sources
+    )
+    n_files = plan_file_count(total_bytes, target)
+
+    folded = (
+        spark.read.parquet(store_path)
+        .filter(F.col("batch_id").isin([int(b) for b in sources]))
+        .select("band", "band_sig")
+        .distinct()
+        .repartition(n_files)
+    )
+    n_buckets = folded.count()
+
+    staging = store_path.rstrip("/") + "__bucket_compact"
+    trash = store_path.rstrip("/") + "__bucket_old"
+    _clear_leftover(fs, jvm, staging)
+    _clear_leftover(fs, jvm, trash)
+    folded.write.mode("overwrite").parquet(staging)
+
+    sentinel = fs_path(part_dir(COMPACTED_BATCH_ID))
+    if fs.exists(sentinel):
+        _rename_or_raise(fs, sentinel, fs_path(trash), "bucket fold (old sentinel)")
+    try:
+        _rename_or_raise(
+            fs, fs_path(staging), sentinel, "bucket fold (staging -> sentinel)"
+        )
+    except IOError:
+        if fs.exists(fs_path(trash)):
+            fs.rename(fs_path(trash), sentinel)
+        raise
+    _clear_leftover(fs, jvm, trash)
+    for b in fold:
+        fs.delete(fs_path(part_dir(b)), True)
+    return {
+        "folded_batches": len(fold),
+        "files_written": n_files,
+        "buckets": n_buckets,
+    }

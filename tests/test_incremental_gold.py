@@ -491,3 +491,77 @@ def test_incremental_minhash_dedup_equals_batch_keep_first(
     )
     assert before == after, "replayed batch not idempotent (output)"
     assert store_before == store_after, "replayed batch not idempotent (store)"
+
+
+def test_minhash_store_compaction_bounds_files_and_preserves_buckets(
+    spark, sf_dir, tmp_path
+):
+    """N micro-batches leave N bucket-store partitions; compaction must
+    fold all but the newest into the batch_id=-1 sentinel at the planned
+    file count WITHOUT changing the occupied-bucket set, and a batch
+    processed after compaction must still produce the same kept set as
+    the full-corpus batch operator."""
+    import glob
+
+    from pyspark_anomaly_detection_spark.streaming.incremental import (
+        compact_minhash_store,
+        minhash_dedup_batch,
+        start_incremental_minhash_dedup,
+    )
+    from pyspark_anomaly_detection_spark.text.dedup import lsh_keep_first
+
+    raw = str(tmp_path / "docs")
+    store = str(tmp_path / "buckets")
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cuts = [0, 100, 200, 300, 400]
+    for lo, hi in zip(cuts, cuts[1:]):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(raw)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(raw).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(raw)
+    )
+    start_incremental_minhash_dedup(stream, store, out, ckpt).awaitTermination()
+
+    def bucket_set():
+        return {
+            (r.band, tuple(r.band_sig))
+            for r in spark.read.parquet(store)
+            .select("band", "band_sig")
+            .distinct()
+            .collect()
+        }
+
+    def store_files():
+        return glob.glob(f"{store}/batch_id=*/*.parquet")
+
+    n_parts_before = len(glob.glob(f"{store}/batch_id=*"))
+    assert n_parts_before >= 4, "expected one store partition per batch"
+    buckets_before = bucket_set()
+
+    stats = compact_minhash_store(spark, store)
+    assert stats["folded_batches"] == n_parts_before - 1
+    # tiny store: the plan is a single file for all folded batches
+    assert stats["files_written"] == 1
+    assert len(glob.glob(f"{store}/batch_id=*")) == 2  # sentinel + newest
+    assert len(store_files()) <= stats["files_written"] + 1
+    assert bucket_set() == buckets_before, "fold changed the bucket set"
+
+    # a second fold is a no-op (sentinel + one unfoldable batch)
+    again = compact_minhash_store(spark, store)
+    assert again == {"folded_batches": 0, "files_written": 0, "buckets": 0}
+
+    # continuation correctness: process the remaining docs as a new batch
+    # against the compacted store; accumulated kept == batch operator
+    minhash_dedup_batch(docs.filter(F.col("doc_id") >= 400), 99, store, out)
+    expected = {
+        r.doc_id for r in lsh_keep_first(docs).filter(F.col("kept")).collect()
+    }
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == expected
