@@ -133,6 +133,11 @@ _META_UNION = "\n      UNION ALL\n".join(
     # oracle — two unrelated parquet footer readers hash-matching.  The
     # {SF_DIR} token binds to the run's data dir (registry.resolve_oracle;
     # the driver's correctness gate runs at its sf0.01 default).
+    # NOTE: parity requires a COMPLETE table set at {SF_DIR} — the oracle
+    # addresses every TABLE_NAMES file unconditionally (DuckDB table
+    # functions bind constant paths), while the Spark side skips missing
+    # files; on a partial dir the oracle raises an IO error rather than
+    # producing a comparable mismatch.  All driver sf dirs are complete.
     oracle=f"""
     WITH m AS (
 {_META_UNION}

@@ -461,6 +461,18 @@ def write_zordered(
         F.min(col_b).alias("b_lo"),
         F.max(col_b).alias("b_hi"),
     ).head()
+    # Contract: both clustering columns must be non-null integers with a
+    # bounded domain (bucket arithmetic is long multiplication — spans
+    # near 2^55 would wrap under non-ANSI Spark).  An empty frame or an
+    # all-null column yields None bounds; rows with NULL keys would get a
+    # NULL _zkey and collapse into one range partition — raise instead of
+    # writing a silently degenerate layout.
+    if any(bounds[k] is None for k in ("a_lo", "a_hi", "b_lo", "b_hi")):
+        raise ValueError(
+            f"write_zordered: empty input or all-null clustering column "
+            f"({col_a!r}/{col_b!r} bounds: {tuple(bounds)}) — z-order "
+            "requires non-null, bounded-integer clustering keys"
+        )
 
     def bucket(col: str, lo, hi) -> "F.Column":
         span = int(hi) - int(lo) + 1

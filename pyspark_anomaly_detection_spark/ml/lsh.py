@@ -344,13 +344,16 @@ def mllib_brp_probe_auto(
     only sees candidates inside ``brp_radius``.  Both hold the ≥0.8
     brute-force recall floor (tests/test_mllib_lsh.py, including at
     10× the interactive probe count)."""
-    if len(probe_ids) < PROBE_BATCH_MIN:
-        return mllib_brp_probe(emb, probe_ids, k=k, seed=seed)
+    # Validate BEFORE dispatching so both legs share one error contract —
+    # the loop leg would otherwise surface a missing id as an unhelpful
+    # KeyError from its collected probes dict.
     queries = emb.filter(F.col("vec_id").isin(probe_ids))
     found = {int(r["vec_id"]) for r in queries.select("vec_id").collect()}
     missing = set(probe_ids) - found
     if missing:
         raise ValueError(f"probe ids not in embeddings: {sorted(missing)}")
+    if len(probe_ids) < PROBE_BATCH_MIN:
+        return mllib_brp_probe(emb, probe_ids, k=k, seed=seed)
     return mllib_brp_neighbors(emb, queries, k=k, seed=seed)
 
 

@@ -334,9 +334,25 @@ def grouped_row_ids(
        ``group → n`` map (``total_col``) for quantile denominators.
 
     Requires (group, order…) to be a total order (pass a unique id as
-    the last order col) and a non-null group key.  Adds ``ordinal_col``
-    (1-based rank within group) and ``total_col`` (group size)."""
+    the last order col) and a non-null STRING group key: the broadcast
+    offset map is keyed by Spark's string rendering of the group, and
+    for non-string types Python's repr can differ from Spark's cast
+    (True vs 'true', float/timestamp formatting), which would silently
+    yield NULL ranks — so a non-string group column raises instead.
+    Adds ``ordinal_col`` (1-based rank within group) and ``total_col``
+    (group size)."""
+    from pyspark.sql.types import StringType
+
     from pyspark_anomaly_detection_spark.cachepool import tracked_persist
+
+    gtype = df.schema[group_col].dataType
+    if not isinstance(gtype, StringType):
+        raise TypeError(
+            f"grouped_row_ids requires a string group column; {group_col!r} "
+            f"is {gtype.simpleString()} — cast it to string first (the "
+            "broadcast offset map is keyed by Spark's string rendering, "
+            "which differs from Python's for bool/float/timestamp)"
+        )
 
     n_parts = (
         num_partitions or df.sparkSession.sparkContext.defaultParallelism

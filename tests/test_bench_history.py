@@ -70,3 +70,25 @@ def test_no_cross_round_regression(bench_history):
     history = bench_history.build()
     problems = bench_history.regressions(history)
     assert not problems, "\n".join(problems)
+
+
+def test_regressions_skipped_across_sf_change():
+    """Timings at different scale factors are not comparable: an sf bump
+    must not trip the 2x gate, and an sf drop must not mask a real
+    regression — the checker skips (with a warning) instead of judging."""
+    from tools.bench_history import regressions
+
+    history = {
+        "rounds": [
+            {"round": 1, "sf": 0.1, "queries": {"q01_x": 1.0}},
+            {"round": 2, "sf": 1.0, "queries": {"q01_x": 9.0}},
+        ]
+    }
+    assert regressions(history) == []
+    same_sf = {
+        "rounds": [
+            {"round": 1, "sf": 0.1, "queries": {"q01_x": 1.0}},
+            {"round": 2, "sf": 0.1, "queries": {"q01_x": 9.0}},
+        ]
+    }
+    assert regressions(same_sf), "same-sf regression must still trip"

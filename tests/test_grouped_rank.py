@@ -118,3 +118,17 @@ def test_q197_q175_plans_have_no_pergroup_window(spark, sf_dir):
 
         rp = re.findall(r"rangepartitioning\(([^)]*)\)", lower)
         assert any(grp in frag and ordc in frag for frag in rp), (name, rp)
+
+
+def test_grouped_row_ids_rejects_non_string_group(spark):
+    """The broadcast offset map is keyed by Spark's STRING rendering of
+    the group; for bool/float/timestamp groups Python's repr differs
+    (True vs 'true') and lookups would silently yield NULL ranks — so a
+    non-string group column must raise, not misbehave."""
+    import pytest
+
+    from pyspark_anomaly_detection_spark.text.shards import grouped_row_ids
+
+    df = spark.createDataFrame([(True, 1), (False, 2)], "flag boolean, id long")
+    with pytest.raises(TypeError, match="string group column"):
+        grouped_row_ids(df, "flag", ["id"])

@@ -248,3 +248,23 @@ def test_probe_auto_recall_at_10x_probe_count(spark, sf_dir):
     )
     total = sum(len(bf[pid]) for pid in probe_ids)
     assert hits / total >= 0.8, f"batched recall regressed: {hits}/{total}"
+
+
+def test_probe_auto_missing_id_same_error_both_legs(spark, sf_dir):
+    """One error contract for the dispatcher: a missing probe id raises
+    the same ValueError whether the call routes through the interactive
+    loop (< PROBE_BATCH_MIN probes) or the batched set-join."""
+    import pytest
+
+    from pyspark_anomaly_detection_spark.ml.lsh import (
+        PROBE_BATCH_MIN,
+        mllib_brp_probe_auto,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bogus = 10_000_000
+    with pytest.raises(ValueError, match="probe ids not in embeddings"):
+        mllib_brp_probe_auto(emb, [0, bogus])  # loop leg
+    many = [0] * (PROBE_BATCH_MIN - 1) + [bogus]
+    with pytest.raises(ValueError, match="probe ids not in embeddings"):
+        mllib_brp_probe_auto(emb, many)  # batched leg

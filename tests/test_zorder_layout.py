@@ -153,3 +153,12 @@ def test_q207_pruning_stats_floor(spark, sf_dir):
     assert (
         z_a.files_opened + z_b.files_opened < l_a.files_opened + l_b.files_opened
     )
+
+
+def test_write_zordered_rejects_empty_and_all_null(spark, tmp_path):
+    empty = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(ValueError, match="empty input or all-null"):
+        write_zordered(empty, str(tmp_path / "z1"), "a", "b", 2)
+    nulls = spark.createDataFrame([(None, 1), (None, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="empty input or all-null"):
+        write_zordered(nulls, str(tmp_path / "z2"), "a", "b", 2)

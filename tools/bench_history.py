@@ -80,6 +80,11 @@ def build(repo: str = REPO) -> dict:
     rounds = []
     for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
         row = _extract_round(path)
+        if row["round"] is None:
+            # an artifact without a round number can't be ordered into the
+            # history — flag it rather than TypeError on None-vs-int sort
+            print(f"skipping {path}: no round number ('n')", file=sys.stderr)
+            continue
         if row["queries"]:
             rounds.append(row)
     rounds.sort(key=lambda r: r["round"])
@@ -92,6 +97,17 @@ def regressions(history: dict) -> list[str]:
     if len(rounds) < 2:
         return []
     prev, last = rounds[-2], rounds[-1]
+    if prev.get("sf") != last.get("sf"):
+        # timings at different scale factors are not comparable: an sf
+        # bump would trip the gate spuriously, an sf drop would mask a
+        # real regression — warn and skip rather than judge
+        print(
+            f"bench history: sf changed r{prev['round']}={prev.get('sf')} → "
+            f"r{last['round']}={last.get('sf')}; cross-round comparison "
+            "skipped",
+            file=sys.stderr,
+        )
+        return []
     problems = []
     for name in sorted(set(prev["queries"]) & set(last["queries"])):
         tp, tl = prev["queries"][name], last["queries"][name]
