@@ -346,35 +346,38 @@ def q104_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box-plot outlier fencing per series: exact rank-selected quartiles
     (no interpolation — selected values are actual data points, so parity
     is trivial), fences at ±1.5·IQR evaluated with the identical double
-    expression in both engines, and per-series outlier counts.  One window
-    shuffle (series key) feeding a same-key aggregation — Catalyst reuses
-    the partitioning, so the whole operator is a single exchange."""
+    expression in both engines, and per-series outlier counts.  Ranks
+    come from the scalable ``grouped_row_ids`` (range exchange on
+    (event_type, value…)) — event_type has only five values, so a
+    per-series window task would sort a fifth of the event stream at
+    100 TB; the quartiles reduce to a 5-row dimension broadcast-joined
+    back."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_row_ids
+
     ev = load_table(spark, sf_dir, "events")
-    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wall = Window.partitionBy("event_type")
-    ranked = ev.select(
+    ranked = grouped_row_ids(
+        ev.select("event_type", "value", "event_id"),
         "event_type",
-        "value",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wall).alias("cnt"),
+        ["value", "event_id"],
+        ordinal_col="rn",
+        total_col="cnt",
     )
 
     def pick(p: float) -> Column:
         target = F.ceil(F.lit(p) * F.col("cnt")).cast("bigint")
-        return F.max(F.when(F.col("rn") == target, F.col("value"))).over(wall)
+        return F.max(F.when(F.col("rn") == target, F.col("value")))
 
-    fenced = ranked.select(
-        "event_type",
-        "value",
-        "cnt",
+    quart = ranked.groupBy("event_type").agg(
+        F.max("cnt").alias("n"),
         pick(0.25).alias("q1"),
         pick(0.75).alias("q3"),
     )
+    fenced = ranked.join(F.broadcast(quart), "event_type")
     iqr = F.col("q3") - F.col("q1")
     return (
         fenced.groupBy("event_type")
         .agg(
-            F.max("cnt").alias("n"),
+            F.max("n").alias("n"),
             F.max("q1").alias("q1"),
             F.max("q3").alias("q3"),
             F.count(

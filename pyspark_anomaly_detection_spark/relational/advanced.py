@@ -160,14 +160,21 @@ PERCENTILES = (0.5, 0.9, 0.99)
     """,
 )
 def q43_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranks come from the scalable ``grouped_row_ids`` (range exchange
+    on (flag, price…)) — l_returnflag has only THREE values, so a
+    per-flag window would sort a third of lineitem in one task at
+    100 TB.  The tiebreak columns don't change the picked values (the
+    k-th price in sorted order is tie-invariant), so the oracle's
+    plain ROW_NUMBER ranking still hash-matches."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_row_ids
+
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wall = Window.partitionBy("l_returnflag")
-    ranked = li.select(
+    ranked = grouped_row_ids(
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
         "l_returnflag",
-        "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wall).alias("cnt"),
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        ordinal_col="rn",
+        total_col="cnt",
     )
 
     def pick(p: float) -> Column:
@@ -511,34 +518,43 @@ def q151_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak on the row key), never interpolated, so the clip boundaries
     are parquet-exact doubles and the clipped values stay 2-dp — which
     keeps the winsorized mean inside the DECIMAL-exact summation
-    convention (one IEEE division at the end).  Plan: one shuffle on the
-    segment key serves the rank window, the percentile broadcast-back
-    window, and the final same-key aggregate (exchange reuse)."""
+    convention (one IEEE division at the end).  Plan: ranks come from
+    the scalable ``grouped_row_ids`` (range exchange — l_returnflag has
+    only three values, so a per-flag window task would sort a third of
+    lineitem at 100 TB); the [p01, p99] cut points reduce to a 3-row
+    dimension broadcast-joined back instead of a broadcast-back window
+    over the same giant partitions."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_row_ids
+
     li = load_table(spark, sf_dir, "lineitem")
-    wr = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    wall = Window.partitionBy("l_returnflag")
-    ranked = li.select(
+    ranked = grouped_row_ids(
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("v"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
         "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wall).alias("cnt"),
+        ["v", "l_orderkey", "l_linenumber"],
+        ordinal_col="rn",
+        total_col="cnt",
     )
 
     def pick(p: float) -> Column:
         target = F.ceil(F.lit(p) * F.col("cnt")).cast("bigint")
-        return F.max(F.when(F.col("rn") == target, F.col("v"))).over(wall)
+        return F.max(F.when(F.col("rn") == target, F.col("v")))
 
-    cut = ranked.select(
-        "l_returnflag", "v", "cnt",
-        pick(0.01).alias("lo"), pick(0.99).alias("hi"),
+    cuts = ranked.groupBy("l_returnflag").agg(
+        F.max("cnt").alias("n"),
+        pick(0.01).alias("lo"),
+        pick(0.99).alias("hi"),
     )
+    cut = ranked.join(F.broadcast(cuts), "l_returnflag")
     clipped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
     return (
         cut.groupBy("l_returnflag")
         .agg(
-            F.max("cnt").alias("n"),
+            F.max("n").alias("n"),
             F.max("lo").alias("p01"),
             F.max("hi").alias("p99"),
             F.count(F.when(F.col("v") < F.col("lo"), 1)).alias("n_clipped_lo"),

@@ -783,12 +783,13 @@ def q147_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q148_top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the revenue view + "supplier(s) achieving the
-    maximum" equality — decorrelated as a single empty-frame window MAX
-    over the aggregated view (one extra exchange over ~|suppliers| rows,
-    instead of recomputing the view for the scalar subquery).  The
-    comparison happens in exact DECIMAL before any double cast, so ties
-    and the max itself are engine-independent.  The date filter pushes to
-    the scan: one quarter of the fact is read, not the whole table."""
+    maximum" equality — decorrelated as a scalar MAX aggregate
+    broadcast-equijoined back to the view (an empty-frame window would
+    funnel the whole ~|suppliers| aggregate through ONE window task;
+    suppliers grow linearly with scale).  The comparison happens in
+    exact DECIMAL before any double cast, so ties and the max itself
+    are engine-independent.  The date filter pushes to the scan: one
+    quarter of the fact is read, not the whole table."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -796,9 +797,10 @@ def q148_top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(revenue()).alias("total_revenue")
     )
-    top = rev.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.join(
+        F.broadcast(max_rev), F.col("total_revenue") == F.col("max_rev")
+    )
     sup = load_table(spark, sf_dir, "supplier")
     return (
         sup.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))

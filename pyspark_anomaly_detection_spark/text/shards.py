@@ -357,10 +357,11 @@ def grouped_row_ids(
     n_parts = (
         num_partitions or df.sparkSession.sparkContext.defaultParallelism
     )
-    keys = [F.col(group_col)] + [F.col(c) for c in order_cols]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    keys = [F.col(group_col), *ocols]
     part = tracked_persist(
         df.repartitionByRange(n_parts, *keys).sortWithinPartitions(
-            group_col, *order_cols
+            F.col(group_col), *ocols
         )
     )
     pid = F.shiftrightunsigned(F.col("_mid"), 33)
@@ -455,6 +456,85 @@ def grouped_ntile(
         rem + _ceil_div(r - big, q)
     )
     return ranked.withColumn(out_col, tile.cast("int"))
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "run_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``SUM(value) OVER (PARTITION BY group ORDER BY … ROWS UNBOUNDED
+    PRECEDING)`` without a single-task-per-group sort — the prefix-sum
+    sibling of :func:`grouped_row_ids`, for the token-packing /
+    curriculum operators whose group key is few-and-huge (source, split).
+
+    Plan shape:
+
+    1. range exchange on (group, order…) — a dominant group spans many
+       partitions — plus ``sortWithinPartitions``;
+    2. ONE bounded job collects per-(partition, group) ``SUM(value)``
+       (≤ n_parts + n_groups − 1 rows, contiguous group ranges); the
+       driver folds them into a broadcast ``pid:group → sum of all
+       PRIOR partitions' value`` offset map;
+    3. a window partitioned by ``(pid, group)`` computes the running sum
+       WITHIN each original partition — its partition key is
+       high-cardinality (one per range partition), so every window task
+       is bounded by the range-partition size, never by group size;
+    4. ``run_sum = offset[pid:group] + within-partition running sum``.
+
+    Exactness: ``value_col`` must be integral (token counts, cents) —
+    sums stay in BIGINT, so the result is bitwise equal to the
+    single-exchange window form.  Same contracts as
+    :func:`grouped_row_ids`: non-null STRING group key (raises
+    otherwise), (group, order…) a total order.  ``order_cols`` may mix
+    names and sort expressions (``F.desc("score")``)."""
+    from pyspark.sql.types import StringType
+    from pyspark.sql.window import Window
+
+    from pyspark_anomaly_detection_spark.cachepool import tracked_persist
+
+    gtype = df.schema[group_col].dataType
+    if not isinstance(gtype, StringType):
+        raise TypeError(
+            f"grouped_running_sum requires a string group column; "
+            f"{group_col!r} is {gtype.simpleString()} — cast it first"
+        )
+    n_parts = (
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    keys = [F.col(group_col), *ocols]
+    part = tracked_persist(
+        df.repartitionByRange(n_parts, *keys).sortWithinPartitions(
+            F.col(group_col), *ocols
+        )
+    )
+    pid = F.spark_partition_id()
+    with_pid = part.withColumn("_pid", pid)
+    stats = (
+        with_pid.groupBy("_pid", F.col(group_col).alias("_grp"))
+        .agg(F.sum(F.col(value_col).cast("long")).alias("_sum"))
+        .collect()
+    )  # bounded: contiguous group ranges -> <= n_parts + n_groups - 1 rows
+    offsets: dict[str, int] = {}
+    prior: dict = {}
+    for row in sorted(stats, key=lambda r: (str(r["_grp"]), r["_pid"])):
+        g = row["_grp"]
+        offsets[f"{row['_pid']}:{g}"] = prior.get(g, 0)
+        prior[g] = prior.get(g, 0) + (row["_sum"] or 0)
+    omap = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+    key = F.concat_ws(":", F.col("_pid").cast("string"), F.col(group_col))
+    w_local = Window.partitionBy("_pid", group_col).orderBy(
+        *ocols
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local_run = F.sum(F.col(value_col).cast("long")).over(w_local)
+    return (
+        with_pid.withColumn(out_col, (omap[key] + local_run).cast("long"))
+        .drop("_pid")
+    )
 
 
 # --------------------- deterministic epoch shuffle manifest (q194)

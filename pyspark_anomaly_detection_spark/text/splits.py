@@ -111,24 +111,21 @@ CHUNK_STRIDE = 400  # 100-char overlap
 def q93_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing: docs stream in id order per source,
     a pack closes when the running token budget crosses {PACK_BUDGET}.
-    pack_id = floor(exclusive-prefix-tokens / budget) — pure window
-    arithmetic, one shuffle on source, no stateful loop."""
-    from pyspark.sql.window import Window
+    pack_id = floor(exclusive-prefix-tokens / budget) — running sums via
+    the scalable ``grouped_running_sum`` (range exchange; a dominant
+    source spans many partitions) rather than a per-source window whose
+    single task would sort that source's whole corpus slice at 100 TB."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_running_sum
 
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
         "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = sized.withColumn(
+    packed = grouped_running_sum(
+        sized, "source", ["doc_id"], "n_tokens", out_col="_run"
+    ).withColumn(
         "pack_id",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(PACK_BUDGET)
-        ),
+        F.floor((F.col("_run") - F.col("n_tokens")) / float(PACK_BUDGET)),
     )
     return (
         packed.groupBy("source", "pack_id")
@@ -395,11 +392,13 @@ def q100_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic content-hash split → token-budget sequence packing →
     per-split summary.  Every stage is an operator proven individually
     (q32, q85, q91, q93); the oracle checks the composition end-to-end.
-    Catalyst pipelines the narrow stages and schedules three exchanges
-    total (digest window, split window, final group-by)."""
-    from pyspark.sql.window import Window
-
+    Catalyst pipelines the narrow stages and schedules the digest
+    window, the packing range exchange, and the final group-by; the
+    packing prefix sum runs on ``grouped_running_sum`` (split has only
+    THREE values — a per-split window task would sort a third of the
+    post-gate corpus at 100 TB)."""
     from pyspark_anomaly_detection_spark.text.dedup import exact_dedup
+    from pyspark_anomaly_detection_spark.text.shards import grouped_running_sum
     from pyspark_anomaly_detection_spark.text.stats import quality_columns
 
     docs = load_table(spark, sf_dir, "documents")
@@ -411,16 +410,11 @@ def q100_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stopword_ratio") <= 0.4)
     ).select("doc_id", "source", "n_tokens")
     assigned = assign_split(quality, "doc_id")
-    w = (
-        Window.partitionBy("split")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = assigned.withColumn(
+    packed = grouped_running_sum(
+        assigned, "split", ["doc_id"], "n_tokens", out_col="_run"
+    ).withColumn(
         "pack_id",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(PACK_BUDGET)
-        ),
+        F.floor((F.col("_run") - F.col("n_tokens")) / float(PACK_BUDGET)),
     )
     return (
         packed.groupBy("split")
@@ -773,23 +767,22 @@ def q137_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     random pick — rows ranked by content hash inside each source, take
     the first quota.  Same properties as the split assignment (engine-
     and partitioning-independent, stable under corpus growth for already-
-    chosen ranks); rand(seed) can't give any of that.  One shuffle on
-    source for the ranking window; quotas are scalar arithmetic."""
-    from pyspark.sql.window import Window
+    chosen ranks); rand(seed) can't give any of that.  Ranks come from
+    the scalable ``grouped_row_ids`` (range exchange on (source, hash);
+    a dominant source spans many partitions instead of one giant
+    per-source window sort)."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_row_ids
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    w = Window.partitionBy("source").orderBy(
-        md5_long60(F.col("doc_id").cast("string")), "doc_id"
-    )
-    wall = Window.partitionBy("source")
     share = F.lit(0.0)
     for s, p in MIX_TARGETS.items():
         share = F.when(F.col("source") == s, F.lit(p)).otherwise(share)
-    ranked = docs.select(
-        "doc_id",
+    ranked = grouped_row_ids(
+        docs,
         "source",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(wall).alias("avail"),
+        [md5_long60(F.col("doc_id").cast("string")), F.col("doc_id")],
+        ordinal_col="rk",
+        total_col="avail",
     ).withColumn(
         "take",
         F.least(
@@ -990,8 +983,10 @@ def q181_quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame
     until the source's char budget is filled (window cumulative sum ≤
     budget).  The nucleus-style counterpart of q137's fixed-share mix:
     budget allocated to the BEST docs of each source rather than a
-    uniform draw.  One shuffle on source; the cumsum window reuses it."""
-    from pyspark.sql.window import Window
+    uniform draw.  The cumsum runs on ``grouped_running_sum`` (range
+    exchange on (source, score desc) — a dominant source spans many
+    partitions instead of one giant per-source window task)."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_running_sum
 
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = (
@@ -1007,13 +1002,14 @@ def q181_quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.greatest(F.length("text"), F.lit(1)).cast("double")
         ).alias("q_score"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.desc("q_score"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        scored.withColumn("cum_chars", F.sum("n_chars").over(w))
+        grouped_running_sum(
+            scored,
+            "source",
+            [F.desc("q_score"), F.asc("doc_id")],
+            "n_chars",
+            out_col="cum_chars",
+        )
         .filter(F.col("cum_chars") <= QBUDGET_CHARS)
         .groupBy("source")
         .agg(

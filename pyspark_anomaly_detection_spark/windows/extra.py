@@ -145,17 +145,32 @@ def q80_value_picking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q81_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / rank / dense_rank — the exact rational
     definitions ((rank−1)/(n−1), rank_rows/n) match across engines since
-    the ordering key (price, orderkey) is unique."""
+    the ordering key (price, orderkey) is unique, which also makes all
+    four functions pure (rank, n) arithmetic — so they run on the
+    scalable ``grouped_row_ids`` (range exchange on (priority, price…);
+    o_orderpriority has only five values, so a per-priority window task
+    would sort a fifth of orders at 100 TB)."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_row_ids
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = grouped_row_ids(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderpriority",
+        ["o_totalprice", "o_orderkey"],
+    )
+    r, n = F.col("grp_rank"), F.col("grp_n")
+    n1 = n - F.lit(1)
+    pct = F.when(n1 == 0, F.lit(0.0)).otherwise(
+        (r - F.lit(1)).cast("double") / n1
+    )
     return (
-        orders.select(
+        ranked.select(
             "o_orderkey",
             "o_orderpriority",
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            pct.alias("pct_rank"),
+            (r.cast("double") / n).alias("cume"),
+            r.cast("int").alias("rnk"),
+            r.cast("int").alias("drnk"),
         )
         .orderBy("o_orderpriority", "rnk")
         .limit(200)

@@ -48,3 +48,27 @@ def test_artifacts_cover_current_registry(artifacts):
             f"{os.path.basename(art)} is stale — registry queries not in the "
             f"sweep: {sorted(missing)}; regenerate with tools/bench_slope.py"
         )
+
+
+def test_parity_artifacts_cover_current_registry():
+    """Mirror of the bench-artifact guard for the 3-SF parity matrix
+    (VERDICT r8 item 2): two consecutive rounds shipped PARITY_*.json
+    that trailed the registry — parity staleness now fails as loudly as
+    bench staleness."""
+    from pyspark_anomaly_detection_spark.registry import all_queries
+
+    oracles = {n for n, q in all_queries().items() if q.oracle}
+    for tag in ("sf0.001", "sf0.01", "sf0.1"):
+        path = os.path.join(REPO, f"PARITY_{tag}.json")
+        assert os.path.exists(path), (
+            f"PARITY_{tag}.json missing — run tools/parity_check.py"
+        )
+        with open(path) as f:
+            data = json.load(f)
+        covered = set(data["queries"])
+        missing = oracles - covered
+        assert not missing, (
+            f"PARITY_{tag}.json is stale — oracle queries not in the "
+            f"matrix: {sorted(missing)}; regenerate with tools/parity_check.py"
+        )
+        assert data["n_fail"] == 0, data["failures"]

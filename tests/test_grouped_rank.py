@@ -132,3 +132,78 @@ def test_grouped_row_ids_rejects_non_string_group(spark):
     df = spark.createDataFrame([(True, 1), (False, 2)], "flag boolean, id long")
     with pytest.raises(TypeError, match="string group column"):
         grouped_row_ids(df, "flag", ["id"])
+
+
+def test_grouped_running_sum_matches_window_cumsum(spark):
+    """Bitwise equality of grouped_running_sum with the single-exchange
+    window form on skewed groups, ascending and descending orderings."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_running_sum
+
+    df = _skewed_df(spark).withColumn("val", (F.length("id") * 3 + F.col("v")))
+    for order in (
+        ["v", "id"],
+        [F.desc("v"), F.asc("id")],
+    ):
+        got = {
+            r.id: r.run_sum
+            for r in grouped_running_sum(
+                df, "g", order, "val", num_partitions=16
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("g")
+            .orderBy(*[F.col(c) if isinstance(c, str) else c for c in order])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            r.id: r.cs
+            for r in df.withColumn(
+                "cs", F.sum(F.col("val").cast("long")).over(w)
+            ).collect()
+        }
+        assert got == want, f"order={order}"
+
+
+def test_grouped_running_sum_rejects_non_string_group(spark):
+    from pyspark_anomaly_detection_spark.text.shards import grouped_running_sum
+
+    df = spark.createDataFrame([(1, 2)], "g long, v long")
+    with pytest.raises(TypeError, match="string group column"):
+        grouped_running_sum(df, "g", ["v"], "v")
+
+
+def test_rebased_r9_queries_have_no_fewgroup_window(spark, sf_dir):
+    """The r9 rebase's point: the packing / percentile / rank queries no
+    longer contain a Window partitioned ONLY by their few-value group key
+    over raw-table input.  (grouped_running_sum's internal window is
+    partitioned by (pid, group) — per range partition, which is the
+    scalable shape; grouped_row_ids has no Window at all.)"""
+    import re
+
+    from pyspark_anomaly_detection_spark.registry import all_queries
+
+    qs = all_queries()
+    few_keys = {
+        "q93_sequence_packing": "source",
+        "q100_training_pipeline": "split",
+        "q181_quality_budget_selection": "source",
+        "q137_training_mix": "source",
+        "q43_percentiles_exact": "l_returnflag",
+        "q151_winsorized_stats": "l_returnflag",
+        "q104_iqr_outliers": "event_type",
+        "q81_relative_rank": "o_orderpriority",
+        "q148_top_quarter_supplier": None,  # empty-frame window gone entirely
+    }
+    for name, key in few_keys.items():
+        plan = plans.formatted_plan(qs[name].fn(spark, sf_dir))
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan.lower()):
+            if key is None:
+                raise AssertionError(f"{name}: unexpected window: {spec}")
+            if "_pid" in spec:
+                continue  # grouped_running_sum's per-partition window
+            if key in spec:
+                raise AssertionError(
+                    f"{name}: few-group window survived the rebase: {spec}"
+                )
+            # other windows (e.g. q100's _digest dedup) partition on
+            # high-cardinality keys — audited safe in COVERAGE.md

@@ -1,0 +1,69 @@
+"""Round-close gate (VERDICT r8 item 3): regenerate every registry-derived
+artifact in dependency order, then prove the repo is internally consistent.
+
+Two consecutive rounds ended with committed artifacts trailing the
+registry (queries landed AFTER the sweeps ran), which turned the engine's
+own freshness tests red.  This script IS the round workflow's mandatory
+last step (README):
+
+    python tools/round_close.py            # full close: ~15-20 min
+    python tools/round_close.py --quick    # skip the sf0.1 sweeps (~5 min)
+
+Order matters — artifacts first, pytest last, so the freshness tests run
+against what was just written:
+
+1. ``tools/plan_audit.py``        → PLAN_AUDIT.md        (one row per query)
+2. ``tools/bench_slope.py``       → BENCH_ALL_sf0.01/0.1.json (two-SF sweep)
+3. ``tools/parity_check.py``      → PARITY_sf0.001/0.01/0.1.json (3-SF matrix)
+4. ``tools/bench_history.py``     → BENCH_HISTORY.json   (cross-round check)
+5. ``pytest tests/``              → the whole contract, including the
+   freshness guards over the artifacts written in 1-4.
+
+Refuses (non-zero exit) on the FIRST failing step.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(label: str, cmd: list[str]) -> None:
+    print(f"\n=== round_close: {label}: {' '.join(cmd)}", flush=True)
+    t0 = time.perf_counter()
+    proc = subprocess.run(cmd, cwd=REPO)
+    dt = time.perf_counter() - t0
+    if proc.returncode != 0:
+        print(
+            f"round_close: REFUSED at step '{label}' "
+            f"(exit {proc.returncode} after {dt:.0f}s)",
+            file=sys.stderr,
+        )
+        sys.exit(proc.returncode)
+    print(f"=== round_close: {label} OK ({dt:.0f}s)", flush=True)
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    py = sys.executable
+    run("plan audit", [py, "tools/plan_audit.py"])
+    if quick:
+        print("round_close: --quick: keeping committed BENCH_ALL artifacts")
+        run("bench slope (check only)", [py, "tools/bench_slope.py", "--check"])
+    else:
+        run("bench slope (two-SF sweep)", [py, "tools/bench_slope.py"])
+    parity_dirs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    if not quick:
+        parity_dirs.append("/root/testdata/sf0.1")
+    run("parity matrix", [py, "tools/parity_check.py", *parity_dirs])
+    run("bench history", [py, "tools/bench_history.py"])
+    run("pytest", [py, "-m", "pytest", "tests/", "-q", "-x"])
+    print("\nround_close: ALL GREEN — safe to commit the round snapshot.")
+
+
+if __name__ == "__main__":
+    main()
