@@ -204,17 +204,19 @@ def q102_decay_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact BIGINT sums (cents × powers of two), so ``smoothed`` is one
     identical IEEE division in both engines.  Rows whose observed value
     deviates from the smoothed level by more than the cutoff are reported.
-    One window shuffle on the series key; lags are a single pass."""
+    Lags come from the scalable ``grouped_lags`` (ordinals via range
+    exchange, lag-j as an equijoin on (series, ordinal−j)) — event_type
+    has only five values, so a lag window would funnel a fifth of the
+    event stream through one task at 100 TB."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_lags
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     base = ev.select(
         "event_type", "event_id", "ts", "value", _cents(F.col("value")).alias("cents")
     )
-    lag_cols = [
-        (F.lag("cents", k).over(w) if k else F.col("cents")).alias(f"lag_{k}")
-        for k in range(SMOOTHER_TAPS)
-    ]
-    lagged = base.select("event_type", "event_id", "ts", "value", *lag_cols)
+    lagged = grouped_lags(
+        base, "event_type", ["ts", "event_id"], "cents", SMOOTHER_TAPS - 1
+    ).withColumn("lag_0", F.col("cents"))
     num = sum(
         (
             F.coalesce(F.col(f"lag_{k}"), F.lit(0))

@@ -458,6 +458,69 @@ def grouped_ntile(
     return ranked.withColumn(out_col, tile.cast("int"))
 
 
+def grouped_lags(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    n_lags: int,
+    out_prefix: str = "lag_",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``LAG(value, j) OVER (PARTITION BY group ORDER BY …)`` for
+    j = 1..k without a per-group single-task sort — closes the last
+    few-group window hazard class (sequential lag taps, e.g. the q102
+    EWMA smoother over five event_type series).
+
+    A lag is not rank arithmetic, so :func:`grouped_row_ids` alone can't
+    produce it — but it reduces lags to an EQUIJOIN: with contiguous
+    per-group ordinals ``r``, ``lag_j(row r) = value(row r − j)``.  Each
+    row therefore publishes its value to ordinals r+1..r+k (one explode,
+    k small), the copies are folded to one row per (group, ordinal) by a
+    conditional aggregate, and a left join on (group, ordinal) — a
+    high-cardinality composite key, never a per-group hotspot — attaches
+    all k lags at once.  First-j rows of a group get NULL lag_j, exactly
+    the window semantics.
+
+    Cost: ~k× the input flows through one extra aggregate + join — linear
+    and fully parallel, the scale trade for removing the single-task
+    sort.  Requires the :func:`grouped_row_ids` contracts (string group,
+    total order) and an integral/atomic ``value_col``."""
+    ranked = grouped_row_ids(
+        df,
+        group_col,
+        order_cols,
+        num_partitions=num_partitions,
+        ordinal_col="_lr",
+        total_col="_ln",
+    )
+    lag_js = list(range(1, n_lags + 1))
+    shifted = ranked.select(
+        F.col(group_col),
+        F.col("_lr"),
+        F.col(value_col),
+    ).select(
+        group_col,
+        F.explode(F.array(*[F.lit(j) for j in lag_js])).alias("_j"),
+        "_lr",
+        value_col,
+    ).select(
+        group_col,
+        (F.col("_lr") + F.col("_j")).alias("_lr"),
+        "_j",
+        F.col(value_col),
+    )
+    lagtab = shifted.groupBy(group_col, "_lr").agg(
+        *[
+            F.max(F.when(F.col("_j") == j, F.col(value_col))).alias(
+                f"{out_prefix}{j}"
+            )
+            for j in lag_js
+        ]
+    )
+    return ranked.join(lagtab, [group_col, "_lr"], "left").drop("_lr", "_ln")
+
+
 def grouped_running_sum(
     df: DataFrame,
     group_col: str,

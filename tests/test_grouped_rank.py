@@ -191,6 +191,7 @@ def test_rebased_r9_queries_have_no_fewgroup_window(spark, sf_dir):
         "q43_percentiles_exact": "l_returnflag",
         "q151_winsorized_stats": "l_returnflag",
         "q104_iqr_outliers": "event_type",
+        "q102_decay_smoother": "event_type",
         "q81_relative_rank": "o_orderpriority",
         "q148_top_quarter_supplier": None,  # empty-frame window gone entirely
     }
@@ -207,3 +208,27 @@ def test_rebased_r9_queries_have_no_fewgroup_window(spark, sf_dir):
                 )
             # other windows (e.g. q100's _digest dedup) partition on
             # high-cardinality keys — audited safe in COVERAGE.md
+
+
+def test_grouped_lags_match_window_lag(spark):
+    """grouped_lags == LAG(value, j) OVER (PARTITION BY g ORDER BY v, id)
+    for j = 1..3 on skewed groups, including NULLs for the first-j rows
+    of each group."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_lags
+
+    df = _skewed_df(spark).withColumn("val", (F.length("id") * 3 + F.col("v")))
+    got = {
+        r.id: (r.lag_1, r.lag_2, r.lag_3)
+        for r in grouped_lags(
+            df, "g", ["v", "id"], "val", 3, num_partitions=16
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        r.id: (r.l1, r.l2, r.l3)
+        for r in df.withColumn("l1", F.lag("val", 1).over(w))
+        .withColumn("l2", F.lag("val", 2).over(w))
+        .withColumn("l3", F.lag("val", 3).over(w))
+        .collect()
+    }
+    assert got == want
