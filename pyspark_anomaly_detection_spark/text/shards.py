@@ -570,11 +570,11 @@ def grouped_running_sum(
     )
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     keys = [F.col(group_col), *ocols]
-    part = tracked_persist(
-        df.repartitionByRange(n_parts, *keys).sortWithinPartitions(
-            F.col(group_col), *ocols
-        )
-    )
+    # No sortWithinPartitions here (unlike grouped_row_ids): the
+    # per-(pid, group) partial sums are order-independent and the local
+    # window sorts its own partitions — the range exchange alone gives
+    # the contiguity the offset map needs.
+    part = tracked_persist(df.repartitionByRange(n_parts, *keys))
     pid = F.spark_partition_id()
     with_pid = part.withColumn("_pid", pid)
     stats = (
