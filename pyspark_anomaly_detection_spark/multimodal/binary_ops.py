@@ -1339,3 +1339,269 @@ def q201_resize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------- q208
+# Perceptual-hash (dHash) image dedup: the multimodal near-dup operator.
+# Images are 32×32 grayscale-in-RGB PNGs whose pixel value is
+# (x·y·k) % 200 + s with k = (doc_id % 5) + 2 (five structure classes)
+# and s = (doc_id % 3)·20 (three brightness variants).  Because the
+# shift s never wraps (max 199 + 40 < 256), adjacent-pixel ORDERINGS are
+# s-invariant — so the dHash collapses brightness variants of the same
+# structure to ONE hash, which is exactly what perceptual hashing is
+# for, while exact byte hashes keep all 15 (k, s) images distinct.  The
+# whole pipeline (encode → real PNG decode → pixel-center NN downsample
+# → 56-bit dHash → census) is closed-form in doc_id, so DuckDB verifies
+# it without seeing a byte (the q189/q198 binary-oracle pattern).
+
+_PHASH_WH = 32  # square source image
+_PHASH_T = 8  # downsample grid (8×8 → 7 comparisons × 8 rows = 56 bits)
+
+
+def phash_png_media_from_documents(
+    docs: DataFrame, every: int = _FLAT_EVERY
+) -> DataFrame:
+    """Structured-texture PNG payloads for the dHash census (see module
+    comment above for the closed pixel form)."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                k = did % 5 + 2
+                s = (did % 3) * 20
+                xy = np.arange(_PHASH_WH, dtype=np.int64)
+                gray = ((np.outer(xy, xy) * k) % 200 + s).astype(np.uint8)
+                img = np.repeat(gray[:, :, None], 3, axis=2)
+                payloads.append(encode_png(img, filter_type=did % 5))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % every == 0)
+        .select("doc_id")
+        .mapInPandas(run, schema="media_id long, payload binary")
+    )
+
+
+def dhash56(arr) -> int:
+    """56-bit difference hash of an RGB array: pixel-center NN downsample
+    to the 8×8 grid (the q201 rule sy = ⌊(2y+1)·H/(2T)⌋), then
+    bit(j·7+i) = 1 iff gray[j, i+1] > gray[j, i]."""
+    import numpy as np
+
+    g = arr[:, :, 0].astype(np.int64)
+    ys = ((2 * np.arange(_PHASH_T) + 1) * g.shape[0]) // (2 * _PHASH_T)
+    xs = ((2 * np.arange(_PHASH_T) + 1) * g.shape[1]) // (2 * _PHASH_T)
+    small = g[np.ix_(ys, xs)]
+    bits = small[:, 1:] > small[:, :-1]
+    h = 0
+    for j in range(_PHASH_T):
+        for i in range(_PHASH_T - 1):
+            if bits[j, i]:
+                h |= 1 << (j * (_PHASH_T - 1) + i)
+    return h
+
+
+def image_dhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, dhash, img_key) for the synthesized census corpus:
+    real PNG decode → 56-bit dHash + exact-bytes md5 key, distributed."""
+    import hashlib
+
+    from pyspark_anomaly_detection_spark.multimodal.codecs import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    arr = decode_image(bytes(payload))
+                    rows.append(
+                        (
+                            mid,
+                            dhash56(arr),
+                            hashlib.md5(bytes(payload)).hexdigest(),
+                        )
+                    )
+                except Exception:  # noqa: BLE001 - census robustness
+                    rows.append((mid, -1, ""))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "dhash", "img_key"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = phash_png_media_from_documents(docs)
+    return media.mapInPandas(
+        run, schema="media_id long, dhash long, img_key string"
+    )
+
+
+
+
+@register(
+    "q208_image_dhash_dedup_census",
+    python_lane=True,
+    # Closed form: with W = H = 32, T = 8 the sampled coordinate is
+    # s(i) = ⌊(2i+1)·32/16⌋ = 4i+2, so the sampled gray is
+    # ((4i+2)(4j+2)k) % 200 (+ s, which never changes an ordering).
+    # The oracle computes each k-class's 56-bit hash from that form and
+    # groups the sampled docs by it — hashing the same integers the real
+    # decode produces only if every stage (PNG filters, NN downsample,
+    # comparison bit packing) is byte-exact.
+    oracle=f"""
+    WITH ks AS (SELECT unnest(range(2, 7)) AS k),
+    grid AS (
+      SELECT i.i AS i, j.j AS j
+      FROM (SELECT unnest(range({_PHASH_T - 1})) AS i) i,
+           (SELECT unnest(range({_PHASH_T})) AS j) j
+    ),
+    hashes AS (
+      SELECT k,
+        CAST(SUM(CASE WHEN ((4*(i+1)+2) * (4*j+2) * k) % 200
+                    > ((4*i+2) * (4*j+2) * k) % 200
+                 THEN (CAST(1 AS BIGINT) << (j*{_PHASH_T - 1}+i))
+                 ELSE 0 END) AS BIGINT) AS dhash
+      FROM ks, grid GROUP BY k
+    ),
+    docs_k AS (
+      SELECT doc_id, (doc_id % 5) + 2 AS k, doc_id % 3 AS s
+      FROM documents WHERE doc_id % {_FLAT_EVERY} = 0
+    )
+    SELECT h.dhash AS dhash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT d.k * 10 + d.s) AS BIGINT) AS n_images,
+           CAST(MIN(d.doc_id) AS BIGINT) AS min_doc
+    FROM docs_k d JOIN hashes h ON d.k = h.k
+    GROUP BY h.dhash
+    ORDER BY min_doc
+    """,
+)
+def q208_image_dhash_dedup_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual near-dup image census: real PNG decode → dHash →
+    group.  Brightness variants (same k, different s — distinct bytes,
+    distinct exact hashes) collapse to one dHash; distinct structures
+    (different k) stay apart.  n_docs counts collapsed docs per
+    perceptual hash, n_images the distinct exact images it absorbed."""
+    hashed = image_dhashes(spark, sf_dir)
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("img_key").alias("n_images"),
+            F.min("media_id").alias("min_doc"),
+        )
+        .orderBy("min_doc")
+    )
+
+
+def dhash_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Hamming-radius self-join over perceptual hashes WITHOUT all-pairs:
+    split the 56-bit hash into ``max_hamming + 1`` bands — by pigeonhole
+    any pair within the radius matches EXACTLY on at least one band, so
+    a band-equality equi-join (high-cardinality key, shuffle-friendly)
+    produces a complete candidate set, then one JVM ``bit_count(a XOR
+    b)`` verifies.  The image twin of MinHash banding: linear in N for
+    non-degenerate hash distributions, never a cartesian product."""
+    n_bands = max_hamming + 1
+    total_bits = _PHASH_T * (_PHASH_T - 1)
+    band_bits = -(-total_bits // n_bands)  # ceil
+    mask = (1 << band_bits) - 1
+    bands = hashes.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(*[F.lit(b) for b in range(n_bands)])
+        ).alias("_band"),
+    ).withColumn(
+        "_bv",
+        F.expr(f"shiftright({hash_col}, _band * {band_bits}) & {mask}"),
+    )
+    left = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("h_a"),
+        "_band",
+        "_bv",
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("h_b"),
+        "_band",
+        "_bv",
+    )
+    cand = (
+        left.join(right, ["_band", "_bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+@register(
+    "q209_image_neardup_pair_histogram",
+    python_lane=True,
+    # The oracle recomputes every pairwise Hamming distance from the
+    # closed-form hashes with an ALL-PAIRS join (fine at oracle scale) —
+    # while the Spark side uses the pigeonhole band join.  A green hash
+    # therefore proves the banding's candidate set is COMPLETE at the
+    # radius, end-to-end through the real decode, not just on fixtures.
+    oracle=f"""
+    WITH ks AS (SELECT unnest(range(2, 7)) AS k),
+    grid AS (
+      SELECT i.i AS i, j.j AS j
+      FROM (SELECT unnest(range({_PHASH_T - 1})) AS i) i,
+           (SELECT unnest(range({_PHASH_T})) AS j) j
+    ),
+    hashes AS (
+      SELECT k,
+        CAST(SUM(CASE WHEN ((4*(i+1)+2) * (4*j+2) * k) % 200
+                    > ((4*i+2) * (4*j+2) * k) % 200
+                 THEN (CAST(1 AS BIGINT) << (j*{_PHASH_T - 1}+i))
+                 ELSE 0 END) AS BIGINT) AS dhash
+      FROM ks, grid GROUP BY k
+    ),
+    doc_hash AS (
+      SELECT d.doc_id, h.dhash
+      FROM (SELECT doc_id, (doc_id % 5) + 2 AS k FROM documents
+            WHERE doc_id % {_FLAT_EVERY} = 0) d
+      JOIN hashes h ON d.k = h.k
+    ),
+    pairs AS (
+      SELECT bit_count(xor(a.dhash, b.dhash)) AS hamming
+      FROM doc_hash a JOIN doc_hash b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs WHERE hamming <= 4
+    GROUP BY hamming ORDER BY hamming
+    """,
+)
+def q209_image_neardup_pair_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual near-dup PAIRS at Hamming radius 4 via the pigeonhole
+    band join (dhash_near_pairs — never all-pairs on the Spark side),
+    summarized as a (hamming, n_pairs) histogram.  Brightness variants
+    of the same structure land at distance 0; distinct structures fall
+    outside the radius."""
+    hashed = image_dhashes(spark, sf_dir).select("media_id", "dhash")
+    pairs = dhash_near_pairs(hashed)
+    return (
+        pairs.groupBy(F.col("hamming").cast("long").alias("hamming"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
+    )

@@ -117,9 +117,13 @@ def replay_batches(
             )
             q.awaitTermination()
         out = spark.read.parquet(sink)
-        # Fixture-bounded collect (≤4 rows): re-create as a local relation
-        # so the temp sink can be removed before returning.
-        return spark.createDataFrame(out.collect(), out.schema)
+        # Fixture-bounded materialization (≤4 rows): re-create as a local
+        # relation so the temp sink can be removed before returning.  Via
+        # pandas/Arrow, NOT collected Rows — Row-built frames scan through
+        # applySchemaToPythonRDD, which would put a Python stage in the
+        # plan of an oracle-checked query (tests/test_plans.py contract);
+        # the Arrow path yields a JVM LocalTableScan.
+        return spark.createDataFrame(out.toPandas(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

