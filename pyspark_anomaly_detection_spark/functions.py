@@ -188,3 +188,76 @@ def _zspread_sql(x_sql: str) -> str:
 def zorder64_sql(a_sql: str, b_sql: str) -> str:
     """DuckDB SQL text for :func:`zorder64` over two expressions."""
     return f"(({_zspread_sql(a_sql)}) | (({_zspread_sql(b_sql)}) << 1))"
+
+
+def canonical_url(u: Column) -> Column:
+    """Canonical form of an http(s) URL — the web-pipeline dedup key
+    (crawls reach the same page through case variants, default ports,
+    fragments, dot segments, duplicate/trailing slashes, and reordered
+    query strings):
+
+    * fragment dropped; scheme+host lowercased; default port stripped;
+    * path: ``//+`` collapsed, ``/./`` segments removed, a trailing
+      ``/.`` or ``/`` stripped (root ``/`` kept), empty path → ``/``;
+    * query: params split on ``&``, empties dropped, sorted, rejoined.
+
+    ``..`` segments are NOT resolved (needs a fold; callers with
+    dot-dot URLs should pre-resolve).  Twin: :func:`canonical_url_sql`
+    — bit-identical text out of DuckDB, so URL-dedup censuses are
+    oracle-hashable."""
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    scheme_host = F.lower(
+        F.regexp_extract(no_frag, r"^([a-zA-Z]+://[^/?#]*)", 1)
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(scheme_host, r"^(https://[^:/]*):443$", "$1"),
+        r"^(http://[^:/]*):80$",
+        "$1",
+    )
+    rest = F.regexp_replace(no_frag, r"^[a-zA-Z]+://[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(path, r"(?:/\.)+/", "/")
+    path = F.regexp_replace(path, r"/\.$", "")
+    path = F.regexp_replace(path, r"(.+)/$", "$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qnorm = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
+    )
+    return F.concat(
+        host,
+        path,
+        F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
+    )
+
+
+def canonical_url_sql(u_sql: str) -> str:
+    """DuckDB SQL text for :func:`canonical_url` over an expression.
+    Engine deltas handled here: DuckDB needs the ``'g'`` flag for
+    global regexp_replace (Spark is global by default) and ``\\1``
+    backreferences (Spark uses ``$1``)."""
+    no_frag = f"regexp_replace(({u_sql}), '#.*$', '')"
+    scheme_host = f"lower(regexp_extract({no_frag}, '^([a-zA-Z]+://[^/?#]*)', 1))"
+    host = (
+        f"regexp_replace(regexp_replace({scheme_host}, "
+        f"'^(https://[^:/]*):443$', '\\1'), '^(http://[^:/]*):80$', '\\1')"
+    )
+    rest = f"regexp_replace({no_frag}, '^[a-zA-Z]+://[^/?#]*', '')"
+    path = f"regexp_extract({rest}, '^([^?]*)', 1)"
+    query = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    path = f"regexp_replace({path}, '/{{2,}}', '/', 'g')"
+    path = f"regexp_replace({path}, '(?:/\\.)+/', '/', 'g')"
+    path = f"regexp_replace({path}, '/\\.$', '')"
+    path = f"regexp_replace({path}, '(.+)/$', '\\1')"
+    path = f"(CASE WHEN ({path}) = '' THEN '/' ELSE ({path}) END)"
+    # COALESCE: DuckDB's array_to_string([]) is NULL, Spark's array_join
+    # of an empty array is '' — align on ''.
+    qnorm = (
+        f"COALESCE(array_to_string(list_sort(list_filter("
+        f"string_split({query}, '&'), x -> x <> '')), '&'), '')"
+    )
+    return (
+        f"({host} || {path} || "
+        f"(CASE WHEN ({qnorm}) = '' THEN '' ELSE '?' || ({qnorm}) END))"
+    )

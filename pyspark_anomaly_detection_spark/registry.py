@@ -140,6 +140,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.text.splits  # noqa: F401
     import pyspark_anomaly_detection_spark.text.stats  # noqa: F401
     import pyspark_anomaly_detection_spark.text.udtf_ops  # noqa: F401
+    import pyspark_anomaly_detection_spark.text.urls  # noqa: F401
     import pyspark_anomaly_detection_spark.windows.extra  # noqa: F401
     import pyspark_anomaly_detection_spark.windows.features  # noqa: F401
 
