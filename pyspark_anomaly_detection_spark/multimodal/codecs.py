@@ -202,14 +202,19 @@ def _filter_subimage(
 
 
 def encode_png(
-    pixels: np.ndarray, filter_type: int = 0, interlace: bool = False
+    pixels: np.ndarray,
+    filter_type: int = 0,
+    interlace: bool = False,
+    level: int = -1,
 ) -> bytes:
     """RGB (h, w, 3) or RGBA (h, w, 4) uint8 array → PNG bytes.
 
     ``filter_type`` applies the same filter (0-4) to every scanline so
     tests can exercise each decode path; real encoders pick per-row.
     ``interlace=True`` emits the Adam7 seven-pass layout (each pass its
-    own filtered sub-image)."""
+    own filtered sub-image).  ``level`` is the zlib level (−1 default;
+    0 → stored deflate blocks, making the file size a closed function
+    of the dimensions — the q212 oracle relies on that)."""
     import zlib
 
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
@@ -234,7 +239,7 @@ def encode_png(
     return (
         PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines), level))
         + _png_chunk(b"IEND", b"")
     )
 
