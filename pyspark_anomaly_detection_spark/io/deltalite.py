@@ -1,0 +1,344 @@
+"""deltalite — a minimal Delta Lake protocol writer/reader, no jars.
+
+The sandbox has no Delta jar source (COVERAGE.md S6 probe), but the
+Delta TRANSACTION PROTOCOL is public and simple at its core: a table is
+a directory of parquet files plus ``_delta_log/<version>.json`` commit
+files, each a sequence of JSON-line actions (``protocol``, ``metaData``,
+``add``, ``remove``).  The active file set at version V is the replay of
+all commits ≤ V: adds minus later removes.  This module implements that
+core with Spark + stdlib json:
+
+* :func:`write_delta` — append or overwrite commits: writes parquet
+  data files through Spark, then one atomic commit JSON with ``add``
+  actions (and ``remove`` actions for overwrite).  Protocol
+  (minReaderVersion 1, minWriterVersion 2) and metaData (schema as
+  Spark's JSON schema string) are emitted in commit 0, matching what
+  delta-standalone writes for plain tables — a real Delta reader can
+  load these tables.
+* :func:`read_delta` — replays the log (optionally to a ``version``:
+  time travel) and reads exactly the active files with the committed
+  schema.
+* :func:`delta_history` — (version, n_adds, n_removes, operation) per
+  commit.
+
+Concurrency: single-writer by design (commit N+1 is created with
+O_EXCL; a concurrent writer loses the race and raises) — the same
+optimistic-concurrency primitive real Delta uses, minus retry logic.
+
+Reference parity: the reference configures Delta sinks
+(config/spark_config.py:24-26, src/data/silver.py:56); deltalite closes
+that surface in-sandbox: transactional append/overwrite + time travel
+on plain parquet + JSON, byte-compatible with the public protocol's
+plain-table subset (no deletion vectors, no column mapping, no
+checkpoints — documented, fail-loud on encountering them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.registry import register
+
+_LOG_DIR = "_delta_log"
+
+
+def _log_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, _LOG_DIR, f"{version:020d}.json")
+
+
+def _list_versions(table_path: str) -> list[int]:
+    log = os.path.join(table_path, _LOG_DIR)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for name in os.listdir(log):
+        if name.endswith(".json"):
+            stem = name[: -len(".json")]
+            if stem.isdigit():
+                out.append(int(stem))
+        elif name.endswith(".checkpoint.parquet"):
+            raise NotImplementedError(
+                "deltalite: checkpoint files not supported (plain JSON "
+                "log replay only)"
+            )
+    return sorted(out)
+
+
+def _read_commit(table_path: str, version: int) -> list[dict[str, Any]]:
+    with open(_log_path(table_path, version)) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def write_delta(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    operation: str | None = None,
+) -> int:
+    """Commit ``df`` to the deltalite table at ``table_path``.
+
+    ``mode='append'`` adds files; ``mode='overwrite'`` also emits
+    ``remove`` actions for every previously-active file.  Returns the
+    committed version.  The data files are written into a per-commit
+    staging subdirectory (their names are committed in the log, so
+    uncommitted leftovers from a crashed writer are invisible to
+    readers — the log IS the source of truth, exactly Delta's
+    invariant)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"deltalite mode must be append|overwrite: {mode}")
+    spark = df.sparkSession
+    versions = _list_versions(table_path)
+    version = (versions[-1] + 1) if versions else 0
+
+    commit_dir = f"part-{version:05d}-{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(table_path, commit_dir)
+    df.write.mode("error").parquet(data_dir)
+
+    adds = []
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        rel = f"{commit_dir}/{name}"
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(data_dir, name)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+
+    actions: list[dict[str, Any]] = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            }
+        )
+    if mode == "overwrite" and version > 0:
+        for path in sorted(_active_files(table_path, version - 1)):
+            actions.append(
+                {"remove": {"path": path, "dataChange": True}}
+            )
+    actions.extend(adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": operation
+                or ("WRITE" if mode == "append" else "OVERWRITE"),
+                "engineInfo": "deltalite",
+            }
+        }
+    )
+
+    os.makedirs(os.path.join(table_path, _LOG_DIR), exist_ok=True)
+    # O_EXCL: optimistic concurrency — a racing writer of the same
+    # version fails here instead of clobbering the commit.
+    fd = os.open(
+        _log_path(table_path, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL
+    )
+    with os.fdopen(fd, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return version
+
+
+def _replay(
+    table_path: str, version: int | None = None
+) -> tuple[set[str], str | None]:
+    """(active relative file paths, committed schema JSON) at ``version``
+    (latest when None)."""
+    versions = _list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no deltalite log at {table_path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(
+            f"version {version} not in log (have {versions[0]}..{versions[-1]})"
+        )
+    active: set[str] = set()
+    schema_json: str | None = None
+    for v in versions:
+        if v > version:
+            break
+        for action in _read_commit(table_path, v):
+            if "metaData" in action:
+                schema_json = action["metaData"]["schemaString"]
+            elif "add" in action:
+                add = action["add"]
+                if add.get("deletionVector"):
+                    raise NotImplementedError(
+                        "deltalite: deletion vectors not supported"
+                    )
+                active.add(add["path"])
+            elif "remove" in action:
+                active.discard(action["remove"]["path"])
+            elif "protocol" in action:
+                p = action["protocol"]
+                if p.get("minReaderVersion", 1) > 1:
+                    raise NotImplementedError(
+                        f"deltalite: reader version {p['minReaderVersion']} "
+                        "features not supported"
+                    )
+    return active, schema_json
+
+
+def _active_files(table_path: str, version: int | None = None) -> set[str]:
+    return _replay(table_path, version)[0]
+
+
+def read_delta(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot (optionally time-travel) read: replay the log, read
+    exactly the active files with the committed schema.  An empty
+    active set yields an empty frame with the committed schema."""
+    from pyspark.sql.types import StructType
+
+    active, schema_json = _replay(table_path, version)
+    schema = (
+        StructType.fromJson(json.loads(schema_json)) if schema_json else None
+    )
+    if not active:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table_path, rel) for rel in sorted(active)]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*paths)
+
+
+def delta_history(table_path: str) -> list[dict[str, Any]]:
+    """(version, operation, n_adds, n_removes) per commit, oldest first."""
+    out = []
+    for v in _list_versions(table_path):
+        actions = _read_commit(table_path, v)
+        op = next(
+            (
+                a["commitInfo"].get("operation")
+                for a in actions
+                if "commitInfo" in a
+            ),
+            None,
+        )
+        out.append(
+            {
+                "version": v,
+                "operation": op,
+                "n_adds": sum(1 for a in actions if "add" in a),
+                "n_removes": sum(1 for a in actions if "remove" in a),
+            }
+        )
+    return out
+
+
+@register(
+    "q213_deltalite_time_travel",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders WHERE o_orderkey % 3 = 0
+      GROUP BY o_orderpriority
+    ),
+    appended AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders WHERE o_orderkey % 3 <= 1
+      GROUP BY o_orderpriority
+    ),
+    final AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders WHERE o_orderkey % 3 = 2
+      GROUP BY o_orderpriority
+    )
+    SELECT 0 AS version, o_orderpriority, n, total FROM base
+    UNION ALL
+    SELECT 1, o_orderpriority, n, total FROM appended
+    UNION ALL
+    SELECT 2, o_orderpriority, n, total FROM final
+    ORDER BY version, o_orderpriority
+    """,
+)
+def q213_deltalite_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional table lifecycle through the deltalite protocol:
+    commit 0 writes a third of orders, commit 1 appends another third,
+    commit 2 OVERWRITES with the final third — then every version is
+    read back via time travel and aggregated.  The oracle computes the
+    same three snapshots straight from the orders table, so a green
+    hash proves log replay (adds, removes, last-writer state) and the
+    committed-schema read are exact."""
+    import shutil
+    import tempfile
+
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="deltalite_")
+    table = os.path.join(base, "orders_t")
+    try:
+        write_delta(orders.filter(F.col("o_orderkey") % 3 == 0), table)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 3 == 1), table, mode="append"
+        )
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 3 == 2),
+            table,
+            mode="overwrite",
+        )
+
+        def snap(v: int) -> DataFrame:
+            return (
+                read_delta(spark, table, version=v)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("total"),
+                )
+                .withColumn("version", F.lit(v))
+            )
+
+        out = snap(0).unionByName(snap(1)).unionByName(snap(2))
+        result = out.select(
+            F.col("version").cast("int").alias("version"),
+            "o_orderpriority",
+            "n",
+            "total",
+        ).orderBy("version", "o_orderpriority")
+        # Materialize via Arrow before the temp table is removed (the
+        # result is a small per-priority aggregate: ≤ 3 versions × 5).
+        pdf = result.toPandas()
+        return spark.createDataFrame(pdf, result.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
