@@ -342,3 +342,141 @@ def q213_deltalite_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(pdf, result.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def last_txn_version(table_path: str, app_id: str) -> int:
+    """Highest committed ``txn`` version for ``app_id`` (-1 when none) —
+    the idempotence watermark Delta's streaming sink checks before
+    committing a micro-batch."""
+    latest = -1
+    for v in _list_versions(table_path):
+        for action in _read_commit(table_path, v):
+            if "txn" in action and action["txn"].get("appId") == app_id:
+                latest = max(latest, int(action["txn"]["version"]))
+    return latest
+
+
+def write_delta_txn(
+    df: DataFrame,
+    table_path: str,
+    app_id: str,
+    txn_version: int,
+    mode: str = "append",
+) -> int | None:
+    """Idempotent transactional commit: skip (return None) when
+    ``txn_version`` was already committed for ``app_id`` — Delta's
+    exactly-once streaming-sink contract under at-least-once replay."""
+    if last_txn_version(table_path, app_id) >= txn_version:
+        return None
+    version = write_delta(df, table_path, mode=mode, operation="STREAMING UPDATE")
+    # append the txn action to the just-written commit (single writer:
+    # the commit file is ours; rewrite is atomic enough via replace)
+    path = _log_path(table_path, version)
+    with open(path) as f:
+        lines = f.read()
+    txn = json.dumps(
+        {"txn": {"appId": app_id, "version": int(txn_version), "lastUpdated": 0}},
+        separators=(",", ":"),
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(txn + "\n" + lines)
+    os.replace(tmp, path)
+    return version
+
+
+def start_incremental_delta_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    app_id: str = "deltalite-sink",
+    available_now: bool = True,
+):
+    """Exactly-once streaming ingest into a deltalite table: each
+    micro-batch is one transactional append carrying a ``txn`` action
+    keyed (app_id, batch_id); a replayed batch finds its txn version
+    already committed and SKIPS — no duplicate rows under at-least-once
+    delivery, the semantics Delta's real streaming sink provides."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_delta_txn(batch_df, table_path, app_id, int(batch_id))
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def optimize_delta(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int | None = None,
+) -> dict[str, int]:
+    """OPTIMIZE: transactionally rewrite the active file set into
+    ``ceil(bytes/target)`` files — remove + add in ONE commit with
+    ``dataChange: false``, so concurrent readers swap atomically at the
+    log (the reader-transparent compaction ``compact_parquet``'s
+    docstring defers to a transactional format for) and time travel to
+    pre-optimize versions still works (old data files stay on disk
+    until a vacuum)."""
+    from pyspark_anomaly_detection_spark.io.maintenance import (
+        TARGET_FILE_BYTES,
+        plan_file_count,
+    )
+
+    target = target_file_bytes or TARGET_FILE_BYTES
+    versions = _list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no deltalite log at {table_path}")
+    current = versions[-1]
+    active, schema_json = _replay(table_path, current)
+    if not active:
+        return {"version": current, "files_before": 0, "files_after": 0}
+    total = sum(
+        os.path.getsize(os.path.join(table_path, rel)) for rel in active
+    )
+    n_files = plan_file_count(total, target)
+    df = read_delta(spark, table_path, version=current)
+
+    version = current + 1
+    commit_dir = f"part-{version:05d}-{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(table_path, commit_dir)
+    df.repartition(n_files).write.mode("error").parquet(data_dir)
+
+    actions: list[dict[str, Any]] = []
+    for rel in sorted(active):
+        actions.append({"remove": {"path": rel, "dataChange": False}})
+    for name in sorted(os.listdir(data_dir)):
+        if name.endswith(".parquet"):
+            rel = f"{commit_dir}/{name}"
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(data_dir, name)),
+                        "modificationTime": 0,
+                        "dataChange": False,
+                    }
+                }
+            )
+    actions.append(
+        {"commitInfo": {"operation": "OPTIMIZE", "engineInfo": "deltalite"}}
+    )
+    fd = os.open(
+        _log_path(table_path, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL
+    )
+    with os.fdopen(fd, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return {
+        "version": version,
+        "files_before": len(active),
+        "files_after": sum(
+            1 for a in actions if "add" in a
+        ),
+    }

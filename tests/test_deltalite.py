@@ -89,3 +89,68 @@ def test_missing_table_and_bad_version(spark, tmp_path):
     write_delta(_df(spark, 0, 3), t)
     with pytest.raises(ValueError, match="version 7 not in log"):
         read_delta(spark, t, version=7)
+
+
+def test_streaming_sink_exactly_once_under_replay(spark, tmp_path):
+    """foreachBatch → transactional append with a txn action: replaying
+    a committed batch must SKIP (no duplicate rows), and the accumulated
+    table must equal the batch union."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        last_txn_version,
+        start_incremental_delta_sink,
+        write_delta_txn,
+    )
+
+    raw = str(tmp_path / "raw")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    for lo, hi in ((0, 10), (10, 25), (25, 30)):
+        _df(spark, lo, hi).coalesce(1).write.mode("append").parquet(raw)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(raw).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(raw)
+    )
+    q = start_incremental_delta_sink(stream, table, ckpt, app_id="app1")
+    q.awaitTermination()
+
+    got = sorted(r.id for r in read_delta(spark, table).collect())
+    assert got == list(range(30))
+    wm = last_txn_version(table, "app1")
+    assert wm >= 2  # three batches committed
+
+    # at-least-once replay of an already-committed batch: skipped
+    before_versions = [h["version"] for h in delta_history(table)]
+    assert (
+        write_delta_txn(_df(spark, 0, 10), table, "app1", 0) is None
+    )
+    assert [h["version"] for h in delta_history(table)] == before_versions
+    assert sorted(r.id for r in read_delta(spark, table).collect()) == got
+    # a NEW txn version still commits
+    assert write_delta_txn(_df(spark, 30, 32), table, "app1", wm + 1) is not None
+    assert read_delta(spark, table).count() == 32
+
+
+def test_optimize_compacts_transactionally_and_preserves_history(
+    spark, tmp_path
+):
+    from pyspark_anomaly_detection_spark.io.deltalite import optimize_delta
+
+    t = str(tmp_path / "t")
+    for lo in range(0, 50, 10):  # five appends, >= 5 files
+        write_delta(_df(spark, lo, lo + 10).repartition(2), t, mode="append")
+    pre_rows = sorted(r.id for r in read_delta(spark, t).collect())
+    pre_version = delta_history(t)[-1]["version"]
+
+    stats = optimize_delta(spark, t)
+    assert stats["files_after"] == 1  # tiny table → one planned file
+    assert stats["files_before"] >= 5
+    # same rows after, atomically at the log
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == pre_rows
+    hist = delta_history(t)
+    assert hist[-1]["operation"] == "OPTIMIZE"
+    # time travel to pre-optimize still works (old files untouched)
+    assert (
+        sorted(r.id for r in read_delta(spark, t, version=pre_version).collect())
+        == pre_rows
+    )
