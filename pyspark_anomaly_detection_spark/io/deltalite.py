@@ -480,3 +480,122 @@ def optimize_delta(
             1 for a in actions if "add" in a
         ),
     }
+
+
+def _file_stats(path: str, cols: list[str]) -> dict[str, Any]:
+    """Per-file numRecords / minValues / maxValues straight from the
+    parquet footer (kilobytes, driver-side, bounded by the commit's
+    file count) — the ``add.stats`` payload Delta's data skipping uses."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for col in cols:
+        if col not in names:
+            continue
+        idx = names.index(col)
+        stats = [
+            md.row_group(g).column(idx).statistics
+            for g in range(md.num_row_groups)
+        ]
+        if any(s is None for s in stats):
+            continue
+        mins[col] = min(s.min for s in stats)
+        maxs[col] = max(s.max for s in stats)
+    return {
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+    }
+
+
+def annotate_stats(table_path: str, cols: list[str]) -> int:
+    """Attach ``stats`` to every active ``add`` action lacking them, as
+    one new commit that re-adds the same files with stats (dataChange
+    false) — Delta's ``COMPUTE STATISTICS``-style backfill.  Returns the
+    new version (or -1 when every active add already carries stats)."""
+    versions = _list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no deltalite log at {table_path}")
+    current = versions[-1]
+    active, _ = _replay(table_path, current)
+    # gather the latest add action per active path
+    latest_add: dict[str, dict[str, Any]] = {}
+    for v in versions:
+        for action in _read_commit(table_path, v):
+            if "add" in action and action["add"]["path"] in active:
+                latest_add[action["add"]["path"]] = action["add"]
+    missing = [p for p, a in latest_add.items() if "stats" not in a]
+    if not missing:
+        return -1
+    version = current + 1
+    actions: list[dict[str, Any]] = []
+    for rel in sorted(missing):
+        add = dict(latest_add[rel])
+        add["stats"] = json.dumps(
+            _file_stats(os.path.join(table_path, rel), cols),
+            separators=(",", ":"),
+        )
+        add["dataChange"] = False
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "COMPUTE STATS",
+                "engineInfo": "deltalite",
+            }
+        }
+    )
+    fd = os.open(
+        _log_path(table_path, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL
+    )
+    with os.fdopen(fd, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return version
+
+
+def read_delta_pruned(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo: Any,
+    hi: Any,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Stats-based DATA SKIPPING read: files whose committed
+    ``add.stats`` [min, max] envelope for ``col`` misses [lo, hi] are
+    never opened — the log-level pruning that makes a 100 TB Delta scan
+    read only the touched fraction.  Files without stats are read
+    (skipping must never drop data).  Returns (frame WITH the predicate
+    still applied row-level, {'files_total', 'files_read'})."""
+    from pyspark.sql.types import StructType
+
+    versions = _list_versions(table_path)
+    current = versions[-1] if versions else None
+    active, schema_json = _replay(table_path, current)
+    latest_add: dict[str, dict[str, Any]] = {}
+    for v in versions or []:
+        for action in _read_commit(table_path, v):
+            if "add" in action and action["add"]["path"] in active:
+                latest_add[action["add"]["path"]] = action["add"]
+    keep = []
+    for rel in sorted(active):
+        add = latest_add[rel]
+        stats = json.loads(add["stats"]) if "stats" in add else None
+        if stats and col in stats.get("minValues", {}):
+            if stats["maxValues"][col] < lo or stats["minValues"][col] > hi:
+                continue  # file's envelope misses the predicate: skip
+        keep.append(rel)
+    schema = (
+        StructType.fromJson(json.loads(schema_json)) if schema_json else None
+    )
+    meta = {"files_total": len(active), "files_read": len(keep)}
+    if not keep:
+        return spark.createDataFrame([], schema), meta
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(*[os.path.join(table_path, rel) for rel in keep])
+    return df.filter((F.col(col) >= lo) & (F.col(col) <= hi)), meta

@@ -154,3 +154,37 @@ def test_optimize_compacts_transactionally_and_preserves_history(
         sorted(r.id for r in read_delta(spark, t, version=pre_version).collect())
         == pre_rows
     )
+
+
+def test_stats_backfill_and_data_skipping(spark, tmp_path):
+    """COMPUTE STATS backfill + log-level file skipping: five sorted
+    range commits, a narrow predicate must open exactly one file and
+    still return the exact rows; files without stats are never skipped."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        annotate_stats,
+        read_delta_pruned,
+    )
+
+    t = str(tmp_path / "t")
+    for lo in range(0, 50, 10):
+        write_delta(
+            _df(spark, lo, lo + 10).coalesce(1), t, mode="append"
+        )
+
+    # without stats: nothing skipped, but results still exact
+    df0, meta0 = read_delta_pruned(spark, t, "id", 23, 26)
+    assert meta0 == {"files_total": 5, "files_read": 5}
+    assert sorted(r.id for r in df0.collect()) == [23, 24, 25, 26]
+
+    v = annotate_stats(t, ["id"])
+    assert v > 0
+    assert annotate_stats(t, ["id"]) == -1  # idempotent: all covered
+
+    df1, meta1 = read_delta_pruned(spark, t, "id", 23, 26)
+    assert meta1 == {"files_total": 5, "files_read": 1}
+    assert sorted(r.id for r in df1.collect()) == [23, 24, 25, 26]
+
+    # disjoint predicate: zero files opened, empty frame, schema kept
+    df2, meta2 = read_delta_pruned(spark, t, "id", 900, 950)
+    assert meta2["files_read"] == 0
+    assert df2.count() == 0 and df2.schema.fieldNames() == ["id", "v"]
