@@ -209,15 +209,21 @@ def test_ols_trend_partial_aggregation(spark, sf_dir):
     assert plans.has_partial_aggregation(df), plans.formatted_plan(df)
 
 
-def test_iqr_outliers_single_hash_exchange(spark, sf_dir):
-    """q104's ranking windows and final aggregation share the event_type
-    partitioning: exactly one hash exchange (the trailing range exchange
-    is the 5-row output sort)."""
+def test_iqr_outliers_scalable_rank_shape(spark, sf_dir):
+    """q104 was rebased (round 9) from a per-event_type window — five
+    groups over the raw event stream, one giant task each at 100 TB —
+    onto grouped_row_ids: the plan must contain the RANGE exchange on
+    (event_type, value…), NO windowspec partitioned by event_type
+    alone, and a broadcast join carrying the 5-row quartile dimension
+    back."""
     import re
 
     plan = plans.formatted_plan(q("q104_iqr_outliers")(spark, sf_dir))
-    hash_exchanges = re.findall(r"Arguments: hashpartitioning\(", plan)
-    assert len(hash_exchanges) == 1, plan
+    lower = plan.lower()
+    assert "rangepartitioning(event_type" in lower, plan
+    assert "broadcast" in lower, plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", lower):
+        assert "event_type" not in spec or "_pid" in spec, spec
 
 
 def test_decay_smoother_stays_on_jvm(spark, sf_dir):
