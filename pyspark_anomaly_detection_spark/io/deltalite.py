@@ -75,11 +75,58 @@ def _read_commit(table_path: str, version: int) -> list[dict[str, Any]]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def _schema_evolution(
+    committed_json: str | None, df: DataFrame, merge_schema: bool
+) -> str | None:
+    """Validate ``df``'s schema against the committed one; return the
+    NEW schemaString to commit when evolution is needed (None when the
+    committed schema already covers the frame).
+
+    Delta's ``mergeSchema`` rules, plain-table subset: new TRAILING
+    columns are allowed with ``merge_schema=True`` (old files read the
+    added columns as NULL); a type change or a dropped committed column
+    is incompatible and raises; without ``merge_schema`` any difference
+    raises — never a silently mixed table."""
+    if committed_json is None:
+        return None
+    committed = {
+        f["name"]: f["type"]
+        for f in json.loads(committed_json)["fields"]
+    }
+    incoming = {
+        f.name: json.loads(f.dataType.json())
+        if f.dataType.typeName() in ("struct", "array", "map")
+        else f.dataType.typeName()
+        for f in df.schema.fields
+    }
+    changed = [
+        n
+        for n, t in incoming.items()
+        if n in committed and committed[n] != t
+    ]
+    dropped = [n for n in committed if n not in incoming]
+    added = [n for n in incoming if n not in committed]
+    if changed or dropped:
+        raise ValueError(
+            f"deltalite: incompatible schema change (changed types: "
+            f"{changed}, missing committed columns: {dropped})"
+        )
+    if not added:
+        return None
+    if not merge_schema:
+        raise ValueError(
+            f"deltalite: new columns {added} need merge_schema=True "
+            "(Delta's mergeSchema contract)"
+        )
+    return df.schema.json()
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
     operation: str | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to the deltalite table at ``table_path``.
 
@@ -89,12 +136,18 @@ def write_delta(
     staging subdirectory (their names are committed in the log, so
     uncommitted leftovers from a crashed writer are invisible to
     readers — the log IS the source of truth, exactly Delta's
-    invariant)."""
+    invariant).  ``merge_schema=True`` permits ADDING columns (the
+    commit carries an updated metaData action; old files read the new
+    columns as NULL); type changes and dropped columns always raise."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"deltalite mode must be append|overwrite: {mode}")
     spark = df.sparkSession
     versions = _list_versions(table_path)
     version = (versions[-1] + 1) if versions else 0
+    evolved_schema: str | None = None
+    if versions:
+        _, committed_json = _replay(table_path, versions[-1])
+        evolved_schema = _schema_evolution(committed_json, df, merge_schema)
 
     commit_dir = f"part-{version:05d}-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_path, commit_dir)
@@ -128,6 +181,19 @@ def write_delta(
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            }
+        )
+    if evolved_schema is not None:
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": evolved_schema,
                     "partitionColumns": [],
                     "configuration": {},
                     "createdTime": 0,

@@ -188,3 +188,37 @@ def test_stats_backfill_and_data_skipping(spark, tmp_path):
     df2, meta2 = read_delta_pruned(spark, t, "id", 900, 950)
     assert meta2["files_read"] == 0
     assert df2.count() == 0 and df2.schema.fieldNames() == ["id", "v"]
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """mergeSchema contract: adding a trailing column requires
+    merge_schema=True, updates the committed schema, and old files read
+    the new column as NULL; type changes and drops always raise."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 5), t)
+    wider = _df(spark, 5, 8).withColumn("tag", F.lit("x"))
+
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        write_delta(wider, t, mode="append")
+    write_delta(wider, t, mode="append", merge_schema=True)
+
+    out = read_delta(spark, t)
+    assert out.schema.fieldNames() == ["id", "v", "tag"]
+    rows = {r.id: r.tag for r in out.collect()}
+    assert rows[0] is None and rows[7] == "x"
+    assert out.count() == 8
+
+    # dropped column: incompatible even with merge_schema
+    with pytest.raises(ValueError, match="missing committed columns"):
+        write_delta(
+            _df(spark, 8, 9).drop("v"), t, mode="append", merge_schema=True
+        )
+    # type change: incompatible
+    with pytest.raises(ValueError, match="changed types"):
+        write_delta(
+            _df(spark, 8, 9).withColumn("v", F.col("v").cast("string"))
+            .withColumn("tag", F.lit("y")),
+            t,
+            mode="append",
+            merge_schema=True,
+        )
