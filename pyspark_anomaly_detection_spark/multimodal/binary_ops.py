@@ -1598,7 +1598,13 @@ def q209_image_neardup_pair_histogram(
     summarized as a (hamming, n_pairs) histogram.  Brightness variants
     of the same structure land at distance 0; distinct structures fall
     outside the radius."""
-    hashed = image_dhashes(spark, sf_dir).select("media_id", "dhash")
+    from pyspark_anomaly_detection_spark.cachepool import tracked_persist
+
+    # persist: the band self-join reads the decoded-hash frame on BOTH
+    # sides — without this the PNG decode pipeline runs twice
+    hashed = tracked_persist(
+        image_dhashes(spark, sf_dir).select("media_id", "dhash")
+    )
     pairs = dhash_near_pairs(hashed)
     return (
         pairs.groupBy(F.col("hamming").cast("long").alias("hamming"))

@@ -97,6 +97,13 @@ def replay_batches(
     ckpt = os.path.join(base, "ckpt")
     sink = os.path.join(base, "sink")
     os.makedirs(src)
+    # The fixture is ≤7 rows; the session default (32 shuffle partitions,
+    # which also sizes the streaming state store) makes each of the six
+    # micro-batch runs pay ~32 empty-task state commits.  Shrink for the
+    # replay, restore after — the checkpoint is private to this call, so
+    # the pinned state-partition count never leaks to another query.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         for rows in batches:
             spark.createDataFrame(
@@ -125,6 +132,7 @@ def replay_batches(
         # the Arrow path yields a JVM LocalTableScan.
         return spark.createDataFrame(out.toPandas(), out.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
 
 
