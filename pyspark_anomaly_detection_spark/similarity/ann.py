@@ -533,3 +533,81 @@ def q140_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return pq_ann_topk(queries, emb).orderBy("query_id", "rk")
+
+
+@register(
+    "q214_hard_negative_mining",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS anchor_label,
+             embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    c AS (
+      SELECT vec_id AS cand_id, label AS neg_label,
+             embedding::DOUBLE[] AS cvec
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT
+        query_id, anchor_label, cand_id, neg_label,
+        list_dot_product(qvec, cvec)
+          / (sqrt(list_dot_product(qvec, qvec))
+             * sqrt(list_dot_product(cvec, cvec))) AS cos_sim
+      FROM c JOIN q ON anchor_label <> neg_label
+    )
+    SELECT query_id, CAST(anchor_label AS BIGINT) AS anchor_label,
+           cand_id, CAST(neg_label AS BIGINT) AS neg_label, cos_sim, rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
+      ) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3
+    ORDER BY query_id, rk
+    """,
+)
+def q214_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training: per sampled anchor,
+    the 3 most-similar vectors with a DIFFERENT label — the
+    embedding-space examples a contrastive loss learns most from (the
+    ANN-driven twin of q121's hash-random negatives).  Same exact-parity
+    arithmetic as q37 (left-fold dots, one IEEE division); the label
+    inequality subsumes the self-pair exclusion.  Scale path: swap the
+    broadcast-anchor exact scan for the IVF/LSH candidate generation
+    (q38/q53) with the same label filter on the shortlist."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").cast("long").alias("anchor_label"),
+            _as_double(F.col("embedding")).alias("qvec"),
+        )
+        .withColumn("qnorm", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").cast("long").alias("neg_label"),
+        _as_double(F.col("embedding")).alias("cvec"),
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            "query_id",
+            "anchor_label",
+            "cand_id",
+            "neg_label",
+            (
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("query_id", "rk")
+    )

@@ -453,6 +453,8 @@ def test_no_cartesian_or_nested_loop_in_oracle_queries(spark, sf_dir):
         "q45_levenshtein_pairs",    # `<` self-join on a keyed sample
         "q52_embedding_neardup",    # exact oracle baseline (size-guarded)
         "q183_semantic_dedup_keep",  # q52's dispatch feeding components
+        "q214_hard_negative_mining",  # broadcast anchor-matrix scorer
+        #                               (q37's shape + label filter)
     }
     allowed = allowed_scalar_broadcast | allowed_theta
     offenders = []
