@@ -127,6 +127,8 @@ def write_delta(
     mode: str = "append",
     operation: str | None = None,
     merge_schema: bool = False,
+    partition_by: list[str] | None = None,
+    replace_where: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to the deltalite table at ``table_path``.
 
@@ -138,70 +140,111 @@ def write_delta(
     readers — the log IS the source of truth, exactly Delta's
     invariant).  ``merge_schema=True`` permits ADDING columns (the
     commit carries an updated metaData action; old files read the new
-    columns as NULL); type changes and dropped columns always raise."""
+    columns as NULL); type changes and dropped columns always raise.
+
+    ``partition_by`` (commit 0 only) lays data out Hive-style; every
+    ``add`` carries its ``partitionValues`` so reads prune and
+    reconstruct the columns from the log.  ``replace_where`` — Delta's
+    ``replaceWhere``: an overwrite scoped to the partitions matching
+    the given column→value map; rows of ``df`` OUTSIDE the scope make
+    the commit raise (the Delta constraint), so a partition overwrite
+    can never leak rows into foreign partitions."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"deltalite mode must be append|overwrite: {mode}")
     spark = df.sparkSession
     versions = _list_versions(table_path)
     version = (versions[-1] + 1) if versions else 0
     evolved_schema: str | None = None
+    part_cols: list[str] = list(partition_by or [])
     if versions:
         _, committed_json = _replay(table_path, versions[-1])
+        committed_parts = _replay_adds(table_path, versions[-1])[2]
+        if partition_by is not None and list(partition_by) != committed_parts:
+            raise ValueError(
+                f"deltalite: partition_by {partition_by} conflicts with the "
+                f"committed layout {committed_parts}"
+            )
+        part_cols = committed_parts
         evolved_schema = _schema_evolution(committed_json, df, merge_schema)
+    if replace_where:
+        unknown = set(replace_where) - set(part_cols)
+        if unknown:
+            raise ValueError(
+                f"replace_where on non-partition columns: {sorted(unknown)}"
+            )
+        scope = None
+        for c, v in replace_where.items():
+            cond = F.col(c).cast("string") == F.lit(v)
+            scope = cond if scope is None else (scope & cond)
+        stray = df.filter(~scope).limit(1).count()
+        if stray:
+            raise ValueError(
+                "replace_where: dataframe contains rows outside the "
+                f"replaced scope {replace_where} (Delta's replaceWhere "
+                "constraint)"
+            )
+        mode = "overwrite"
 
     commit_dir = f"part-{version:05d}-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_path, commit_dir)
-    df.write.mode("error").parquet(data_dir)
+    writer = df.write.mode("error")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(data_dir)
 
     adds = []
-    for name in sorted(os.listdir(data_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        rel = f"{commit_dir}/{name}"
-        adds.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(data_dir, name)),
-                    "modificationTime": 0,
-                    "dataChange": True,
+    for root, _dirs, files in os.walk(data_dir):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table_path)
+            pvals = {}
+            for seg in os.path.relpath(root, data_dir).split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    pvals[k] = v
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(full),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
                 }
+            )
+    adds.sort(key=lambda a: a["add"]["path"])
+
+    def _meta(schema_string: str) -> dict[str, Any]:
+        return {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": 0,
             }
-        )
+        }
 
     actions: list[dict[str, Any]] = []
     if version == 0:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
         )
-        actions.append(
-            {
-                "metaData": {
-                    "id": uuid.uuid4().hex,
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
-                    "partitionColumns": [],
-                    "configuration": {},
-                    "createdTime": 0,
-                }
-            }
-        )
+        actions.append(_meta(df.schema.json()))
     if evolved_schema is not None:
-        actions.append(
-            {
-                "metaData": {
-                    "id": uuid.uuid4().hex,
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": evolved_schema,
-                    "partitionColumns": [],
-                    "configuration": {},
-                    "createdTime": 0,
-                }
-            }
-        )
+        actions.append(_meta(evolved_schema))
     if mode == "overwrite" and version > 0:
-        for path in sorted(_active_files(table_path, version - 1)):
+        prior_adds, _, _ = _replay_adds(table_path, version - 1)
+        for path in sorted(prior_adds):
+            if replace_where and not all(
+                prior_adds[path].get("partitionValues", {}).get(c) == v
+                for c, v in replace_where.items()
+            ):
+                continue  # replaceWhere: out-of-scope partitions survive
             actions.append(
                 {"remove": {"path": path, "dataChange": True}}
             )
@@ -228,11 +271,12 @@ def write_delta(
     return version
 
 
-def _replay(
+def _replay_adds(
     table_path: str, version: int | None = None
-) -> tuple[set[str], str | None]:
-    """(active relative file paths, committed schema JSON) at ``version``
-    (latest when None)."""
+) -> tuple[dict[str, dict[str, Any]], str | None, list[str]]:
+    """(active adds by relative path — LATEST add action per path —
+    committed schema JSON, partition columns) at ``version`` (latest
+    when None)."""
     versions = _list_versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no deltalite log at {table_path}")
@@ -242,23 +286,25 @@ def _replay(
         raise ValueError(
             f"version {version} not in log (have {versions[0]}..{versions[-1]})"
         )
-    active: set[str] = set()
+    adds: dict[str, dict[str, Any]] = {}
     schema_json: str | None = None
+    part_cols: list[str] = []
     for v in versions:
         if v > version:
             break
         for action in _read_commit(table_path, v):
             if "metaData" in action:
                 schema_json = action["metaData"]["schemaString"]
+                part_cols = action["metaData"].get("partitionColumns", [])
             elif "add" in action:
                 add = action["add"]
                 if add.get("deletionVector"):
                     raise NotImplementedError(
                         "deltalite: deletion vectors not supported"
                     )
-                active.add(add["path"])
+                adds[add["path"]] = add
             elif "remove" in action:
-                active.discard(action["remove"]["path"])
+                adds.pop(action["remove"]["path"], None)
             elif "protocol" in action:
                 p = action["protocol"]
                 if p.get("minReaderVersion", 1) > 1:
@@ -266,32 +312,97 @@ def _replay(
                         f"deltalite: reader version {p['minReaderVersion']} "
                         "features not supported"
                     )
-    return active, schema_json
+    return adds, schema_json, part_cols
+
+
+def _replay(
+    table_path: str, version: int | None = None
+) -> tuple[set[str], str | None]:
+    adds, schema_json, _ = _replay_adds(table_path, version)
+    return set(adds), schema_json
 
 
 def _active_files(table_path: str, version: int | None = None) -> set[str]:
     return _replay(table_path, version)[0]
 
 
-def read_delta(
-    spark: SparkSession, table_path: str, version: int | None = None
+def _read_adds(
+    spark: SparkSession,
+    table_path: str,
+    adds: dict[str, dict[str, Any]],
+    schema_json: str | None,
+    part_cols: list[str],
 ) -> DataFrame:
-    """Snapshot (optionally time-travel) read: replay the log, read
-    exactly the active files with the committed schema.  An empty
-    active set yields an empty frame with the committed schema."""
+    """Read the given active adds with the committed schema, injecting
+    partition values (the data files of a partitioned table do NOT
+    contain the partition columns — readers reconstruct them from
+    ``add.partitionValues``, exactly as Delta does).  One read per
+    distinct partition tuple, unioned — bounded by partition count."""
     from pyspark.sql.types import StructType
 
-    active, schema_json = _replay(table_path, version)
     schema = (
         StructType.fromJson(json.loads(schema_json)) if schema_json else None
     )
-    if not active:
+    if not adds:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_path, rel) for rel in sorted(active)]
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    return reader.parquet(*paths)
+    if not part_cols:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(
+            *[os.path.join(table_path, rel) for rel in sorted(adds)]
+        )
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    by_part: dict[tuple, list[str]] = {}
+    for rel in sorted(adds):
+        pv = adds[rel].get("partitionValues", {})
+        key = tuple(pv.get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(rel)
+    parts = []
+    for key, rels in sorted(by_part.items()):
+        df = spark.read.schema(data_schema).parquet(
+            *[os.path.join(table_path, rel) for rel in rels]
+        )
+        for col, val in zip(part_cols, key):
+            ftype = schema[col].dataType
+            df = df.withColumn(col, F.lit(val).cast(ftype))
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_delta(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    partition_filter: dict[str, str] | None = None,
+) -> DataFrame:
+    """Snapshot (optionally time-travel) read: replay the log, read
+    exactly the active files with the committed schema, reconstructing
+    partition columns from ``add.partitionValues``.  An empty active
+    set yields an empty frame with the committed schema.
+    ``partition_filter`` prunes at the LOG level: files of non-matching
+    partitions are never opened."""
+    adds, schema_json, part_cols = _replay_adds(table_path, version)
+    if partition_filter:
+        unknown = set(partition_filter) - set(part_cols)
+        if unknown:
+            raise ValueError(
+                f"partition_filter on non-partition columns: {sorted(unknown)}"
+            )
+        adds = {
+            rel: a
+            for rel, a in adds.items()
+            if all(
+                a.get("partitionValues", {}).get(c) == v
+                for c, v in partition_filter.items()
+            )
+        }
+    return _read_adds(spark, table_path, adds, schema_json, part_cols)
 
 
 def delta_history(table_path: str) -> list[dict[str, Any]]:

@@ -222,3 +222,63 @@ def test_schema_evolution_add_column(spark, tmp_path):
             mode="append",
             merge_schema=True,
         )
+
+
+def test_partitioned_table_replace_where_and_pruning(spark, tmp_path):
+    """Hive-style partitioned deltalite: partitionValues committed per
+    add, partition columns reconstructed on read, replaceWhere scoped
+    overwrite (out-of-scope rows raise; foreign partitions survive),
+    and log-level partition pruning."""
+    from pyspark_anomaly_detection_spark.io.deltalite import _replay_adds
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("bucket"),
+        (F.col("id") * 10).alias("v"),
+    )
+    write_delta(df, t, partition_by=["bucket"])
+
+    out = read_delta(spark, t)
+    assert out.schema.fieldNames() == ["id", "bucket", "v"]
+    assert out.count() == 30
+    assert {r.bucket for r in out.select("bucket").distinct().collect()} == {
+        "0", "1", "2",
+    }
+
+    # partition pruning at the log level: only bucket=1 files read
+    adds, _, _ = _replay_adds(t)
+    n_b1 = sum(
+        1 for a in adds.values() if a["partitionValues"]["bucket"] == "1"
+    )
+    pruned = read_delta(spark, t, partition_filter={"bucket": "1"})
+    assert sorted(r.id for r in pruned.collect()) == list(range(1, 30, 3))
+    assert n_b1 < len(adds)
+
+    # replaceWhere: out-of-scope rows in df must raise
+    bad = spark.range(100, 104).select(
+        "id", F.lit("2").alias("bucket"), (F.col("id") * 10).alias("v")
+    ).union(
+        spark.range(200, 201).select(
+            "id", F.lit("0").alias("bucket"), (F.col("id") * 10).alias("v")
+        )
+    )
+    with pytest.raises(ValueError, match="outside the replaced scope"):
+        write_delta(bad, t, replace_where={"bucket": "2"})
+
+    # scoped overwrite: bucket=2 replaced, buckets 0/1 untouched
+    repl = spark.range(100, 104).select(
+        "id", F.lit("2").alias("bucket"), (F.col("id") * 10).alias("v")
+    )
+    write_delta(repl, t, replace_where={"bucket": "2"})
+    final = read_delta(spark, t)
+    ids = sorted(r.id for r in final.collect())
+    assert ids == sorted(
+        [i for i in range(30) if i % 3 != 2] + [100, 101, 102, 103]
+    )
+    # replace_where on a non-partition column raises
+    with pytest.raises(ValueError, match="non-partition columns"):
+        write_delta(repl, t, replace_where={"v": "10"})
+    # conflicting partition_by on an existing table raises
+    with pytest.raises(ValueError, match="conflicts with the committed"):
+        write_delta(repl, t, mode="append", partition_by=["v"])
