@@ -399,3 +399,102 @@ def test_grouped_ordinals_skewed_lang_corpus(spark):
     mean = n / 32
     worst = max(r["count"] for r in parts)
     assert worst <= 3 * mean, f"skewed task holds {worst} rows (mean {mean})"
+
+
+def test_grouped_running_sum_skewed_source_corpus(spark):
+    """Round-9 rebase smoke: the prefix-sum machinery behind the packing
+    / curation queries (q93/q100/q181) on a 5M-row corpus where one
+    source is 90%.  The dominant group must span many tasks (no
+    per-source window sort), and the running sums must be exact —
+    checked via the closed form sum(1..n) = n(n+1)/2 on unit values
+    and via per-group max == group count, aggregates only."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_running_sum
+
+    n = 5_000_000
+    rows = spark.range(n, numPartitions=32).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, "web")
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 10).cast("string")))
+        .alias("source"),
+        F.lit(1).alias("n_tokens"),
+    )
+    summed = grouped_running_sum(
+        rows, "source", ["doc_id"], "n_tokens", num_partitions=32
+    )
+    per_g = summed.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.max("run_sum").alias("mx"),
+        F.sum("run_sum").alias("tot"),
+        F.countDistinct("run_sum").alias("nd"),
+    ).collect()
+    for r in per_g:
+        assert r.mx == r.n, r                     # last prefix = group size
+        assert r.nd == r.n, r                     # strictly increasing
+        assert r.tot == r.n * (r.n + 1) // 2, r   # sum of 1..n
+    dominant = next(r for r in per_g if r.source == "web")
+    assert dominant.n == 4_500_000
+    parts = (
+        summed.withColumn("p", F.spark_partition_id())
+        .groupBy("p", "source").count().collect()
+    )
+    web_parts = [r for r in parts if r.source == "web"]
+    assert len(web_parts) >= 16, f"dominant source in {len(web_parts)} tasks"
+
+
+def test_grouped_lags_skewed_series(spark):
+    """Round-9 q102-rebase smoke: lag-3 over a 2M-event corpus where one
+    series is 90%.  Exactness via the closed form on consecutive values
+    (lag_j of value v is v - j within a series ordered by value), NULLs
+    only on each series' first j rows — aggregates only, no collect of
+    the data."""
+    from pyspark_anomaly_detection_spark.text.shards import grouped_lags
+
+    n = 2_000_000
+    rows = spark.range(n, numPartitions=32).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 9, "load")
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 10).cast("string")))
+        .alias("series"),
+    )
+    lagged = grouped_lags(
+        rows, "series", ["event_id"], "event_id", 3, num_partitions=32
+    )
+    checks = {
+        r.series: r
+        for r in lagged.groupBy("series")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("tot"),
+            F.sum("lag_1").alias("s1"),
+            F.sum("lag_3").alias("s3"),
+            F.countDistinct("lag_1").alias("nd1"),
+            F.sum(F.when(F.col("lag_1").isNull(), 1).otherwise(0)).alias(
+                "null1"
+            ),
+            F.sum(F.when(F.col("lag_3").isNull(), 1).otherwise(0)).alias(
+                "null3"
+            ),
+        )
+        .collect()
+    }
+
+    def topk(series: str, k: int) -> list[int]:
+        """k largest event ids of a series, from the id-assignment rule."""
+        out, i = [], n - 1
+        while len(out) < k:
+            member = (i % 10 < 9) if series == "load" else (
+                series == f"t{i % 10}"
+            )
+            if member:
+                out.append(i)
+            i -= 1
+        return out
+
+    for series, r in checks.items():
+        # lag_j's multiset = the series' ids minus its j largest, so the
+        # aggregate identities pin every lag value without collecting data
+        assert r.s1 == r.tot - sum(topk(series, 1)), (series, r)
+        assert r.s3 == r.tot - sum(topk(series, 3)), (series, r)
+        assert r.nd1 == r.n - 1, r            # injective (total order)
+        assert (r.null1, r.null3) == (1, 3), r  # exactly the first j rows
+    assert checks["load"].n == 1_800_000
