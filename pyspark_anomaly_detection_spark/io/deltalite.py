@@ -776,3 +776,178 @@ def read_delta_pruned(
         reader = reader.schema(schema)
     df = reader.parquet(*[os.path.join(table_path, rel) for rel in keep])
     return df.filter((F.col(col) >= lo) & (F.col(col) <= hi)), meta
+
+
+def vacuum_delta(table_path: str, retain_versions: int = 1) -> dict[str, int]:
+    """Delete data files referenced by NO retained version — the
+    storage-reclaim step after OPTIMIZE/overwrite rewrites.  Retains the
+    active sets of the newest ``retain_versions`` commits; older
+    versions' exclusive files are removed, so time travel BEFORE the
+    retention horizon stops working (exactly Delta's VACUUM semantics —
+    the log stays, the data goes).  Uncommitted orphan files (crashed
+    writers) are also swept.  Returns counts."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    versions = _list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no deltalite log at {table_path}")
+    retained: set[str] = set()
+    for v in versions[-retain_versions:]:
+        retained |= _active_files(table_path, v)
+    n_deleted = 0
+    n_kept = 0
+    for root, _dirs, files in os.walk(table_path):
+        if _LOG_DIR in os.path.relpath(root, table_path).split(os.sep):
+            continue
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table_path)
+            if rel in retained:
+                n_kept += 1
+            else:
+                os.remove(full)
+                n_deleted += 1
+    # sweep now-empty commit directories
+    for root, dirs, files in os.walk(table_path, topdown=False):
+        if root == table_path or _LOG_DIR in root:
+            continue
+        if not os.listdir(root):
+            os.rmdir(root)
+    return {"files_deleted": n_deleted, "files_kept": n_kept}
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """File-level CHANGE DATA FEED: every row added or removed by the
+    commits in ``(from_version, to_version]``, tagged with
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version`` — the
+    incremental-consumption surface that lets a downstream pipeline
+    process only what changed instead of re-reading snapshots.
+
+    ``dataChange: false`` actions (OPTIMIZE, COMPUTE STATS) are
+    excluded: layout maintenance is not a data change.  Delete rows are
+    read from the removed files themselves (valid until a VACUUM past
+    the horizon; that is Delta's CDF retention caveat too)."""
+    versions = _list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no deltalite log at {table_path}")
+    if to_version is None:
+        to_version = versions[-1]
+    _, schema_json = _replay(table_path, versions[-1])
+    _, _, part_cols = _replay_adds(table_path, versions[-1])
+    # last-known add per path (for partition values of removed files)
+    known_add: dict[str, dict[str, Any]] = {}
+    pieces: list[DataFrame] = []
+    for v in versions:
+        if v > to_version:
+            break
+        for action in _read_commit(table_path, v):
+            if "add" in action:
+                add = action["add"]
+                known_add[add["path"]] = add
+                if v > from_version and add.get("dataChange", True):
+                    df = _read_adds(
+                        spark, table_path, {add["path"]: add},
+                        schema_json, part_cols,
+                    )
+                    pieces.append(
+                        df.withColumn("_change_type", F.lit("insert"))
+                        .withColumn("_commit_version", F.lit(v).cast("int"))
+                    )
+            elif "remove" in action and v > from_version:
+                rm = action["remove"]
+                if not rm.get("dataChange", True):
+                    continue
+                add = known_add.get(rm["path"], {"path": rm["path"]})
+                df = _read_adds(
+                    spark, table_path, {rm["path"]: add},
+                    schema_json, part_cols,
+                )
+                pieces.append(
+                    df.withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v).cast("int"))
+                )
+    if not pieces:
+        from pyspark.sql.types import StructType
+
+        base = StructType.fromJson(json.loads(schema_json))
+        empty = spark.createDataFrame([], base)
+        return empty.withColumn("_change_type", F.lit("")).withColumn(
+            "_commit_version", F.lit(0).cast("int")
+        ).limit(0)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "q215_deltalite_change_feed",
+    oracle="""
+    WITH thirds AS (
+      SELECT o_orderkey % 3 AS third,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders GROUP BY o_orderkey % 3
+    )
+    SELECT 1 AS commit_version, 'insert' AS change_type, n, total
+    FROM thirds WHERE third = 1
+    UNION ALL
+    SELECT 2, 'delete', n0.n + n1.n,
+           CAST(CAST(n0.total AS DECIMAL(18,2))
+                + CAST(n1.total AS DECIMAL(18,2)) AS DOUBLE)
+    FROM (SELECT n, total FROM thirds WHERE third = 0) n0,
+         (SELECT n, total FROM thirds WHERE third = 1) n1
+    UNION ALL
+    SELECT 2, 'insert', n, total FROM thirds WHERE third = 2
+    ORDER BY commit_version, change_type
+    """,
+)
+def q215_deltalite_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed census over the q213 table lifecycle (write a
+    third of orders → append a third → overwrite with the final third):
+    the feed after commit 0 must show exactly commit 1's inserts and
+    commit 2's deletes (everything prior) + inserts.  The oracle
+    derives the same insert/delete row sets straight from orders — a
+    green hash proves the CDF attributes every row to the right commit
+    and change type, with exact-decimal totals."""
+    import shutil
+    import tempfile
+
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="deltalite_cdf_")
+    table = os.path.join(base, "orders_t")
+    try:
+        for third, mode in ((0, "append"), (1, "append"), (2, "overwrite")):
+            write_delta(
+                orders.filter(F.col("o_orderkey") % 3 == third), table, mode=mode
+            )
+        feed = read_delta_changes(spark, table, from_version=0)
+        result = (
+            feed.groupBy(
+                F.col("_commit_version").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .orderBy("commit_version", "change_type")
+        )
+        pdf = result.toPandas()  # ≤3 rows; detach before rmtree
+        return spark.createDataFrame(pdf, result.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -282,3 +282,70 @@ def test_partitioned_table_replace_where_and_pruning(spark, tmp_path):
     # conflicting partition_by on an existing table raises
     with pytest.raises(ValueError, match="conflicts with the committed"):
         write_delta(repl, t, mode="append", partition_by=["v"])
+
+
+def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
+    """After an overwrite + optimize, vacuum removes every file not in
+    the retained versions' active sets (including crashed-writer
+    orphans); the latest read is intact, and time travel BEFORE the
+    retention horizon now fails at read — Delta's VACUUM semantics."""
+    import glob
+
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        optimize_delta,
+        vacuum_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 10).repartition(2), t)
+    write_delta(_df(spark, 10, 20).repartition(2), t, mode="append")
+    optimize_delta(spark, t)
+    _df(spark, 90, 95).write.parquet(os.path.join(t, "orphan"))  # crashed writer
+
+    files_before = len(glob.glob(f"{t}/**/*.parquet", recursive=True))
+    stats = vacuum_delta(t, retain_versions=1)
+    assert stats["files_deleted"] > 0
+    assert stats["files_kept"] == 1  # the optimized single file
+    assert len(glob.glob(f"{t}/**/*.parquet", recursive=True)) == 1
+    assert files_before == stats["files_deleted"] + stats["files_kept"]
+
+    # latest snapshot intact; pre-horizon time travel now fails at read
+    assert read_delta(spark, t).count() == 20
+    import pyspark.errors
+
+    with pytest.raises(Exception):
+        read_delta(spark, t, version=0).count()
+
+
+def test_change_feed_reconstructs_snapshots(spark, tmp_path):
+    """CDF invariant: snapshot(v) == snapshot(from) + inserts − deletes
+    over (from, v]; OPTIMIZE's dataChange:false rewrite emits NO feed
+    rows (layout maintenance is not a data change)."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        optimize_delta,
+        read_delta_changes,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 10), t)
+    write_delta(_df(spark, 10, 18), t, mode="append")
+    write_delta(_df(spark, 50, 55), t, mode="overwrite")
+    opt_v = optimize_delta(spark, t)["version"]
+
+    feed = read_delta_changes(spark, t, from_version=0).collect()
+    ins = {r.id for r in feed if r._change_type == "insert"}
+    dels = {r.id for r in feed if r._change_type == "delete"}
+    snap0 = {r.id for r in read_delta(spark, t, version=0).collect()}
+    latest = {r.id for r in read_delta(spark, t).collect()}
+    assert (snap0 | ins) - dels == latest
+    # optimize contributed nothing to the feed
+    assert all(r._commit_version < opt_v for r in feed)
+    # per-commit attribution
+    assert {r.id for r in feed if r._commit_version == 1} == set(range(10, 18))
+    v2 = [r for r in feed if r._commit_version == 2]
+    assert {r.id for r in v2 if r._change_type == "delete"} == set(range(18))
+    assert {r.id for r in v2 if r._change_type == "insert"} == set(range(50, 55))
+    # empty range → empty frame with the feed schema
+    empty = read_delta_changes(spark, t, from_version=opt_v)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
