@@ -25,7 +25,21 @@ def write_table(
     mode: str = "overwrite",
     options: dict[str, str] | None = None,
 ) -> None:
-    """S5/S8: plain sink (append quarantine / overwrite gold)."""
+    """S5/S8: plain sink (append quarantine / overwrite gold).
+
+    ``fmt='deltalite'`` routes through the jar-free Delta-protocol
+    writer (io/deltalite.py) — the reference's silver/gold tables are
+    Delta (src/data/silver.py:56-59); with this format the medallion
+    stages gain transactional overwrites, history, and time travel.
+    Read such tables back with ``deltalite.read_delta``, not a plain
+    parquet read (data files live in commit subdirectories)."""
+    if fmt == "deltalite":
+        from pyspark_anomaly_detection_spark.io.deltalite import write_delta
+
+        write_delta(
+            df, path, mode="append" if mode == "append" else "overwrite"
+        )
+        return
     writer = df.write.format(fmt).mode(mode)
     for key, value in (options or {}).items():
         writer = writer.option(key, value)

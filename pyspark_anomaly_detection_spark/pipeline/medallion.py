@@ -56,6 +56,13 @@ SPLIT_CUTOFF = "2023-10-20 12:00:00"  # reference src/data/silver.py:45
 @dataclass
 class PipelinePaths:
     root: str
+    #: format for the silver/gold/features tables — the reference writes
+    #: these as DELTA (src/data/silver.py:56-59, src/data/gold.py:57-60);
+    #: "deltalite" reproduces that with the jar-free protocol writer
+    #: (transactional overwrites, history, time travel), "parquet" is the
+    #: plain default.  Bronze stays hive-partitioned parquet either way
+    #: (the dynamic-partition-pruning surface).
+    table_format: str = "parquet"
     bronze: str = field(init=False)
     quarantine: str = field(init=False)
     silver_train: str = field(init=False)
@@ -108,6 +115,15 @@ def silver_expectations() -> list[Expectation]:
     ]
 
 
+def read_table(spark: SparkSession, paths: PipelinePaths, path: str):
+    """Read a silver/gold/features table in the pipeline's format."""
+    if paths.table_format == "deltalite":
+        from pyspark_anomaly_detection_spark.io.deltalite import read_delta
+
+        return read_delta(spark, path)
+    return spark.read.parquet(path)
+
+
 def bronze_to_silver(
     spark: SparkSession, paths: PipelinePaths, cutoff: str = SPLIT_CUTOFF
 ) -> tuple[int, int]:
@@ -127,8 +143,8 @@ def bronze_to_silver(
         cutoff_ts = F.lit(cutoff).cast("timestamp")
         train = silver.filter(F.col("timestamp") < cutoff_ts)
         test = silver.filter(F.col("timestamp") >= cutoff_ts)
-        write_table(train, paths.silver_train)
-        write_table(test, paths.silver_test)
+        write_table(train, paths.silver_train, fmt=paths.table_format)
+        write_table(test, paths.silver_test, fmt=paths.table_format)
         return train.count(), test.count()
     finally:
         silver.unpersist()
@@ -141,7 +157,7 @@ def build_features(spark: SparkSession, paths: PipelinePaths) -> None:
         (paths.silver_train, paths.features_train),
         (paths.silver_test, paths.features_test),
     ):
-        silver = spark.read.parquet(src)
+        silver = read_table(spark, paths, src)
         feats = with_behavioral_features(
             silver,
             partition_col="sender_account",
@@ -149,14 +165,14 @@ def build_features(spark: SparkSession, paths: PipelinePaths) -> None:
             amount_col="amount",
             counterparty_col="receiver_account",
         )
-        write_table(feats, dst)
+        write_table(feats, dst, fmt=paths.table_format)
 
 
 def gold_aggregations(spark: SparkSession, paths: PipelinePaths) -> None:
     """Gold daily + hourly summaries (reference src/data/gold.py:20-60).
     ``round`` retained for reference parity (2dp avg amount, 4dp rates)."""
-    silver = spark.read.parquet(paths.silver_train).unionByName(
-        spark.read.parquet(paths.silver_test)
+    silver = read_table(spark, paths, paths.silver_train).unionByName(
+        read_table(spark, paths, paths.silver_test)
     )
     daily = (
         silver.withColumn("ingestion_date", F.to_date("timestamp"))
@@ -182,17 +198,19 @@ def gold_aggregations(spark: SparkSession, paths: PipelinePaths) -> None:
         )
         .orderBy("txn_hour")
     )
-    write_table(daily, paths.gold_daily)
-    write_table(hourly, paths.gold_hourly)
+    write_table(daily, paths.gold_daily, fmt=paths.table_format)
+    write_table(hourly, paths.gold_hourly, fmt=paths.table_format)
 
 
 def run_full_pipeline(
-    spark: SparkSession, csv_path: str, root: str
+    spark: SparkSession, csv_path: str, root: str, table_format: str = "parquet"
 ) -> dict[str, int]:
     """Orchestrate ingest → silver → features → gold (reference
     run_pipeline.py:12-77), state handed between stages through the
-    filesystem exactly as the reference does."""
-    paths = PipelinePaths(root)
+    filesystem exactly as the reference does.  ``table_format=
+    'deltalite'`` writes silver/features/gold as transactional
+    Delta-protocol tables, the reference's configuration."""
+    paths = PipelinePaths(root, table_format)
     n_clean, n_corrupt = ingest_to_bronze(spark, csv_path, paths)
     n_train, n_test = bronze_to_silver(spark, paths)
     build_features(spark, paths)

@@ -227,3 +227,55 @@ def test_behavioral_frame_edge_modes(spark):
     assert [r.velocity_1h for r in micros] == [1, 1]
     # seconds-truncated (reference): gap truncates to exactly 3600s == bound → included
     assert [r.velocity_1h for r in secs] == [1, 2]
+
+
+def test_medallion_on_deltalite_matches_parquet(spark, tmp_path):
+    """Reference parity: the reference writes silver/gold as DELTA
+    (src/data/silver.py:56-59, src/data/gold.py:57-60).  Running the
+    whole medallion with table_format='deltalite' must produce the same
+    silver/gold contents as the parquet run, with the transactional
+    extras on top: per-table history and a versioned overwrite when the
+    gold stage reruns."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        delta_history,
+        read_delta,
+    )
+    from pyspark_anomaly_detection_spark.pipeline.medallion import (
+        PipelinePaths,
+        gold_aggregations,
+    )
+
+    csv_path = str(tmp_path / "raw.csv")
+    make_fixture_csv(csv_path, n_clean=400, n_corrupt=3)
+    p_stats = run_full_pipeline(spark, csv_path, str(tmp_path / "pq"))
+    d_stats = run_full_pipeline(
+        spark, csv_path, str(tmp_path / "dl"), table_format="deltalite"
+    )
+    assert p_stats == d_stats
+
+    pq = PipelinePaths(str(tmp_path / "pq") )
+    dl = PipelinePaths(str(tmp_path / "dl"), "deltalite")
+
+    def rows(df, key):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple(str(x) for x in t),
+        )
+
+    for pq_path, dl_path in (
+        (pq.silver_train, dl.silver_train),
+        (pq.gold_daily, dl.gold_daily),
+        (pq.gold_hourly, dl.gold_hourly),
+    ):
+        a = spark.read.parquet(pq_path)
+        b = read_delta(spark, dl_path).select(*a.columns)
+        assert rows(a, None) == rows(b, None), dl_path
+
+    # rerunning gold = a transactional overwrite: version 1, history kept
+    gold_aggregations(spark, dl)
+    hist = delta_history(dl.gold_daily)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[1]["operation"] == "OVERWRITE" and hist[1]["n_removes"] > 0
+    assert rows(read_delta(spark, dl.gold_daily), None) == rows(
+        spark.read.parquet(pq.gold_daily), None
+    )
