@@ -29,8 +29,23 @@ Reference parity: the reference configures Delta sinks
 (config/spark_config.py:24-26, src/data/silver.py:56); deltalite closes
 that surface in-sandbox: transactional append/overwrite + time travel
 on plain parquet + JSON, byte-compatible with the public protocol's
-plain-table subset (no deletion vectors, no column mapping, no
-checkpoints — documented, fail-loud on encountering them).
+plain-table subset (no deletion vectors, no column mapping — those
+still fail loud).
+
+Checkpoints (the protocol's log compaction): without them every
+snapshot read replays EVERY JSON commit since version 0 — O(commits)
+driver work per read, the real bottleneck of a long-lived table taking
+thousands of streaming commits.  :func:`create_checkpoint` writes the
+spec's ``<version>.checkpoint.parquet`` (one row per action: protocol /
+metaData / add / remove-tombstone / txn, typed nested structs) plus the
+``_last_checkpoint`` pointer file; replay then starts from the newest
+checkpoint ≤ the requested version and reads only the JSON commits
+after it.  :func:`write_delta` auto-checkpoints every
+``CHECKPOINT_INTERVAL`` commits (10 — Delta's own default cadence), and
+:func:`expire_log` deletes JSON commits the checkpoint has subsumed
+(``delta.logRetentionDuration`` analogue), after which time travel
+before the checkpoint horizon raises — exactly the real protocol's
+behavior.
 """
 
 from __future__ import annotations
@@ -47,26 +62,46 @@ from pyspark_anomaly_detection_spark.registry import register
 
 _LOG_DIR = "_delta_log"
 
+# Delta writers checkpoint every 10 commits by default; same cadence here.
+CHECKPOINT_INTERVAL = 10
+
 
 def _log_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, _LOG_DIR, f"{version:020d}.json")
 
 
+def _checkpoint_path(table_path: str, version: int) -> str:
+    return os.path.join(
+        table_path, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
+    )
+
+
 def _list_versions(table_path: str) -> list[int]:
+    """Versions with a JSON commit file present (checkpoint parquet files
+    live alongside them and are listed by :func:`_list_checkpoints`)."""
     log = os.path.join(table_path, _LOG_DIR)
     if not os.path.isdir(log):
         return []
     out = []
     for name in os.listdir(log):
-        if name.endswith(".json"):
+        if name.endswith(".json") and not name.startswith("_"):
             stem = name[: -len(".json")]
             if stem.isdigit():
                 out.append(int(stem))
-        elif name.endswith(".checkpoint.parquet"):
-            raise NotImplementedError(
-                "deltalite: checkpoint files not supported (plain JSON "
-                "log replay only)"
-            )
+    return sorted(out)
+
+
+def _list_checkpoints(table_path: str) -> list[int]:
+    log = os.path.join(table_path, _LOG_DIR)
+    if not os.path.isdir(log):
+        return []
+    suffix = ".checkpoint.parquet"
+    out = []
+    for name in os.listdir(log):
+        if name.endswith(suffix):
+            stem = name[: -len(suffix)]
+            if stem.isdigit():
+                out.append(int(stem))
     return sorted(out)
 
 
@@ -129,6 +164,7 @@ def write_delta(
     merge_schema: bool = False,
     partition_by: list[str] | None = None,
     replace_where: dict[str, str] | None = None,
+    extra_actions: list[dict[str, Any]] | None = None,
 ) -> int:
     """Commit ``df`` to the deltalite table at ``table_path``.
 
@@ -249,6 +285,7 @@ def write_delta(
                 {"remove": {"path": path, "dataChange": True}}
             )
     actions.extend(adds)
+    actions.extend(extra_actions or [])
     actions.append(
         {
             "commitInfo": {
@@ -268,7 +305,105 @@ def write_delta(
     with os.fdopen(fd, "w") as f:
         for a in actions:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    # Delta's default cadence: a checkpoint every CHECKPOINT_INTERVAL
+    # commits, so replay cost stays bounded as the table takes commits.
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        create_checkpoint(table_path, version)
     return version
+
+
+class _Snapshot:
+    """Replayed table state at one version: latest active ``add`` action
+    per path, committed schema, partition columns, per-app txn
+    watermarks, and remove tombstones (paths removed and not re-added —
+    what a checkpoint must carry so a later VACUUM can still find
+    them)."""
+
+    __slots__ = ("version", "adds", "meta", "schema_json", "part_cols",
+                 "txns", "tombstones")
+
+    def __init__(self, version: int) -> None:
+        self.version = version
+        self.adds: dict[str, dict[str, Any]] = {}
+        self.meta: dict[str, Any] | None = None
+        self.schema_json: str | None = None
+        self.part_cols: list[str] = []
+        self.txns: dict[str, int] = {}
+        self.tombstones: dict[str, dict[str, Any]] = {}
+
+    def apply(self, action: dict[str, Any]) -> None:
+        if "metaData" in action:
+            self.meta = action["metaData"]
+            self.schema_json = action["metaData"]["schemaString"]
+            self.part_cols = action["metaData"].get("partitionColumns", [])
+        elif "add" in action:
+            add = action["add"]
+            if add.get("deletionVector"):
+                raise NotImplementedError(
+                    "deltalite: deletion vectors not supported"
+                )
+            self.adds[add["path"]] = add
+            self.tombstones.pop(add["path"], None)
+        elif "remove" in action:
+            rm = action["remove"]
+            self.adds.pop(rm["path"], None)
+            self.tombstones[rm["path"]] = rm
+        elif "protocol" in action:
+            p = action["protocol"]
+            if p.get("minReaderVersion", 1) > 1:
+                raise NotImplementedError(
+                    f"deltalite: reader version {p['minReaderVersion']} "
+                    "features not supported"
+                )
+        elif "txn" in action:
+            t = action["txn"]
+            prev = self.txns.get(t["appId"], -1)
+            self.txns[t["appId"]] = max(prev, int(t["version"]))
+
+
+def _snapshot_state(
+    table_path: str, version: int | None = None
+) -> _Snapshot:
+    """Table state at ``version`` (latest when None), replayed from the
+    newest checkpoint ≤ ``version`` plus only the JSON commits after it
+    — O(commits since checkpoint) instead of O(all commits).  Raises
+    when the replay chain is broken (a needed JSON commit was expired
+    past the checkpoint horizon)."""
+    versions = _list_versions(table_path)
+    checkpoints = _list_checkpoints(table_path)
+    if not versions and not checkpoints:
+        raise FileNotFoundError(f"no deltalite log at {table_path}")
+    latest = max(versions + checkpoints)
+    if version is None:
+        version = latest
+    elif version not in versions and version not in checkpoints:
+        lo = min(versions + checkpoints)
+        raise ValueError(
+            f"version {version} not in log (have {lo}..{latest})"
+        )
+    base = max((c for c in checkpoints if c <= version), default=None)
+    snap = _Snapshot(version)
+    if base is not None:
+        for action in _read_checkpoint(table_path, base):
+            snap.apply(action)
+        start = base + 1
+    else:
+        start = 0
+    for v in range(start, version + 1):
+        if v not in versions:
+            if base is None:
+                raise ValueError(
+                    f"deltalite: commit {v} missing and no checkpoint "
+                    f"covers version {version} — expired past the log "
+                    "retention horizon"
+                )
+            raise ValueError(
+                f"deltalite: commit {v} missing between checkpoint "
+                f"{base} and version {version} (corrupt log)"
+            )
+        for action in _read_commit(table_path, v):
+            snap.apply(action)
+    return snap
 
 
 def _replay_adds(
@@ -277,42 +412,205 @@ def _replay_adds(
     """(active adds by relative path — LATEST add action per path —
     committed schema JSON, partition columns) at ``version`` (latest
     when None)."""
+    snap = _snapshot_state(table_path, version)
+    return snap.adds, snap.schema_json, snap.part_cols
+
+
+def _checkpoint_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+            (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("dataChange", pa.bool_()),
+                        ("deletionTimestamp", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def _read_checkpoint(table_path: str, version: int) -> list[dict[str, Any]]:
+    """Checkpoint parquet → action dicts, in a replay-valid order (the
+    writer emits protocol, metaData, txn, add, remove rows in order and
+    parquet preserves row order)."""
+    import pyarrow.parquet as pq
+
+    actions: list[dict[str, Any]] = []
+    for row in pq.read_table(_checkpoint_path(table_path, version)).to_pylist():
+        for kind in ("protocol", "metaData", "txn", "add", "remove"):
+            payload = row.get(kind)
+            if payload is None:
+                continue
+            clean = {k: v for k, v in payload.items() if v is not None}
+            if kind == "add" and "partitionValues" in clean:
+                clean["partitionValues"] = dict(clean["partitionValues"])
+            actions.append({kind: clean})
+    return actions
+
+
+def create_checkpoint(table_path: str, version: int | None = None) -> int:
+    """Write the Delta protocol's ``<version>.checkpoint.parquet`` — the
+    full replayed state (protocol, metaData, txn watermarks, active adds
+    with their stats, remove tombstones) as ONE typed parquet file —
+    plus the ``_last_checkpoint`` pointer.  Replay from then on starts
+    here instead of at commit 0: O(commits since checkpoint) driver
+    work per snapshot, the log compaction that keeps a table taking
+    thousands of streaming commits readable.  Driver-side and bounded
+    by active-file count (kilobytes per file entry), not data size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     versions = _list_versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no deltalite log at {table_path}")
     if version is None:
         version = versions[-1]
-    elif version not in versions:
-        raise ValueError(
-            f"version {version} not in log (have {versions[0]}..{versions[-1]})"
+    snap = _snapshot_state(table_path, version)
+
+    rows: list[dict[str, Any]] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    ]
+    if snap.meta is not None:
+        m = snap.meta
+        rows.append(
+            {
+                "metaData": {
+                    "id": m.get("id"),
+                    "format": {"provider": m.get("format", {}).get("provider", "parquet")},
+                    "schemaString": m["schemaString"],
+                    "partitionColumns": m.get("partitionColumns", []),
+                    "createdTime": m.get("createdTime", 0),
+                }
+            }
         )
-    adds: dict[str, dict[str, Any]] = {}
-    schema_json: str | None = None
-    part_cols: list[str] = []
-    for v in versions:
-        if v > version:
-            break
-        for action in _read_commit(table_path, v):
-            if "metaData" in action:
-                schema_json = action["metaData"]["schemaString"]
-                part_cols = action["metaData"].get("partitionColumns", [])
-            elif "add" in action:
-                add = action["add"]
-                if add.get("deletionVector"):
-                    raise NotImplementedError(
-                        "deltalite: deletion vectors not supported"
-                    )
-                adds[add["path"]] = add
-            elif "remove" in action:
-                adds.pop(action["remove"]["path"], None)
-            elif "protocol" in action:
-                p = action["protocol"]
-                if p.get("minReaderVersion", 1) > 1:
-                    raise NotImplementedError(
-                        f"deltalite: reader version {p['minReaderVersion']} "
-                        "features not supported"
-                    )
-    return adds, schema_json, part_cols
+    for app_id in sorted(snap.txns):
+        rows.append(
+            {
+                "txn": {
+                    "appId": app_id,
+                    "version": snap.txns[app_id],
+                    "lastUpdated": 0,
+                }
+            }
+        )
+    for path in sorted(snap.adds):
+        a = snap.adds[path]
+        rows.append(
+            {
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": a.get("partitionValues", {}),
+                    "size": a.get("size", 0),
+                    "modificationTime": a.get("modificationTime", 0),
+                    "dataChange": a.get("dataChange", True),
+                    "stats": a.get("stats"),
+                }
+            }
+        )
+    for path in sorted(snap.tombstones):
+        r = snap.tombstones[path]
+        rows.append(
+            {
+                "remove": {
+                    "path": r["path"],
+                    "dataChange": r.get("dataChange", True),
+                    "deletionTimestamp": r.get("deletionTimestamp", 0),
+                }
+            }
+        )
+
+    schema = _checkpoint_schema()
+    fields = [f.name for f in schema]
+    table = pa.Table.from_pylist(
+        [{f: row.get(f) for f in fields} for row in rows], schema=schema
+    )
+    final = _checkpoint_path(table_path, version)
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+    pointer = os.path.join(table_path, _LOG_DIR, "_last_checkpoint")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(
+            json.dumps(
+                {"version": version, "size": len(rows)},
+                separators=(",", ":"),
+            )
+        )
+    os.replace(tmp, pointer)
+    return version
+
+
+def expire_log(table_path: str) -> dict[str, int]:
+    """Delete the JSON commits the newest checkpoint subsumes (all
+    versions BELOW it) — the ``delta.logRetentionDuration`` cleanup.
+    After this, snapshot reads at or after the checkpoint work exactly
+    as before (checkpoint + remaining JSON); time travel and CDF ranges
+    before the horizon raise a clear error, just like an expired real
+    Delta log."""
+    checkpoints = _list_checkpoints(table_path)
+    if not checkpoints:
+        raise ValueError(
+            f"no checkpoint at {table_path} — nothing subsumes the log; "
+            "run create_checkpoint first"
+        )
+    horizon = checkpoints[-1]
+    deleted = 0
+    for v in _list_versions(table_path):
+        if v < horizon:
+            os.remove(_log_path(table_path, v))
+            deleted += 1
+    return {"horizon": horizon, "json_deleted": deleted}
 
 
 def _replay(
@@ -524,13 +822,12 @@ def q213_deltalite_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def last_txn_version(table_path: str, app_id: str) -> int:
     """Highest committed ``txn`` version for ``app_id`` (-1 when none) —
     the idempotence watermark Delta's streaming sink checks before
-    committing a micro-batch."""
-    latest = -1
-    for v in _list_versions(table_path):
-        for action in _read_commit(table_path, v):
-            if "txn" in action and action["txn"].get("appId") == app_id:
-                latest = max(latest, int(action["txn"]["version"]))
-    return latest
+    committing a micro-batch.  Checkpoint-aware: the watermark survives
+    log expiry because checkpoints carry every app's txn state."""
+    try:
+        return _snapshot_state(table_path).txns.get(app_id, -1)
+    except FileNotFoundError:
+        return -1
 
 
 def write_delta_txn(
@@ -545,21 +842,21 @@ def write_delta_txn(
     exactly-once streaming-sink contract under at-least-once replay."""
     if last_txn_version(table_path, app_id) >= txn_version:
         return None
-    version = write_delta(df, table_path, mode=mode, operation="STREAMING UPDATE")
-    # append the txn action to the just-written commit (single writer:
-    # the commit file is ours; rewrite is atomic enough via replace)
-    path = _log_path(table_path, version)
-    with open(path) as f:
-        lines = f.read()
-    txn = json.dumps(
-        {"txn": {"appId": app_id, "version": int(txn_version), "lastUpdated": 0}},
-        separators=(",", ":"),
+    return write_delta(
+        df,
+        table_path,
+        mode=mode,
+        operation="STREAMING UPDATE",
+        extra_actions=[
+            {
+                "txn": {
+                    "appId": app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": 0,
+                }
+            }
+        ],
     )
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(txn + "\n" + lines)
-    os.replace(tmp, path)
-    return version
 
 
 def start_incremental_delta_sink(
@@ -606,11 +903,9 @@ def optimize_delta(
     )
 
     target = target_file_bytes or TARGET_FILE_BYTES
-    versions = _list_versions(table_path)
-    if not versions:
-        raise FileNotFoundError(f"no deltalite log at {table_path}")
-    current = versions[-1]
-    active, schema_json = _replay(table_path, current)
+    snap = _snapshot_state(table_path)
+    current = snap.version
+    active = set(snap.adds)
     if not active:
         return {"version": current, "files_before": 0, "files_after": 0}
     total = sum(
@@ -693,17 +988,9 @@ def annotate_stats(table_path: str, cols: list[str]) -> int:
     one new commit that re-adds the same files with stats (dataChange
     false) — Delta's ``COMPUTE STATISTICS``-style backfill.  Returns the
     new version (or -1 when every active add already carries stats)."""
-    versions = _list_versions(table_path)
-    if not versions:
-        raise FileNotFoundError(f"no deltalite log at {table_path}")
-    current = versions[-1]
-    active, _ = _replay(table_path, current)
-    # gather the latest add action per active path
-    latest_add: dict[str, dict[str, Any]] = {}
-    for v in versions:
-        for action in _read_commit(table_path, v):
-            if "add" in action and action["add"]["path"] in active:
-                latest_add[action["add"]["path"]] = action["add"]
+    snap = _snapshot_state(table_path)
+    current = snap.version
+    latest_add = snap.adds
     missing = [p for p, a in latest_add.items() if "stats" not in a]
     if not missing:
         return -1
@@ -749,14 +1036,10 @@ def read_delta_pruned(
     still applied row-level, {'files_total', 'files_read'})."""
     from pyspark.sql.types import StructType
 
-    versions = _list_versions(table_path)
-    current = versions[-1] if versions else None
-    active, schema_json = _replay(table_path, current)
-    latest_add: dict[str, dict[str, Any]] = {}
-    for v in versions or []:
-        for action in _read_commit(table_path, v):
-            if "add" in action and action["add"]["path"] in active:
-                latest_add[action["add"]["path"]] = action["add"]
+    snap = _snapshot_state(table_path)
+    active = set(snap.adds)
+    schema_json = snap.schema_json
+    latest_add = snap.adds
     keep = []
     for rel in sorted(active):
         add = latest_add[rel]
@@ -833,25 +1116,38 @@ def read_delta_changes(
     ``dataChange: false`` actions (OPTIMIZE, COMPUTE STATS) are
     excluded: layout maintenance is not a data change.  Delete rows are
     read from the removed files themselves (valid until a VACUUM past
-    the horizon; that is Delta's CDF retention caveat too)."""
+    the horizon; that is Delta's CDF retention caveat too).  Checkpoint-
+    aware: the base state at ``from_version`` comes from the snapshot
+    replay (checkpoint + tail), and only the JSON commits INSIDE the
+    requested range are read — a range before the expiry horizon raises
+    a clear error."""
     versions = _list_versions(table_path)
-    if not versions:
+    checkpoints = _list_checkpoints(table_path)
+    if not versions and not checkpoints:
         raise FileNotFoundError(f"no deltalite log at {table_path}")
+    latest = max(versions + checkpoints)
     if to_version is None:
-        to_version = versions[-1]
-    _, schema_json = _replay(table_path, versions[-1])
-    _, _, part_cols = _replay_adds(table_path, versions[-1])
-    # last-known add per path (for partition values of removed files)
-    known_add: dict[str, dict[str, Any]] = {}
+        to_version = latest
+    tip = _snapshot_state(table_path, latest)
+    schema_json = tip.schema_json
+    part_cols = tip.part_cols
+    # last-known add per path (for partition values of removed files):
+    # everything active at from_version, then maintained over the range.
+    base = _snapshot_state(table_path, from_version)
+    known_add: dict[str, dict[str, Any]] = dict(base.adds)
     pieces: list[DataFrame] = []
-    for v in versions:
-        if v > to_version:
-            break
+    for v in range(from_version + 1, to_version + 1):
+        if v not in versions:
+            raise ValueError(
+                f"deltalite: commit {v} missing from the change range "
+                f"({from_version}, {to_version}] — expired past the log "
+                "retention horizon"
+            )
         for action in _read_commit(table_path, v):
             if "add" in action:
                 add = action["add"]
                 known_add[add["path"]] = add
-                if v > from_version and add.get("dataChange", True):
+                if add.get("dataChange", True):
                     df = _read_adds(
                         spark, table_path, {add["path"]: add},
                         schema_json, part_cols,
@@ -860,7 +1156,7 @@ def read_delta_changes(
                         df.withColumn("_change_type", F.lit("insert"))
                         .withColumn("_commit_version", F.lit(v).cast("int"))
                     )
-            elif "remove" in action and v > from_version:
+            elif "remove" in action:
                 rm = action["remove"]
                 if not rm.get("dataChange", True):
                     continue
