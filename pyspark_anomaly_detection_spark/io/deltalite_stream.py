@@ -1,0 +1,255 @@
+"""Structured Streaming SOURCE over a deltalite table.
+
+Real Delta tables are consumed incrementally: a stream's offset is a
+LOG VERSION, each micro-batch reads exactly the files added by the
+commits in ``(start, end]``, and non-append changes fail the stream
+unless explicitly ignored.  This module implements those semantics with
+Spark 4's partition-based Python DataSource streaming API
+(``DataSourceStreamReader``), composing the engine's own deltalite
+transaction log with Structured Streaming:
+
+* ``initialOffset`` — ``startingVersion - 1`` (default: before the
+  first commit, so the whole table history streams through in order);
+* ``latestOffset`` — the newest committed version (one driver-side
+  directory listing per trigger — O(log), not O(data));
+* ``partitions(start, end)`` — one :class:`InputPartition` per
+  ``dataChange`` add action in the range: the unit of parallelism is a
+  FILE, so a 1000-file commit fans out across the cluster;
+* ``read(partition)`` — executor-side pyarrow read of one parquet
+  file, partition columns reconstructed from the log's
+  ``partitionValues`` (data files never contain them), plus a
+  ``_commit_version`` provenance column; rows return as Arrow record
+  batches, never per-row Python tuples;
+* a ``remove`` with ``dataChange=true`` inside the range raises unless
+  ``ignoreChanges=true`` — Delta's streaming-source contract for
+  overwrites (maintenance commits with ``dataChange=false`` are
+  transparent, exactly like OPTIMIZE under a real Delta stream).
+
+Offsets are committed by Spark's checkpoint, so restart resumes at the
+next unread version — exactly-once without any source-side state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from pyspark_anomaly_detection_spark.io import deltalite
+
+COMMIT_VERSION_COL = "_commit_version"
+
+
+class _AddFilePartition(InputPartition):
+    def __init__(
+        self,
+        file_path: str,
+        partition_values: dict[str, str],
+        version: int,
+    ) -> None:
+        self.file_path = file_path
+        self.partition_values = partition_values
+        self.version = version
+
+
+def _table_schema(table_path: str) -> StructType:
+    import json
+
+    snap = deltalite._snapshot_state(table_path)
+    if snap.schema_json is None:
+        raise ValueError(f"deltalite table at {table_path} has no metaData")
+    return StructType.fromJson(json.loads(snap.schema_json))
+
+
+class DeltaliteStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self.table_path = options.get("path") or options.get("tablePath")
+        if not self.table_path:
+            raise ValueError("deltalite_stream requires a 'path' option")
+        self.starting_version = int(options.get("startingVersion", 0))
+        self.ignore_changes = (
+            str(options.get("ignoreChanges", "false")).lower() == "true"
+        )
+        self.schema = schema
+        self.part_cols = deltalite._snapshot_state(self.table_path).part_cols
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version - 1}
+
+    def latestOffset(self) -> dict:
+        versions = deltalite._list_versions(self.table_path)
+        checkpoints = deltalite._list_checkpoints(self.table_path)
+        return {"version": max(versions + checkpoints)}
+
+    def partitions(self, start: dict, end: dict) -> list[_AddFilePartition]:
+        out: list[_AddFilePartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            for action in deltalite._read_commit(self.table_path, v):
+                if "add" in action and action["add"].get("dataChange", True):
+                    add = action["add"]
+                    out.append(
+                        _AddFilePartition(
+                            os.path.join(self.table_path, add["path"]),
+                            add.get("partitionValues", {}),
+                            v,
+                        )
+                    )
+                elif (
+                    "remove" in action
+                    and action["remove"].get("dataChange", True)
+                    and not self.ignore_changes
+                ):
+                    raise ValueError(
+                        f"deltalite_stream: commit {v} removes data "
+                        "(overwrite/delete); streaming a non-append table "
+                        "requires ignoreChanges=true — removed rows are NOT "
+                        "retracted (Delta's streaming-source contract)"
+                    )
+        return out
+
+    def read(self, partition: _AddFilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.file_path)
+        n = table.num_rows
+        cols: dict[str, Any] = {c: table.column(c) for c in table.column_names}
+        for name in self.part_cols:
+            raw = partition.partition_values.get(name)
+            field = self.schema[name].dataType.typeName()
+            if raw is None:
+                val = None
+            elif field in ("long", "integer", "short", "byte"):
+                val = int(raw)
+            elif field in ("double", "float"):
+                val = float(raw)
+            elif field == "boolean":
+                val = raw.lower() == "true"
+            else:  # string / date-like partition values stay strings
+                val = raw
+            cols[name] = pa.array([val] * n)
+        cols[COMMIT_VERSION_COL] = pa.array([partition.version] * n, pa.int64())
+        ordered = [f.name for f in self.schema.fields] + [COMMIT_VERSION_COL]
+        out = pa.table({c: cols[c] for c in ordered})
+        return iter(out.to_batches(max_chunksize=1 << 16))
+
+    def commit(self, end: dict) -> None:  # offsets live in Spark's checkpoint
+        pass
+
+
+class DeltaliteStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "deltalite_stream"
+
+    def schema(self) -> StructType:
+        base = _table_schema(self.options["path"])
+        from pyspark.sql.types import LongType, StructField
+
+        return StructType(
+            base.fields + [StructField(COMMIT_VERSION_COL, LongType())]
+        )
+
+    def streamReader(self, schema: StructType) -> DeltaliteStreamReader:
+        table_schema = StructType(
+            [f for f in schema.fields if f.name != COMMIT_VERSION_COL]
+        )
+        return DeltaliteStreamReader(self.options, table_schema)
+
+
+def register_deltalite_stream(spark: SparkSession) -> None:
+    """Idempotent registration of the streaming source with a session."""
+    spark.dataSource.register(DeltaliteStreamSource)
+
+
+def read_deltalite_stream(
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int = 0,
+    ignore_changes: bool = False,
+):
+    register_deltalite_stream(spark)
+    return (
+        spark.readStream.format("deltalite_stream")
+        .option("path", table_path)
+        .option("startingVersion", starting_version)
+        .option("ignoreChanges", str(ignore_changes).lower())
+        .load()
+    )
+
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from pyspark_anomaly_detection_spark.registry import register  # noqa: E402
+
+
+@register(
+    "q218_deltalite_stream_census",
+    python_lane=True,  # the Python DataSource IS the operator under test
+    oracle="""
+    SELECT CAST(o_orderkey % 3 AS BIGINT) AS commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderkey % 3
+    ORDER BY commit_version
+    """,
+)
+def q218_deltalite_stream_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption of a deltalite table through Structured
+    Streaming: orders lands in three append commits; the stream replays
+    the full history version-by-version (one input partition per added
+    file) and the census groups by the source's ``_commit_version``
+    provenance column.  The oracle derives the same per-commit totals
+    straight from orders — a green hash proves offset-range planning,
+    per-file fan-out, and Arrow-batch reads lose and duplicate
+    nothing."""
+    import shutil
+    import tempfile
+
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="deltalite_stream_")
+    table = os.path.join(base, "orders_t")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        for third in (0, 1, 2):
+            write_delta_third = orders.filter(F.col("o_orderkey") % 3 == third)
+            deltalite.write_delta(write_delta_third, table, mode="append")
+        q = (
+            read_deltalite_stream(spark, table)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.read.parquet(sink)
+            .groupBy(F.col(COMMIT_VERSION_COL).alias("commit_version"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .orderBy("commit_version")
+        )
+        pdf = result.toPandas()  # 3 rows; detach before rmtree
+        return spark.createDataFrame(pdf, result.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

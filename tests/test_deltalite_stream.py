@@ -1,0 +1,133 @@
+"""Streaming source over deltalite tables: version-offset incremental
+consumption, restart exactly-once, per-file partition fan-out, partition
+column reconstruction, and the non-append failure contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.deltalite import (
+    optimize_delta,
+    write_delta,
+)
+from pyspark_anomaly_detection_spark.io.deltalite_stream import (
+    read_deltalite_stream,
+)
+
+
+def _df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .coalesce(1)
+    )
+
+
+def _drain(spark, stream, ckpt, sink):
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+def test_full_history_then_incremental_restart(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+    write_delta(_df(spark, 0, 10), t)
+    write_delta(_df(spark, 10, 15), t, mode="append")
+
+    out = _drain(spark, read_deltalite_stream(spark, t), ckpt, sink)
+    assert sorted(r.id for r in out.collect()) == list(range(15))
+    # provenance column attributes every row to its commit
+    by_ver = {
+        r._commit_version: r.n
+        for r in out.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_ver == {0: 10, 1: 5}
+
+    # restart from the same checkpoint: ONLY the new commit streams
+    write_delta(_df(spark, 15, 18), t, mode="append")
+    out2 = _drain(spark, read_deltalite_stream(spark, t), ckpt, sink)
+    assert sorted(r.id for r in out2.collect()) == list(range(18))
+    assert out2.filter(F.col("_commit_version") == 2).count() == 3
+    # no duplicates: each id exactly once
+    assert out2.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_partitioned_table_reconstructs_columns(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = (
+        spark.range(0, 20)
+        .select(F.col("id"), (F.col("id") % 2).cast("string").alias("side"))
+        .coalesce(1)
+    )
+    write_delta(df, t, partition_by=["side"])
+    out = _drain(
+        spark,
+        read_deltalite_stream(spark, t),
+        str(tmp_path / "ck"),
+        str(tmp_path / "sink"),
+    )
+    got = {(r.id, r.side) for r in out.collect()}
+    assert got == {(i, str(i % 2)) for i in range(20)}
+
+
+def test_overwrite_fails_unless_ignore_changes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 5), t)
+    write_delta(_df(spark, 100, 103), t, mode="overwrite")
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(Exception, match="ignoreChanges|STREAM_FAILED"):
+        _drain(
+            spark,
+            read_deltalite_stream(spark, t),
+            str(tmp_path / "ck1"),
+            str(tmp_path / "s1"),
+        )
+
+    out = _drain(
+        spark,
+        read_deltalite_stream(spark, t, ignore_changes=True),
+        str(tmp_path / "ck2"),
+        str(tmp_path / "s2"),
+    )
+    # ignoreChanges: adds from BOTH commits flow (removed rows are not
+    # retracted) — Delta's documented semantics
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3, 4, 100, 101, 102]
+
+
+def test_optimize_is_transparent_to_the_stream(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+    write_delta(_df(spark, 0, 8), t)
+    out = _drain(spark, read_deltalite_stream(spark, t), ckpt, sink)
+    assert out.count() == 8
+    optimize_delta(spark, t)  # dataChange=false remove+add
+    write_delta(_df(spark, 8, 11), t, mode="append")
+    out2 = _drain(spark, read_deltalite_stream(spark, t), ckpt, sink)
+    # the OPTIMIZE commit contributed nothing; the append streamed once
+    assert sorted(r.id for r in out2.collect()) == list(range(11))
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 10), t)
+    write_delta(_df(spark, 10, 12), t, mode="append")
+    out = _drain(
+        spark,
+        read_deltalite_stream(spark, t, starting_version=1),
+        str(tmp_path / "ck"),
+        str(tmp_path / "sink"),
+    )
+    assert sorted(r.id for r in out.collect()) == [10, 11]
