@@ -109,3 +109,121 @@ def q179_kmeans_embedding_clusters(
     KMeans over unit vectors, size-rank labeled."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_embedding_clusters(emb)
+
+
+# --------------------------------------------------------------------------
+# LDA topic modeling — the corpus-structure estimator of the LLM-data
+# toolkit (domain discovery for mixture weighting, topic-balanced
+# sampling).  Stock pyspark.ml.clustering.LDA over CountVectorizer term
+# counts; the online optimizer is the scale path (mini-batch variational
+# Bayes — one pass over partitions per iteration, no corpus-sized state
+# on the driver; topic-term matrix is k x vocab on the driver, data-size
+# independent).
+# --------------------------------------------------------------------------
+
+
+def lda_topic_profile(
+    docs: DataFrame,
+    k: int = 5,
+    seed: int = 7,
+    vocab_size: int = 2048,
+    max_iter: int = 5,
+    top_terms: int = 5,
+) -> DataFrame:
+    """documents → term counts → LDA(k) → per-topic profile.
+
+    Columns: topic, top_terms (comma-joined vocabulary words, weight
+    descending), top_weight (summed weight of those terms — topic
+    concentration), n_dominant (docs whose argmax mixture component is
+    this topic), labeled by MLlib's topic index under a fixed seed.
+    Seeded variational init is not oracle-replayable → rows-only;
+    invariants (simplex-normalized mixtures, positive descending term
+    weights, full doc coverage) are pinned in tests/test_lda_topics.py."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    tokens = docs.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("toks")
+    )
+    cvm = CountVectorizer(
+        inputCol="toks", outputCol="tf", vocabSize=vocab_size, minDF=2.0
+    ).fit(tokens)
+    tf = cvm.transform(tokens).select("doc_id", "tf")
+    model = LDA(
+        k=k,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="tf",
+        optimizer="online",
+    ).fit(tf)
+
+    vocab = cvm.vocabulary
+    spark = docs.sparkSession
+    topics = model.describeTopics(top_terms)
+
+    # doc-topic mixtures: argmax component per doc (one broadcast-map
+    # pass; the k-vector per row never leaves the executor)
+    mix = model.transform(tf).select(
+        "doc_id", vector_to_array("topicDistribution").alias("theta")
+    )
+    dominant = (
+        mix.select(
+            "doc_id",
+            F.array_position(
+                F.col("theta"), F.array_max("theta")
+            ).alias("pos1"),
+        )
+        .select((F.col("pos1") - 1).cast("int").alias("topic"))
+        .groupBy("topic")
+        .agg(F.count("*").alias("n_dominant"))
+    )
+
+    vocab_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, w) for i, w in enumerate(vocab)], "idx int, term string"
+        )
+    )
+    named = (
+        topics.select(
+            "topic",
+            F.posexplode(
+                F.arrays_zip("termIndices", "termWeights")
+            ).alias("pos", "tw"),
+        )
+        .select(
+            "topic",
+            "pos",
+            F.col("tw.termIndices").alias("idx"),
+            F.col("tw.termWeights").alias("w"),
+        )
+        .join(vocab_df, "idx")
+        .groupBy("topic")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(
+                    F.collect_list(F.struct("pos", "term"))
+                ).term
+            ).alias("top_terms"),
+            F.sum("w").cast("double").alias("top_weight"),
+        )
+    )
+    return (
+        named.join(dominant, "topic", "left")
+        .select(
+            F.col("topic").cast("int").alias("topic"),
+            "top_terms",
+            "top_weight",
+            F.coalesce("n_dominant", F.lit(0)).cast("long").alias("n_dominant"),
+        )
+        .orderBy("topic")
+    )
+
+
+@register("q219_lda_topics", oracle=None)  # seeded variational init —
+# not oracle-replayable; invariants in tests/test_lda_topics.py
+def q219_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic profile of the documents corpus via stock MLlib LDA
+    (online variational Bayes): top terms, concentration, and dominant-
+    doc counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lda_topic_profile(docs)
