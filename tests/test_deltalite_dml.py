@@ -1,0 +1,139 @@
+"""Row-level DML on deltalite: copy-on-write DELETE/UPDATE/MERGE —
+untouched files stay byte-identical, time travel sees pre-DML rows,
+the change feed reports the rewrite, and partition-column predicates
+fail loudly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.deltalite import (
+    read_delta,
+    read_delta_changes,
+    write_delta,
+)
+from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+    delete_delta,
+    merge_delta,
+    update_delta,
+)
+
+
+def _build(spark, t, n_files=5, width=10):
+    """n_files commits of one file each, ids [i*width, (i+1)*width)."""
+    for i in range(n_files):
+        write_delta(
+            spark.range(i * width, (i + 1) * width)
+            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+            .coalesce(1),
+            t,
+            mode="append",
+        )
+
+
+def _file_bytes(t):
+    out = {}
+    for root, _dirs, files in os.walk(t):
+        if "_delta_log" in root:
+            continue
+        for n in files:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                out[os.path.relpath(p, t)] = open(p, "rb").read()
+    return out
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t)  # ids 0..49 across 5 files
+    before = _file_bytes(t)
+    out = delete_delta(spark, t, "id >= 12 AND id < 15")  # file 1 only
+    assert out["files_rewritten"] == 1
+    assert out["files_untouched"] == 4
+    assert out["rows_deleted"] == 3
+    # surviving rows exact
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == [i for i in range(50) if not (12 <= i < 15)]
+    # every pre-DML file still on disk byte-identical (the removed one
+    # stays for time travel until VACUUM), plus exactly one rewrite
+    after = _file_bytes(t)
+    assert set(before) <= set(after)
+    assert all(before[p] == after[p] for p in before)
+    assert len(after) == len(before) + 1
+    # time travel still sees the deleted rows
+    assert read_delta(spark, t, version=4).count() == 50
+    # the change feed reports the rewrite: 10 deletes (whole old file)
+    # and 7 re-inserts (survivors), net -3
+    feed = read_delta_changes(spark, t, from_version=4)
+    counts = {
+        r._change_type: r.n
+        for r in feed.groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {"delete": 10, "insert": 7}
+
+
+def test_delete_no_match_is_a_noop(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=2)
+    out = delete_delta(spark, t, "id > 1000")
+    assert out["files_rewritten"] == 0 and out["rows_deleted"] == 0
+    assert read_delta(spark, t).count() == 20
+
+
+def test_update_applies_only_to_matching_rows(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=3)
+    out = update_delta(spark, t, "id % 10 = 7", {"v": "v + 1000"})
+    assert out["files_rewritten"] == 3  # every file holds one %10==7 row
+    assert out["rows_updated"] == 3
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    for i in range(30):
+        assert rows[i] == i * 2 + (1000 if i % 10 == 7 else 0)
+
+
+def test_partition_column_predicate_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = (
+        spark.range(0, 20)
+        .select(F.col("id"), (F.col("id") % 2).cast("string").alias("side"))
+        .coalesce(1)
+    )
+    write_delta(df, t, partition_by=["side"])
+    with pytest.raises(ValueError, match="partition column"):
+        delete_delta(spark, t, "side = '1'")
+    with pytest.raises(ValueError, match="partition column"):
+        update_delta(spark, t, "side = '1'", {"id": "id + 1"})
+    # data-column predicates on partitioned tables still work
+    out = delete_delta(spark, t, "id < 4")
+    assert out["rows_deleted"] == 4
+
+
+def test_merge_upserts_in_one_commit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=3)  # ids 0..29, v = 2*id
+    src = spark.createDataFrame(
+        [(5, 500), (25, 2500), (100, 10000)], "id long, v long"
+    )
+    out = merge_delta(spark, t, src, key="id")
+    assert out["rows_matched"] == 2
+    assert out["rows_inserted"] == 1
+    assert out["files_rewritten"] == 2  # the two files holding 5 and 25
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert len(rows) == 31
+    assert rows[5] == 500 and rows[25] == 2500 and rows[100] == 10000
+    assert rows[6] == 12  # untouched row intact
+    # single commit: exactly one new version
+    assert out["version"] == 3
+
+
+def test_merge_rejects_ambiguous_source(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=1)
+    src = spark.createDataFrame([(1, 10), (1, 20)], "id long, v long")
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_delta(spark, t, src, key="id")
