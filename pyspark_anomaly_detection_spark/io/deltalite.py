@@ -889,6 +889,7 @@ def optimize_delta(
     spark: SparkSession,
     table_path: str,
     target_file_bytes: int | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> dict[str, int]:
     """OPTIMIZE: transactionally rewrite the active file set into
     ``ceil(bytes/target)`` files — remove + add in ONE commit with
@@ -896,10 +897,20 @@ def optimize_delta(
     log (the reader-transparent compaction ``compact_parquet``'s
     docstring defers to a transactional format for) and time travel to
     pre-optimize versions still works (old data files stay on disk
-    until a vacuum)."""
+    until a vacuum).
+
+    ``zorder_by=(col_a, col_b)`` — Delta's ``OPTIMIZE ... ZORDER BY``:
+    the rewrite lays rows along the Morton curve of the two columns
+    (``io/maintenance.py::write_zordered`` — range shuffle on the
+    interleaved key, no single-task sort) and every new ``add`` carries
+    per-file min/max ``stats`` for BOTH columns in the SAME commit, so
+    :func:`read_delta_pruned` skips files for predicates on either
+    dimension immediately — clustering and skipping stats land
+    atomically, exactly like the real OPTIMIZE ZORDER."""
     from pyspark_anomaly_detection_spark.io.maintenance import (
         TARGET_FILE_BYTES,
         plan_file_count,
+        write_zordered,
     )
 
     target = target_file_bytes or TARGET_FILE_BYTES
@@ -917,7 +928,10 @@ def optimize_delta(
     version = current + 1
     commit_dir = f"part-{version:05d}-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_path, commit_dir)
-    df.repartition(n_files).write.mode("error").parquet(data_dir)
+    if zorder_by:
+        write_zordered(df, data_dir, zorder_by[0], zorder_by[1], n_files)
+    else:
+        df.repartition(n_files).write.mode("error").parquet(data_dir)
 
     actions: list[dict[str, Any]] = []
     for rel in sorted(active):
@@ -925,17 +939,21 @@ def optimize_delta(
     for name in sorted(os.listdir(data_dir)):
         if name.endswith(".parquet"):
             rel = f"{commit_dir}/{name}"
-            actions.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": {},
-                        "size": os.path.getsize(os.path.join(data_dir, name)),
-                        "modificationTime": 0,
-                        "dataChange": False,
-                    }
-                }
-            )
+            add = {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(data_dir, name)),
+                "modificationTime": 0,
+                "dataChange": False,
+            }
+            if zorder_by:
+                add["stats"] = json.dumps(
+                    _file_stats(
+                        os.path.join(data_dir, name), list(zorder_by)
+                    ),
+                    separators=(",", ":"),
+                )
+            actions.append({"add": add})
     actions.append(
         {"commitInfo": {"operation": "OPTIMIZE", "engineInfo": "deltalite"}}
     )

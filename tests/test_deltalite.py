@@ -349,3 +349,43 @@ def test_change_feed_reconstructs_snapshots(spark, tmp_path):
     empty = read_delta_changes(spark, t, from_version=opt_v)
     assert empty.count() == 0
     assert "_change_type" in empty.columns
+
+
+def test_optimize_zorder_clusters_and_prunes(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: one transactional commit lays rows on the
+    Morton curve of (a, b) AND lands per-file stats, so a range predicate
+    on EITHER dimension skips files immediately; time travel still sees
+    the pre-optimize layout, and rows are untouched."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        optimize_delta,
+        read_delta,
+        read_delta_pruned,
+        write_delta,
+    )
+
+    grid = (
+        spark.range(0, 64 * 64)
+        .selectExpr("id % 64 AS a", "CAST(id / 64 AS LONG) AS b", "id AS v")
+        .repartition(8)  # scattered layout: no natural clustering
+    )
+    t = str(tmp_path / "t")
+    write_delta(grid, t)
+    v0 = read_delta(spark, t, version=0).count()
+    out = optimize_delta(
+        spark, t, target_file_bytes=2_400, zorder_by=("a", "b")
+    )
+    assert out["files_after"] >= 12
+    # rows survive bit-exactly
+    assert read_delta(spark, t).count() == v0 == 64 * 64
+    got = sorted(r.v for r in read_delta(spark, t).collect())
+    assert got == list(range(64 * 64))
+    # stats landed in the SAME commit: predicates on EITHER column prune
+    for col in ("a", "b"):
+        frame, meta = read_delta_pruned(spark, t, col, 0, 7)
+        assert meta["files_total"] == out["files_after"]
+        assert meta["files_read"] * 2 <= meta["files_total"], (
+            col, meta,
+        )
+        assert frame.count() == 8 * 64
+    # pre-optimize time travel intact
+    assert read_delta(spark, t, version=0).count() == 64 * 64
