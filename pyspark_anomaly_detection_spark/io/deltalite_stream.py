@@ -45,6 +45,7 @@ from pyspark.sql.types import StructType
 from pyspark_anomaly_detection_spark.io import deltalite
 
 COMMIT_VERSION_COL = "_commit_version"
+CHANGE_TYPE_COL = "_change_type"
 
 
 class _AddFilePartition(InputPartition):
@@ -53,10 +54,12 @@ class _AddFilePartition(InputPartition):
         file_path: str,
         partition_values: dict[str, str],
         version: int,
+        change_type: str = "insert",
     ) -> None:
         self.file_path = file_path
         self.partition_values = partition_values
         self.version = version
+        self.change_type = change_type
 
 
 def _table_schema(table_path: str) -> StructType:
@@ -77,6 +80,9 @@ class DeltaliteStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
         )
+        self.change_feed = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
+        )
         self.schema = schema
         self.part_cols = deltalite._snapshot_state(self.table_path).part_cols
 
@@ -90,10 +96,22 @@ class DeltaliteStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[_AddFilePartition]:
         out: list[_AddFilePartition] = []
+        # in change-feed mode removes become 'delete' partitions reading
+        # the removed file (still on disk under copy-on-write until a
+        # VACUUM — the same retention caveat as Delta's CDF); partition
+        # values of a removed file come from its last add action, seeded
+        # from the snapshot at the range start
+        known: dict[str, dict[str, str]] = {}
+        if self.change_feed and start["version"] >= 0:
+            base = deltalite._snapshot_state(self.table_path, start["version"])
+            known = {
+                p: a.get("partitionValues", {}) for p, a in base.adds.items()
+            }
         for v in range(start["version"] + 1, end["version"] + 1):
             for action in deltalite._read_commit(self.table_path, v):
                 if "add" in action and action["add"].get("dataChange", True):
                     add = action["add"]
+                    known[add["path"]] = add.get("partitionValues", {})
                     out.append(
                         _AddFilePartition(
                             os.path.join(self.table_path, add["path"]),
@@ -101,17 +119,28 @@ class DeltaliteStreamReader(DataSourceStreamReader):
                             v,
                         )
                     )
-                elif (
-                    "remove" in action
-                    and action["remove"].get("dataChange", True)
-                    and not self.ignore_changes
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
                 ):
-                    raise ValueError(
-                        f"deltalite_stream: commit {v} removes data "
-                        "(overwrite/delete); streaming a non-append table "
-                        "requires ignoreChanges=true — removed rows are NOT "
-                        "retracted (Delta's streaming-source contract)"
-                    )
+                    if self.change_feed:
+                        rm = action["remove"]
+                        out.append(
+                            _AddFilePartition(
+                                os.path.join(self.table_path, rm["path"]),
+                                known.get(rm["path"], {}),
+                                v,
+                                change_type="delete",
+                            )
+                        )
+                    elif not self.ignore_changes:
+                        raise ValueError(
+                            f"deltalite_stream: commit {v} removes data "
+                            "(overwrite/delete); streaming a non-append "
+                            "table requires ignoreChanges=true or "
+                            "readChangeFeed=true — with ignoreChanges, "
+                            "removed rows are NOT retracted (Delta's "
+                            "streaming-source contract)"
+                        )
         return out
 
     def read(self, partition: _AddFilePartition):
@@ -137,6 +166,11 @@ class DeltaliteStreamReader(DataSourceStreamReader):
             cols[name] = pa.array([val] * n)
         cols[COMMIT_VERSION_COL] = pa.array([partition.version] * n, pa.int64())
         ordered = [f.name for f in self.schema.fields] + [COMMIT_VERSION_COL]
+        if self.change_feed:
+            cols[CHANGE_TYPE_COL] = pa.array(
+                [partition.change_type] * n, pa.string()
+            )
+            ordered.append(CHANGE_TYPE_COL)
         out = pa.table({c: cols[c] for c in ordered})
         return iter(out.to_batches(max_chunksize=1 << 16))
 
@@ -151,15 +185,20 @@ class DeltaliteStreamSource(DataSource):
 
     def schema(self) -> StructType:
         base = _table_schema(self.options["path"])
-        from pyspark.sql.types import LongType, StructField
+        from pyspark.sql.types import LongType, StringType, StructField
 
-        return StructType(
-            base.fields + [StructField(COMMIT_VERSION_COL, LongType())]
-        )
+        fields = base.fields + [StructField(COMMIT_VERSION_COL, LongType())]
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            fields.append(StructField(CHANGE_TYPE_COL, StringType()))
+        return StructType(fields)
 
     def streamReader(self, schema: StructType) -> DeltaliteStreamReader:
         table_schema = StructType(
-            [f for f in schema.fields if f.name != COMMIT_VERSION_COL]
+            [
+                f
+                for f in schema.fields
+                if f.name not in (COMMIT_VERSION_COL, CHANGE_TYPE_COL)
+            ]
         )
         return DeltaliteStreamReader(self.options, table_schema)
 
@@ -174,13 +213,20 @@ def read_deltalite_stream(
     table_path: str,
     starting_version: int = 0,
     ignore_changes: bool = False,
+    read_change_feed: bool = False,
 ):
+    """``read_change_feed=True`` streams the CHANGE DATA FEED instead of
+    the snapshot-append view: removes surface as ``_change_type='delete'``
+    rows read from the removed files (valid until a VACUUM — Delta's CDF
+    retention caveat), adds as ``'insert'`` — the incremental-consumption
+    surface for downstream pipelines that must react to row-level DML."""
     register_deltalite_stream(spark)
     return (
         spark.readStream.format("deltalite_stream")
         .option("path", table_path)
         .option("startingVersion", starting_version)
         .option("ignoreChanges", str(ignore_changes).lower())
+        .option("readChangeFeed", str(read_change_feed).lower())
         .load()
     )
 

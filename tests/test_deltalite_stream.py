@@ -131,3 +131,63 @@ def test_starting_version_skips_history(spark, tmp_path):
         str(tmp_path / "sink"),
     )
     assert sorted(r.id for r in out.collect()) == [10, 11]
+
+
+def test_change_feed_stream_reports_dml(spark, tmp_path):
+    """readChangeFeed=true: a DELETE's copy-on-write rewrite streams as
+    delete rows (whole old file) + insert rows (survivors), attributed
+    to the right commit; the append before it streams as inserts."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import delete_delta
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 10), t)                       # v0
+    write_delta(_df(spark, 10, 14), t, mode="append")       # v1
+    delete_delta(spark, t, "id >= 2 AND id < 4")            # v2 (file of v0)
+
+    out = _drain(
+        spark,
+        read_deltalite_stream(spark, t, read_change_feed=True),
+        str(tmp_path / "ck"),
+        str(tmp_path / "sink"),
+    )
+    counts = {
+        (r._commit_version, r._change_type): r.n
+        for r in out.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {
+        (0, "insert"): 10,
+        (1, "insert"): 4,
+        (2, "delete"): 10,   # the rewritten file's full pre-image
+        (2, "insert"): 8,    # its survivors
+    }
+    # net view reconstructable from the feed: inserts minus deletes
+    net = (
+        out.groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("alive")
+        )
+        .filter("alive > 0")
+    )
+    assert sorted(r.id for r in net.collect()) == [
+        i for i in range(14) if not (2 <= i < 4)
+    ]
+    # an overwrite does NOT fail the change-feed stream: it feeds deletes
+    write_delta(_df(spark, 100, 102), t, mode="overwrite")  # v3
+    out2 = _drain(
+        spark,
+        read_deltalite_stream(spark, t, read_change_feed=True),
+        str(tmp_path / "ck"),
+        str(tmp_path / "sink"),
+    )
+    v3 = {
+        r._change_type: r.n
+        for r in out2.filter("_commit_version = 3")
+        .groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert v3 == {"delete": 12, "insert": 2}
