@@ -239,7 +239,11 @@ from pyspark_anomaly_detection_spark.registry import register  # noqa: E402
 
 @register(
     "q218_deltalite_stream_census",
-    python_lane=True,  # the Python DataSource IS the operator under test
+    # NOT python_lane: the Python DataSource runs inside the streaming
+    # query; the RETURNED frame is a detached Arrow local relation with a
+    # JVM-only plan (same shape as q213/q215), and the honesty contract
+    # (tests/test_plans.py::test_python_lane_flags_are_honest) checks the
+    # returned plan.
     oracle="""
     SELECT CAST(o_orderkey % 3 AS BIGINT) AS commit_version,
            CAST(COUNT(*) AS BIGINT) AS n,
