@@ -58,6 +58,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_anomaly_detection_spark.io.detach import detach_local
 from pyspark_anomaly_detection_spark.registry import register
 
 _LOG_DIR = "_delta_log"
@@ -811,10 +812,9 @@ def q213_deltalite_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "total",
         ).orderBy("version", "o_orderpriority")
-        # Materialize via Arrow before the temp table is removed (the
-        # result is a small per-priority aggregate: ≤ 3 versions × 5).
-        pdf = result.toPandas()
-        return spark.createDataFrame(pdf, result.schema)
+        # Materialize before the temp table is removed (the result is a
+        # small per-priority aggregate: ≤ 3 versions × 5).
+        return detach_local(result)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -1261,7 +1261,6 @@ def q215_deltalite_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("commit_version", "change_type")
         )
-        pdf = result.toPandas()  # ≤3 rows; detach before rmtree
-        return spark.createDataFrame(pdf, result.schema)
+        return detach_local(result)  # ≤3 rows; detach before rmtree
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_anomaly_detection_spark.io import deltalite
+from pyspark_anomaly_detection_spark.io.detach import detach_local
 from pyspark_anomaly_detection_spark.io.deltalite import (
     _list_checkpoints,
     _list_versions,
@@ -392,7 +393,6 @@ def q220_deltalite_dml_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("o_orderpriority")
         )
-        pdf = result.toPandas()  # ≤5 rows; detach before rmtree
-        return spark.createDataFrame(pdf, result.schema)
+        return detach_local(result)  # ≤5 rows; detach before rmtree
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from pyspark_anomaly_detection_spark.io import deltalite
+from pyspark_anomaly_detection_spark.io.detach import detach_local
 
 COMMIT_VERSION_COL = "_commit_version"
 CHANGE_TYPE_COL = "_change_type"
@@ -299,7 +300,6 @@ def q218_deltalite_stream_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("commit_version")
         )
-        pdf = result.toPandas()  # 3 rows; detach before rmtree
-        return spark.createDataFrame(pdf, result.schema)
+        return detach_local(result)  # 3 rows; detach before rmtree
     finally:
         shutil.rmtree(base, ignore_errors=True)

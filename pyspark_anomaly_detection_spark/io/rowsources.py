@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from pyspark_anomaly_detection_spark.io.detach import detach_local
 from pyspark_anomaly_detection_spark.io.readers import load_table
 from pyspark_anomaly_detection_spark.registry import register
 
@@ -89,8 +90,7 @@ def _census(back: DataFrame) -> DataFrame:
 
 def _detach(result: DataFrame) -> DataFrame:
     """Materialize a small result before its temp source dir is removed."""
-    pdf = result.toPandas()
-    return result.sparkSession.createDataFrame(pdf, result.schema)
+    return detach_local(result)
 
 
 @register(

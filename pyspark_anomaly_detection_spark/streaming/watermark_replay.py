@@ -35,6 +35,7 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_anomaly_detection_spark.io.detach import detach_local
 from pyspark_anomaly_detection_spark.registry import register
 from pyspark_anomaly_detection_spark.streaming.jobs import (
     read_event_stream,
@@ -136,12 +137,12 @@ def replay_batches(
             q.awaitTermination()
         out = spark.read.parquet(sink)
         # Fixture-bounded materialization (≤4 rows): re-create as a local
-        # relation so the temp sink can be removed before returning.  Via
-        # pandas/Arrow, NOT collected Rows — Row-built frames scan through
-        # applySchemaToPythonRDD, which would put a Python stage in the
-        # plan of an oracle-checked query (tests/test_plans.py contract);
-        # the Arrow path yields a JVM LocalTableScan.
-        return spark.createDataFrame(out.toPandas(), out.schema)
+        # relation so the temp sink can be removed before returning.
+        # detach_local rebuilds via Arrow RecordBatches — a JVM
+        # LocalTableScan in Arrow AND non-Arrow sessions, NULL-exact —
+        # never collected Rows (Python scan, tests/test_plans.py contract)
+        # and never toPandas (NaN-corrupts NULL bigints without Arrow).
+        return detach_local(out)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
