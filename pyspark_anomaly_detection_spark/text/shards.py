@@ -300,6 +300,38 @@ def q185_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------- scalable PER-GROUP ordinals (q175/q197 rebase)
 
+#: Session conf for the size-adaptive dispatch of the grouped-window
+#: machinery.  Inputs whose Catalyst plan-size estimate is at or below
+#: this many bytes take the plain single-exchange window (a per-group
+#: window task over ≤ this much data is harmless, and the range-exchange
+#: + offset-collect machinery costs ~3× at fixture scale — the round-9
+#: q100 bench-gate lesson); larger inputs take the scalable range-
+#: exchange path.  Set to "0" to force the scalable path (the machinery
+#: equality tests do).
+SMALL_PLAN_BYTES_CONF = "spark.graft.groupedWindow.smallPlanBytes"
+SMALL_PLAN_BYTES_DEFAULT = 32 * 1024 * 1024
+
+
+def _fits_small_window(df: DataFrame) -> bool:
+    """True when ``df``'s optimizer size estimate is within the plain-
+    window budget.  Uses Catalyst's ``sizeInBytes`` (propagated from
+    file sizes — no job is run); unknown/huge estimates fall through to
+    the scalable path, the conservative direction."""
+    try:
+        limit = int(
+            df.sparkSession.conf.get(
+                SMALL_PLAN_BYTES_CONF, str(SMALL_PLAN_BYTES_DEFAULT)
+            )
+        )
+        if limit <= 0:
+            return False
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        return est <= limit
+    except Exception:  # estimate unavailable -> assume huge
+        return False
+
 
 def grouped_row_ids(
     df: DataFrame,
@@ -340,8 +372,15 @@ def grouped_row_ids(
     (True vs 'true', float/timestamp formatting), which would silently
     yield NULL ranks — so a non-string group column raises instead.
     Adds ``ordinal_col`` (1-based rank within group) and ``total_col``
-    (group size)."""
+    (group size).
+
+    Size-adaptive: inputs whose plan-size estimate fits
+    :data:`SMALL_PLAN_BYTES_CONF` take the plain single-exchange window
+    (identical results; a per-group task over ≤ 32 MB is harmless and
+    the machinery's extra exchange + collect job costs ~3× at fixture
+    scale)."""
     from pyspark.sql.types import StringType
+    from pyspark.sql.window import Window
 
     from pyspark_anomaly_detection_spark.cachepool import tracked_persist
 
@@ -353,6 +392,14 @@ def grouped_row_ids(
             "broadcast offset map is keyed by Spark's string rendering, "
             "which differs from Python's for bool/float/timestamp)"
         )
+
+    if _fits_small_window(df):
+        ocols_s = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+        w_rank = Window.partitionBy(group_col).orderBy(*ocols_s)
+        w_all = Window.partitionBy(group_col)
+        return df.withColumn(
+            ordinal_col, F.row_number().over(w_rank).cast("long")
+        ).withColumn(total_col, F.count("*").over(w_all).cast("long"))
 
     n_parts = (
         num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -553,7 +600,12 @@ def grouped_running_sum(
     single-exchange window form.  Same contracts as
     :func:`grouped_row_ids`: non-null STRING group key (raises
     otherwise), (group, order…) a total order.  ``order_cols`` may mix
-    names and sort expressions (``F.desc("score")``)."""
+    names and sort expressions (``F.desc("score")``).
+
+    Size-adaptive like :func:`grouped_row_ids`: plan estimates within
+    :data:`SMALL_PLAN_BYTES_CONF` take the plain single-exchange window
+    — bitwise-equal by integral-sum exactness, and ~3× cheaper at
+    fixture scale (the round-9 q100 bench-gate regression)."""
     from pyspark.sql.types import StringType
     from pyspark.sql.window import Window
 
@@ -565,6 +617,15 @@ def grouped_running_sum(
             f"grouped_running_sum requires a string group column; "
             f"{group_col!r} is {gtype.simpleString()} — cast it first"
         )
+    if _fits_small_window(df):
+        ocols_s = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(*ocols_s)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = F.sum(F.col(value_col).cast("long")).over(w)
+        return df.withColumn(out_col, run.cast("long"))
     n_parts = (
         num_partitions or df.sparkSession.sparkContext.defaultParallelism
     )

@@ -35,6 +35,23 @@ def _release_tracked_caches():
     release_tracked()
 
 
+@pytest.fixture
+def force_scalable_grouped(spark):
+    """Force the grouped-window machinery onto its scalable range-
+    exchange path regardless of input size (the size-adaptive dispatch
+    would pick the plain window at fixture scale) — for the tests that
+    pin the 100 TB plan shape or exercise the machinery itself."""
+    from pyspark_anomaly_detection_spark.text import shards
+
+    prev = spark.conf.get(shards.SMALL_PLAN_BYTES_CONF, None)
+    spark.conf.set(shards.SMALL_PLAN_BYTES_CONF, "0")
+    yield
+    if prev is None:
+        spark.conf.unset(shards.SMALL_PLAN_BYTES_CONF)
+    else:
+        spark.conf.set(shards.SMALL_PLAN_BYTES_CONF, prev)
+
+
 @pytest.fixture(scope="session")
 def duck():
     """DuckDB connection with the testdata tables registered as views —

@@ -27,7 +27,7 @@ def _skewed_df(spark, n_a=900, n_b=90, n_c=9, n_d=1):
     return spark.createDataFrame(rows, ["g", "v", "id"])
 
 
-def test_grouped_row_ids_match_window_row_number(spark):
+def test_grouped_row_ids_match_window_row_number(spark, force_scalable_grouped):
     df = _skewed_df(spark)
     got = {
         (r.g, r.id): (r.grp_rank, r.grp_n)
@@ -45,7 +45,7 @@ def test_grouped_row_ids_match_window_row_number(spark):
     assert got == want
 
 
-def test_grouped_percent_rank_matches_window(spark):
+def test_grouped_percent_rank_matches_window(spark, force_scalable_grouped):
     df = _skewed_df(spark)
     got = {
         r.id: r.pr
@@ -61,7 +61,7 @@ def test_grouped_percent_rank_matches_window(spark):
 
 
 @pytest.mark.parametrize("k", [1, 3, 7, 10, 64])
-def test_grouped_ntile_matches_window(spark, k):
+def test_grouped_ntile_matches_window(spark, k, force_scalable_grouped):
     """Closed-form NTILE == Spark's NTILE for group sizes above, below,
     and equal to k (dd has a single row; cc has 9 < most k)."""
     df = _skewed_df(spark)
@@ -96,7 +96,7 @@ def test_lang_quantile_gate_lone_doc_always_kept(spark):
     )].keep
 
 
-def test_q197_q175_plans_have_no_pergroup_window(spark, sf_dir):
+def test_q197_q175_plans_have_no_pergroup_window(spark, sf_dir, force_scalable_grouped):
     """The rebase's point: NO Window operator (no single post-shuffle
     partition per lang/source); the sort stage is range-partitioned on
     (group, order cols) so a dominant group spans many tasks."""
@@ -134,7 +134,7 @@ def test_grouped_row_ids_rejects_non_string_group(spark):
         grouped_row_ids(df, "flag", ["id"])
 
 
-def test_grouped_running_sum_matches_window_cumsum(spark):
+def test_grouped_running_sum_matches_window_cumsum(spark, force_scalable_grouped):
     """Bitwise equality of grouped_running_sum with the single-exchange
     window form on skewed groups, ascending and descending orderings."""
     from pyspark_anomaly_detection_spark.text.shards import grouped_running_sum
@@ -172,7 +172,7 @@ def test_grouped_running_sum_rejects_non_string_group(spark):
         grouped_running_sum(df, "g", ["v"], "v")
 
 
-def test_rebased_r9_queries_have_no_fewgroup_window(spark, sf_dir):
+def test_rebased_r9_queries_have_no_fewgroup_window(spark, sf_dir, force_scalable_grouped):
     """The r9 rebase's point: the packing / percentile / rank queries no
     longer contain a Window partitioned ONLY by their few-value group key
     over raw-table input.  (grouped_running_sum's internal window is
@@ -210,7 +210,7 @@ def test_rebased_r9_queries_have_no_fewgroup_window(spark, sf_dir):
             # high-cardinality keys — audited safe in COVERAGE.md
 
 
-def test_grouped_lags_match_window_lag(spark):
+def test_grouped_lags_match_window_lag(spark, force_scalable_grouped):
     """grouped_lags == LAG(value, j) OVER (PARTITION BY g ORDER BY v, id)
     for j = 1..3 on skewed groups, including NULLs for the first-j rows
     of each group."""
@@ -232,3 +232,92 @@ def test_grouped_lags_match_window_lag(spark):
         .collect()
     }
     assert got == want
+
+
+# ---------------- round 10: size-adaptive dispatch (the q100 gate fix)
+
+
+def test_small_input_dispatches_to_plain_window(spark):
+    """Below the plan-size threshold the machinery must emit the plain
+    single-exchange window — no _pid column, no range exchange, no
+    offset-collect job — recovering the ~3× fixture-scale latency the
+    round-9 rebase cost q100."""
+    from pyspark_anomaly_detection_spark.text.shards import (
+        SMALL_PLAN_BYTES_CONF,
+        SMALL_PLAN_BYTES_DEFAULT,
+        grouped_row_ids,
+        grouped_running_sum,
+    )
+
+    spark.conf.set(SMALL_PLAN_BYTES_CONF, str(SMALL_PLAN_BYTES_DEFAULT))
+    try:
+        # range-rooted: Catalyst knows its true (tiny) size.  A
+        # createDataFrame LogicalRDD has UNKNOWN stats -> huge default
+        # -> scalable path, the conservative direction (tested below).
+        df = spark.range(1000).select(
+            (F.col("id") % 4).cast("string").alias("g"),
+            (F.col("id") * 7919 % 100).alias("v"),
+            F.col("id").cast("string").alias("id"),
+            (F.col("id") % 100 + 1).alias("val"),
+        )
+        for out in (
+            grouped_running_sum(df, "g", ["v", "id"], "val"),
+            grouped_row_ids(df, "g", ["v", "id"]),
+        ):
+            plan = plans.formatted_plan(out)
+            assert "_pid" not in plan, plan
+            assert "rangepartitioning" not in plan.lower(), plan
+            assert "Window" in plan, plan
+    finally:
+        spark.conf.unset(SMALL_PLAN_BYTES_CONF)
+
+
+def test_adaptive_paths_agree(spark):
+    """Both dispatch arms produce identical (bitwise) results on the
+    skewed fixture — ranks, totals, and integral running sums."""
+    from pyspark_anomaly_detection_spark.text.shards import (
+        SMALL_PLAN_BYTES_CONF,
+        grouped_row_ids,
+        grouped_running_sum,
+    )
+
+    df = _skewed_df(spark).withColumn("val", F.col("v") * 3 + 1)
+    results = {}
+    # the skewed fixture is a LogicalRDD (unknown stats -> ~2^63
+    # default estimate), so the small arm needs a limit above that
+    for mode, limit in (("small", str(1 << 70)), ("scalable", "0")):
+        spark.conf.set(SMALL_PLAN_BYTES_CONF, limit)
+        try:
+            results[mode] = (
+                {
+                    (r.g, r.id): (r.grp_rank, r.grp_n)
+                    for r in grouped_row_ids(df, "g", ["v", "id"]).collect()
+                },
+                {
+                    r.id: r.run_sum
+                    for r in grouped_running_sum(
+                        df, "g", ["v", "id"], "val"
+                    ).collect()
+                },
+            )
+        finally:
+            spark.conf.unset(SMALL_PLAN_BYTES_CONF)
+    assert results["small"] == results["scalable"]
+
+
+def test_scalable_path_engages_above_threshold(spark):
+    """A frame whose Catalyst estimate exceeds the threshold must take
+    the range-exchange path even with the default conf — the 100 TB
+    safety direction of the dispatch."""
+    from pyspark_anomaly_detection_spark.text.shards import (
+        grouped_running_sum,
+    )
+
+    big = spark.range(3_000_000, numPartitions=8).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.lit(1).alias("val"),
+    )
+    out = grouped_running_sum(big, "g", ["id"], "val")
+    plan = plans.formatted_plan(out)
+    assert "_pid" in plan or "rangepartitioning" in plan.lower(), plan

@@ -209,7 +209,7 @@ def test_ols_trend_partial_aggregation(spark, sf_dir):
     assert plans.has_partial_aggregation(df), plans.formatted_plan(df)
 
 
-def test_iqr_outliers_scalable_rank_shape(spark, sf_dir):
+def test_iqr_outliers_scalable_rank_shape(spark, sf_dir, force_scalable_grouped):
     """q104 was rebased (round 9) from a per-event_type window — five
     groups over the raw event stream, one giant task each at 100 TB —
     onto grouped_row_ids: the plan must contain the RANGE exchange on
