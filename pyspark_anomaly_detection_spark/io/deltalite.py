@@ -1151,8 +1151,16 @@ def read_delta_changes(
     part_cols = tip.part_cols
     # last-known add per path (for partition values of removed files):
     # everything active at from_version, then maintained over the range.
-    base = _snapshot_state(table_path, from_version)
-    known_add: dict[str, dict[str, Any]] = dict(base.adds)
+    # from_version < 0 means "full history" — an empty base, streaming
+    # the range from commit 0 (matching DeltaliteStreamReader's
+    # initialOffset=-1 contract; ADVICE r9: the two CDF surfaces had
+    # diverged, with the batch path raising on -1)
+    if from_version < 0:
+        from_version = -1
+        known_add: dict[str, dict[str, Any]] = {}
+    else:
+        base = _snapshot_state(table_path, from_version)
+        known_add = dict(base.adds)
     pieces: list[DataFrame] = []
     for v in range(from_version + 1, to_version + 1):
         if v not in versions:

@@ -25,8 +25,9 @@ data columns (partition columns live only in the log, so a predicate
 naming one raises up front rather than silently matching nothing).
 
 MERGE implements the classic upsert contract (``WHEN MATCHED THEN
-UPDATE SET * / WHEN NOT MATCHED THEN INSERT *``): matched target rows
-are replaced by their source row via the same copy-on-write rewrite,
+UPDATE SET * / WHEN NOT MATCHED THEN INSERT *``): each matched target
+row is updated IN PLACE with its source row's values (duplicate-key
+target rows keep their cardinality, exactly Delta's semantics),
 unmatched source rows append, all in ONE commit; ambiguous sources
 (duplicate keys) are rejected, mirroring Delta's
 ``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE``.
@@ -113,58 +114,86 @@ def _rewrite_commit(
     transform,
     operation: str,
     extra_adds_df: DataFrame | None = None,
+    snap=None,
 ) -> dict[str, int]:
     """Copy-on-write commit: rewrite ``touched`` files through
     ``transform`` (DataFrame -> DataFrame), optionally append
-    ``extra_adds_df`` rows, remove+add atomically."""
-    snap = _snapshot_state(table_path)
+    ``extra_adds_df`` rows, remove+add atomically.
+
+    Partition-aware (ADVICE r9, high): touched files of a partitioned
+    table carry NO partition columns in their data (Delta contract —
+    the values live only in the log's ``partitionValues``), so the
+    rewrite groups touched files by their partition tuple and commits
+    each group's new files with THAT tuple reinjected — otherwise every
+    rewritten row would read back with NULL partition columns."""
+    snap = snap if snap is not None else _snapshot_state(table_path)
     version = snap.version + 1
     commit_dir = f"part-{version:05d}-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_path, commit_dir)
 
-    pieces: list[DataFrame] = []
-    if touched:
-        kept = transform(
-            spark.read.parquet(
-                *[os.path.join(table_path, rel) for rel in touched]
-            )
-        )
-        pieces.append(kept)
-    if extra_adds_df is not None:
-        pieces.append(extra_adds_df)
-    n_new_files = 0
-    if pieces:
-        out = pieces[0]
-        for p in pieces[1:]:
-            out = out.unionByName(p)
-        out.write.mode("error").parquet(data_dir)
-        n_new_files = sum(
-            1 for n in os.listdir(data_dir) if n.endswith(".parquet")
+    # group touched files by partition tuple (one group, {}, when
+    # unpartitioned — the write lands at the commit dir root, the
+    # pre-partitioning layout)
+    groups: dict[tuple, list[str]] = {}
+    for rel in touched:
+        pv = snap.adds[rel].get("partitionValues") or {}
+        groups.setdefault(tuple(sorted(pv.items())), []).append(rel)
+    if extra_adds_df is not None and snap.part_cols:
+        raise NotImplementedError(
+            "deltalite COW: appending extra rows to a partitioned table "
+            "in a rewrite commit is not supported"
         )
 
     actions: list[dict[str, Any]] = []
-    for rel in touched:
-        actions.append({"remove": {"path": rel, "dataChange": True}})
-    if n_new_files:
-        for name in sorted(os.listdir(data_dir)):
-            if name.endswith(".parquet"):
-                rel = f"{commit_dir}/{name}"
-                actions.append(
-                    {
-                        "add": {
-                            "path": rel,
-                            "partitionValues": {},
-                            "size": os.path.getsize(
-                                os.path.join(data_dir, name)
-                            ),
-                            "modificationTime": 0,
-                            "dataChange": True,
-                        }
+    n_new_files = 0
+
+    def _write_piece(df: DataFrame, subdir: str, pv: dict[str, str]) -> int:
+        out_dir = os.path.join(data_dir, subdir) if subdir else data_dir
+        df.write.mode("error").parquet(out_dir)
+        written = 0
+        for name in sorted(os.listdir(out_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            rel = (
+                f"{commit_dir}/{subdir}/{name}"
+                if subdir
+                else f"{commit_dir}/{name}"
+            )
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(os.path.join(out_dir, name)),
+                        "modificationTime": 0,
+                        "dataChange": True,
                     }
-                )
-    actions.append(
+                }
+            )
+            written += 1
+        return written
+
+    for i, (pv_items, rels) in enumerate(sorted(groups.items())):
+        kept = transform(
+            spark.read.parquet(
+                *[os.path.join(table_path, rel) for rel in rels]
+            )
+        )
+        if extra_adds_df is not None and not snap.part_cols:
+            kept = kept.unionByName(extra_adds_df)
+            extra_adds_df = None  # folded into the single group's write
+        subdir = f"g{i}" if snap.part_cols else ""
+        n_new_files += _write_piece(kept, subdir, dict(pv_items))
+    if extra_adds_df is not None:
+        # no touched files (pure-insert MERGE on an unpartitioned table)
+        n_new_files += _write_piece(extra_adds_df, "", {})
+
+    removes = [
+        {"remove": {"path": rel, "dataChange": True}} for rel in touched
+    ]
+    actions = removes + actions + [
         {"commitInfo": {"operation": operation, "engineInfo": "deltalite"}}
-    )
+    ]
     _commit_actions(table_path, version, actions)
     return {
         "version": version,
@@ -200,6 +229,7 @@ def delete_delta(
         touched,
         lambda df: df.filter(~F.expr(predicate)),
         "DELETE",
+        snap=snap,
     )
     out["files_untouched"] = len(active) - len(touched)
     out["rows_deleted"] = n_match
@@ -244,7 +274,9 @@ def update_delta(
             )
         return df
 
-    out = _rewrite_commit(spark, table_path, touched, apply_set, "UPDATE")
+    out = _rewrite_commit(
+        spark, table_path, touched, apply_set, "UPDATE", snap=snap
+    )
     out["rows_updated"] = n_match
     return out
 
@@ -257,9 +289,10 @@ def merge_delta(
 ) -> dict[str, int]:
     """MERGE INTO target USING source ON target.key = source.key
     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
-    one copy-on-write commit.  Duplicate source keys raise (Delta's
-    multiple-source-rows-match error).  Source must carry the target's
-    full schema."""
+    one copy-on-write commit.  Matched target rows update in place
+    (duplicate-key target rows each update, preserving cardinality);
+    duplicate source keys raise (Delta's multiple-source-rows-match
+    error).  Source must carry the target's full schema."""
     dupes = source.groupBy(key).count().filter("count > 1").limit(1).count()
     if dupes:
         raise ValueError(
@@ -307,18 +340,61 @@ def merge_delta(
             ).schema.fields
         ] if active else [f.name for f in src.schema.fields]
 
-        def replace_matched(df: DataFrame) -> DataFrame:
-            return df.join(src.select(key), key, "left_anti").select(
-                *target_cols
+        # WHEN MATCHED THEN UPDATE SET *: update each matched target row
+        # IN PLACE — N duplicate-key target rows stay N rows, each taking
+        # the source values (real Delta's cardinality contract; the old
+        # anti-join-then-insert collapsed duplicates — ADVICE r9).  A
+        # match flag, not coalesce, so a NULL in the source still
+        # overwrites.
+        marked = F.broadcast(
+            src.select(
+                F.col(key),
+                F.lit(1).alias("_dml_m"),
+                *[
+                    F.col(c).alias(f"_dml_src_{c}")
+                    for c in target_cols
+                    if c != key
+                ],
             )
+        )
+
+        def update_matched(df: DataFrame) -> DataFrame:
+            joined = df.join(marked, key, "left")
+            return joined.select(
+                *[
+                    F.col(c)
+                    if c == key
+                    else F.when(
+                        F.col("_dml_m") == 1, F.col(f"_dml_src_{c}")
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in target_cols
+                ]
+            )
+
+        # WHEN NOT MATCHED THEN INSERT *: only source rows whose key is
+        # absent from the target append (matched keys live in touched
+        # files by construction, so the touched scan is the full match
+        # set)
+        if touched:
+            tgt_keys = spark.read.parquet(
+                *[os.path.join(table_path, rel) for rel in touched]
+            ).select(key)
+            inserts = src.select(*target_cols).join(
+                tgt_keys, key, "left_anti"
+            )
+        else:
+            inserts = src.select(*target_cols)
 
         out = _rewrite_commit(
             spark,
             table_path,
             touched,
-            replace_matched,
+            update_matched,
             "MERGE",
-            extra_adds_df=src.select(*target_cols),
+            extra_adds_df=inserts,
+            snap=snap,
         )
         out["rows_matched"] = n_matched
         out["rows_inserted"] = n_src - n_matched_keys

@@ -153,7 +153,8 @@ class DeltaliteStreamReader(DataSourceStreamReader):
         cols: dict[str, Any] = {c: table.column(c) for c in table.column_names}
         for name in self.part_cols:
             raw = partition.partition_values.get(name)
-            field = self.schema[name].dataType.typeName()
+            dt = self.schema[name].dataType
+            field = dt.typeName()
             if raw is None:
                 val = None
             elif field in ("long", "integer", "short", "byte"):
@@ -162,9 +163,31 @@ class DeltaliteStreamReader(DataSourceStreamReader):
                 val = float(raw)
             elif field == "boolean":
                 val = raw.lower() == "true"
-            else:  # string / date-like partition values stay strings
+            elif field == "date":
+                import datetime
+
+                val = datetime.date.fromisoformat(raw)
+            elif field == "timestamp":
+                import datetime
+
+                val = datetime.datetime.fromisoformat(raw)
+            elif field == "decimal":
+                import decimal
+
+                val = decimal.Decimal(raw)
+            else:  # string partition values stay strings
                 val = raw
-            cols[name] = pa.array([val] * n)
+            # explicit arrow type from the Spark field (ADVICE r9): an
+            # untyped pa.array infers int64 for ANY int (mismatching
+            # integer/short fields), a null-typed array for None, and
+            # strings for dates — all schema-boundary failures
+            try:
+                from pyspark.sql.pandas.types import to_arrow_type
+
+                atype = to_arrow_type(dt)
+            except Exception:
+                atype = None
+            cols[name] = pa.array([val] * n, type=atype)
         cols[COMMIT_VERSION_COL] = pa.array([partition.version] * n, pa.int64())
         ordered = [f.name for f in self.schema.fields] + [COMMIT_VERSION_COL]
         if self.change_feed:

@@ -389,3 +389,27 @@ def test_optimize_zorder_clusters_and_prunes(spark, tmp_path):
         assert frame.count() == 8 * 64
     # pre-optimize time travel intact
     assert read_delta(spark, t, version=0).count() == 64 * 64
+
+
+def test_change_feed_from_minus_one_streams_full_history(spark, tmp_path):
+    """ADVICE r9 (low): the batch CDF must accept from_version=-1 (full
+    history, commit 0's inserts included) — matching the streaming CDF's
+    initialOffset=-1 contract instead of raising."""
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        read_delta_changes,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(spark.range(0, 5).coalesce(1), t)
+    write_delta(spark.range(5, 8).coalesce(1), t, mode="append")
+    feed = read_delta_changes(spark, t, from_version=-1)
+    by_commit = {
+        (r._commit_version, r._change_type): r.n
+        for r in feed.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_commit == {(0, "insert"): 5, (1, "insert"): 3}

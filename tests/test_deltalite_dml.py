@@ -137,3 +137,97 @@ def test_merge_rejects_ambiguous_source(spark, tmp_path):
     src = spark.createDataFrame([(1, 10), (1, 20)], "id long, v long")
     with pytest.raises(ValueError, match="multiple source rows"):
         merge_delta(spark, t, src, key="id")
+
+
+# ------------- round 10: partition-aware COW + MERGE cardinality
+
+
+def test_partitioned_delete_preserves_partition_values(spark, tmp_path):
+    """ADVICE r9 (high): rewritten files of a partitioned table must
+    commit with their original partitionValues — before the fix every
+    rewritten row read back with NULL partition columns."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("side")
+    )
+    write_delta(df, t, partition_by=["side"])
+    out = delete_delta(spark, t, "id < 8")  # touches rows in all 4 sides
+    assert out["rows_deleted"] == 8
+    rows = read_delta(spark, t).collect()
+    assert len(rows) == 32
+    assert all(r.side is not None for r in rows)
+    got = {(r.id, r.side) for r in rows}
+    want = {(i, str(i % 4)) for i in range(8, 40)}
+    assert got == want
+
+
+def test_partitioned_update_preserves_partition_values(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("side"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_delta(df, t, partition_by=["side"])
+    out = update_delta(spark, t, "id % 10 = 7", {"v": "v + 1000"})
+    assert out["rows_updated"] == 3
+    rows = {r.id: (r.side, r.v) for r in read_delta(spark, t).collect()}
+    assert len(rows) == 30
+    for i in range(30):
+        want_v = i * 2 + (1000 if i % 10 == 7 else 0)
+        assert rows[i] == (str(i % 3), want_v), i
+
+
+def test_partitioned_rewrite_touches_only_matching_partitions(
+    spark, tmp_path
+):
+    """Files of partitions with no matching rows stay byte-identical —
+    the COW locality contract holds across the partition grouping."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 20).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("side")
+    )
+    write_delta(df, t, partition_by=["side"])
+    before = _file_bytes(t)
+    out = delete_delta(spark, t, "id = 4")  # side '0' only
+    assert out["rows_deleted"] == 1
+    after = _file_bytes(t)
+    surviving = {k: v for k, v in after.items() if k in before}
+    assert surviving == {k: before[k] for k in surviving}
+    # side '1' partition must be fully untouched: all its original
+    # bytes still present
+    assert read_delta(spark, t).filter("side = '1'").count() == 10
+
+
+def test_merge_preserves_duplicate_target_cardinality(spark, tmp_path):
+    """ADVICE r9 (medium): WHEN MATCHED UPDATE SET * updates EACH
+    matched target row — N duplicate-key target rows stay N rows, all
+    carrying the source values (the old anti-join+insert collapsed them
+    to one)."""
+    t = str(tmp_path / "t")
+    dup = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30)], "id long, v long"
+    ).coalesce(1)
+    write_delta(dup, t)
+    src = spark.createDataFrame([(1, 100), (9, 900)], "id long, v long")
+    out = merge_delta(spark, t, src, key="id")
+    assert out["rows_matched"] == 2  # both id=1 duplicates matched
+    assert out["rows_inserted"] == 1
+    rows = sorted((r.id, r.v) for r in read_delta(spark, t).collect())
+    assert rows == [(1, 100), (1, 100), (2, 20), (3, 30), (9, 900)]
+
+
+def test_merge_null_source_value_overwrites(spark, tmp_path):
+    """The in-place update uses a match flag, not coalesce: a NULL in
+    the source must overwrite the target value, as UPDATE SET * does."""
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+        .coalesce(1),
+        t,
+    )
+    src = spark.createDataFrame([(1, None)], "id long, v long")
+    out = merge_delta(spark, t, src, key="id")
+    assert out["rows_matched"] == 1
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert rows == {1: None, 2: 20}

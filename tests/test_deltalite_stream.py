@@ -191,3 +191,43 @@ def test_change_feed_stream_reports_dml(spark, tmp_path):
         .collect()
     }
     assert v3 == {"delete": 12, "insert": 2}
+
+
+def test_partitioned_stream_typed_non_string_partitions(spark, tmp_path):
+    """ADVICE r9 (low): partition reconstruction must emit arrow arrays
+    of the FIELD's type — an untyped pa.array yields int64 for any int
+    (mismatching integer fields), a null-typed array for None, and
+    strings for dates.  Integer + date partition columns round-trip
+    typed here."""
+    import datetime
+
+    t = str(tmp_path / "t")
+    df = (
+        spark.range(0, 12)
+        .select(
+            F.col("id"),
+            (F.col("id") % 3).cast("int").alias("bucket"),
+            F.date_add(F.lit("2024-01-01").cast("date"),
+                       (F.col("id") % 2).cast("int")).alias("day"),
+        )
+        .coalesce(1)
+    )
+    write_delta(df, t, partition_by=["bucket", "day"])
+    out = _drain(
+        spark,
+        read_deltalite_stream(spark, t),
+        str(tmp_path / "ck"),
+        str(tmp_path / "sink"),
+    )
+    assert dict(out.dtypes)["bucket"] == "int"
+    assert dict(out.dtypes)["day"] == "date"
+    got = {(r.id, r.bucket, r.day) for r in out.collect()}
+    want = {
+        (
+            i,
+            i % 3,
+            datetime.date(2024, 1, 1) + datetime.timedelta(days=i % 2),
+        )
+        for i in range(12)
+    }
+    assert got == want
