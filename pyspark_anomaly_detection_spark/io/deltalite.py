@@ -21,9 +21,13 @@ core with Spark + stdlib json:
 * :func:`delta_history` — (version, n_adds, n_removes, operation) per
   commit.
 
-Concurrency: single-writer by design (commit N+1 is created with
-O_EXCL; a concurrent writer loses the race and raises) — the same
-optimistic-concurrency primitive real Delta uses, minus retry logic.
+Concurrency: optimistic, with bounded retry (real Delta's model).
+Commit N+1 is claimed with O_EXCL; the loser of the race re-reads the
+interleaved commits and rebases onto the new tip when the transactions
+commute (blind appends always do — fresh UUID file paths), or raises
+:class:`DeltaliteConcurrentCommit` when they logically conflict
+(overlapping remove sets, any data change under a non-append commit,
+metadata/protocol changes) — see :func:`_commit_with_retry`.
 
 Reference parity: the reference configures Delta sinks
 (config/spark_config.py:24-26, src/data/silver.py:56); deltalite closes
@@ -109,6 +113,98 @@ def _list_checkpoints(table_path: str) -> list[int]:
 def _read_commit(table_path: str, version: int) -> list[dict[str, Any]]:
     with open(_log_path(table_path, version)) as f:
         return [json.loads(line) for line in f if line.strip()]
+
+
+class DeltaliteConcurrentCommit(Exception):
+    """A concurrent writer committed a logically conflicting
+    transaction — the deltalite analogue of Delta's
+    ConcurrentModification exceptions."""
+
+
+#: Bounded optimistic-concurrency retries before giving up.
+MAX_COMMIT_RETRIES = 10
+
+
+def _commit_with_retry(
+    table_path: str,
+    version: int,
+    actions: list[dict[str, Any]],
+    max_retries: int = MAX_COMMIT_RETRIES,
+) -> int:
+    """Write one commit with Delta's optimistic-concurrency protocol:
+    claim ``<version>.json`` with O_EXCL; on losing the race, re-read
+    the interleaved commits and REBASE onto the new tip when the
+    transactions commute, else raise :class:`DeltaliteConcurrentCommit`.
+
+    Commutation rules (the protocol's documented conflict matrix,
+    file-level): a BLIND APPEND (adds only — no removes, no metadata)
+    commutes with any interleaved data change whose file set is
+    necessarily disjoint (fresh UUID paths), so it retries at the next
+    version.  A commit carrying removes (overwrite, DML rewrite,
+    OPTIMIZE) read the table state it is replacing, so ANY interleaved
+    data change invalidates it (ConcurrentAppend / ConcurrentDelete);
+    interleaved protocol/metaData changes conflict with everything
+    (ConcurrentTransaction / ProtocolChanged)."""
+    our_removes = {a["remove"]["path"] for a in actions if "remove" in a}
+    our_adds = {a["add"]["path"] for a in actions if "add" in a}
+    blind_append = not our_removes and not any(
+        "protocol" in a or "metaData" in a for a in actions
+    )
+    attempt = 0
+    while True:
+        try:
+            fd = os.open(
+                _log_path(table_path, version),
+                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+            )
+            with os.fdopen(fd, "w") as f:
+                for a in actions:
+                    f.write(json.dumps(a, separators=(",", ":")) + "\n")
+            return version
+        except FileExistsError:
+            attempt += 1
+            if attempt > max_retries:
+                raise DeltaliteConcurrentCommit(
+                    f"deltalite: lost the commit race {max_retries} times "
+                    f"at {table_path} — giving up"
+                )
+            latest = _list_versions(table_path)[-1]
+            for v in range(version, latest + 1):
+                for action in _read_commit(table_path, v):
+                    if "protocol" in action or "metaData" in action:
+                        raise DeltaliteConcurrentCommit(
+                            f"deltalite: concurrent metadata/protocol "
+                            f"change at version {v} conflicts with this "
+                            "commit"
+                        )
+                    if "remove" in action and (
+                        action["remove"]["path"] in our_removes
+                    ):
+                        raise DeltaliteConcurrentCommit(
+                            f"deltalite: version {v} concurrently removed "
+                            f"{action['remove']['path']}, which this "
+                            "commit also removes (ConcurrentDelete)"
+                        )
+                    if "remove" in action and (
+                        action["remove"]["path"] in our_adds
+                    ):
+                        # e.g. a stats/OPTIMIZE re-add of a file a DML
+                        # rewrite just removed — rebasing would
+                        # resurrect a deleted file
+                        raise DeltaliteConcurrentCommit(
+                            f"deltalite: version {v} concurrently removed "
+                            f"{action['remove']['path']}, which this "
+                            "commit re-adds (ConcurrentDelete)"
+                        )
+                    if not blind_append and (
+                        "add" in action or "remove" in action
+                    ):
+                        raise DeltaliteConcurrentCommit(
+                            f"deltalite: concurrent data change at version "
+                            f"{v} invalidates this non-append commit "
+                            "(ConcurrentAppend/ConcurrentDelete)"
+                        )
+            version = latest + 1
 
 
 def _schema_evolution(
@@ -298,14 +394,10 @@ def write_delta(
     )
 
     os.makedirs(os.path.join(table_path, _LOG_DIR), exist_ok=True)
-    # O_EXCL: optimistic concurrency — a racing writer of the same
-    # version fails here instead of clobbering the commit.
-    fd = os.open(
-        _log_path(table_path, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL
-    )
-    with os.fdopen(fd, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    # Optimistic concurrency with bounded retry: a losing blind append
+    # rebases onto the new tip; conflicting transactions raise
+    # DeltaliteConcurrentCommit (see _commit_with_retry).
+    version = _commit_with_retry(table_path, version, actions)
     # Delta's default cadence: a checkpoint every CHECKPOINT_INTERVAL
     # commits, so replay cost stays bounded as the table takes commits.
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
@@ -957,12 +1049,7 @@ def optimize_delta(
     actions.append(
         {"commitInfo": {"operation": "OPTIMIZE", "engineInfo": "deltalite"}}
     )
-    fd = os.open(
-        _log_path(table_path, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL
-    )
-    with os.fdopen(fd, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    version = _commit_with_retry(table_path, version, actions)
     return {
         "version": version,
         "files_before": len(active),
@@ -1030,13 +1117,7 @@ def annotate_stats(table_path: str, cols: list[str]) -> int:
             }
         }
     )
-    fd = os.open(
-        _log_path(table_path, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL
-    )
-    with os.fdopen(fd, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a, separators=(",", ":")) + "\n")
-    return version
+    return _commit_with_retry(table_path, version, actions)
 
 
 def read_delta_pruned(

@@ -44,26 +44,17 @@ from pyspark.sql import functions as F
 
 from pyspark_anomaly_detection_spark.io import deltalite
 from pyspark_anomaly_detection_spark.io.detach import detach_local
-from pyspark_anomaly_detection_spark.io.deltalite import (
-    _list_checkpoints,
-    _list_versions,
-    _log_path,
-    _snapshot_state,
-)
+from pyspark_anomaly_detection_spark.io.deltalite import _snapshot_state
 
 
 def _commit_actions(
     table_path: str, version: int, actions: list[dict[str, Any]]
 ) -> int:
-    import json
-
-    fd = os.open(
-        _log_path(table_path, version), os.O_WRONLY | os.O_CREAT | os.O_EXCL
-    )
-    with os.fdopen(fd, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a, separators=(",", ":")) + "\n")
-    return version
+    # optimistic concurrency with bounded retry: a DML rewrite carries
+    # removes, so any interleaved data change aborts it (Delta's
+    # ConcurrentAppend/ConcurrentDelete behavior); see
+    # deltalite._commit_with_retry for the conflict matrix
+    return deltalite._commit_with_retry(table_path, version, actions)
 
 
 def _guard_partition_columns(predicate: str, part_cols: list[str]) -> None:
@@ -194,7 +185,7 @@ def _rewrite_commit(
     actions = removes + actions + [
         {"commitInfo": {"operation": operation, "engineInfo": "deltalite"}}
     ]
-    _commit_actions(table_path, version, actions)
+    version = _commit_actions(table_path, version, actions)
     return {
         "version": version,
         "files_rewritten": len(touched),

@@ -43,18 +43,21 @@ def test_append_overwrite_time_travel(spark, tmp_path):
     assert hist[2]["n_removes"] > 0 and hist[2]["n_adds"] > 0
 
 
-def test_commit_exclusivity_single_writer(spark, tmp_path, monkeypatch):
-    """Racing writers of the same version must fail on O_EXCL, not
-    clobber — simulate a writer whose version listing is stale (the
-    other writer committed version 1 after this one planned it)."""
+def test_commit_exclusivity_never_clobbers(spark, tmp_path, monkeypatch):
+    """Racing writers of the same version must never clobber the
+    winner's commit — a writer whose version listing is PERMANENTLY
+    stale (can't see the tip to rebase onto) exhausts its bounded
+    retries and raises, leaving the winner's commit byte-identical."""
     from pyspark_anomaly_detection_spark.io import deltalite
 
     t = str(tmp_path / "t")
     write_delta(_df(spark, 0, 5), t)
     write_delta(_df(spark, 5, 8), t, mode="append")  # the winner's commit 1
+    winner = open(deltalite._log_path(t, 1), "rb").read()
     monkeypatch.setattr(deltalite, "_list_versions", lambda p: [0])
-    with pytest.raises(FileExistsError):
+    with pytest.raises(deltalite.DeltaliteConcurrentCommit):
         write_delta(_df(spark, 8, 12), t, mode="append")
+    assert open(deltalite._log_path(t, 1), "rb").read() == winner
 
 
 def test_crashed_writer_files_invisible(spark, tmp_path):
@@ -413,3 +416,126 @@ def test_change_feed_from_minus_one_streams_full_history(spark, tmp_path):
         .collect()
     }
     assert by_commit == {(0, "insert"): 5, (1, "insert"): 3}
+
+
+# ------------- round 10: optimistic concurrency with bounded retry
+
+
+def _blind_append_actions(t, rel):
+    """A minimal committed-elsewhere data file (content irrelevant)."""
+    return [
+        {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"commitInfo": {"operation": "WRITE", "engineInfo": "test"}},
+    ]
+
+
+def test_commit_retry_rebases_blind_append(spark, tmp_path):
+    """The loser of the O_EXCL race with a disjoint append must rebase
+    onto the next version instead of raising (verdict r9 item 4)."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        _commit_with_retry,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(spark.range(0, 5).coalesce(1), t)           # v0
+    write_delta(spark.range(5, 8).coalesce(1), t, mode="append")  # v1
+    # stale writer thinks the tip is v0 and claims v1 — taken
+    got = _commit_with_retry(t, 1, _blind_append_actions(t, "x.parquet"))
+    assert got == 2
+
+
+def test_commit_retry_conflicts_raise(spark, tmp_path):
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        DeltaliteConcurrentCommit,
+        _commit_with_retry,
+        _snapshot_state,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(spark.range(0, 5).coalesce(1), t)  # v0
+    active = sorted(_snapshot_state(t).adds)
+    write_delta(spark.range(5, 8).coalesce(1), t, mode="append")  # v1
+    # 1. overlapping remove set (two writers deleting the same file)
+    rm = [{"remove": {"path": active[0], "dataChange": True}},
+          {"commitInfo": {"operation": "DELETE"}}]
+    write_delta(spark.range(8, 9).coalesce(1), t, mode="append")  # v2
+    with pytest.raises(DeltaliteConcurrentCommit):
+        # stale at v1->claims v2; v2 is an interleaved data change and
+        # this commit carries removes -> non-append conflict
+        _commit_with_retry(t, 2, rm)
+    # 2. an interleaved metaData change conflicts even with a blind
+    # append: commit the metaData at the tip, then race a stale append
+    meta = [{"metaData": {"id": "m", "format": {"provider": "parquet",
+                                                 "options": {}},
+                          "schemaString": "{}", "partitionColumns": [],
+                          "configuration": {}, "createdTime": 0}},
+            {"commitInfo": {"operation": "SCHEMA"}}]
+    tip = _commit_with_retry(t, 3, meta)
+    with pytest.raises(DeltaliteConcurrentCommit):
+        _commit_with_retry(
+            t, tip, _blind_append_actions(t, "y.parquet")
+        )
+    # 3. bounded: the retry gives up after MAX_COMMIT_RETRIES losses
+    from pyspark_anomaly_detection_spark.io import deltalite as dl
+
+    class _AlwaysLosing(dict):
+        pass
+
+    # simulate perpetual losing by racing against ourselves: claim the
+    # next N versions up front, then commit with max_retries smaller
+    for v in range(tip + 1, tip + 4):
+        _commit_with_retry(t, v, _blind_append_actions(t, f"z{v}.parquet"))
+    with pytest.raises(DeltaliteConcurrentCommit, match="lost the commit"):
+        _commit_with_retry(
+            t, tip + 1, _blind_append_actions(t, "w.parquet"),
+            max_retries=0,
+        )
+
+
+def test_two_threaded_writers_all_appends_land(spark, tmp_path):
+    """Verdict r9 item 4's done-bar: two writers appending
+    concurrently — every append lands, versions strictly ordered with
+    no gaps, all rows present."""
+    import threading
+
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        delta_history,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(spark.range(0, 0).select(F.col("id")).coalesce(1), t)  # v0
+    errs = []
+    barrier = threading.Barrier(2)
+
+    def appender(lo):
+        try:
+            barrier.wait()
+            for i in range(4):
+                write_delta(
+                    spark.range(lo + i * 10, lo + i * 10 + 10).coalesce(1),
+                    t,
+                    mode="append",
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(lo,)) for lo in (0, 1000)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    hist = delta_history(t)
+    assert [h["version"] for h in hist] == list(range(9))  # v0 + 8 appends
+    ids = sorted(r.id for r in read_delta(spark, t).collect())
+    want = sorted(
+        [i for b in (0, 1000) for j in range(4) for i in range(b + j * 10, b + j * 10 + 10)]
+    )
+    assert ids == want
