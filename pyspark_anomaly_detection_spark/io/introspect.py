@@ -116,13 +116,33 @@ def q192_footer_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_META_UNION = "\n      UNION ALL\n".join(
-    f"""      SELECT '{t}' AS table_name, file_name, row_group_id,
+def _meta_union(sf_dir: str) -> str:
+    """parquet_metadata() UNION over only the table files PRESENT at
+    ``sf_dir`` — mirroring the Spark side's missing-file skip, so the
+    oracle stays comparable on partial dirs (ADVICE r8 item 3; the old
+    import-time constant union raised a DuckDB IO error instead)."""
+    present = [
+        t
+        for t in TABLE_NAMES
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+    ]
+    if not present:
+        return (
+            "      SELECT CAST(NULL AS VARCHAR) AS table_name, "
+            "CAST(NULL AS VARCHAR) AS file_name, "
+            "CAST(NULL AS BIGINT) AS row_group_id, "
+            "CAST(NULL AS BIGINT) AS row_group_num_rows, "
+            "CAST(NULL AS BIGINT) AS total_compressed_size, "
+            "CAST(NULL AS BIGINT) AS total_uncompressed_size "
+            "WHERE 1 = 0"
+        )
+    return "\n      UNION ALL\n".join(
+        f"""      SELECT '{t}' AS table_name, file_name, row_group_id,
              row_group_num_rows, total_compressed_size,
              total_uncompressed_size
       FROM parquet_metadata('{{SF_DIR}}/{t}.parquet')"""
-    for t in TABLE_NAMES
-)
+        for t in present
+    )
 
 
 @register(
@@ -132,15 +152,12 @@ _META_UNION = "\n      UNION ALL\n".join(
     # parquet_metadata() table function over the SAME binary files is the
     # oracle — two unrelated parquet footer readers hash-matching.  The
     # {SF_DIR} token binds to the run's data dir (registry.resolve_oracle;
-    # the driver's correctness gate runs at its sf0.01 default).
-    # NOTE: parity requires a COMPLETE table set at {SF_DIR} — the oracle
-    # addresses every TABLE_NAMES file unconditionally (DuckDB table
-    # functions bind constant paths), while the Spark side skips missing
-    # files; on a partial dir the oracle raises an IO error rather than
-    # producing a comparable mismatch.  All driver sf dirs are complete.
-    oracle=f"""
+    # the driver's correctness gate runs at its sf0.01 default).  The
+    # oracle is a CALLABLE so the union is built per sf_dir over only
+    # the files that exist — partial dirs compare instead of erroring.
+    oracle=lambda sf_dir: f"""
     WITH m AS (
-{_META_UNION}
+{_meta_union(sf_dir)}
     ),
     g AS (
       SELECT table_name,

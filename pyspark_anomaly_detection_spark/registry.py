@@ -59,12 +59,20 @@ SF_DIR_TOKEN = "{SF_DIR}"
 DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
 
-def resolve_oracle(oracle: str | None, sf_dir: str | None = None) -> str | None:
+def resolve_oracle(oracle, sf_dir: str | None = None) -> str | None:
     """Substitute :data:`SF_DIR_TOKEN` with the given sf dir (driver
-    default when None).  No-op for oracles without the token."""
+    default when None).  No-op for oracles without the token.
+
+    ``oracle`` may also be a CALLABLE ``(sf_dir) -> str`` for oracles
+    whose SQL depends on the data dir's contents (q193 builds its
+    parquet_metadata() union over only the files that exist, mirroring
+    the Spark side's missing-file skip — ADVICE r8 item 3)."""
     if oracle is None:
         return None
-    return oracle.replace(SF_DIR_TOKEN, sf_dir or DRIVER_SF_DIR)
+    sf = sf_dir or DRIVER_SF_DIR
+    if callable(oracle):
+        oracle = oracle(sf)
+    return oracle.replace(SF_DIR_TOKEN, sf)
 
 
 def register(
