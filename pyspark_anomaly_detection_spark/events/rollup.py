@@ -87,15 +87,20 @@ def q61_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day", "event_type")
 
 
-@register("q99_hll_sketch_union", oracle=None)  # sketch binary is engine-private
-def q99_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches — the pre-aggregation form of
-    COUNT(DISTINCT) at 100 TB: build one HLL sketch per (day, event_type)
-    (the expensive pass over raw data, stored with the daily partials),
-    then answer coarser questions by UNIONING sketches — per event_type
-    across all days, and globally — without touching raw events again.
-    Error bound vs exact asserted in tests/test_approx_aggregates.py."""
-    ev = load_table(spark, sf_dir, "events")
+#: Relative-error band for the sketch-promotion oracles (q62/q99,
+#: verdict r9 item 7).  Generous on purpose: approx_count_distinct runs
+#: at rsd 0.02 and HLL at lgConfigK 12 (rsd ≈ 1.6 %), so 0.10 is ≥ 5
+#: standard deviations — a band miss means a broken sketch, not noise —
+#: while still being a REAL cross-engine assertion (the oracle's exact
+#: counts are computed independently by DuckDB).
+SKETCH_ERROR_BAND = 0.10
+
+
+def hll_union_estimates(ev: DataFrame) -> DataFrame:
+    """Raw sketch-union estimates (per event_type + 'ALL'): build one
+    HLL sketch per (day, event_type), answer coarser questions by
+    UNIONING sketches — never rescanning raw events.  Exact error
+    bounds pinned in tests/test_approx_aggregates.py."""
     daily = ev.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"
     ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
@@ -108,16 +113,76 @@ def q99_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_users"),
         F.count("*").alias("n_days"),
     )
-    return per_type.unionByName(total).orderBy("event_type")
+    return per_type.unionByName(total)
 
 
-@register("q62_approx_aggregates", oracle=None)  # sketch internals are
-# engine-specific; error bounds asserted vs exact in tests
-def q62_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-state distinct counts and percentiles: HyperLogLog++ and
-    QuantileSummaries.  The 100 TB variants of COUNT(DISTINCT) / exact
-    rank selection — O(1) state per group instead of O(distinct values)."""
+@register(
+    "q99_hll_sketch_union",
+    # promoted round 10 from rows-only (verdict r9 item 7): sketch
+    # BINARIES are engine-private, but the estimate's error CLASS
+    # against exact counts is not — the query emits exact group
+    # cardinalities (hash-checked against DuckDB's independent exact
+    # aggregation) plus a within-band flag the oracle asserts TRUE.
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+               AS n_days,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type
+    ),
+    total AS (
+      SELECT 'ALL' AS event_type,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT date_trunc('day', ts), event_type
+                FROM events)) AS n_days,
+             (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+               AS exact_users
+    )
+    SELECT event_type, n_days, exact_users, TRUE AS union_within_band
+    FROM (SELECT * FROM per_type UNION ALL SELECT * FROM total)
+    ORDER BY event_type
+    """,
+)
+def q99_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the pre-aggregation form of
+    COUNT(DISTINCT) at 100 TB: one HLL sketch per (day, event_type)
+    (the expensive pass, stored with the daily partials), coarser
+    answers by sketch UNION.  Output: exact per-group counts (both
+    engines compute these independently — hash-checked) and the sketch
+    estimate's within-band verdict (oracle asserts TRUE); the raw
+    estimates themselves are exercised by :func:`hll_union_estimates`'s
+    tests, since their exact values are engine-specific."""
     ev = load_table(spark, sf_dir, "events")
+    est = hll_union_estimates(ev)
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    total = ev.agg(
+        F.lit("ALL").alias("event_type"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    exact = per_type.unionByName(total)
+    rel_err = F.abs(
+        F.col("distinct_users").cast("double") - F.col("exact_users")
+    ) / F.greatest(F.col("exact_users"), F.lit(1)).cast("double")
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (rel_err <= SKETCH_ERROR_BAND).alias("union_within_band"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def approx_aggregates(ev: DataFrame) -> DataFrame:
+    """Raw bounded-state estimates per event_type: HyperLogLog++
+    distinct counts and QuantileSummaries percentiles — the 100 TB
+    variants of COUNT(DISTINCT) / exact rank selection, O(1) state per
+    group instead of O(distinct values)."""
     return (
         ev.groupBy("event_type")
         .agg(
@@ -134,6 +199,83 @@ def q62_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value_pcts")[1].alias("p90"),
             F.col("value_pcts")[2].alias("p99"),
             "n_events",
+        )
+    )
+
+
+@register(
+    "q62_approx_aggregates",
+    # promoted round 10 from rows-only (verdict r9 item 7): same error-
+    # class design as q99 — exact counts hash-checked cross-engine,
+    # sketch estimates banded against the SPARK-side exact references
+    # (F.percentile / countDistinct), oracle asserts the bands hold.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS users_within_band,
+           TRUE AS p50_within_band,
+           TRUE AS p90_within_band,
+           TRUE AS p99_within_band
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q62_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state distinct counts and percentiles with their error
+    verdicts.  Distinct counts band on RELATIVE error vs the same
+    query's exact countDistinct.  Percentiles band on RANK error — the
+    guarantee QuantileSummaries actually makes: the rank fraction of
+    the returned value (CDF at the estimate, one broadcast join + one
+    aggregate) must sit within ``max(0.05, 2/n)`` of the requested
+    quantile (sketch rank error + discretization slack; a VALUE band
+    would be meaningless for heavy tails or tiny groups).  The oracle
+    independently recomputes the exact counts and asserts every band
+    TRUE.  Raw estimates live in :func:`approx_aggregates` for the
+    error-bound tests."""
+    ev = load_table(spark, sf_dir, "events")
+    est = approx_aggregates(ev)
+    ranks = (
+        ev.select("event_type", "value")
+        .join(
+            F.broadcast(est.select("event_type", "p50", "p90", "p99")),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("_n"),
+            *[
+                F.sum((F.col("value") <= F.col(c)).cast("long")).alias(
+                    f"_k{c[1:]}"
+                )
+                for c in ("p50", "p90", "p99")
+            ],
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    slack = F.greatest(
+        F.lit(0.05), F.lit(2.0) / F.col("_n").cast("double")
+    )
+
+    def rank_band(k_col: str, q: float):
+        frac = F.col(k_col).cast("double") / F.col("_n")
+        return F.abs(frac - F.lit(q)) <= slack
+
+    users_err = F.abs(
+        F.col("approx_users").cast("double") - F.col("exact_users")
+    ) / F.greatest(F.col("exact_users"), F.lit(1)).cast("double")
+    return (
+        est.join(exact, "event_type")
+        .join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (users_err <= SKETCH_ERROR_BAND).alias("users_within_band"),
+            rank_band("_k50", 0.5).alias("p50_within_band"),
+            rank_band("_k90", 0.9).alias("p90_within_band"),
+            rank_band("_k99", 0.99).alias("p99_within_band"),
         )
         .orderBy("event_type")
     )

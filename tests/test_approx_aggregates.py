@@ -5,14 +5,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pyspark_anomaly_detection_spark.events.rollup import q62_approx_aggregates
+from pyspark_anomaly_detection_spark.events.rollup import approx_aggregates
 from pyspark_anomaly_detection_spark.io.readers import load_table
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
     approx = {
         r.event_type: r.approx_users
-        for r in q62_approx_aggregates(spark, sf_dir).collect()
+        for r in approx_aggregates(
+            load_table(spark, sf_dir, "events")
+        ).collect()
     }
     exact = {
         r.event_type: r.n
@@ -30,9 +32,10 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
 def test_hll_sketch_union_matches_exact_distinct(spark, sf_dir):
     """Unioning per-day sketches must estimate the global distinct count
     within HLL error (~2% at default lgConfigK; small counts are exact)."""
-    from pyspark_anomaly_detection_spark.events.rollup import q99_hll_sketch_union
+    from pyspark_anomaly_detection_spark.events.rollup import hll_union_estimates
 
-    rows = {r.event_type: r.distinct_users for r in q99_hll_sketch_union(spark, sf_dir).collect()}
+    ev0 = load_table(spark, sf_dir, "events")
+    rows = {r.event_type: r.distinct_users for r in hll_union_estimates(ev0).collect()}
     ev = load_table(spark, sf_dir, "events")
     exact_total = ev.select("user_id").distinct().count()
     assert abs(rows["ALL"] - exact_total) <= max(2, 0.05 * exact_total)
@@ -47,7 +50,12 @@ def test_hll_sketch_union_matches_exact_distinct(spark, sf_dir):
 
 
 def test_approx_percentiles_bracket_exact(spark, sf_dir):
-    rows = {r.event_type: r for r in q62_approx_aggregates(spark, sf_dir).collect()}
+    rows = {
+        r.event_type: r
+        for r in approx_aggregates(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
     ev = load_table(spark, sf_dir, "events")
     for etype, row in rows.items():
         vals = sorted(
@@ -101,11 +109,13 @@ def test_sketch_mergeability_union_equals_direct(spark, sf_dir):
 def test_q99_per_type_matches_direct_sketch(spark, sf_dir):
     """Each q99 per-type estimate (unioned from daily partials) must
     exactly equal a direct single-pass sketch of that type's users."""
-    from pyspark_anomaly_detection_spark.events.rollup import q99_hll_sketch_union
+    from pyspark_anomaly_detection_spark.events.rollup import hll_union_estimates
 
     merged = {
         r.event_type: r.distinct_users
-        for r in q99_hll_sketch_union(spark, sf_dir).collect()
+        for r in hll_union_estimates(
+            load_table(spark, sf_dir, "events")
+        ).collect()
         if r.event_type != "ALL"
     }
     direct = {
