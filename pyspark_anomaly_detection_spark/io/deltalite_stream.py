@@ -326,3 +326,103 @@ def q218_deltalite_stream_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         return detach_local(result)  # 3 rows; detach before rmtree
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q221_deltalite_stream_dml_isolation",
+    # Same detached-Arrow plan shape as q218 (not python_lane).  The
+    # oracle is exact because each append commit coalesces to ONE data
+    # file: the copy-on-write DELETE then touches every file (each
+    # third contains multiples of 7), so the change feed's delete rows
+    # are ALL pre-DML rows and its insert rows the survivors — both
+    # SQL-expressible against orders directly.
+    oracle="""
+    SELECT * FROM (
+      SELECT CAST(o_orderkey % 3 AS BIGINT) AS commit_version,
+             'insert' AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderkey % 3
+      UNION ALL
+      SELECT 3, 'delete', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 3, 'insert', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    ORDER BY commit_version, change_type
+    """,
+)
+def q221_deltalite_stream_dml_isolation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Read-version isolation of the CDF stream across a row-level DML
+    commit (verdict r9 item 6): drain 1 consumes the three append
+    commits; a copy-on-write DELETE then lands as version 3; drain 2
+    resumes from the SAME checkpoint and must deliver exactly version
+    3's change pairs — the full pre-DML row set as 'delete' (COW: the
+    removed files are still on disk and readable) and the survivors as
+    'insert' — with nothing from versions 0–2 redelivered.  The oracle
+    derives every census row straight from orders, so a green hash
+    proves offset isolation, exactly-once resume, and the DML change
+    feed at once."""
+    import shutil
+    import tempfile
+
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import delete_delta
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="deltalite_dml_iso_")
+    table = os.path.join(base, "orders_t")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    try:
+        for third in (0, 1, 2):
+            deltalite.write_delta(
+                orders.filter(F.col("o_orderkey") % 3 == third).coalesce(1),
+                table,
+                mode="append",
+            )
+
+        def drain() -> None:
+            # a file sink's metadata log is bound to ONE (checkpoint,
+            # path) pair, so both drains append to the same sink; any
+            # redelivery of versions 0-2 in drain 2 would inflate those
+            # versions' counts and break the hash
+            q = (
+                read_deltalite_stream(spark, table, read_change_feed=True)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()  # versions 0-2: the three appends
+        delete_delta(spark, table, "o_orderkey % 7 = 0")  # version 3
+        drain()  # resumes at version 3 ONLY (checkpointed offset)
+
+        result = (
+            spark.read.parquet(sink)
+            .groupBy(
+                F.col(COMMIT_VERSION_COL).alias("commit_version"),
+                F.col(CHANGE_TYPE_COL).alias("change_type"),
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .orderBy("commit_version", "change_type")
+        )
+        return detach_local(result)  # 5 rows; detach before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

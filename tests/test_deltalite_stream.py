@@ -231,3 +231,48 @@ def test_partitioned_stream_typed_non_string_partitions(spark, tmp_path):
         for i in range(12)
     }
     assert got == want
+
+
+def test_cdf_stream_across_dml_hand_computed(spark, tmp_path):
+    """Verdict r9 item 6: stream a table's change feed ACROSS a DML
+    rewrite commit, hand-computed feed.  Drain 1 sees the two appends;
+    drain 2 (same checkpoint) must deliver exactly the UPDATE's change
+    pair: every pre-DML row of the touched file as 'delete' and the
+    rewritten rows as 'insert' — nothing from versions 0-1 again."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import update_delta
+
+    t, ckpt, sink = (str(tmp_path / p) for p in ("t", "ck", "sink"))
+    write_delta(_df(spark, 0, 4), t)                 # v0: ids 0-3
+    write_delta(_df(spark, 4, 6), t, mode="append")  # v1: ids 4-5
+
+    def drain():
+        q = (
+            read_deltalite_stream(spark, t, read_change_feed=True)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got1 = {
+        (r.id, r.v, r._commit_version, r._change_type)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got1 == {(i, i * 2, 0 if i < 4 else 1, "insert") for i in range(6)}
+
+    update_delta(spark, t, "id = 5", {"v": "999"})  # v2 rewrites v1's file
+    drain()
+    new = {
+        (r.id, r.v, r._commit_version, r._change_type)
+        for r in spark.read.parquet(sink).collect()
+    } - got1
+    assert new == {
+        (4, 8, 2, "delete"),   # pre-DML rows of the touched file
+        (5, 10, 2, "delete"),
+        (4, 8, 2, "insert"),   # rewritten survivors
+        (5, 999, 2, "insert"),
+    }
