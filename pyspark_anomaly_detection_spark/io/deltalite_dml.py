@@ -129,11 +129,6 @@ def _rewrite_commit(
     for rel in touched:
         pv = snap.adds[rel].get("partitionValues") or {}
         groups.setdefault(tuple(sorted(pv.items())), []).append(rel)
-    if extra_adds_df is not None and snap.part_cols:
-        raise NotImplementedError(
-            "deltalite COW: appending extra rows to a partitioned table "
-            "in a rewrite commit is not supported"
-        )
 
     actions: list[dict[str, Any]] = []
     n_new_files = 0
@@ -175,9 +170,39 @@ def _rewrite_commit(
             extra_adds_df = None  # folded into the single group's write
         subdir = f"g{i}" if snap.part_cols else ""
         n_new_files += _write_piece(kept, subdir, dict(pv_items))
-    if extra_adds_df is not None:
+    if extra_adds_df is not None and not snap.part_cols:
         # no touched files (pure-insert MERGE on an unpartitioned table)
         n_new_files += _write_piece(extra_adds_df, "", {})
+    elif extra_adds_df is not None:
+        # partitioned inserts (MERGE): hive-layout write inside the
+        # commit dir, partitionValues harvested from the dir segments —
+        # the same contract write_delta uses
+        ins_dir = os.path.join(data_dir, "inserts")
+        extra_adds_df.write.mode("error").partitionBy(
+            *snap.part_cols
+        ).parquet(ins_dir)
+        for root, _dirs, files in os.walk(ins_dir):
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                pvals: dict[str, str] = {}
+                for seg in os.path.relpath(root, ins_dir).split(os.sep):
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        pvals[k] = v
+                actions.append(
+                    {
+                        "add": {
+                            "path": os.path.relpath(full, table_path),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(full),
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                n_new_files += 1
 
     removes = [
         {"remove": {"path": rel, "dataChange": True}} for rel in touched
@@ -283,7 +308,13 @@ def merge_delta(
     one copy-on-write commit.  Matched target rows update in place
     (duplicate-key target rows each update, preserving cardinality);
     duplicate source keys raise (Delta's multiple-source-rows-match
-    error).  Source must carry the target's full schema."""
+    error).  Source must carry the target's full schema.
+
+    Partitioned tables are supported (round 10) as long as the merge
+    key is a DATA column and no matched source row changes a partition
+    column (a partition-moving MERGE would need a cross-partition
+    delete+insert rewrite — raises NotImplementedError); inserts land
+    in their own partitions via a hive-layout write."""
     dupes = source.groupBy(key).count().filter("count > 1").limit(1).count()
     if dupes:
         raise ValueError(
@@ -291,9 +322,12 @@ def merge_delta(
             "MERGE (Delta rejects this too)"
         )
     snap = _snapshot_state(table_path)
-    if snap.part_cols:
-        raise NotImplementedError(
-            "merge_delta on partitioned deltalite tables is not supported"
+    part_cols = snap.part_cols
+    if key in part_cols:
+        raise ValueError(
+            "merge_delta: the merge key cannot be a partition column — "
+            "keys are matched inside data files, and partition columns "
+            "live only in the log"
         )
     active = sorted(snap.adds)
     src = source.cache()
@@ -364,19 +398,62 @@ def merge_delta(
                 ]
             )
 
+        # partition-move guard: a matched source row whose partition
+        # columns differ from its target row's would have to move
+        # partitions — a cross-partition delete+insert this COW shape
+        # doesn't express
+        if part_cols and touched and n_matched:
+            import operator
+            from functools import reduce
+
+            tgt_pv = deltalite._read_adds(
+                spark,
+                table_path,
+                {rel: snap.adds[rel] for rel in touched},
+                snap.schema_json,
+                part_cols,
+            ).select(key, *part_cols)
+            differs = reduce(
+                operator.or_,
+                [
+                    ~F.col(c).eqNullSafe(F.col(f"_dml_s_{c}"))
+                    for c in part_cols
+                ],
+            )
+            moved = tgt_pv.join(
+                F.broadcast(
+                    src.select(
+                        F.col(key),
+                        *[
+                            F.col(c).alias(f"_dml_s_{c}")
+                            for c in part_cols
+                        ],
+                    )
+                ),
+                key,
+            ).filter(differs)
+            if moved.limit(1).count():
+                raise NotImplementedError(
+                    "merge_delta: a matched source row changes a "
+                    "partition column — partition-moving MERGE is not "
+                    "supported"
+                )
+
         # WHEN NOT MATCHED THEN INSERT *: only source rows whose key is
         # absent from the target append (matched keys live in touched
         # files by construction, so the touched scan is the full match
-        # set)
+        # set).  Partitioned inserts keep their partition columns for
+        # the hive-layout write in _rewrite_commit.
+        insert_cols = target_cols + [c for c in part_cols if c not in target_cols]
         if touched:
             tgt_keys = spark.read.parquet(
                 *[os.path.join(table_path, rel) for rel in touched]
             ).select(key)
-            inserts = src.select(*target_cols).join(
+            inserts = src.select(*insert_cols).join(
                 tgt_keys, key, "left_anti"
             )
         else:
-            inserts = src.select(*target_cols)
+            inserts = src.select(*insert_cols)
 
         out = _rewrite_commit(
             spark,

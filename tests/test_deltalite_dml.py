@@ -231,3 +231,59 @@ def test_merge_null_source_value_overwrites(spark, tmp_path):
     assert out["rows_matched"] == 1
     rows = {r.id: r.v for r in read_delta(spark, t).collect()}
     assert rows == {1: None, 2: 20}
+
+
+def test_merge_on_partitioned_table(spark, tmp_path):
+    """Round 10: MERGE on a partitioned table — in-place updates stay in
+    their partitions, inserts land in their own (including brand-new)
+    partitions via the hive-layout write."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 12).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("side"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_delta(df, t, partition_by=["side"])
+    src = spark.createDataFrame(
+        [
+            (4, "0", 400),    # matched, same partition -> in-place update
+            (100, "1", 1000), # new key, existing partition
+            (101, "9", 9990), # new key, NEW partition
+        ],
+        "id long, side string, v long",
+    )
+    out = merge_delta(spark, t, src, key="id")
+    assert out["rows_matched"] == 1
+    assert out["rows_inserted"] == 2
+    rows = {r.id: (r.side, r.v) for r in read_delta(spark, t).collect()}
+    assert len(rows) == 14
+    assert rows[4] == ("0", 400)
+    assert rows[100] == ("1", 1000)
+    assert rows[101] == ("9", 9990)
+    assert rows[5] == ("1", 10)  # untouched row intact
+    assert all(side is not None for side, _ in rows.values())
+
+
+def test_merge_partition_move_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 6).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("side"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_delta(df, t, partition_by=["side"])
+    mover = spark.createDataFrame(
+        [(4, "1", 99)], "id long, side string, v long"  # 4 lives in side '0'
+    )
+    with pytest.raises(NotImplementedError, match="partition column"):
+        merge_delta(spark, t, mover, key="id")
+
+
+def test_merge_key_cannot_be_partition_column(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 6).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("side")
+    )
+    write_delta(df, t, partition_by=["side"])
+    src = spark.createDataFrame([("0", 1)], "side string, id long")
+    with pytest.raises(ValueError, match="partition column"):
+        merge_delta(spark, t, src, key="side")
