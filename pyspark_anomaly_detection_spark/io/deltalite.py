@@ -115,6 +115,19 @@ def _read_commit(table_path: str, version: int) -> list[dict[str, Any]]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def _guard_no_dv(adds: "dict[str, dict[str, Any]]", what: str) -> None:
+    """Operations that re-read or re-write data files raw must refuse a
+    table whose adds carry deletion vectors — they would resurrect (or
+    silently drop) the DV-deleted rows.  Snapshot reads subtract DVs in
+    _read_adds; everything else gates here until taught otherwise."""
+    if any(a.get("deletionVector") for a in adds.values()):
+        raise NotImplementedError(
+            f"deltalite: {what} on a table with deletion vectors is not "
+            "supported — run a copy-on-write rewrite first or read via "
+            "read_delta"
+        )
+
+
 class DeltaliteConcurrentCommit(Exception):
     """A concurrent writer committed a logically conflicting
     transaction — the deltalite analogue of Delta's
@@ -431,9 +444,11 @@ class _Snapshot:
             self.part_cols = action["metaData"].get("partitionColumns", [])
         elif "add" in action:
             add = action["add"]
-            if add.get("deletionVector"):
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType") != "i":
                 raise NotImplementedError(
-                    "deltalite: deletion vectors not supported"
+                    "deltalite: only inline ('i') deletion vectors are "
+                    f"supported, got storageType {dv.get('storageType')!r}"
                 )
             self.adds[add["path"]] = add
             self.tombstones.pop(add["path"], None)
@@ -443,11 +458,20 @@ class _Snapshot:
             self.tombstones[rm["path"]] = rm
         elif "protocol" in action:
             p = action["protocol"]
-            if p.get("minReaderVersion", 1) > 1:
-                raise NotImplementedError(
-                    f"deltalite: reader version {p['minReaderVersion']} "
-                    "features not supported"
-                )
+            reader_v = p.get("minReaderVersion", 1)
+            if reader_v > 1:
+                # table-features protocol (reader v3): supported iff the
+                # feature list is PRESENT and every reader feature is one
+                # we implement — v3 without a list, or v2 (column
+                # mapping), stays fail-loud
+                features = p.get("readerFeatures")
+                unsupported = set(features or []) - {"deletionVectors"}
+                if reader_v != 3 or not features or unsupported:
+                    raise NotImplementedError(
+                        f"deltalite: reader version {reader_v} features "
+                        f"{sorted(unsupported) or '(none listed)'} not "
+                        "supported"
+                    )
         elif "txn" in action:
             t = action["txn"]
             prev = self.txns.get(t["appId"], -1)
@@ -609,6 +633,9 @@ def create_checkpoint(table_path: str, version: int | None = None) -> int:
     if version is None:
         version = versions[-1]
     snap = _snapshot_state(table_path, version)
+    # the checkpoint row schema has no deletionVector struct yet — a
+    # checkpoint would silently DROP the DVs from replay
+    _guard_no_dv(snap.adds, "create_checkpoint")
 
     rows: list[dict[str, Any]] = [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -736,12 +763,35 @@ def _read_adds(
     )
     if not adds:
         return spark.createDataFrame([], schema)
+    dv_adds = {r: a for r, a in adds.items() if a.get("deletionVector")}
     if not part_cols:
-        reader = spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(
-            *[os.path.join(table_path, rel) for rel in sorted(adds)]
+        plain = [r for r in sorted(adds) if r not in dv_adds]
+        pieces = []
+        if plain:
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            pieces.append(
+                reader.parquet(
+                    *[os.path.join(table_path, rel) for rel in plain]
+                )
+            )
+        if dv_adds:
+            from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+                read_files_minus_dv,
+            )
+
+            pieces.append(
+                read_files_minus_dv(spark, table_path, dv_adds, schema)
+            )
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+    if dv_adds:
+        raise NotImplementedError(
+            "deltalite: deletion vectors on partitioned tables are not "
+            "supported"
         )
     data_schema = StructType(
         [f for f in schema.fields if f.name not in part_cols]
@@ -1007,6 +1057,7 @@ def optimize_delta(
 
     target = target_file_bytes or TARGET_FILE_BYTES
     snap = _snapshot_state(table_path)
+    _guard_no_dv(snap.adds, "OPTIMIZE")  # raw rewrite would resurrect rows
     current = snap.version
     active = set(snap.adds)
     if not active:
@@ -1094,6 +1145,7 @@ def annotate_stats(table_path: str, cols: list[str]) -> int:
     false) — Delta's ``COMPUTE STATISTICS``-style backfill.  Returns the
     new version (or -1 when every active add already carries stats)."""
     snap = _snapshot_state(table_path)
+    _guard_no_dv(snap.adds, "annotate_stats")  # re-add would drop the DV
     current = snap.version
     latest_add = snap.adds
     missing = [p for p, a in latest_add.items() if "stats" not in a]
@@ -1228,6 +1280,8 @@ def read_delta_changes(
     if to_version is None:
         to_version = latest
     tip = _snapshot_state(table_path, latest)
+    _guard_no_dv(tip.adds, "read_delta_changes")  # file-level CDF can't
+    # express a DV's row-level delta yet
     schema_json = tip.schema_json
     part_cols = tip.part_cols
     # last-known add per path (for partition values of removed files):

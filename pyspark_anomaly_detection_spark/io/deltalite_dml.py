@@ -225,6 +225,7 @@ def delete_delta(
     containing matching rows.  Returns {'version', 'files_rewritten',
     'files_added', 'files_untouched', 'rows_deleted'}."""
     snap = _snapshot_state(table_path)
+    deltalite._guard_no_dv(snap.adds, "copy-on-write DELETE")
     if snap.part_cols:
         _guard_partition_columns(predicate, snap.part_cols)
     active = sorted(snap.adds)
@@ -263,6 +264,7 @@ def update_delta(
     expression) to the matching rows and passing the rest through
     unchanged."""
     snap = _snapshot_state(table_path)
+    deltalite._guard_no_dv(snap.adds, "copy-on-write UPDATE")
     if snap.part_cols:
         _guard_partition_columns(predicate, snap.part_cols)
         for col in assignments:
@@ -322,6 +324,7 @@ def merge_delta(
             "MERGE (Delta rejects this too)"
         )
     snap = _snapshot_state(table_path)
+    deltalite._guard_no_dv(snap.adds, "MERGE")
     part_cols = snap.part_cols
     if key in part_cols:
         raise ValueError(

@@ -112,6 +112,12 @@ class DeltaliteStreamReader(DataSourceStreamReader):
             for action in deltalite._read_commit(self.table_path, v):
                 if "add" in action and action["add"].get("dataChange", True):
                     add = action["add"]
+                    if add.get("deletionVector"):
+                        raise NotImplementedError(
+                            "deltalite_stream: deletion-vector adds are "
+                            "not supported by the streaming source yet — "
+                            "read the snapshot via read_delta"
+                        )
                     known[add["path"]] = add.get("partitionValues", {})
                     out.append(
                         _AddFilePartition(

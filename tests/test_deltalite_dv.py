@@ -1,0 +1,208 @@
+"""Deletion vectors: roaring/Z85 codec round-trips, merge-on-read
+DELETE semantics (no data files written, DV merge, time travel), the
+DV-subtracting reader, and the fail-loud guards on operations that
+would corrupt a DV table."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.deltalite import (
+    delta_history,
+    read_delta,
+    write_delta,
+)
+from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+    delete_delta_dv,
+    z85_decode,
+    z85_encode,
+)
+from pyspark_anomaly_detection_spark.io.roaring import (
+    deserialize_roaring32,
+    deserialize_roaring64,
+    serialize_roaring32,
+    serialize_roaring64,
+)
+
+
+def test_roaring32_round_trips_all_container_kinds():
+    random.seed(11)
+    cases = [
+        [0],
+        [65535, 65536, 0xFFFFFFFF],
+        list(range(300)),                      # run container
+        sorted(random.sample(range(1 << 16), 3000)),   # array
+        sorted(random.sample(range(1 << 16), 9000)),   # bitmap
+        list(range(0, 1 << 17, 1)),            # runs across containers
+    ]
+    for c in cases:
+        got, _ = deserialize_roaring32(serialize_roaring32(c))
+        assert got == c
+
+
+def test_roaring64_round_trip_sparse_buckets():
+    random.seed(13)
+    vals = sorted(
+        set(random.sample(range(1 << 45), 2000))
+        | {0, 1 << 32, (1 << 32) + 1, (77 << 32) + 123}
+    )
+    assert deserialize_roaring64(serialize_roaring64(vals)) == vals
+    assert deserialize_roaring64(serialize_roaring64([])) == []
+
+
+def test_z85_round_trip_with_padding():
+    for n in range(0, 9):
+        data = bytes(range(n))
+        enc = z85_encode(data)
+        assert len(enc) % 5 == 0
+        assert z85_decode(enc, size=n) == data
+
+
+def _parquet_files(t):
+    out = []
+    for root, _dirs, files in os.walk(t):
+        if "_delta_log" in root:
+            continue
+        out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+    return sorted(out)
+
+
+def _build(spark, t):
+    for i in range(3):
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10)
+            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+            .coalesce(1),
+            t,
+            mode="append",
+        )
+
+
+def test_dv_delete_writes_no_data_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t)  # ids 0..29
+    before = _parquet_files(t)
+    out = delete_delta_dv(spark, t, "id % 10 = 7")
+    assert out["rows_deleted"] == 3
+    assert out["files_with_dv"] == 3
+    assert _parquet_files(t) == before  # merge-on-read: zero data writes
+    ids = sorted(r.id for r in read_delta(spark, t).collect())
+    assert ids == [i for i in range(30) if i % 10 != 7]
+
+
+def test_dv_second_delete_merges_and_counts_only_new(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id % 10 = 7")  # deletes 7, 17, 27
+    # %7==0 matches {0, 7, 14, 21, 28}; 7 is already deleted -> 4 new
+    out = delete_delta_dv(spark, t, "id % 7 = 0")
+    assert out["rows_deleted"] == 4
+    ids = sorted(r.id for r in read_delta(spark, t).collect())
+    want = [i for i in range(30) if i % 10 != 7 and i % 7 != 0]
+    assert ids == want
+
+
+def test_dv_time_travel_sees_pre_delete_rows(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    out = delete_delta_dv(spark, t, "id < 5")
+    assert read_delta(spark, t, version=2).count() == 30
+    assert read_delta(spark, t, version=out["version"]).count() == 25
+    hist = delta_history(t)
+    assert hist[-1]["version"] == out["version"]
+
+
+def test_dv_noop_when_nothing_matches(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    out = delete_delta_dv(spark, t, "id > 999")
+    assert out["rows_deleted"] == 0 and out["files_with_dv"] == 0
+    assert read_delta(spark, t).count() == 30
+
+
+def test_dv_guards_fail_loud(spark, tmp_path):
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        annotate_stats,
+        create_checkpoint,
+        optimize_delta,
+        read_delta_changes,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+        delete_delta,
+        merge_delta,
+        update_delta,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_stream import (
+        read_deltalite_stream,
+    )
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id = 3")
+    with pytest.raises(NotImplementedError):
+        create_checkpoint(t)
+    with pytest.raises(NotImplementedError):
+        optimize_delta(spark, t)
+    with pytest.raises(NotImplementedError):
+        annotate_stats(t, ["id"])
+    with pytest.raises(NotImplementedError):
+        read_delta_changes(spark, t, from_version=0).collect()
+    with pytest.raises(NotImplementedError):
+        delete_delta(spark, t, "id = 4")
+    with pytest.raises(NotImplementedError):
+        update_delta(spark, t, "id = 4", {"v": "v + 1"})
+    with pytest.raises(NotImplementedError):
+        merge_delta(
+            spark,
+            t,
+            spark.createDataFrame([(4, 44)], "id long, v long"),
+            key="id",
+        )
+    # streaming source refuses the DV commit at planning time (the
+    # commit's remove hits the non-append guard first; the dedicated
+    # deletion-vector guard covers dataChange DV adds without removes)
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+    q = (
+        read_deltalite_stream(spark, t)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="removes data|deletion-vector"):
+        q.awaitTermination()
+    # change-feed mode reaches the add and must hit the DV guard
+    q2 = (
+        read_deltalite_stream(spark, t, read_change_feed=True)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink2"))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="deletion-vector"):
+        q2.awaitTermination()
+
+
+def test_dv_append_after_delete_still_works(spark, tmp_path):
+    """Blind appends commute with DV state: new files land DV-free and
+    read normally alongside DV-subtracted older files."""
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id < 10")
+    write_delta(
+        spark.range(100, 105)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .coalesce(1),
+        t,
+        mode="append",
+    )
+    ids = sorted(r.id for r in read_delta(spark, t).collect())
+    assert ids == list(range(10, 30)) + list(range(100, 105))
