@@ -206,3 +206,71 @@ def test_dv_append_after_delete_still_works(spark, tmp_path):
     )
     ids = sorted(r.id for r in read_delta(spark, t).collect())
     assert ids == list(range(10, 30)) + list(range(100, 105))
+
+
+def test_roaring_property_random_sets():
+    """Hypothesis sweep: arbitrary uint64 sets round-trip the portable
+    serialization exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.sets(
+            st.integers(min_value=0, max_value=(1 << 64) - 1), max_size=500
+        )
+    )
+    def check(vals):
+        assert deserialize_roaring64(serialize_roaring64(vals)) == sorted(vals)
+
+    check()
+
+
+def test_dv_large_delete_exercises_bitmap_containers(spark, tmp_path):
+    """A 200k-row delete puts >4096 positions in single 64k chunks —
+    the BITMAP container path — and the reader must still subtract
+    exactly."""
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(0, 200_000).select(F.col("id")).coalesce(2), t
+    )
+    out = delete_delta_dv(spark, t, "id % 2 = 0")
+    assert out["rows_deleted"] == 100_000
+    got = read_delta(spark, t)
+    assert got.count() == 100_000
+    assert got.filter("id % 2 = 0").count() == 0
+    # descriptors stay metadata-sized: the log carries the bitmaps inline
+    import json as _json
+
+    log_dir = os.path.join(t, "_delta_log")
+    last = sorted(os.listdir(log_dir))[-1]
+    blob = open(os.path.join(log_dir, last)).read()
+    assert len(blob) < 200_000  # ~25KB of bitmap vs 100k deleted rows
+
+
+def test_dv_commit_conflicts_with_interleaved_append(spark, tmp_path):
+    """A DV delete carries a protocol action + same-path remove/re-add,
+    so an interleaved append aborts it (ConcurrentAppend) instead of
+    silently rebasing over unseen data."""
+    import pyspark_anomaly_detection_spark.io.deltalite as dl
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    real_list = dl._list_versions
+
+    # freeze the version listing the DV writer sees, then land a real
+    # append "concurrently"
+    write_delta(
+        spark.range(500, 510).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1),
+        t,
+        mode="append",
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        dl, "_list_versions", lambda p: [v for v in real_list(p) if v <= 2]
+    ):
+        with pytest.raises(dl.DeltaliteConcurrentCommit):
+            delete_delta_dv(spark, t, "id = 3")
