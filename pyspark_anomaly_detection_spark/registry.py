@@ -149,6 +149,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.text.clusters  # noqa: F401
     import pyspark_anomaly_detection_spark.text.decontam  # noqa: F401
     import pyspark_anomaly_detection_spark.text.lm  # noqa: F401
+    import pyspark_anomaly_detection_spark.text.pii  # noqa: F401
     import pyspark_anomaly_detection_spark.text.dedup  # noqa: F401
     import pyspark_anomaly_detection_spark.text.search  # noqa: F401
     import pyspark_anomaly_detection_spark.text.setjoin  # noqa: F401
