@@ -33,8 +33,10 @@ Reference parity: the reference configures Delta sinks
 (config/spark_config.py:24-26, src/data/silver.py:56); deltalite closes
 that surface in-sandbox: transactional append/overwrite + time travel
 on plain parquet + JSON, byte-compatible with the public protocol's
-plain-table subset (no deletion vectors, no column mapping — those
-still fail loud).
+plain-table subset, plus DELETION VECTORS (io/deltalite_dv.py —
+merge-on-read deletes, reader v3) and COLUMN MAPPING 'name' mode
+(io/deltalite_cm.py — reader v2); unknown reader features still fail
+loud.
 
 Checkpoints (the protocol's log compaction): without them every
 snapshot read replays EVERY JSON commit since version 0 — O(commits)
@@ -125,6 +127,33 @@ def _guard_no_dv(adds: "dict[str, dict[str, Any]]", what: str) -> None:
             f"deltalite: {what} on a table with deletion vectors is not "
             "supported — run a copy-on-write rewrite first or read via "
             "read_delta"
+        )
+
+
+def _column_mapping_of(schema_json: "str | None") -> dict[str, str]:
+    """logical → physical name map from the committed schema's field
+    metadata; empty when the table is unmapped."""
+    if not schema_json:
+        return {}
+    out = {}
+    for f in json.loads(schema_json)["fields"]:
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        )
+        if phys:
+            out[f["name"]] = phys
+    return out
+
+
+def _guard_no_cm(schema_json: "str | None", what: str) -> None:
+    """Operations that address data-file columns by LOGICAL name must
+    refuse a column-mapped table (files carry physical names) until
+    taught the translation."""
+    if _column_mapping_of(schema_json):
+        raise NotImplementedError(
+            f"deltalite: {what} on a column-mapped table is not "
+            "supported — read via read_delta / write via "
+            "write_delta_mapped"
         )
 
 
@@ -459,13 +488,17 @@ class _Snapshot:
         elif "protocol" in action:
             p = action["protocol"]
             reader_v = p.get("minReaderVersion", 1)
-            if reader_v > 1:
+            if reader_v == 2:
+                pass  # reader v2 == column mapping, implemented (deltalite_cm)
+            elif reader_v > 1:
                 # table-features protocol (reader v3): supported iff the
                 # feature list is PRESENT and every reader feature is one
-                # we implement — v3 without a list, or v2 (column
-                # mapping), stays fail-loud
+                # we implement — v3 without a list stays fail-loud
                 features = p.get("readerFeatures")
-                unsupported = set(features or []) - {"deletionVectors"}
+                unsupported = set(features or []) - {
+                    "deletionVectors",
+                    "columnMapping",
+                }
                 if reader_v != 3 or not features or unsupported:
                     raise NotImplementedError(
                         f"deltalite: reader version {reader_v} features "
@@ -634,8 +667,10 @@ def create_checkpoint(table_path: str, version: int | None = None) -> int:
         version = versions[-1]
     snap = _snapshot_state(table_path, version)
     # the checkpoint row schema has no deletionVector struct yet — a
-    # checkpoint would silently DROP the DVs from replay
+    # checkpoint would silently DROP the DVs from replay — and its
+    # protocol row hardcodes reader v1, a downgrade for mapped tables
     _guard_no_dv(snap.adds, "create_checkpoint")
+    _guard_no_cm(snap.schema_json, "create_checkpoint")
 
     rows: list[dict[str, Any]] = [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -756,7 +791,7 @@ def _read_adds(
     contain the partition columns — readers reconstruct them from
     ``add.partitionValues``, exactly as Delta does).  One read per
     distinct partition tuple, unioned — bounded by partition count."""
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     schema = (
         StructType.fromJson(json.loads(schema_json)) if schema_json else None
@@ -764,6 +799,26 @@ def _read_adds(
     if not adds:
         return spark.createDataFrame([], schema)
     dv_adds = {r: a for r, a in adds.items() if a.get("deletionVector")}
+    mapping = _column_mapping_of(schema_json)
+    if mapping:
+        if part_cols or dv_adds:
+            raise NotImplementedError(
+                "deltalite: column mapping combined with partitions or "
+                "deletion vectors is not supported"
+            )
+        phys_schema = StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+        return (
+            spark.read.schema(phys_schema)
+            .parquet(*[os.path.join(table_path, rel) for rel in sorted(adds)])
+            .toDF(*[f.name for f in schema.fields])
+        )
     if not part_cols:
         plain = [r for r in sorted(adds) if r not in dv_adds]
         pieces = []
@@ -1058,6 +1113,7 @@ def optimize_delta(
     target = target_file_bytes or TARGET_FILE_BYTES
     snap = _snapshot_state(table_path)
     _guard_no_dv(snap.adds, "OPTIMIZE")  # raw rewrite would resurrect rows
+    _guard_no_cm(snap.schema_json, "OPTIMIZE")
     current = snap.version
     active = set(snap.adds)
     if not active:
@@ -1146,6 +1202,7 @@ def annotate_stats(table_path: str, cols: list[str]) -> int:
     new version (or -1 when every active add already carries stats)."""
     snap = _snapshot_state(table_path)
     _guard_no_dv(snap.adds, "annotate_stats")  # re-add would drop the DV
+    _guard_no_cm(snap.schema_json, "annotate_stats")
     current = snap.version
     latest_add = snap.adds
     missing = [p for p, a in latest_add.items() if "stats" not in a]
@@ -1282,6 +1339,7 @@ def read_delta_changes(
     tip = _snapshot_state(table_path, latest)
     _guard_no_dv(tip.adds, "read_delta_changes")  # file-level CDF can't
     # express a DV's row-level delta yet
+    _guard_no_cm(tip.schema_json, "read_delta_changes")
     schema_json = tip.schema_json
     part_cols = tip.part_cols
     # last-known add per path (for partition values of removed files):

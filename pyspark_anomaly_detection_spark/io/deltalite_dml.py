@@ -226,6 +226,7 @@ def delete_delta(
     'files_added', 'files_untouched', 'rows_deleted'}."""
     snap = _snapshot_state(table_path)
     deltalite._guard_no_dv(snap.adds, "copy-on-write DELETE")
+    deltalite._guard_no_cm(snap.schema_json, "copy-on-write DELETE")
     if snap.part_cols:
         _guard_partition_columns(predicate, snap.part_cols)
     active = sorted(snap.adds)
@@ -265,6 +266,7 @@ def update_delta(
     unchanged."""
     snap = _snapshot_state(table_path)
     deltalite._guard_no_dv(snap.adds, "copy-on-write UPDATE")
+    deltalite._guard_no_cm(snap.schema_json, "copy-on-write UPDATE")
     if snap.part_cols:
         _guard_partition_columns(predicate, snap.part_cols)
         for col in assignments:
@@ -325,6 +327,7 @@ def merge_delta(
         )
     snap = _snapshot_state(table_path)
     deltalite._guard_no_dv(snap.adds, "MERGE")
+    deltalite._guard_no_cm(snap.schema_json, "MERGE")
     part_cols = snap.part_cols
     if key in part_cols:
         raise ValueError(

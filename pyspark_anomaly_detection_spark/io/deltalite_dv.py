@@ -184,6 +184,7 @@ def delete_delta_dv(
     are written.  Returns {'version', 'files_with_dv', 'rows_deleted'}
     where rows_deleted counts NEWLY deleted rows only."""
     snap = deltalite._snapshot_state(table_path)
+    deltalite._guard_no_cm(snap.schema_json, "DV delete")
     if snap.part_cols:
         raise NotImplementedError(
             "deltalite DV delete on partitioned tables is not supported"

@@ -85,7 +85,9 @@ class DeltaliteStreamReader(DataSourceStreamReader):
             str(options.get("readChangeFeed", "false")).lower() == "true"
         )
         self.schema = schema
-        self.part_cols = deltalite._snapshot_state(self.table_path).part_cols
+        snap0 = deltalite._snapshot_state(self.table_path)
+        deltalite._guard_no_cm(snap0.schema_json, "deltalite_stream")
+        self.part_cols = snap0.part_cols
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version - 1}

@@ -1,0 +1,137 @@
+"""Column mapping ('name' mode): physical/logical decoupling, rename as
+metadata-only commit, time travel across renames, append round-trips,
+and the fail-loud guards on untaught surfaces."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.deltalite import (
+    read_delta,
+    write_delta,
+)
+from pyspark_anomaly_detection_spark.io.deltalite_cm import (
+    physical_name,
+    rename_column_mapped,
+    write_delta_mapped,
+)
+
+
+def _df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .coalesce(1)
+    )
+
+
+def _physical_columns(t):
+    import pyarrow.parquet as pq
+
+    files = []
+    for root, _dirs, names in os.walk(t):
+        if "_delta_log" in root:
+            continue
+        files += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
+    cols = set()
+    for f in files:
+        cols.update(pq.ParquetFile(f).schema_arrow.names)
+    return cols
+
+
+def test_mapped_write_stores_physical_reads_logical(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 10), t)
+    # files carry content-addressed physical names, never logical ones
+    phys = _physical_columns(t)
+    assert phys == {physical_name("id"), physical_name("v")}
+    assert "id" not in phys
+    out = read_delta(spark, t)
+    assert out.columns == ["id", "v"]
+    assert sorted((r.id, r.v) for r in out.collect()) == [
+        (i, 2 * i) for i in range(10)
+    ]
+
+
+def test_mapped_append_and_overwrite(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 5), t)
+    write_delta_mapped(_df(spark, 5, 8), t, mode="append")
+    assert read_delta(spark, t).count() == 8
+    write_delta_mapped(_df(spark, 100, 102), t, mode="overwrite")
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == [100, 101]
+    # schema mismatch refuses
+    with pytest.raises(ValueError, match="logical schema"):
+        write_delta_mapped(
+            spark.range(3).select(F.col("id")), t, mode="append"
+        )
+
+
+def test_rename_is_metadata_only_and_time_travels(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 6), t)  # v0
+    before = _physical_columns(t)
+    v1 = rename_column_mapped(t, "v", "value")  # v1: metadata only
+    assert _physical_columns(t) == before  # zero data files touched
+    now = read_delta(spark, t)
+    assert now.columns == ["id", "value"]
+    assert sorted(r.value for r in now.collect()) == [2 * i for i in range(6)]
+    # pre-rename version still reads under the OLD logical name
+    old = read_delta(spark, t, version=v1 - 1)
+    assert old.columns == ["id", "v"]
+    # rename guards
+    with pytest.raises(ValueError, match="no such column"):
+        rename_column_mapped(t, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column_mapped(t, "id", "value")
+
+
+def test_unmapped_table_rejects_rename(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 3), t)
+    with pytest.raises(ValueError, match="column-mapped"):
+        rename_column_mapped(t, "v", "value")
+
+
+def test_mapped_guards_fail_loud(spark, tmp_path):
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        annotate_stats,
+        create_checkpoint,
+        optimize_delta,
+        read_delta_changes,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+        delete_delta,
+        update_delta,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+        delete_delta_dv,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_stream import (
+        read_deltalite_stream,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 6), t)
+    for op in (
+        lambda: create_checkpoint(t),
+        lambda: optimize_delta(spark, t),
+        lambda: annotate_stats(t, ["id"]),
+        lambda: read_delta_changes(spark, t, from_version=0),
+        lambda: delete_delta(spark, t, "id = 1"),
+        lambda: update_delta(spark, t, "id = 1", {"v": "v + 1"}),
+        lambda: delete_delta_dv(spark, t, "id = 1"),
+    ):
+        with pytest.raises(NotImplementedError, match="column-mapped"):
+            op()
+    # the streaming source refuses at reader construction
+    with pytest.raises(Exception, match="column-mapped"):
+        _ = (
+            read_deltalite_stream(spark, t)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        ).awaitTermination()
