@@ -455,7 +455,7 @@ class _Snapshot:
     them)."""
 
     __slots__ = ("version", "adds", "meta", "schema_json", "part_cols",
-                 "txns", "tombstones")
+                 "txns", "tombstones", "protocol")
 
     def __init__(self, version: int) -> None:
         self.version = version
@@ -465,6 +465,7 @@ class _Snapshot:
         self.part_cols: list[str] = []
         self.txns: dict[str, int] = {}
         self.tombstones: dict[str, dict[str, Any]] = {}
+        self.protocol: dict[str, Any] | None = None
 
     def apply(self, action: dict[str, Any]) -> None:
         if "metaData" in action:
@@ -487,6 +488,7 @@ class _Snapshot:
             self.tombstones[rm["path"]] = rm
         elif "protocol" in action:
             p = action["protocol"]
+            self.protocol = p
             reader_v = p.get("minReaderVersion", 1)
             if reader_v == 2:
                 pass  # reader v2 == column mapping, implemented (deltalite_cm)
@@ -577,6 +579,8 @@ def _checkpoint_schema():
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -602,6 +606,17 @@ def _checkpoint_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("sizeInBytes", pa.int64()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -644,6 +659,12 @@ def _read_checkpoint(table_path: str, version: int) -> list[dict[str, Any]]:
             clean = {k: v for k, v in payload.items() if v is not None}
             if kind == "add" and "partitionValues" in clean:
                 clean["partitionValues"] = dict(clean["partitionValues"])
+            if kind == "add" and "deletionVector" in clean:
+                clean["deletionVector"] = {
+                    k: v
+                    for k, v in clean["deletionVector"].items()
+                    if v is not None
+                }
             actions.append({kind: clean})
     return actions
 
@@ -656,7 +677,10 @@ def create_checkpoint(table_path: str, version: int | None = None) -> int:
     here instead of at commit 0: O(commits since checkpoint) driver
     work per snapshot, the log compaction that keeps a table taking
     thousands of streaming commits readable.  Driver-side and bounded
-    by active-file count (kilobytes per file entry), not data size."""
+    by active-file count (kilobytes per file entry), not data size.
+    Carries the table's real protocol (feature lists included) and any
+    deletion-vector descriptors, so DV and column-mapped tables replay
+    from checkpoints losslessly."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -666,14 +690,19 @@ def create_checkpoint(table_path: str, version: int | None = None) -> int:
     if version is None:
         version = versions[-1]
     snap = _snapshot_state(table_path, version)
-    # the checkpoint row schema has no deletionVector struct yet — a
-    # checkpoint would silently DROP the DVs from replay — and its
-    # protocol row hardcodes reader v1, a downgrade for mapped tables
-    _guard_no_dv(snap.adds, "create_checkpoint")
-    _guard_no_cm(snap.schema_json, "create_checkpoint")
 
+    # the TABLE's protocol, not a hardcoded v1 — a DV (v3) or mapped
+    # (v2) table must replay from the checkpoint with its features
+    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     rows: list[dict[str, Any]] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        {
+            "protocol": {
+                "minReaderVersion": proto.get("minReaderVersion", 1),
+                "minWriterVersion": proto.get("minWriterVersion", 2),
+                "readerFeatures": proto.get("readerFeatures"),
+                "writerFeatures": proto.get("writerFeatures"),
+            }
+        }
     ]
     if snap.meta is not None:
         m = snap.meta
@@ -709,6 +738,7 @@ def create_checkpoint(table_path: str, version: int | None = None) -> int:
                     "modificationTime": a.get("modificationTime", 0),
                     "dataChange": a.get("dataChange", True),
                     "stats": a.get("stats"),
+                    "deletionVector": a.get("deletionVector"),
                 }
             }
         )

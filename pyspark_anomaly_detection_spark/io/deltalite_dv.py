@@ -280,6 +280,74 @@ def delete_delta_dv(
     }
 
 
+def purge_delta(spark: SparkSession, table_path: str) -> dict[str, int]:
+    """``REORG TABLE ... APPLY (PURGE)``: materialize the deletion
+    vectors — rewrite ONLY the DV-carrying files with their deleted
+    rows dropped, commit remove+add with ``dataChange: false`` (the
+    LOGICAL content is unchanged, so streams treat the reorg as
+    transparently as an OPTIMIZE), and leave the table DV-free, which
+    re-enables OPTIMIZE / COW DML / stats / checkpointable-by-content
+    operations.  Old files stay on disk for time travel until a
+    VACUUM."""
+    import uuid as _uuid
+
+    snap = deltalite._snapshot_state(table_path)
+    deltalite._guard_no_cm(snap.schema_json, "PURGE")
+    dv_adds = {
+        r: a for r, a in snap.adds.items() if a.get("deletionVector")
+    }
+    if not dv_adds:
+        return {
+            "version": snap.version,
+            "files_purged": 0,
+            "files_added": 0,
+        }
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    schema = (
+        StructType.fromJson(_json.loads(snap.schema_json))
+        if snap.schema_json
+        else None
+    )
+    cleaned = read_files_minus_dv(spark, table_path, dv_adds, schema)
+    version = snap.version + 1
+    commit_dir = f"part-{version:05d}-{_uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(table_path, commit_dir)
+    cleaned.write.mode("error").parquet(data_dir)
+    actions: list[dict[str, Any]] = []
+    for rel in sorted(dv_adds):
+        actions.append({"remove": {"path": rel, "dataChange": False}})
+    n_added = 0
+    for name in sorted(os.listdir(data_dir)):
+        if name.endswith(".parquet"):
+            actions.append(
+                {
+                    "add": {
+                        "path": f"{commit_dir}/{name}",
+                        "partitionValues": {},
+                        "size": os.path.getsize(
+                            os.path.join(data_dir, name)
+                        ),
+                        "modificationTime": 0,
+                        "dataChange": False,
+                    }
+                }
+            )
+            n_added += 1
+    actions.append(
+        {"commitInfo": {"operation": "REORG PURGE",
+                        "engineInfo": "deltalite-dv"}}
+    )
+    version = deltalite._commit_with_retry(table_path, version, actions)
+    return {
+        "version": version,
+        "files_purged": len(dv_adds),
+        "files_added": n_added,
+    }
+
+
 from pyspark_anomaly_detection_spark.registry import register  # noqa: E402
 
 

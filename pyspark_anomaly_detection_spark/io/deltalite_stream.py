@@ -56,11 +56,13 @@ class _AddFilePartition(InputPartition):
         partition_values: dict[str, str],
         version: int,
         change_type: str = "insert",
+        dv: "dict | None" = None,
     ) -> None:
         self.file_path = file_path
         self.partition_values = partition_values
         self.version = version
         self.change_type = change_type
+        self.dv = dv  # deletion-vector descriptor: subtract at read time
 
 
 def _table_schema(table_path: str) -> StructType:
@@ -114,18 +116,24 @@ class DeltaliteStreamReader(DataSourceStreamReader):
             for action in deltalite._read_commit(self.table_path, v):
                 if "add" in action and action["add"].get("dataChange", True):
                     add = action["add"]
-                    if add.get("deletionVector"):
+                    if add.get("deletionVector") and self.change_feed:
                         raise NotImplementedError(
-                            "deltalite_stream: deletion-vector adds are "
-                            "not supported by the streaming source yet — "
-                            "read the snapshot via read_delta"
+                            "deltalite_stream: the change feed cannot "
+                            "express a deletion-vector add's row-level "
+                            "delta yet — use batch read_delta snapshots"
                         )
+                    # a DV add reaches here only under ignoreChanges
+                    # (the same commit's remove raises otherwise): the
+                    # file's LIVE rows re-deliver, Delta's documented
+                    # update-re-delivery semantics — the DV positions
+                    # are subtracted at read time
                     known[add["path"]] = add.get("partitionValues", {})
                     out.append(
                         _AddFilePartition(
                             os.path.join(self.table_path, add["path"]),
                             add.get("partitionValues", {}),
                             v,
+                            dv=add.get("deletionVector"),
                         )
                     )
                 elif "remove" in action and action["remove"].get(
@@ -157,6 +165,16 @@ class DeltaliteStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.file_path)
+        if partition.dv:
+            from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+                _decode_descriptor,
+            )
+
+            dropped = set(_decode_descriptor(partition.dv))
+            keep = pa.array(
+                [i not in dropped for i in range(table.num_rows)]
+            )
+            table = table.filter(keep)
         n = table.num_rows
         cols: dict[str, Any] = {c: table.column(c) for c in table.column_names}
         for name in self.part_cols:

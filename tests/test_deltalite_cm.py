@@ -99,7 +99,6 @@ def test_unmapped_table_rejects_rename(spark, tmp_path):
 def test_mapped_guards_fail_loud(spark, tmp_path):
     from pyspark_anomaly_detection_spark.io.deltalite import (
         annotate_stats,
-        create_checkpoint,
         optimize_delta,
         read_delta_changes,
     )
@@ -117,7 +116,6 @@ def test_mapped_guards_fail_loud(spark, tmp_path):
     t = str(tmp_path / "t")
     write_delta_mapped(_df(spark, 0, 6), t)
     for op in (
-        lambda: create_checkpoint(t),
         lambda: optimize_delta(spark, t),
         lambda: annotate_stats(t, ["id"]),
         lambda: read_delta_changes(spark, t, from_version=0),

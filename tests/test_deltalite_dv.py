@@ -127,7 +127,6 @@ def test_dv_noop_when_nothing_matches(spark, tmp_path):
 def test_dv_guards_fail_loud(spark, tmp_path):
     from pyspark_anomaly_detection_spark.io.deltalite import (
         annotate_stats,
-        create_checkpoint,
         optimize_delta,
         read_delta_changes,
     )
@@ -143,8 +142,6 @@ def test_dv_guards_fail_loud(spark, tmp_path):
     t = str(tmp_path / "t")
     _build(spark, t)
     delete_delta_dv(spark, t, "id = 3")
-    with pytest.raises(NotImplementedError):
-        create_checkpoint(t)
     with pytest.raises(NotImplementedError):
         optimize_delta(spark, t)
     with pytest.raises(NotImplementedError):
@@ -274,3 +271,122 @@ def test_dv_commit_conflicts_with_interleaved_append(spark, tmp_path):
     ):
         with pytest.raises(dl.DeltaliteConcurrentCommit):
             delete_delta_dv(spark, t, "id = 3")
+
+
+def test_dv_checkpoint_round_trip(spark, tmp_path):
+    """Round 10b: checkpoints carry DV descriptors and the table's real
+    protocol — a DV table replays from its checkpoint losslessly even
+    after the JSON log expires."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        _read_checkpoint,
+        create_checkpoint,
+        expire_log,
+    )
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id % 10 = 7")
+    v = create_checkpoint(t)
+    actions = _read_checkpoint(t, v)
+    protos = [a["protocol"] for a in actions if "protocol" in a]
+    assert protos and protos[0]["minReaderVersion"] == 3
+    assert protos[0]["readerFeatures"] == ["deletionVectors"]
+    dvs = [
+        a["add"]["deletionVector"]
+        for a in actions
+        if "add" in a and a["add"].get("deletionVector")
+    ]
+    assert len(dvs) == 3 and all(d["storageType"] == "i" for d in dvs)
+    expire_log(t)
+    ids = sorted(r.id for r in read_delta(spark, t).collect())
+    assert ids == [i for i in range(30) if i % 10 != 7]
+
+
+def test_cm_checkpoint_round_trip(spark, tmp_path):
+    """Mapped tables checkpoint with their v2 protocol and mapped
+    schemaString; replay after log expiry still reads logical names."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        create_checkpoint,
+        expire_log,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_cm import (
+        write_delta_mapped,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(
+        spark.range(0, 6).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        t,
+    )
+    write_delta_mapped(
+        spark.range(6, 9).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        t,
+        mode="append",
+    )
+    create_checkpoint(t)
+    expire_log(t)
+    out = read_delta(spark, t)
+    assert out.columns == ["id", "v"]
+    assert out.count() == 9
+
+
+def test_purge_materializes_dvs(spark, tmp_path):
+    """REORG APPLY (PURGE): rewrites only DV files, drops the deleted
+    rows physically, leaves the table DV-free (OPTIMIZE and COW DML
+    work again), commits dataChange=false, keeps time travel."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        _snapshot_state,
+        optimize_delta,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import purge_delta
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    dv_ver = delete_delta_dv(spark, t, "id % 10 = 7")["version"]
+    out = purge_delta(spark, t)
+    assert out["files_purged"] == 3
+    snap = _snapshot_state(t)
+    assert not any(a.get("deletionVector") for a in snap.adds.values())
+    want = [i for i in range(30) if i % 10 != 7]
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == want
+    # time travel: the DV version still subtracts, the pre-DV sees all
+    assert read_delta(spark, t, version=dv_ver).count() == 27
+    assert read_delta(spark, t, version=dv_ver - 1).count() == 30
+    # DV-free again: previously-guarded ops work
+    res = optimize_delta(spark, t)
+    assert res["files_after"] >= 1
+    # idempotent: a second purge is a no-op
+    again = purge_delta(spark, t)
+    assert again["files_purged"] == 0
+
+
+def test_purge_is_stream_transparent(spark, tmp_path):
+    """dataChange=false remove+add: a non-CDF stream replays the table
+    across the purge without raising and without duplicating rows."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import purge_delta
+    from pyspark_anomaly_detection_spark.io.deltalite_stream import (
+        read_deltalite_stream,
+    )
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id % 10 = 7")  # touches all three files
+    purge_delta(spark, t)
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+    q = (
+        read_deltalite_stream(spark, t, ignore_changes=True)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r.id for r in spark.read.parquet(sink).collect())
+    # original appends deliver 0..29; the DV commit re-delivers each
+    # touched file's LIVE rows (everything but 7/17/27 — Delta's
+    # ignoreChanges re-delivery, no retraction); the purge's
+    # dataChange=false files are transparent
+    live = [i for i in range(30) if i % 10 != 7]
+    assert ids == sorted(list(range(30)) + live)
