@@ -333,6 +333,10 @@ def write_delta(
     part_cols: list[str] = list(partition_by or [])
     if versions:
         _, committed_json = _replay(table_path, versions[-1])
+        # ADVICE r10 (high): a plain append/overwrite on a column-mapped
+        # table would write data files with LOGICAL names that the
+        # physical-schema reader returns as all-NULL — fail loud instead.
+        _guard_no_cm(committed_json, "write_delta")
         committed_parts = _replay_adds(table_path, versions[-1])[2]
         if partition_by is not None and list(partition_by) != committed_parts:
             raise ValueError(
@@ -592,6 +596,10 @@ def _checkpoint_schema():
                         ("format", pa.struct([("provider", pa.string())])),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
+                        # table configuration (delta.columnMapping.mode etc.)
+                        # must survive checkpoint + expire_log — the real
+                        # checkpoint format persists full metaData
+                        ("configuration", pa.map_(pa.string(), pa.string())),
                         ("createdTime", pa.int64()),
                     ]
                 ),
@@ -659,6 +667,9 @@ def _read_checkpoint(table_path: str, version: int) -> list[dict[str, Any]]:
             clean = {k: v for k, v in payload.items() if v is not None}
             if kind == "add" and "partitionValues" in clean:
                 clean["partitionValues"] = dict(clean["partitionValues"])
+            if kind == "metaData":
+                # map<string,string> round-trips as a list of pairs
+                clean["configuration"] = dict(clean.get("configuration") or [])
             if kind == "add" and "deletionVector" in clean:
                 clean["deletionVector"] = {
                     k: v
@@ -713,6 +724,7 @@ def create_checkpoint(table_path: str, version: int | None = None) -> int:
                     "format": {"provider": m.get("format", {}).get("provider", "parquet")},
                     "schemaString": m["schemaString"],
                     "partitionColumns": m.get("partitionColumns", []),
+                    "configuration": m.get("configuration", {}),
                     "createdTime": m.get("createdTime", 0),
                 }
             }

@@ -89,9 +89,19 @@ def z85_decode(text: str, size: int | None = None) -> bytes:
 
 
 def _file_uri(table_path: str, rel: str) -> str:
-    """Absolute file URI in ``_metadata.file_path``'s rendering
-    (Hadoop-style ``file:/abs/path`` — a single slash)."""
-    return "file:" + os.path.abspath(os.path.join(table_path, rel))
+    """Canonical join key for a data file: the plain absolute path.
+    ``_metadata.file_path`` columns are normalized to the same form via
+    :func:`_norm_file_path_col` — scheme-independent, so a Spark version
+    rendering ``file:/``, ``file://`` or ``file:///`` all match (ADVICE
+    r10: joining on a hand-built ``file:`` rendering silently matched
+    nothing if the rendering drifted, resurrecting DV-deleted rows)."""
+    return os.path.abspath(os.path.join(table_path, rel))
+
+
+def _norm_file_path_col(col):
+    """``_metadata.file_path`` → plain absolute path: strip any
+    ``file:``/``file://``/``file:///`` prefix down to a single ``/``."""
+    return F.regexp_replace(col, r"^file:/*", "/")
 
 
 def _decode_descriptor(dv: dict[str, Any]) -> list[int]:
@@ -149,7 +159,7 @@ def read_files_minus_dv(
         *[os.path.join(table_path, rel) for rel in sorted(dv_adds)]
     ).select(
         "*",
-        F.col("_metadata.file_path").alias("_dv_f"),
+        _norm_file_path_col(F.col("_metadata.file_path")).alias("_dv_f"),
         F.col("_metadata.row_index").alias("_dv_i"),
     )
     pos = dv_positions_df(spark, table_path, dv_adds)
@@ -200,7 +210,7 @@ def delete_delta_dv(
         )
         .select(
             "*",
-            F.col("_metadata.file_path").alias("_dv_f"),
+            _norm_file_path_col(F.col("_metadata.file_path")).alias("_dv_f"),
             F.col("_metadata.row_index").alias("_dv_i"),
         )
     )
@@ -248,7 +258,16 @@ def delete_delta_dv(
         return {"version": snap.version, "files_with_dv": 0, "rows_deleted": 0}
 
     uri_to_rel = {_file_uri(table_path, rel): rel for rel in adds}
-    actions: list[dict[str, Any]] = [DV_PROTOCOL_ACTION]
+    # one-time protocol upgrade, like real Delta: emit the protocol
+    # action only when the table isn't DV-enabled yet — re-emitting it
+    # on every delete made _commit_with_retry treat a concurrent blind
+    # append as a protocol conflict (ADVICE r10)
+    dv_enabled = "deletionVectors" in (
+        (snap.protocol or {}).get("readerFeatures") or []
+    )
+    actions: list[dict[str, Any]] = (
+        [] if dv_enabled else [DV_PROTOCOL_ACTION]
+    )
     for row in sorted(built, key=lambda r: r._dv_f):
         rel = uri_to_rel[row._dv_f]
         old_add = adds[rel]

@@ -133,3 +133,48 @@ def test_mapped_guards_fail_loud(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / "ck"))
             .start()
         ).awaitTermination()
+
+
+def test_plain_write_delta_refuses_mapped_table(spark, tmp_path):
+    """ADVICE r10 (high): a plain write_delta append/overwrite on a
+    mapped table would land LOGICAL-named data files that the
+    physical-schema reader returns as all-NULL — must fail loud and
+    point at write_delta_mapped."""
+    from pyspark_anomaly_detection_spark.io.deltalite import write_delta_txn
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 4), t)
+    for attempt in (
+        lambda: write_delta(_df(spark, 4, 6), t, mode="append"),
+        lambda: write_delta(_df(spark, 4, 6), t, mode="overwrite"),
+        lambda: write_delta_txn(_df(spark, 4, 6), t, "app", 0),
+    ):
+        with pytest.raises(NotImplementedError, match="write_delta"):
+            attempt()
+    # the guard fired before any data or log mutation
+    out = read_delta(spark, t)
+    assert out.count() == 4 and out.columns == ["id", "v"]
+
+
+def test_cm_checkpoint_preserves_configuration_for_rename(spark, tmp_path):
+    """ADVICE r10 (medium): the checkpoint metaData row must carry the
+    configuration map, else expire_log loses delta.columnMapping.mode
+    and rename_column_mapped falsely rejects the table."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        _snapshot_state,
+        create_checkpoint,
+        expire_log,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 5), t)
+    write_delta_mapped(_df(spark, 5, 8), t, mode="append")
+    create_checkpoint(t)
+    expire_log(t)
+    snap = _snapshot_state(t)
+    assert (
+        snap.meta["configuration"]["delta.columnMapping.mode"] == "name"
+    )
+    rename_column_mapped(t, "v", "value")  # raised before the fix
+    out = read_delta(spark, t)
+    assert out.columns == ["id", "value"] and out.count() == 8

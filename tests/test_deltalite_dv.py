@@ -390,3 +390,71 @@ def test_purge_is_stream_transparent(spark, tmp_path):
     # dataChange=false files are transparent
     live = [i for i in range(30) if i % 10 != 7]
     assert ids == sorted(list(range(30)) + live)
+
+
+def test_dv_protocol_upgrade_emitted_once(spark, tmp_path):
+    """ADVICE r10: the deletionVectors protocol upgrade is a ONE-TIME
+    commit action (like real Delta) — the second DV delete must not
+    re-emit it."""
+    import json
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id % 10 = 7")
+    delete_delta_dv(spark, t, "id % 10 = 8")
+    log_dir = os.path.join(t, "_delta_log")
+    upgrades = 0
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        for line in open(os.path.join(log_dir, name)):
+            a = json.loads(line)
+            if "protocol" in a and a["protocol"].get("minReaderVersion") == 3:
+                upgrades += 1
+    assert upgrades == 1
+    # both deletes still applied
+    ids = sorted(r.id for r in read_delta(spark, t).collect())
+    assert ids == [i for i in range(30) if i % 10 not in (7, 8)]
+
+
+def test_blind_append_rebases_over_second_dv_delete(spark, tmp_path):
+    """With the one-time upgrade, a blind append losing the race to a
+    SECOND DV delete (no protocol action in its commit) rebases instead
+    of raising a spurious protocol conflict."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        _commit_with_retry,
+        _list_versions,
+    )
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id = 1")   # one-time upgrade + DV
+    stale_tip = _list_versions(t)[-1]
+    delete_delta_dv(spark, t, "id = 2")   # DV only — no protocol action
+    got = _commit_with_retry(
+        t,
+        stale_tip + 1,
+        [
+            {"add": {"path": "x.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+            {"commitInfo": {"operation": "WRITE", "engineInfo": "test"}},
+        ],
+    )
+    assert got == stale_tip + 2
+
+
+def test_norm_file_path_col_accepts_all_uri_renderings(spark):
+    """ADVICE r10: the DV anti-join key must be scheme-independent —
+    file:/abs, file://abs-ish, file:///abs and a plain path all
+    normalize to the same absolute path."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+        _norm_file_path_col,
+    )
+
+    df = spark.createDataFrame(
+        [("file:/tmp/a/b.parquet",),
+         ("file:///tmp/a/b.parquet",),
+         ("/tmp/a/b.parquet",)],
+        "p string",
+    ).select(_norm_file_path_col(F.col("p")).alias("n"))
+    assert {r.n for r in df.collect()} == {"/tmp/a/b.parquet"}
