@@ -1155,7 +1155,11 @@ def optimize_delta(
     target = target_file_bytes or TARGET_FILE_BYTES
     snap = _snapshot_state(table_path)
     _guard_no_dv(snap.adds, "OPTIMIZE")  # raw rewrite would resurrect rows
-    _guard_no_cm(snap.schema_json, "OPTIMIZE")
+    # column-mapped tables (verdict r10 item 2): read logical via
+    # read_delta, rename logical → physical before the file write, and
+    # z-order/stat on the PHYSICAL columns (the protocol keeps stats
+    # under physical names when mapping is enabled)
+    mapping = _column_mapping_of(snap.schema_json)
     current = snap.version
     active = set(snap.adds)
     if not active:
@@ -1165,12 +1169,18 @@ def optimize_delta(
     )
     n_files = plan_file_count(total, target)
     df = read_delta(spark, table_path, version=current)
+    if mapping:
+        df = df.toDF(*[mapping.get(c, c) for c in df.columns])
+    zcols = (
+        tuple(mapping.get(c, c) for c in zorder_by) if mapping and zorder_by
+        else zorder_by
+    )
 
     version = current + 1
     commit_dir = f"part-{version:05d}-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_path, commit_dir)
-    if zorder_by:
-        write_zordered(df, data_dir, zorder_by[0], zorder_by[1], n_files)
+    if zcols:
+        write_zordered(df, data_dir, zcols[0], zcols[1], n_files)
     else:
         df.repartition(n_files).write.mode("error").parquet(data_dir)
 
@@ -1187,10 +1197,10 @@ def optimize_delta(
                 "modificationTime": 0,
                 "dataChange": False,
             }
-            if zorder_by:
+            if zcols:
                 add["stats"] = json.dumps(
                     _file_stats(
-                        os.path.join(data_dir, name), list(zorder_by)
+                        os.path.join(data_dir, name), list(zcols)
                     ),
                     separators=(",", ":"),
                 )
@@ -1244,7 +1254,10 @@ def annotate_stats(table_path: str, cols: list[str]) -> int:
     new version (or -1 when every active add already carries stats)."""
     snap = _snapshot_state(table_path)
     _guard_no_dv(snap.adds, "annotate_stats")  # re-add would drop the DV
-    _guard_no_cm(snap.schema_json, "annotate_stats")
+    # stats of a mapped table key PHYSICAL column names (protocol rule);
+    # callers pass logical names and we translate
+    mapping = _column_mapping_of(snap.schema_json)
+    cols = [mapping.get(c, c) for c in cols] if mapping else cols
     current = snap.version
     latest_add = snap.adds
     missing = [p for p, a in latest_add.items() if "stats" not in a]
@@ -1284,18 +1297,24 @@ def read_delta_pruned(
     read only the touched fraction.  Files without stats are read
     (skipping must never drop data).  Returns (frame WITH the predicate
     still applied row-level, {'files_total', 'files_read'})."""
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     snap = _snapshot_state(table_path)
     active = set(snap.adds)
     schema_json = snap.schema_json
     latest_add = snap.adds
+    # mapped tables: stats (and data files) key PHYSICAL names; the
+    # caller's predicate column is LOGICAL — translate for the stats
+    # lookup and read through the physical schema (pre-fix this read
+    # used the logical schema and returned all-NULL columns silently)
+    mapping = _column_mapping_of(schema_json)
+    scol = mapping.get(col, col) if mapping else col
     keep = []
     for rel in sorted(active):
         add = latest_add[rel]
         stats = json.loads(add["stats"]) if "stats" in add else None
-        if stats and col in stats.get("minValues", {}):
-            if stats["maxValues"][col] < lo or stats["minValues"][col] > hi:
+        if stats and scol in stats.get("minValues", {}):
+            if stats["maxValues"][scol] < lo or stats["minValues"][scol] > hi:
                 continue  # file's envelope misses the predicate: skip
         keep.append(rel)
     schema = (
@@ -1305,9 +1324,19 @@ def read_delta_pruned(
     if not keep:
         return spark.createDataFrame([], schema), meta
     reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
+    read_schema = schema
+    if mapping and schema is not None:
+        read_schema = StructType(
+            [
+                StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+    if read_schema is not None:
+        reader = reader.schema(read_schema)
     df = reader.parquet(*[os.path.join(table_path, rel) for rel in keep])
+    if mapping and schema is not None:
+        df = df.toDF(*[f.name for f in schema.fields])
     return df.filter((F.col(col) >= lo) & (F.col(col) <= hi)), meta
 
 

@@ -21,11 +21,16 @@ deltalite implements the 'name' mode subset:
 * :func:`rename_column_mapped` — the showcase metadata-only rename: a
   new metaData action rebinds a logical name to the SAME physical name;
   zero data files touched, old versions still read under the old name;
-* operations whose file-level machinery assumes logical names in the
-  data files (COW DML, OPTIMIZE, stats backfill, file-level CDF,
-  checkpoints, the streaming source, partitioned layouts, DV deletes)
-  fail loud on mapped tables via ``_guard_no_cm`` until taught the
-  translation.
+* copy-on-write DML (DELETE / UPDATE / MERGE), OPTIMIZE (plain and
+  ZORDER), stats backfill, and stats-pruned reads are TAUGHT the
+  translation (verdict r10 item 2): file reads go physical-schema →
+  rename-to-logical, predicates/assignments operate on logical names,
+  writes rename logical → physical, and ``add.stats`` key PHYSICAL
+  names per the protocol's column-mapping rule;
+* operations whose machinery still assumes logical names in the data
+  files (file-level CDF, the streaming source, partitioned layouts,
+  DV deletes) fail loud on mapped tables via ``_guard_no_cm`` until
+  taught the translation.
 
 Protocol: commit 0 writes ``minReaderVersion 2 / minWriterVersion 5``
 (column mapping is exactly the reader-v2 feature set) and the
@@ -197,3 +202,81 @@ def rename_column_mapped(
     return deltalite._commit_with_retry(
         table_path, snap.version + 1, actions
     )
+
+
+from pyspark_anomaly_detection_spark.registry import register  # noqa: E402
+
+
+@register(
+    "q226_deltalite_cm_dml_census",
+    # Same detached-Arrow return shape as q220/q224 (JVM-only plan on the
+    # returned frame).  The oracle applies the rename, delete predicate
+    # and CASE-expressed update straight to orders: a green hash proves
+    # the physical-name translation is lossless through DML rewrites, a
+    # metadata-only RENAME, and an OPTIMIZE compaction.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice + CASE WHEN o_orderkey % 5 = 0
+                                             THEN 1.0 ELSE 0.0 END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q226_deltalite_cm_dml_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column-mapping lifecycle with row-level DML (verdict r10 item 2):
+    orders lands in two MAPPED appends (data files carry physical
+    names), a metadata-only RENAME rebinds o_totalprice → price, a
+    copy-on-write DELETE removes every 7th key and an UPDATE bumps every
+    5th key's price — both with LOGICAL-name predicates translated to
+    the physical files — then OPTIMIZE compacts the rewrites and the
+    final snapshot is censused per priority."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_anomaly_detection_spark.io.deltalite import optimize_delta
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+        delete_delta,
+        update_delta,
+    )
+    from pyspark_anomaly_detection_spark.io.detach import detach_local
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="deltalite_cm_dml_")
+    table = os.path.join(base, "orders_t")
+    try:
+        for half in (0, 1):
+            write_delta_mapped(
+                orders.filter(F.col("o_orderkey") % 2 == half),
+                table,
+                mode="append",
+            )
+        rename_column_mapped(table, "o_totalprice", "price")
+        delete_delta(spark, table, "o_orderkey % 7 = 0")
+        update_delta(
+            spark, table, "o_orderkey % 5 = 0", {"price": "price + 1.0"}
+        )
+        optimize_delta(spark, table)
+        result = (
+            deltalite.read_delta(spark, table)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("price").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return detach_local(result)  # ≤5 rows; detach before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

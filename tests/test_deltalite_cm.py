@@ -97,14 +97,12 @@ def test_unmapped_table_rejects_rename(spark, tmp_path):
 
 
 def test_mapped_guards_fail_loud(spark, tmp_path):
+    """Surfaces NOT yet taught the physical-name translation (file-level
+    CDF, the streaming source, DV deletes) must refuse mapped tables;
+    COW DML / OPTIMIZE / stats are taught (r11) and covered by their own
+    behavior tests below."""
     from pyspark_anomaly_detection_spark.io.deltalite import (
-        annotate_stats,
-        optimize_delta,
         read_delta_changes,
-    )
-    from pyspark_anomaly_detection_spark.io.deltalite_dml import (
-        delete_delta,
-        update_delta,
     )
     from pyspark_anomaly_detection_spark.io.deltalite_dv import (
         delete_delta_dv,
@@ -116,11 +114,7 @@ def test_mapped_guards_fail_loud(spark, tmp_path):
     t = str(tmp_path / "t")
     write_delta_mapped(_df(spark, 0, 6), t)
     for op in (
-        lambda: optimize_delta(spark, t),
-        lambda: annotate_stats(t, ["id"]),
         lambda: read_delta_changes(spark, t, from_version=0),
-        lambda: delete_delta(spark, t, "id = 1"),
-        lambda: update_delta(spark, t, "id = 1", {"v": "v + 1"}),
         lambda: delete_delta_dv(spark, t, "id = 1"),
     ):
         with pytest.raises(NotImplementedError, match="column-mapped"):
@@ -178,3 +172,107 @@ def test_cm_checkpoint_preserves_configuration_for_rename(spark, tmp_path):
     rename_column_mapped(t, "v", "value")  # raised before the fix
     out = read_delta(spark, t)
     assert out.columns == ["id", "value"] and out.count() == 8
+
+
+# ------------- round 11: COW DML / OPTIMIZE / stats taught the mapping
+
+
+def test_mapped_cow_delete_update(spark, tmp_path):
+    """DELETE and UPDATE on a 'name'-mode table with LOGICAL-name
+    predicates/assignments: rewritten files keep physical names, time
+    travel sees pre-DML rows, results match the unmapped semantics."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+        delete_delta,
+        update_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 10), t)       # v0
+    write_delta_mapped(_df(spark, 10, 20), t, mode="append")  # v1
+    out = delete_delta(spark, t, "id % 4 = 0")     # v2
+    assert out["rows_deleted"] == 5
+    out = update_delta(spark, t, "id % 3 = 0", {"v": "v + 100"})  # v3
+    assert out["rows_updated"] > 0
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    expect = {
+        i: (2 * i + 100 if i % 3 == 0 else 2 * i)
+        for i in range(20)
+        if i % 4 != 0
+    }
+    assert rows == expect
+    # rewritten files still carry physical names only
+    phys = _physical_columns(t)
+    assert phys == {physical_name("id"), physical_name("v")}
+    # time travel to v1 sees the pre-DML rows under logical names
+    pre = read_delta(spark, t, version=1)
+    assert pre.columns == ["id", "v"] and pre.count() == 20
+
+
+def test_mapped_merge_upserts(spark, tmp_path):
+    """MERGE on a mapped table: matched rows update in place, unmatched
+    source rows insert, all files physical-named."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import merge_delta
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 6), t)
+    src = spark.createDataFrame(
+        [(2, 999), (3, 888), (50, 777)], "id long, v long"
+    )
+    out = merge_delta(spark, t, src, "id")
+    assert out["rows_matched"] == 2 and out["rows_inserted"] == 1
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert rows[2] == 999 and rows[3] == 888 and rows[50] == 777
+    assert rows[0] == 0 and rows[1] == 2
+    assert _physical_columns(t) == {physical_name("id"), physical_name("v")}
+
+
+def test_mapped_optimize_and_rename_interplay(spark, tmp_path):
+    """OPTIMIZE compacts a mapped table (physical-named output files);
+    a metadata-only rename before the OPTIMIZE is honored after it."""
+    from pyspark_anomaly_detection_spark.io.deltalite import optimize_delta
+
+    t = str(tmp_path / "t")
+    for lo in range(0, 20, 5):
+        write_delta_mapped(_df(spark, lo, lo + 5), t, mode="append")
+    rename_column_mapped(t, "v", "value")
+    out = optimize_delta(spark, t)
+    assert out["files_before"] >= 4 and out["files_after"] < out["files_before"]
+    res = read_delta(spark, t)
+    assert res.columns == ["id", "value"]
+    assert sorted(r.id for r in res.collect()) == list(range(20))
+    assert _physical_columns(t) >= {physical_name("id"), physical_name("v")}
+
+
+def test_mapped_zorder_stats_use_physical_names_prune_logical(
+    spark, tmp_path
+):
+    """OPTIMIZE ZORDER on a mapped table: add.stats key PHYSICAL names
+    (protocol rule), and read_delta_pruned translates the caller's
+    LOGICAL column for both the stats lookup and the file read."""
+    import json as _json
+
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        _snapshot_state,
+        optimize_delta,
+        read_delta_pruned,
+    )
+
+    t = str(tmp_path / "t")
+    for lo in range(0, 100, 25):
+        write_delta_mapped(_df(spark, lo, lo + 25), t, mode="append")
+    optimize_delta(spark, t, target_file_bytes=2000, zorder_by=("id", "v"))
+    snap = _snapshot_state(t)
+    stats = [
+        _json.loads(a["stats"])
+        for a in snap.adds.values()
+        if "stats" in a
+    ]
+    assert stats and all(
+        physical_name("id") in s["minValues"] and "id" not in s["minValues"]
+        for s in stats
+    )
+    df, meta = read_delta_pruned(spark, t, "id", 0, 10)
+    assert meta["files_read"] < meta["files_total"]
+    assert sorted(r.id for r in df.collect()) == list(range(11))
+    # and the columns come back logical, non-NULL
+    assert df.columns == ["id", "v"]
