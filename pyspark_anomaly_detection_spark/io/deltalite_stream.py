@@ -57,12 +57,18 @@ class _AddFilePartition(InputPartition):
         version: int,
         change_type: str = "insert",
         dv: "dict | None" = None,
+        old_dv: "dict | None" = None,
+        dv_diff: bool = False,
     ) -> None:
         self.file_path = file_path
         self.partition_values = partition_values
         self.version = version
         self.change_type = change_type
         self.dv = dv  # deletion-vector descriptor: subtract at read time
+        # dv_diff=True → this partition delivers the rows NEWLY deleted
+        # by a DV rewrite: positions decode(dv) MINUS decode(old_dv)
+        self.old_dv = old_dv
+        self.dv_diff = dv_diff
 
 
 def _table_schema(table_path: str) -> StructType:
@@ -104,30 +110,56 @@ class DeltaliteStreamReader(DataSourceStreamReader):
         # in change-feed mode removes become 'delete' partitions reading
         # the removed file (still on disk under copy-on-write until a
         # VACUUM — the same retention caveat as Delta's CDF); partition
-        # values of a removed file come from its last add action, seeded
-        # from the snapshot at the range start
-        known: dict[str, dict[str, str]] = {}
+        # values and the prior DV of a removed/rewritten file come from
+        # its last add action, seeded from the snapshot at the range
+        # start
+        known: dict[str, dict] = {}
         if self.change_feed and start["version"] >= 0:
             base = deltalite._snapshot_state(self.table_path, start["version"])
-            known = {
-                p: a.get("partitionValues", {}) for p, a in base.adds.items()
-            }
+            known = dict(base.adds)
         for v in range(start["version"] + 1, end["version"] + 1):
-            for action in deltalite._read_commit(self.table_path, v):
+            actions = deltalite._read_commit(self.table_path, v)
+            # a DV rewrite is a same-commit remove+re-add of the SAME
+            # path where the add carries a deletionVector: in change-feed
+            # mode it surfaces as ROW-LEVEL deletes (the DV diff), not a
+            # file-level delete+insert pair (verdict r10 item 3)
+            removes_v = {
+                a["remove"]["path"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            }
+            dv_paths = {
+                a["add"]["path"]
+                for a in actions
+                if "add" in a
+                and a["add"].get("dataChange", True)
+                and a["add"].get("deletionVector")
+                and a["add"]["path"] in removes_v
+            }
+            for action in actions:
                 if "add" in action and action["add"].get("dataChange", True):
                     add = action["add"]
-                    if add.get("deletionVector") and self.change_feed:
-                        raise NotImplementedError(
-                            "deltalite_stream: the change feed cannot "
-                            "express a deletion-vector add's row-level "
-                            "delta yet — use batch read_delta snapshots"
+                    if self.change_feed and add["path"] in dv_paths:
+                        old = known.get(add["path"]) or {}
+                        out.append(
+                            _AddFilePartition(
+                                os.path.join(self.table_path, add["path"]),
+                                add.get("partitionValues", {}),
+                                v,
+                                change_type="delete",
+                                dv=add.get("deletionVector"),
+                                old_dv=old.get("deletionVector"),
+                                dv_diff=True,
+                            )
                         )
+                        known[add["path"]] = add
+                        continue
                     # a DV add reaches here only under ignoreChanges
                     # (the same commit's remove raises otherwise): the
                     # file's LIVE rows re-deliver, Delta's documented
                     # update-re-delivery semantics — the DV positions
                     # are subtracted at read time
-                    known[add["path"]] = add.get("partitionValues", {})
+                    known[add["path"]] = add
                     out.append(
                         _AddFilePartition(
                             os.path.join(self.table_path, add["path"]),
@@ -141,12 +173,18 @@ class DeltaliteStreamReader(DataSourceStreamReader):
                 ):
                     if self.change_feed:
                         rm = action["remove"]
+                        if rm["path"] in dv_paths:
+                            continue  # folded into the DV-diff partition
+                        old = known.get(rm["path"]) or {}
                         out.append(
                             _AddFilePartition(
                                 os.path.join(self.table_path, rm["path"]),
-                                known.get(rm["path"], {}),
+                                old.get("partitionValues", {}),
                                 v,
                                 change_type="delete",
+                                # a removed DV-carrying file retracts its
+                                # LIVE rows only — subtract the bitmap
+                                dv=old.get("deletionVector"),
                             )
                         )
                     elif not self.ignore_changes:
@@ -170,10 +208,21 @@ class DeltaliteStreamReader(DataSourceStreamReader):
                 _decode_descriptor,
             )
 
-            dropped = set(_decode_descriptor(partition.dv))
-            keep = pa.array(
-                [i not in dropped for i in range(table.num_rows)]
-            )
+            pos = set(_decode_descriptor(partition.dv, self.table_path))
+            if getattr(partition, "dv_diff", False):
+                # row-level CDF of a DV rewrite: deliver exactly the
+                # NEWLY deleted rows (new bitmap minus the prior one)
+                if partition.old_dv:
+                    pos -= set(
+                        _decode_descriptor(partition.old_dv, self.table_path)
+                    )
+                keep = pa.array(
+                    [i in pos for i in range(table.num_rows)]
+                )
+            else:
+                keep = pa.array(
+                    [i not in pos for i in range(table.num_rows)]
+                )
             table = table.filter(keep)
         n = table.num_rows
         cols: dict[str, Any] = {c: table.column(c) for c in table.column_names}

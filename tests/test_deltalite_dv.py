@@ -125,10 +125,12 @@ def test_dv_noop_when_nothing_matches(spark, tmp_path):
 
 
 def test_dv_guards_fail_loud(spark, tmp_path):
+    """Operations that would re-write or re-add DV-carrying files raw
+    still refuse; the CDF surfaces (batch + stream) are DV-aware as of
+    r11 and covered by their own row-level-delta tests below."""
     from pyspark_anomaly_detection_spark.io.deltalite import (
         annotate_stats,
         optimize_delta,
-        read_delta_changes,
     )
     from pyspark_anomaly_detection_spark.io.deltalite_dml import (
         delete_delta,
@@ -147,8 +149,6 @@ def test_dv_guards_fail_loud(spark, tmp_path):
     with pytest.raises(NotImplementedError):
         annotate_stats(t, ["id"])
     with pytest.raises(NotImplementedError):
-        read_delta_changes(spark, t, from_version=0).collect()
-    with pytest.raises(NotImplementedError):
         delete_delta(spark, t, "id = 4")
     with pytest.raises(NotImplementedError):
         update_delta(spark, t, "id = 4", {"v": "v + 1"})
@@ -159,9 +159,8 @@ def test_dv_guards_fail_loud(spark, tmp_path):
             spark.createDataFrame([(4, 44)], "id long, v long"),
             key="id",
         )
-    # streaming source refuses the DV commit at planning time (the
-    # commit's remove hits the non-append guard first; the dedicated
-    # deletion-vector guard covers dataChange DV adds without removes)
+    # the plain (non-CDF, non-ignoreChanges) streaming source refuses
+    # the DV commit at planning time via the non-append guard
     ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
     q = (
         read_deltalite_stream(spark, t)
@@ -174,18 +173,6 @@ def test_dv_guards_fail_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="removes data|deletion-vector"):
         q.awaitTermination()
-    # change-feed mode reaches the add and must hit the DV guard
-    q2 = (
-        read_deltalite_stream(spark, t, read_change_feed=True)
-        .writeStream.format("parquet")
-        .option("path", str(tmp_path / "sink2"))
-        .option("checkpointLocation", str(tmp_path / "ck2"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    with pytest.raises(Exception, match="deletion-vector"):
-        q2.awaitTermination()
 
 
 def test_dv_append_after_delete_still_works(spark, tmp_path):
@@ -458,3 +445,193 @@ def test_norm_file_path_col_accepts_all_uri_renderings(spark):
         "p string",
     ).select(_norm_file_path_col(F.col("p")).alias("n"))
     assert {r.n for r in df.collect()} == {"/tmp/a/b.parquet"}
+
+
+# ------------- round 11: 'u' storage + row-level CDF from DV diffs
+
+
+def test_dv_u_storage_round_trip(spark, tmp_path):
+    """File-based ('u') descriptors: the bitmap lives in a spec-format
+    deletion_vector_<uuid>.bin (version byte + size + data + CRC), the
+    log carries only uuid + offset, and reads subtract identically to
+    inline storage."""
+    import json
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    before = _parquet_files(t)
+    out = delete_delta_dv(spark, t, "id % 10 = 7", storage="u")
+    assert out["rows_deleted"] == 3 and out["files_with_dv"] == 3
+    assert _parquet_files(t) == before  # still no data-file writes
+    bins = [n for n in os.listdir(t) if n.startswith("deletion_vector_")]
+    assert len(bins) == 1 and bins[0].endswith(".bin")
+    with open(os.path.join(t, bins[0]), "rb") as f:
+        assert f.read(1) == b"\x01"  # format version byte
+    # descriptors in the log are 'u' with offsets, no inline payload
+    log_dir = os.path.join(t, "_delta_log")
+    last = sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))[-1]
+    descs = [
+        json.loads(line)["add"]["deletionVector"]
+        for line in open(os.path.join(log_dir, last))
+        if "deletionVector" in line and "add" in json.loads(line)
+    ]
+    assert len(descs) == 3
+    assert all(d["storageType"] == "u" and "offset" in d for d in descs)
+    assert len({d["pathOrInlineDv"] for d in descs}) == 1  # one shared file
+    ids = sorted(r.id for r in read_delta(spark, t).collect())
+    assert ids == [i for i in range(30) if i % 10 != 7]
+
+
+def test_dv_u_and_i_storage_merge(spark, tmp_path):
+    """A second delete with the OTHER storage type merges into existing
+    DVs: 'i' then 'u' (and the old inline bitmap ORs into the new
+    file-based one)."""
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id % 10 = 7", storage="i")
+    out = delete_delta_dv(spark, t, "id % 7 = 0", storage="u")
+    assert out["rows_deleted"] == 4  # 7 already deleted
+    ids = sorted(r.id for r in read_delta(spark, t).collect())
+    assert ids == [i for i in range(30) if i % 10 != 7 and i % 7 != 0]
+
+
+def test_dv_u_checkpoint_and_purge(spark, tmp_path):
+    """'u' descriptors survive checkpoint replay (offset field included)
+    and purge materializes them like inline ones."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        create_checkpoint,
+        expire_log,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import purge_delta
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id % 10 = 7", storage="u")
+    create_checkpoint(t)
+    expire_log(t)
+    ids = sorted(r.id for r in read_delta(spark, t).collect())
+    assert ids == [i for i in range(30) if i % 10 != 7]
+    out = purge_delta(spark, t)
+    assert out["files_purged"] == 3
+    ids = sorted(r.id for r in read_delta(spark, t).collect())
+    assert ids == [i for i in range(30) if i % 10 != 7]
+
+
+@pytest.mark.parametrize("storage", ["i", "u"])
+def test_batch_cdf_reports_dv_rowlevel_deletes(spark, tmp_path, storage):
+    """read_delta_changes across a DV delete yields exactly the NEWLY
+    deleted rows as _change_type='delete' — never a file-level
+    delete+insert pair, and a second (merging) delete reports only its
+    own increment."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        read_delta_changes,
+    )
+
+    t = str(tmp_path / "t")
+    _build(spark, t)  # versions 0-2: ids 0..29
+    delete_delta_dv(spark, t, "id % 10 = 7", storage=storage)  # v3
+    delete_delta_dv(spark, t, "id % 7 = 0", storage=storage)   # v4
+    feed = read_delta_changes(spark, t, from_version=2).collect()
+    by_version = {}
+    for r in feed:
+        by_version.setdefault((r._commit_version, r._change_type), []).append(
+            r.id
+        )
+    assert sorted(by_version[(3, "delete")]) == [7, 17, 27]
+    # second delete: %7==0 minus already-deleted 7
+    assert sorted(by_version[(4, "delete")]) == [0, 14, 21, 28]
+    assert not any(ct == "insert" for _, ct in by_version)
+
+
+@pytest.mark.parametrize("storage", ["i", "u"])
+def test_stream_cdf_matches_batch_across_dv_delete(spark, tmp_path, storage):
+    """q221-style isolation across a DV DELETE (verdict r10 item 3):
+    drain the appends, land a mid-stream DV delete, drain again — the
+    resumed stream must deliver exactly the rows the batch CDF reports
+    as that commit's row-level deletes, with nothing redelivered."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        read_delta_changes,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_stream import (
+        read_deltalite_stream,
+    )
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            read_deltalite_stream(spark, t, read_change_feed=True)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # versions 0-2
+    delete_delta_dv(spark, t, "id % 10 = 7", storage=storage)  # v3
+    drain()  # must deliver ONLY v3's row-level deletes
+    got = spark.read.parquet(sink)
+    v3 = got.filter("_commit_version = 3").collect()
+    assert sorted(r.id for r in v3) == [7, 17, 27]
+    assert all(r._change_type == "delete" for r in v3)
+    # nothing from versions 0-2 redelivered
+    assert got.filter("_commit_version < 3").count() == 30
+    # and the stream agrees with the batch CDF for the same range
+    batch = read_delta_changes(spark, t, from_version=2).collect()
+    assert sorted(r.id for r in batch) == [7, 17, 27]
+    assert all(
+        r._change_type == "delete" and r._commit_version == 3 for r in batch
+    )
+
+
+def test_stream_restart_across_purge_does_not_redeliver(spark, tmp_path):
+    """Verdict r10 item 7: REORG PURGE commits dataChange=false — a
+    CDF stream drained before the purge and RESTARTED after it must
+    deliver nothing new (the purge is layout maintenance, not a data
+    change), and a subsequent real append streams normally."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import purge_delta
+    from pyspark_anomaly_detection_spark.io.deltalite_stream import (
+        read_deltalite_stream,
+    )
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id % 10 = 7")
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            read_deltalite_stream(spark, t, read_change_feed=True)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # appends + DV delete
+    n_before = spark.read.parquet(sink).count()
+    assert n_before == 33  # 30 inserts + 3 row-level deletes
+    purge_delta(spark, t)  # dataChange=false remove+add
+    drain()  # restart across the purge: nothing re-delivered
+    assert spark.read.parquet(sink).count() == n_before
+    write_delta(
+        spark.range(100, 103)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .coalesce(1),
+        t,
+        mode="append",
+    )
+    drain()  # the append after the purge streams normally
+    got = spark.read.parquet(sink)
+    assert got.count() == n_before + 3
+    assert sorted(
+        r.id for r in got.filter("_change_type = 'insert' and id >= 100").collect()
+    ) == [100, 101, 102]
