@@ -6,8 +6,10 @@ stratified negative downsample (``sampleBy``, M1) → ``VectorAssembler``
 (M2) → ``StandardScaler`` (M3) → ``RandomForestClassifier`` (M4) composed
 in a ``Pipeline`` (M5), optional ``CrossValidator`` grid (M6), ROC-AUC
 evaluation (M7), and batch inference via ``PipelineModel.transform`` (M8).
-Persistence uses MLlib's native ``save``/``load`` (M9 without the MLflow
-dependency — experiment tracking is pluggable, not assumed).
+Persistence uses MLlib's native ``save``/``load``; experiment tracking
+and the reference's latest-run model lookup (M9) live in
+``ml/runs.py`` — a JSON-lines run registry replacing mlflow.search_runs
+(reference run_pipeline.py:52-64) since MLflow is absent here.
 
 Everything is seeded (seed=42, reference src/models/train.py:37,48,66) so
 training is deterministic at a fixed partitioning.

@@ -68,7 +68,6 @@ def main(argv: list[str] | None = None) -> dict:
         from pyspark_anomaly_detection_spark.ml.pipeline import (
             TrainConfig,
             evaluate_auc,
-            run_batch_inference,
             train_model,
         )
 
@@ -84,13 +83,34 @@ def main(argv: list[str] | None = None) -> dict:
         )
         model = train_model(train_df, config)
         auc = evaluate_auc(model, test_df)
+        # record the run and resolve the serving model THROUGH the
+        # registry — the reference's latest-run lookup shape
+        # (run_pipeline.py:52-64, mlflow.search_runs start_time DESC)
+        from pyspark_anomaly_detection_spark.ml.runs import (
+            infer_with_latest,
+            save_model_run,
+        )
+
+        ml_root = os.path.join(root, "ml")
+        run_id = save_model_run(
+            ml_root,
+            model,
+            params={
+                "num_trees": config.num_trees,
+                "max_depth": config.max_depth,
+                "cross_validate": config.cross_validate,
+            },
+            metrics={"auc": auc},
+        )
         pred_path = os.path.join(root, "gold", "fraud_predictions")
-        scored = run_batch_inference(model, test_df)
+        scored = infer_with_latest(ml_root, test_df)
         scored.write.mode("overwrite").parquet(pred_path)
         n_scored = spark.read.parquet(pred_path).count()
         stats["auc"] = round(auc, 4)
         stats["scored_rows"] = n_scored
-        print(f"[5/5] ml: AUC={auc:.4f}, {n_scored} rows scored -> {pred_path}")
+        stats["run_id"] = run_id
+        print(f"[5/5] ml: AUC={auc:.4f}, run {run_id[:8]}, "
+              f"{n_scored} rows scored -> {pred_path}")
     else:
         print("[5/5] ml: skipped")
 

@@ -216,3 +216,66 @@ def test_text_classifier_split_is_deterministic(spark):
         r.doc_id for r in b_train.collect()
     )
     assert a_test.count() + a_train.count() == 200
+
+
+# ------------- round 11: run registry (M9 latest-run lookup)
+
+
+def test_run_registry_latest_and_inference(spark, tmp_path, labeled_frame):
+    """Verdict r10 item 5: train twice, record both runs, and the
+    registry's latest-run lookup (start_time DESC, the reference's
+    mlflow.search_runs shape) must serve the SECOND model for
+    inference."""
+    from pyspark_anomaly_detection_spark.ml.pipeline import (
+        TrainConfig,
+        train_model,
+    )
+    from pyspark_anomaly_detection_spark.ml.runs import (
+        infer_with_latest,
+        latest_run,
+        list_runs,
+        load_latest_model,
+        save_model_run,
+    )
+
+    root = str(tmp_path / "ml")
+    cfg_a = TrainConfig(num_trees=2, max_depth=2, negative_fraction=1.0)
+    cfg_b = TrainConfig(num_trees=4, max_depth=3, negative_fraction=1.0)
+    model_a = train_model(labeled_frame, cfg_a)
+    model_b = train_model(labeled_frame, cfg_b)
+    save_model_run(
+        root, model_a, {"num_trees": 2}, {"auc": 0.5}, start_time=100.0
+    )
+    rid_b = save_model_run(
+        root, model_b, {"num_trees": 4}, {"auc": 0.9}, start_time=200.0
+    )
+    assert len(list_runs(root)) == 2
+    run = latest_run(root)
+    assert run["run_id"] == rid_b and run["params"]["num_trees"] == 4
+    served = load_latest_model(root)
+    assert served.stages[-1].getNumTrees == 4
+    scored = infer_with_latest(root, labeled_frame)
+    assert scored.count() == labeled_frame.count()
+    assert {"prediction", "fraud_probability"} <= set(scored.columns)
+
+
+def test_run_registry_ties_and_missing(tmp_path):
+    """Equal start_times resolve to the LAST appended record; an empty
+    registry raises a clear error."""
+    import pytest
+
+    from pyspark_anomaly_detection_spark.ml.runs import (
+        latest_run,
+        load_latest_model,
+        log_run,
+    )
+
+    root = str(tmp_path / "ml")
+    assert latest_run(root) is None
+    with pytest.raises(FileNotFoundError, match="no finished runs"):
+        load_latest_model(root)
+    log_run(root, {"i": 1}, {}, "m1", start_time=50.0)
+    log_run(root, {"i": 2}, {}, "m2", start_time=50.0)
+    log_run(root, {"i": 3}, {}, "m3", start_time=10.0, status="FAILED")
+    run = latest_run(root)
+    assert run["params"]["i"] == 2  # tie → append order; FAILED excluded
