@@ -357,16 +357,28 @@ def mllib_brp_probe_auto(
     return mllib_brp_neighbors(emb, queries, k=k, seed=seed)
 
 
-@register("q172_mllib_brp_ann", oracle=None)  # seeded MLlib projections —
-# not oracle-replayable; recall vs brute force + candidate-pruning bound
-# pinned in tests/test_mllib_lsh.py
+from pyspark_anomaly_detection_spark.similarity.ann import (  # noqa: E402
+    ann_audit_oracle,
+    ann_recall_audit,
+)
+
+
+@register("q172_mllib_brp_ann", oracle=ann_audit_oracle())
+# promoted round 11 from rows-only (verdict r10 item 4): the seeded
+# MLlib projections stay engine-private, but the audit view is not —
+# exact top-1 per query hash-checked against DuckDB's independent fold,
+# mean recall@5 of the BRP set-join banded ≥ 0.8 (its test floor; unit
+# vectors make Euclidean and cosine rankings identical, so the exact
+# cosine top-k is the right baseline).
 def q172_mllib_brp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 neighbors per sampled query via the stock MLlib
-    BucketedRandomProjectionLSH estimator over unit vectors, at the
-    finite cos ≥ 0.2 radius with projection-scaled buckets."""
+    BucketedRandomProjectionLSH estimator over unit vectors at the
+    finite cos ≥ 0.2 radius, returned as its recall-audit view; the raw
+    pair listing remains available via :func:`mllib_brp_neighbors`."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
-    return mllib_brp_neighbors(emb, queries).orderBy("query_id", "eucl_dist")
+    approx = mllib_brp_neighbors(emb, queries)
+    return ann_recall_audit(approx, queries, emb, band=0.8)
 
 
 @register("q177_mllib_ann_probe", oracle=None)  # seeded projections +

@@ -75,6 +75,88 @@ def brute_force_topk(
     )
 
 
+def ann_recall_audit(
+    approx: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    band: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Error-band audit view of an approximate top-k result (verdict r10
+    item 4 — the q62/q99 sketch-promotion pattern applied to ANN):
+
+    * the EXACT top-1 neighbor per query (cand id + cosine, computed by
+      the q37 fold whose bitwise DuckDB parity q37 proves) — the
+      hash-checked cross-engine half of the output;
+    * ``recall_within_band`` — mean recall@k of ``approx`` against the
+      exact top-k, asserted ≥ ``band`` (the oracle emits constant TRUE;
+      a band miss means the approximate operator broke, not noise —
+      bands sit well below each method's steady-state recall).
+
+    The recall scalar is computed eagerly (two counts over k·|Q|-row
+    frames — driver cost is two longs); the RETURNED frame is the
+    persisted exact ranking's top-1 slice, a pure-JVM plan."""
+    from pyspark_anomaly_detection_spark.cachepool import tracked_persist
+
+    exact = tracked_persist(
+        brute_force_topk(queries, candidates, k=k, id_col=id_col, vec_col=vec_col)
+    )
+    pairs = exact.select("query_id", "cand_id")
+    n_exact = pairs.count()
+    n_hit = pairs.join(
+        approx.select("query_id", "cand_id"),
+        ["query_id", "cand_id"],
+        "left_semi",
+    ).count()
+    within = bool(n_hit >= band * max(n_exact, 1))
+    return (
+        exact.filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("exact_top1_cand"),
+            F.col("cos_sim").alias("exact_top1_cos"),
+            F.lit(within).alias("recall_within_band"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_audit_oracle(query_pred: str = "vec_id % 20 = 0") -> str:
+    """Oracle SQL for :func:`ann_recall_audit`: DuckDB independently
+    recomputes the exact top-1 per query (same fold as the q37 oracle)
+    and asserts the recall band TRUE."""
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE {query_pred}
+    ),
+    c AS (
+      SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cvec FROM embeddings
+    ),
+    scored AS (
+      SELECT
+        query_id,
+        cand_id,
+        list_dot_product(qvec, cvec)
+          / (sqrt(list_dot_product(qvec, qvec))
+             * sqrt(list_dot_product(cvec, cvec))) AS cos_sim
+      FROM c JOIN q ON query_id <> cand_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
+      ) AS rk
+      FROM scored
+    )
+    SELECT query_id, cand_id AS exact_top1_cand,
+           cos_sim AS exact_top1_cos, TRUE AS recall_within_band
+    FROM ranked WHERE rk = 1
+    ORDER BY query_id
+    """
+
+
 @register(
     "q37_ann_cosine_topk",
     oracle="""
@@ -280,7 +362,11 @@ def brute_force_topk_vectorized(
 
 @register("q116_ann_topk_vectorized", oracle=None, headline=True)  # float
 # summation order differs from SQL folds by design; recall-checked against
-# the exact q37 in tests/test_similarity.py
+# the exact q37 in tests/test_similarity.py.  Deliberately NOT promoted to
+# the r11 audit-view pattern (q53/q140/q172): q116 is a HEADLINE bench
+# query and the audit adds a full exact-fold pass (~3× its sf0.1 time),
+# which would break cross-round bench comparability for no new signal —
+# the exact half of the audit is already q37, hash-checked every round.
 def q116_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
@@ -523,16 +609,21 @@ def pq_ann_topk(
     )
 
 
-@register("q140_pq_ann_topk", oracle=None)  # rows-only: k-means codebook +
-# float LUT sums have no SQL oracle; recall vs the exact q37 is asserted in
-# tests/test_similarity.py
+@register("q140_pq_ann_topk", oracle=ann_audit_oracle())
+# promoted round 11 from rows-only (verdict r10 item 4): the k-means
+# codebook + float LUT sums stay engine-private, but the audit view is
+# not — exact top-1 per query hash-checked against DuckDB's independent
+# fold, mean recall@5 of the PQ pipeline banded ≥ 0.75 (its test floor;
+# steady state ≈ 0.9+).
 def q140_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantized ANN over the same query set as q37/q116, so the
-    three formulations (exact fold / exact BLAS / compressed ADC) are
-    directly comparable on recall and cost."""
+    """Product-quantized ANN over the same query set as q37/q116 (the
+    three formulations — exact fold / exact BLAS / compressed ADC — stay
+    directly comparable), returned as its recall-audit view: the raw
+    top-k pair listing remains available via :func:`pq_ann_topk`."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
-    return pq_ann_topk(queries, emb).orderBy("query_id", "rk")
+    approx = pq_ann_topk(queries, emb)
+    return ann_recall_audit(approx, queries, emb, band=0.75)
 
 
 @register(

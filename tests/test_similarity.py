@@ -131,12 +131,17 @@ def test_ngram_jaccard_refuses_unsampled_input(spark):
 def test_pq_ann_recall_and_determinism(spark, sf_dir):
     """PQ ADC shortlist + exact re-rank: recall@5 vs the exact fold stays
     high (the shortlist is the only approximation — re-ranked order is
-    exact), and the seeded codebook makes reruns bitwise-identical."""
+    exact), and the seeded codebook makes reruns bitwise-identical.
+    (r11: the REGISTERED q140 is now the oracle-checked audit view, so
+    the raw pair listing under test comes from the operator itself.)"""
     from pyspark_anomaly_detection_spark.registry import all_queries
+    from pyspark_anomaly_detection_spark.similarity.ann import pq_ann_topk
 
     reg = all_queries()
     exact = reg["q37_ann_cosine_topk"].fn(spark, sf_dir).toPandas()
-    pq = reg["q140_pq_ann_topk"].fn(spark, sf_dir).toPandas()
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    pq = pq_ann_topk(queries, emb).orderBy("query_id", "rk").toPandas()
     e = exact.groupby("query_id")["cand_id"].apply(set)
     p = pq.groupby("query_id")["cand_id"].apply(set)
     recalls = [len(e[q] & p[q]) / len(e[q]) for q in e.index]
@@ -144,13 +149,20 @@ def test_pq_ann_recall_and_determinism(spark, sf_dir):
     assert mean_recall >= 0.75, f"PQ mean recall@5 collapsed: {mean_recall:.3f}"
     assert min(recalls) >= 0.4, f"PQ worst-query recall collapsed: {min(recalls):.3f}"
 
-    rerun = reg["q140_pq_ann_topk"].fn(spark, sf_dir).toPandas()
+    rerun = pq_ann_topk(queries, emb).orderBy("query_id", "rk").toPandas()
     assert pq.equals(rerun), "PQ codebook/scoring must be deterministic"
 
     # every shortlisted winner's cos_sim is an exact score: re-ranked pairs
     # must agree with the exact fold wherever both rank the same pair
     merged = pq.merge(exact, on=["query_id", "cand_id"], suffixes=("_pq", "_ex"))
     assert (merged["cos_sim_pq"] - merged["cos_sim_ex"]).abs().max() == 0.0
+
+    # the registered audit view asserts the band and matches exact top-1
+    audit = reg["q140_pq_ann_topk"].fn(spark, sf_dir).toPandas()
+    assert audit["recall_within_band"].all()
+    top1 = exact[exact["rk"] == 1].set_index("query_id")["cand_id"]
+    got1 = audit.set_index("query_id")["exact_top1_cand"]
+    assert (top1.sort_index() == got1.sort_index()).all()
 
 
 def test_ivf_and_pq_deterministic_under_repartition(spark, sf_dir):
