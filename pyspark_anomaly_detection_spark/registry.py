@@ -109,6 +109,58 @@ def register(
     return deco
 
 
+def registry_fingerprint() -> dict:
+    """Identity of the CURRENT query registry, for stamping into every
+    generated evidence artifact (verdict r10 item 1 — round 10's close
+    left sf0.1 artifacts predating the last feature commit and no test
+    noticed; name-set coverage alone cannot catch a changed
+    implementation under an unchanged name).
+
+    ``registry_hash`` digests the sorted ``name → module.qualname:line``
+    map PLUS each query function's source text, so ANY edit to a
+    registered query (moved, rewritten, re-oracled) changes the hash and
+    invalidates previously generated artifacts.  ``git_head`` records
+    the commit the generator ran at (informational — the enforced
+    invariant is the registry hash, since committing regenerated
+    artifacts necessarily advances HEAD past the stamped value)."""
+    import hashlib
+    import inspect
+    import os
+    import subprocess
+
+    qs = all_queries()
+    lines = []
+    for name, q in sorted(qs.items()):
+        fn = getattr(q.fn, "__wrapped__", q.fn)
+        try:
+            src, lineno = inspect.getsourcelines(fn)
+            src_digest = hashlib.md5("".join(src).encode()).hexdigest()
+        except OSError:
+            lineno, src_digest = -1, "unknown"
+        oracle = resolve_oracle(q.oracle) or ""
+        lines.append(
+            f"{name}={fn.__module__}.{fn.__qualname__}:{lineno}:"
+            f"{src_digest}:{hashlib.md5(oracle.encode()).hexdigest()}"
+        )
+    registry_hash = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        head = "unknown"
+    return {
+        "registry_hash": registry_hash,
+        "git_head": head,
+        "n_queries": len(qs),
+        "n_oracle": sum(1 for q in qs.values() if q.oracle is not None),
+    }
+
+
 def all_queries() -> dict[str, Query]:
     """Import every query module (self-registering) and return the registry."""
     # Imports deferred to avoid circulars; each module registers on import.

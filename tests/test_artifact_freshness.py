@@ -1,0 +1,132 @@
+"""Registry-fingerprint freshness of committed evidence artifacts
+(verdict r10 item 1).
+
+Round 10's close regenerated only two of the three parity SFs, leaving
+PARITY_sf0.1.json ~40 minutes behind the final feature commit — the
+name-set coverage guards (tests/test_bench_slope.py) could not notice
+because no query NAME changed, only implementations.  Every generated
+artifact now embeds ``registry_fingerprint()`` — a digest over each
+registered query's (module.qualname, line, source text, oracle SQL) —
+and this test fails when any committed artifact's embedded hash no
+longer matches the LIVE registry, i.e. whenever a registered query was
+edited after the artifact was generated.
+
+Remedy when red: rerun ``python tools/round_close.py`` (artifacts are
+regenerated LAST in the round workflow, after all query changes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+JSON_ARTIFACTS = [
+    "PARITY_sf0.001.json",
+    "PARITY_sf0.01.json",
+    "PARITY_sf0.1.json",
+    "BENCH_ALL_sf0.01.json",
+    "BENCH_ALL_sf0.1.json",
+]
+
+
+def embedded_hash_of(path: str) -> str | None:
+    """The registry hash stamped in an artifact (JSON field or the
+    PLAN_AUDIT trailing comment); None when the artifact predates the
+    stamping tooling."""
+    with open(path) as f:
+        text = f.read()
+    if path.endswith(".json"):
+        fp = json.loads(text).get("registry_fingerprint")
+        return fp["registry_hash"] if fp else None
+    m = re.search(r"<!-- registry_hash: ([0-9a-f]{32}) ", text)
+    return m.group(1) if m else None
+
+
+@pytest.fixture(scope="module")
+def live_hash():
+    from pyspark_anomaly_detection_spark.registry import registry_fingerprint
+
+    return registry_fingerprint()["registry_hash"]
+
+
+@pytest.mark.parametrize("name", JSON_ARTIFACTS + ["PLAN_AUDIT.md"])
+def test_committed_artifact_matches_live_registry(name, live_hash):
+    path = os.path.join(REPO, name)
+    embedded = embedded_hash_of(path)
+    assert embedded is not None, (
+        f"{name} carries no registry fingerprint — regenerate it with the "
+        "round-11 tooling (python tools/round_close.py)"
+    )
+    assert embedded == live_hash, (
+        f"{name} is STALE: generated at registry {embedded[:12]}, live "
+        f"registry is {live_hash[:12]} — a registered query changed after "
+        "the artifact was written; rerun tools/round_close.py"
+    )
+
+
+def test_guard_goes_red_on_deliberately_stale_artifact(tmp_path, live_hash):
+    """The guard itself must detect staleness: an artifact stamped with a
+    doctored hash fails the comparison, one stamped with the live hash
+    passes — for both artifact syntaxes."""
+    good_json = tmp_path / "good.json"
+    good_json.write_text(
+        json.dumps({"registry_fingerprint": {"registry_hash": live_hash}})
+    )
+    stale_json = tmp_path / "stale.json"
+    stale_json.write_text(
+        json.dumps({"registry_fingerprint": {"registry_hash": "0" * 32}})
+    )
+    unstamped = tmp_path / "old.json"
+    unstamped.write_text(json.dumps({"queries": {}}))
+    assert embedded_hash_of(str(good_json)) == live_hash
+    assert embedded_hash_of(str(stale_json)) != live_hash
+    assert embedded_hash_of(str(unstamped)) is None
+    md = tmp_path / "audit.md"
+    md.write_text(f"# x\n\n<!-- registry_hash: {'f' * 32} git_head: abc -->\n")
+    assert embedded_hash_of(str(md)) == "f" * 32 != live_hash
+
+
+def test_fingerprint_moves_when_a_query_changes(live_hash):
+    """The fingerprint is sensitive to IMPLEMENTATION edits, not just the
+    name set: recomputing over the same registry with one query's source
+    perturbed yields a different hash (simulated at the digest layer —
+    the hash covers per-query source text, so any edit moves it)."""
+    import hashlib
+    import inspect
+
+    from pyspark_anomaly_detection_spark.registry import all_queries
+
+    qs = all_queries()
+    # reproduce the digest with one query's source text perturbed
+    lines_live, lines_perturbed = [], []
+    victim = sorted(qs)[0]
+    from pyspark_anomaly_detection_spark.registry import resolve_oracle
+
+    for name, q in sorted(qs.items()):
+        fn = getattr(q.fn, "__wrapped__", q.fn)
+        src, lineno = inspect.getsourcelines(fn)
+        src_digest = hashlib.md5("".join(src).encode()).hexdigest()
+        oracle = resolve_oracle(q.oracle) or ""
+        entry = (
+            f"{name}={fn.__module__}.{fn.__qualname__}:{lineno}:"
+            f"{src_digest}:{hashlib.md5(oracle.encode()).hexdigest()}"
+        )
+        lines_live.append(entry)
+        if name == victim:
+            perturbed_digest = hashlib.md5(
+                ("".join(src) + "# edited").encode()
+            ).hexdigest()
+            entry = entry.replace(src_digest, perturbed_digest)
+        lines_perturbed.append(entry)
+    assert (
+        hashlib.md5("\n".join(lines_live).encode()).hexdigest() == live_hash
+    )
+    assert (
+        hashlib.md5("\n".join(lines_perturbed).encode()).hexdigest()
+        != live_hash
+    )

@@ -48,10 +48,18 @@ def run_sweep(sf_dir: str, artifact: str) -> None:
         check=True,
         cwd=REPO,
     ).stdout
-    # bench prints ONE json line (stderr carries progress)
+    # bench prints ONE json line (stderr carries progress); stamp the
+    # registry fingerprint so stale artifacts are detectable (verdict
+    # r10 item 1 — tests/test_artifact_freshness.py enforces it)
     line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    payload = json.loads(line)
+    sys.path.insert(0, REPO)
+    from pyspark_anomaly_detection_spark.registry import registry_fingerprint
+
+    payload["registry_fingerprint"] = registry_fingerprint()
     with open(artifact, "w") as f:
-        f.write(line + "\n")
+        json.dump(payload, f, separators=(",", ":"))
+        f.write("\n")
 
 
 def check(small_art: str = SMALL_ART, big_art: str = BIG_ART) -> list[str]:

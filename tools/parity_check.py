@@ -142,12 +142,17 @@ def run_sf(sf_dir: str) -> dict:
     elapsed = round(time.perf_counter() - start, 1)
     con.close()
     spark.stop()
+    from pyspark_anomaly_detection_spark.registry import registry_fingerprint
+
     return {
         "sf_dir": sf_dir,
         "n_oracle": len(statuses),
         "n_pass": sum(1 for s in statuses.values() if s == "pass"),
         "n_fail": len(failures),
         "elapsed_sec": elapsed,
+        # stale-artifact guard (verdict r10 item 1): the freshness test
+        # fails when this no longer matches the live registry
+        "registry_fingerprint": registry_fingerprint(),
         "queries": statuses,
         "failures": failures,
     }

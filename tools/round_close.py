@@ -62,7 +62,19 @@ def main() -> None:
     run("parity matrix", [py, "tools/parity_check.py", *parity_dirs])
     run("bench history", [py, "tools/bench_history.py"])
     run("pytest", [py, "-m", "pytest", "tests/", "-q", "-x"])
+    # commit-message counts DERIVED from the registry, never hand-typed
+    # (verdict r10 item 1: commit 57b0328 said "224-query registry" over
+    # a 223-entry registry — round-close messages are evidence)
+    sys.path.insert(0, REPO)
+    from pyspark_anomaly_detection_spark.registry import registry_fingerprint
+
+    fp = registry_fingerprint()
     print("\nround_close: ALL GREEN — safe to commit the round snapshot.")
+    print(
+        f"round_close: commit-message counts: {fp['n_queries']} registered "
+        f"queries, {fp['n_oracle']} oracle-checked "
+        f"(registry {fp['registry_hash'][:12]} at {fp['git_head'][:12]})"
+    )
 
 
 if __name__ == "__main__":
