@@ -84,6 +84,14 @@ def main() -> None:
         return
 
     headline = {n: q for n, q in registry.items() if q.headline}
+    if "--only" in sys.argv:
+        # targeted subset (the bench-drift A/B reruns only the tripped
+        # queries — tools/bench_history.py::ab_bisect)
+        wanted = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = wanted - set(registry)
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {sorted(unknown)}")
+        headline = {n: registry[n] for n in sorted(wanted)}
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
 
     # JVM/codegen warmup on the smallest SF so timings measure the engine,

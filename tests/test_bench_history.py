@@ -92,3 +92,51 @@ def test_regressions_skipped_across_sf_change():
         ]
     }
     assert regressions(same_sf), "same-sf regression must still trip"
+
+
+# ------------- round 11: automated bench-drift A/B (verdict r10 item 6)
+
+
+def test_classify_ab_distinguishes_drift_from_regression():
+    """Fresh prior-code ≈ fresh HEAD → the historical number was machine
+    state (drift); fresh HEAD ≫ fresh prior-code → the code regressed."""
+    from tools.bench_history import AB_DRIFT_BOUND, classify_ab
+
+    prior = {"q1": 1.0, "q2": 1.0, "q3": 0.5}
+    head = {"q1": 1.2, "q2": 1.0 * AB_DRIFT_BOUND + 0.1, "q3": 0.5}
+    got = classify_ab(prior, head)
+    assert got == {
+        "q1": "machine_drift",
+        "q2": "code_regression",
+        "q3": "machine_drift",
+    }
+
+
+def test_artifact_commit_resolves_prior_round():
+    """The A/B anchors the prior round at the commit that ADDED its
+    bench artifact — resolvable for every committed round."""
+    import subprocess
+
+    from tools.bench_history import REPO, _artifact_commit
+
+    commit = _artifact_commit(10)
+    assert commit and len(commit) == 40
+    # that commit must actually contain the artifact
+    shown = subprocess.run(
+        ["git", "show", f"{commit}:BENCH_r10.json"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert shown.returncode == 0 and '"n": 10' in shown.stdout
+
+
+def test_ab_bisect_reports_unbisectable_rounds():
+    """No artifact commit (unknown round) → raw problems pass through
+    unchanged rather than being silently waived."""
+    from tools.bench_history import ab_bisect
+
+    history = {"rounds": [{"round": 98}, {"round": 99}]}
+    problems = ["q01_pricing_summary: 1.00s (r98) → 3.00s (r99) = 3.0×"]
+    verdicts, remaining = ab_bisect(problems, history)
+    assert verdicts == {} and remaining == problems

@@ -142,6 +142,135 @@ def regressions(history: dict) -> list[str]:
     return problems
 
 
+#: A fresh same-machine rerun of the PRIOR round's code that is at most
+#: this much faster than fresh HEAD counts as "the old code is slow
+#: today too" → machine drift, not a code regression.  1.5 sits between
+#: bench noise (5-rep trimmed-mean dispersion ≲ 15 %) and any real
+#: regression the 2.0× cross-round bound would care about.
+AB_DRIFT_BOUND = 1.5
+
+
+def classify_ab(
+    prior_fresh: dict[str, float], head_fresh: dict[str, float]
+) -> dict[str, str]:
+    """Per-query verdicts from a same-machine A/B: 'machine_drift' when
+    fresh HEAD is within AB_DRIFT_BOUND of the fresh prior-code rerun
+    (the recorded historical number was taken on a faster machine
+    state), 'code_regression' when HEAD is genuinely slower than the
+    prior code measured NOW."""
+    out = {}
+    for name in sorted(set(prior_fresh) & set(head_fresh)):
+        tp, th = prior_fresh[name], head_fresh[name]
+        ratio = th / tp if tp > 0 else float("inf")
+        out[name] = (
+            "machine_drift" if ratio <= AB_DRIFT_BOUND else "code_regression"
+        )
+    return out
+
+
+def _artifact_commit(rnd: int) -> str | None:
+    """The commit that ADDED ``BENCH_r{rnd}.json`` — the repository state
+    the driver benched for that round (the artifact-landing commit
+    contains the round's final code; it only appends evidence files)."""
+    import subprocess
+
+    name = f"BENCH_r{rnd:02d}.json"
+    out = subprocess.run(
+        ["git", "log", "--diff-filter=A", "--format=%H", "--", name],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    ).stdout.split()
+    return out[0] if out else None
+
+
+def _bench_subset(repo_dir: str, queries: list[str], reps: int = 3) -> dict:
+    """Run ``bench.py --only`` in ``repo_dir``; returns per-query trimmed
+    means.  One Spark boot per invocation — bounded by the tripped-query
+    count, not the suite."""
+    import subprocess
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_REPS=str(reps),
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--only", ",".join(queries)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=repo_dir,
+    ).stdout
+    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)["queries"]
+
+
+def ab_bisect(problems: list[str], history: dict) -> tuple[dict, list[str]]:
+    """Automated same-machine A/B for tripped cross-round bounds
+    (verdict r10 item 6 — the manual BENCH_NOTES runbook, wired in):
+    check out the PRIOR round's artifact commit in a throwaway worktree,
+    rerun ONLY the tripped queries there and at HEAD, and classify each
+    as machine drift vs code regression.  Returns (per-query verdicts,
+    remaining code-regression problem strings)."""
+    import re as _re
+    import subprocess
+    import tempfile
+
+    prior_round = history["rounds"][-2]["round"]
+    names = sorted(
+        {_re.match(r"(q\d+[a-z0-9_]*):", p).group(1) for p in problems}
+    )
+    commit = _artifact_commit(prior_round)
+    if commit is None:
+        print(
+            f"bench A/B: no commit found for BENCH_r{prior_round:02d}.json "
+            "— cannot bisect, reporting raw regressions",
+            file=sys.stderr,
+        )
+        return {}, problems
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, commit],
+            check=True,
+            cwd=REPO,
+            capture_output=True,
+        )
+        print(
+            f"bench A/B: reran {names} at r{prior_round} commit "
+            f"{commit[:12]} (worktree) and HEAD, same machine",
+            file=sys.stderr,
+        )
+        prior_fresh = _bench_subset(wt, names)
+        head_fresh = _bench_subset(REPO, names)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=REPO,
+            capture_output=True,
+        )
+    verdicts = classify_ab(prior_fresh, head_fresh)
+    remaining = []
+    for p in problems:
+        name = _re.match(r"(q\d+[a-z0-9_]*):", p).group(1)
+        v = verdicts.get(name, "code_regression")
+        detail = (
+            f"prior-code-fresh {prior_fresh.get(name)}s vs HEAD-fresh "
+            f"{head_fresh.get(name)}s"
+        )
+        if v == "machine_drift":
+            print(
+                f"bench A/B: {name}: MACHINE DRIFT ({detail}) — recorded "
+                "historical number reflects a faster machine state, not "
+                "better code; waiving",
+                file=sys.stderr,
+            )
+        else:
+            remaining.append(f"{p} [A/B CONFIRMED code regression: {detail}]")
+    return verdicts, remaining
+
+
 def main() -> None:
     if "--check" in sys.argv:
         with open(HISTORY) as f:
@@ -154,6 +283,10 @@ def main() -> None:
         print(f"wrote {HISTORY}: rounds "
               f"{[r['round'] for r in history['rounds']]}", file=sys.stderr)
     problems = regressions(history)
+    if problems and "--no-ab" not in sys.argv and "--check" not in sys.argv:
+        # tripped bound → automated same-machine A/B distinguishes code
+        # regressions from machine drift without hand intervention
+        _, problems = ab_bisect(problems, history)
     if problems:
         print("BENCH HISTORY REGRESSION:")
         for p in problems:
