@@ -1414,7 +1414,10 @@ def read_delta_changes(
     if to_version is None:
         to_version = latest
     tip = _snapshot_state(table_path, latest)
-    _guard_no_cm(tip.schema_json, "read_delta_changes")
+    # column-mapped tables (r11): every per-file read below goes through
+    # _read_adds, which already translates physical → logical; the whole
+    # range is framed in the TIP's logical names (physical names are
+    # stable across renames, so pre-rename commits read correctly)
     schema_json = tip.schema_json
     part_cols = tip.part_cols
     # last-known add per path (for partition values of removed files):

@@ -27,10 +27,15 @@ deltalite implements the 'name' mode subset:
   rename-to-logical, predicates/assignments operate on logical names,
   writes rename logical → physical, and ``add.stats`` key PHYSICAL
   names per the protocol's column-mapping rule;
-* operations whose machinery still assumes logical names in the data
-  files (file-level CDF, the streaming source, partitioned layouts,
-  DV deletes) fail loud on mapped tables via ``_guard_no_cm`` until
-  taught the translation.
+* the change feed (batch ``read_delta_changes``) and the streaming
+  source are ALSO mapping-aware (r11): per-file reads translate
+  physical → logical (batch frames the range in the tip's logical
+  names; the stream binds its schema at start and FAILS LOUD on a
+  mid-stream rename, real Delta's non-additive schema-change
+  contract);
+* the remaining untaught compositions (column mapping × partitioned
+  layouts, column mapping × deletion vectors) fail loud via
+  ``_guard_no_cm`` / the ``_read_adds`` composition guard.
 
 Protocol: commit 0 writes ``minReaderVersion 2 / minWriterVersion 5``
 (column mapping is exactly the reader-v2 feature set) and the

@@ -94,7 +94,9 @@ class DeltaliteStreamReader(DataSourceStreamReader):
         )
         self.schema = schema
         snap0 = deltalite._snapshot_state(self.table_path)
-        deltalite._guard_no_cm(snap0.schema_json, "deltalite_stream")
+        # column-mapped tables (r11): data files carry PHYSICAL names;
+        # read() renames them back to the logical schema per batch
+        self.column_mapping = deltalite._column_mapping_of(snap0.schema_json)
         self.part_cols = snap0.part_cols
 
     def initialOffset(self) -> dict:
@@ -137,6 +139,27 @@ class DeltaliteStreamReader(DataSourceStreamReader):
                 and a["add"]["path"] in removes_v
             }
             for action in actions:
+                if "metaData" in action:
+                    # a schema change mid-range (e.g. a column-mapping
+                    # RENAME) invalidates the reader's bound schema —
+                    # real Delta streams fail on non-additive schema
+                    # changes rather than silently delivering rows under
+                    # stale names
+                    import json as _json
+
+                    new_names = [
+                        f["name"]
+                        for f in _json.loads(
+                            action["metaData"]["schemaString"]
+                        )["fields"]
+                    ]
+                    bound = [f.name for f in self.schema.fields]
+                    if new_names != bound:
+                        raise ValueError(
+                            f"deltalite_stream: commit {v} changes the "
+                            f"table schema ({bound} → {new_names}); "
+                            "restart the stream to pick up the new schema"
+                        )
                 if "add" in action and action["add"].get("dataChange", True):
                     add = action["add"]
                     if self.change_feed and add["path"] in dv_paths:
@@ -203,6 +226,11 @@ class DeltaliteStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.file_path)
+        if self.column_mapping:
+            phys_to_logical = {p: l for l, p in self.column_mapping.items()}
+            table = table.rename_columns(
+                [phys_to_logical.get(c, c) for c in table.column_names]
+            )
         if partition.dv:
             from pyspark_anomaly_detection_spark.io.deltalite_dv import (
                 _decode_descriptor,

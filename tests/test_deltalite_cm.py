@@ -97,36 +97,18 @@ def test_unmapped_table_rejects_rename(spark, tmp_path):
 
 
 def test_mapped_guards_fail_loud(spark, tmp_path):
-    """Surfaces NOT yet taught the physical-name translation (file-level
-    CDF, the streaming source, DV deletes) must refuse mapped tables;
-    COW DML / OPTIMIZE / stats are taught (r11) and covered by their own
-    behavior tests below."""
-    from pyspark_anomaly_detection_spark.io.deltalite import (
-        read_delta_changes,
-    )
+    """The remaining untaught composition (column mapping × deletion
+    vectors) must refuse mapped tables; COW DML / OPTIMIZE / stats /
+    CDF / streaming are taught (r11) and covered by their own behavior
+    tests below."""
     from pyspark_anomaly_detection_spark.io.deltalite_dv import (
         delete_delta_dv,
-    )
-    from pyspark_anomaly_detection_spark.io.deltalite_stream import (
-        read_deltalite_stream,
     )
 
     t = str(tmp_path / "t")
     write_delta_mapped(_df(spark, 0, 6), t)
-    for op in (
-        lambda: read_delta_changes(spark, t, from_version=0),
-        lambda: delete_delta_dv(spark, t, "id = 1"),
-    ):
-        with pytest.raises(NotImplementedError, match="column-mapped"):
-            op()
-    # the streaming source refuses at reader construction
-    with pytest.raises(Exception, match="column-mapped"):
-        _ = (
-            read_deltalite_stream(spark, t)
-            .writeStream.format("noop")
-            .option("checkpointLocation", str(tmp_path / "ck"))
-            .start()
-        ).awaitTermination()
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        delete_delta_dv(spark, t, "id = 1")
 
 
 def test_plain_write_delta_refuses_mapped_table(spark, tmp_path):
@@ -276,3 +258,92 @@ def test_mapped_zorder_stats_use_physical_names_prune_logical(
     assert sorted(r.id for r in df.collect()) == list(range(11))
     # and the columns come back logical, non-NULL
     assert df.columns == ["id", "v"]
+
+
+# ------------- round 11b: CDF + streaming taught the mapping
+
+
+def test_mapped_batch_cdf_logical_names(spark, tmp_path):
+    """read_delta_changes on a mapped table: inserts and COW-delete
+    retractions come back under LOGICAL names (the tip's), with exact
+    row attribution — including across a rename."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        read_delta_changes,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import delete_delta
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 6), t)                   # v0
+    write_delta_mapped(_df(spark, 6, 10), t, mode="append")   # v1
+    rename_column_mapped(t, "v", "value")                     # v2: meta only
+    delete_delta(spark, t, "id % 3 = 0")                      # v3: COW
+    feed = read_delta_changes(spark, t, from_version=0).collect()
+    assert {r._commit_version for r in feed} == {1, 3}
+    # the whole range frames in the TIP's logical names
+    assert all(hasattr(r, "value") for r in feed)
+    v1_ins = sorted(r.id for r in feed if r._commit_version == 1)
+    assert v1_ins == [6, 7, 8, 9]
+    v3 = [r for r in feed if r._commit_version == 3]
+    # COW delete touches every file: all 10 pre-rows retract, survivors re-insert
+    assert sorted(r.id for r in v3 if r._change_type == "delete") == list(range(10))
+    assert sorted(r.id for r in v3 if r._change_type == "insert") == [
+        i for i in range(10) if i % 3 != 0
+    ]
+
+
+def test_mapped_stream_delivers_logical_names(spark, tmp_path):
+    """The streaming source renames physical file columns back to the
+    logical schema per Arrow batch."""
+    from pyspark_anomaly_detection_spark.io.deltalite_stream import (
+        read_deltalite_stream,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 5), t)
+    write_delta_mapped(_df(spark, 5, 8), t, mode="append")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (
+        read_deltalite_stream(spark, t)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(sink)
+    assert set(got.columns) == {"id", "v", "_commit_version"}
+    rows = {(r.id, r.v, r._commit_version) for r in got.collect()}
+    assert rows == {(i, 2 * i, 0 if i < 5 else 1) for i in range(8)}
+
+
+def test_mapped_stream_fails_on_midstream_rename(spark, tmp_path):
+    """A rename landing inside an unread range invalidates an
+    ALREADY-BOUND reader's schema — fail loud at planning time (real
+    Delta's non-additive schema-change contract), never deliver rows
+    under stale names.  A RESTARTED stream re-binds to the new schema
+    and proceeds (the error message's remedy), which is why the guard
+    is pinned on the reader object, not a fresh drain."""
+    from pyspark_anomaly_detection_spark.io.deltalite_stream import (
+        DeltaliteStreamReader,
+        _table_schema,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 5), t)  # v0
+    reader = DeltaliteStreamReader({"path": t}, _table_schema(t))
+    rename_column_mapped(t, "v", "value")    # v1: schema change
+    write_delta_mapped(
+        spark.range(5, 8).select(
+            F.col("id"), (F.col("id") * 2).alias("value")
+        ),
+        t,
+        mode="append",
+    )                                        # v2
+    with pytest.raises(ValueError, match="changes the table schema"):
+        reader.partitions({"version": 0}, {"version": 2})
+    # a NEW reader (the restart) binds the renamed schema and plans fine
+    fresh = DeltaliteStreamReader({"path": t}, _table_schema(t))
+    parts = fresh.partitions({"version": 1}, {"version": 2})
+    assert parts and all(p.version == 2 for p in parts)
