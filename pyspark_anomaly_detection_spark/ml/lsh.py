@@ -381,31 +381,43 @@ def q172_mllib_brp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_audit(approx, queries, emb, band=0.8)
 
 
-@register("q177_mllib_ann_probe", oracle=None)  # seeded projections +
-# driver-side per-probe API — rows-only; exactness vs brute force pinned
-# in tests/test_mllib_lsh.py::test_brp_probe_matches_brute_force
+@register(
+    "q177_mllib_ann_probe",
+    oracle=ann_audit_oracle("vec_id IN (0, 40, 100)"),
+)
+# promoted round 11 from rows-only (verdict r10 item 4): the per-probe
+# approxNearestNeighbors results stay seeded-engine-private, but the
+# audit view is hash-checked — exact top-1 per probe vs DuckDB's
+# independent fold, mean recall@5 banded ≥ 0.8 (its test floor).
 def q177_mllib_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 neighbors for 3 fixed probe vectors via the stock per-query
     ``approxNearestNeighbors`` API (driver loop by design — the
-    interactive single-vector path; q172 is the batch set-join form)."""
+    interactive single-vector path; q172 is the batch set-join form),
+    returned as the recall-audit view; raw pairs via
+    :func:`mllib_brp_probe`."""
+    probe_ids = [0, 40, 100]
     emb = load_table(spark, sf_dir, "embeddings")
-    return mllib_brp_probe(emb, [0, 40, 100]).orderBy(
-        "query_id", "eucl_dist", "cand_id"
-    )
+    queries = emb.filter(F.col("vec_id").isin(probe_ids))
+    approx = mllib_brp_probe(emb, probe_ids)
+    return ann_recall_audit(approx, queries, emb, band=0.8)
 
 
-@register("q203_mllib_ann_probe_batched", oracle=None)  # seeded
-# projections — rows-only; dispatch + recall at 10× probe count pinned in
-# tests/test_mllib_lsh.py::test_probe_auto_*
+@register(
+    "q203_mllib_ann_probe_batched",
+    oracle=ann_audit_oracle("vec_id % 16 = 0 AND vec_id < 480"),
+)
+# promoted round 11 from rows-only (verdict r10 item 4): same audit
+# pattern at 10× the probe count — the dispatcher's batch leg banded
+# ≥ 0.8 (tests/test_mllib_lsh.py::test_probe_auto_recall_at_10x_probe_count).
 def q203_mllib_ann_probe_batched(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Top-5 neighbors for 30 probes (10× q177's interactive count) via
     :func:`mllib_brp_probe_auto` — at this probe count the dispatcher
     routes through the q172 set-join, ONE distributed job instead of 30
-    driver round-trips."""
+    driver round-trips — returned as the recall-audit view."""
     emb = load_table(spark, sf_dir, "embeddings")
     probe_ids = [i * 16 for i in range(30)]  # ≤ 464 < every SF's max vec_id
-    return mllib_brp_probe_auto(emb, probe_ids).orderBy(
-        "query_id", "eucl_dist", "cand_id"
-    )
+    queries = emb.filter(F.col("vec_id").isin(probe_ids))
+    approx = mllib_brp_probe_auto(emb, probe_ids)
+    return ann_recall_audit(approx, queries, emb, band=0.8)
