@@ -845,10 +845,10 @@ def _read_adds(
     dv_adds = {r: a for r, a in adds.items() if a.get("deletionVector")}
     mapping = _column_mapping_of(schema_json)
     if mapping:
-        if part_cols or dv_adds:
+        if part_cols:
             raise NotImplementedError(
-                "deltalite: column mapping combined with partitions or "
-                "deletion vectors is not supported"
+                "deltalite: column mapping combined with partitions is "
+                "not supported"
             )
         phys_schema = StructType(
             [
@@ -858,11 +858,31 @@ def _read_adds(
                 for f in schema.fields
             ]
         )
-        return (
-            spark.read.schema(phys_schema)
-            .parquet(*[os.path.join(table_path, rel) for rel in sorted(adds)])
-            .toDF(*[f.name for f in schema.fields])
-        )
+        logical = [f.name for f in schema.fields]
+        pieces = []
+        plain = [r for r in sorted(adds) if r not in dv_adds]
+        if plain:
+            pieces.append(
+                spark.read.schema(phys_schema)
+                .parquet(*[os.path.join(table_path, rel) for rel in plain])
+                .toDF(*logical)
+            )
+        if dv_adds:
+            # DV subtraction runs in PHYSICAL space (files + bitmaps are
+            # per physical file), then renames to logical (r11)
+            from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+                read_files_minus_dv,
+            )
+
+            pieces.append(
+                read_files_minus_dv(
+                    spark, table_path, dv_adds, phys_schema
+                ).toDF(*logical)
+            )
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
     if not part_cols:
         plain = [r for r in sorted(adds) if r not in dv_adds]
         pieces = []
@@ -1463,18 +1483,33 @@ def read_delta_changes(
         ]
         dv_paths = {p for p, _, _ in dv_pairs}
         if dv_pairs:
+            from pyspark.sql.types import StructField
+
             from pyspark_anomaly_detection_spark.io.deltalite_dv import (
                 dv_diff_rows,
             )
 
-            diff = dv_diff_rows(
-                spark,
-                table_path,
-                dv_pairs,
+            # mapped tables: the diff reads files in PHYSICAL space and
+            # renames to the tip's logical names afterward (r11)
+            mapping = _column_mapping_of(schema_json)
+            base = (
                 StructType.fromJson(json.loads(schema_json))
                 if schema_json
-                else None,
+                else None
             )
+            read_schema = base
+            if mapping and base is not None:
+                read_schema = StructType(
+                    [
+                        StructField(
+                            mapping.get(f.name, f.name), f.dataType, f.nullable
+                        )
+                        for f in base.fields
+                    ]
+                )
+            diff = dv_diff_rows(spark, table_path, dv_pairs, read_schema)
+            if mapping and base is not None:
+                diff = diff.toDF(*[f.name for f in base.fields])
             pieces.append(
                 diff.withColumn("_change_type", F.lit("delete"))
                 .withColumn("_commit_version", F.lit(v).cast("int"))

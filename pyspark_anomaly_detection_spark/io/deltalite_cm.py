@@ -33,9 +33,13 @@ deltalite implements the 'name' mode subset:
   names; the stream binds its schema at start and FAILS LOUD on a
   mid-stream rename, real Delta's non-additive schema-change
   contract);
-* the remaining untaught compositions (column mapping × partitioned
-  layouts, column mapping × deletion vectors) fail loud via
-  ``_guard_no_cm`` / the ``_read_adds`` composition guard.
+* deletion vectors compose with column mapping too (r11): DV deletes
+  bind logical predicates through the physical schema, reads subtract
+  bitmaps in physical space then rename, and REORG PURGE rewrites
+  files physical-to-physical.  The one remaining untaught composition
+  — column mapping × partitioned layouts — is unreachable through
+  these writers (``write_delta_mapped`` has no partition_by) and
+  guarded in ``_read_adds`` for foreign tables.
 
 Protocol: commit 0 writes ``minReaderVersion 2 / minWriterVersion 5``
 (column mapping is exactly the reader-v2 feature set) and the

@@ -338,7 +338,6 @@ def delete_delta_dv(
     if storage not in ("i", "u"):
         raise ValueError(f"deltalite DV storage must be 'i'|'u': {storage}")
     snap = deltalite._snapshot_state(table_path)
-    deltalite._guard_no_cm(snap.schema_json, "DV delete")
     if snap.part_cols:
         raise NotImplementedError(
             "deltalite DV delete on partitioned tables is not supported"
@@ -347,17 +346,39 @@ def delete_delta_dv(
     if not adds:
         return {"version": snap.version, "files_with_dv": 0, "rows_deleted": 0}
 
-    # live rows = file rows minus existing DV positions
-    scan = (
-        spark.read.parquet(
-            *[os.path.join(table_path, rel) for rel in sorted(adds)]
+    # live rows = file rows minus existing DV positions.  Column-mapped
+    # tables (r11): read through the PHYSICAL schema and alias back to
+    # logical names so the caller's predicate binds — same translation
+    # the DML module uses.
+    mapping = deltalite._column_mapping_of(snap.schema_json)
+    paths = [os.path.join(table_path, rel) for rel in sorted(adds)]
+    meta_cols = [
+        _norm_file_path_col(F.col("_metadata.file_path")).alias("_dv_f"),
+        F.col("_metadata.row_index").alias("_dv_i"),
+    ]
+    if mapping:
+        import json as _json
+
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType.fromJson(_json.loads(snap.schema_json))
+        phys_schema = StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
         )
-        .select(
-            "*",
-            _norm_file_path_col(F.col("_metadata.file_path")).alias("_dv_f"),
-            F.col("_metadata.row_index").alias("_dv_i"),
+        scan = spark.read.schema(phys_schema).parquet(*paths).select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ],
+            *meta_cols,
         )
-    )
+    else:
+        scan = spark.read.parquet(*paths).select("*", *meta_cols)
     dv_adds = {r: a for r, a in adds.items() if a.get("deletionVector")}
     if dv_adds:
         existing = dv_positions_df(spark, table_path, dv_adds)
@@ -468,7 +489,6 @@ def purge_delta(spark: SparkSession, table_path: str) -> dict[str, int]:
     import uuid as _uuid
 
     snap = deltalite._snapshot_state(table_path)
-    deltalite._guard_no_cm(snap.schema_json, "PURGE")
     dv_adds = {
         r: a for r, a in snap.adds.items() if a.get("deletionVector")
     }
@@ -480,13 +500,25 @@ def purge_delta(spark: SparkSession, table_path: str) -> dict[str, int]:
         }
     import json as _json
 
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     schema = (
         StructType.fromJson(_json.loads(snap.schema_json))
         if snap.schema_json
         else None
     )
+    # column-mapped tables (r11): purge rewrites files in PHYSICAL space
+    # end-to-end — read phys, write phys — no rename round-trip needed
+    mapping = deltalite._column_mapping_of(snap.schema_json)
+    if mapping and schema is not None:
+        schema = StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
     cleaned = read_files_minus_dv(spark, table_path, dv_adds, schema)
     version = snap.version + 1
     commit_dir = f"part-{version:05d}-{_uuid.uuid4().hex[:12]}"

@@ -97,18 +97,21 @@ def test_unmapped_table_rejects_rename(spark, tmp_path):
 
 
 def test_mapped_guards_fail_loud(spark, tmp_path):
-    """The remaining untaught composition (column mapping × deletion
-    vectors) must refuse mapped tables; COW DML / OPTIMIZE / stats /
-    CDF / streaming are taught (r11) and covered by their own behavior
-    tests below."""
-    from pyspark_anomaly_detection_spark.io.deltalite_dv import (
-        delete_delta_dv,
-    )
+    """The one remaining untaught composition — column mapping ×
+    partitioned layouts — is unreachable through our writers, but a
+    FOREIGN mapped+partitioned table must still fail loud in the
+    reader rather than reconstruct partition columns wrongly."""
+    import json
+
+    from pyspark_anomaly_detection_spark.io import deltalite
 
     t = str(tmp_path / "t")
     write_delta_mapped(_df(spark, 0, 6), t)
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        delete_delta_dv(spark, t, "id = 1")
+    snap = deltalite._snapshot_state(t)
+    with pytest.raises(NotImplementedError, match="partitions"):
+        deltalite._read_adds(
+            spark, t, snap.adds, snap.schema_json, ["id"]
+        )
 
 
 def test_plain_write_delta_refuses_mapped_table(spark, tmp_path):
@@ -347,3 +350,76 @@ def test_mapped_stream_fails_on_midstream_rename(spark, tmp_path):
     fresh = DeltaliteStreamReader({"path": t}, _table_schema(t))
     parts = fresh.partitions({"version": 1}, {"version": 2})
     assert parts and all(p.version == 2 for p in parts)
+
+
+# ------------- round 11c: deletion vectors × column mapping
+
+
+@pytest.mark.parametrize("storage", ["i", "u"])
+def test_mapped_dv_delete_and_merge(spark, tmp_path, storage):
+    """Merge-on-read DELETE on a 'name'-mode table: logical predicates
+    bind through the physical schema, bitmaps attach without data
+    writes, a second delete merges, reads subtract then rename."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+        delete_delta_dv,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 15), t)
+    write_delta_mapped(_df(spark, 15, 30), t, mode="append")
+    before = _physical_columns(t)
+    out = delete_delta_dv(spark, t, "id % 10 = 7", storage=storage)
+    assert out["rows_deleted"] == 3
+    assert _physical_columns(t) == before  # no data files written
+    out = delete_delta_dv(spark, t, "v >= 40", storage=storage)  # ids 20..29
+    assert out["rows_deleted"] == 9  # 27 already gone
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "v"]
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(30) if i % 10 != 7 and i < 20
+    ]
+    # time travel before the deletes still sees everything, logical names
+    assert read_delta(spark, t, version=1).count() == 30
+
+
+def test_mapped_dv_purge_and_rename(spark, tmp_path):
+    """REORG PURGE on a mapped DV table rewrites only the DV files —
+    physical space end-to-end — and a post-purge metadata-only rename
+    still works."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+        delete_delta_dv,
+        purge_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 12), t)
+    delete_delta_dv(spark, t, "id % 4 = 1")
+    out = purge_delta(spark, t)
+    assert out["files_purged"] >= 1
+    phys = _physical_columns(t)
+    assert phys == {physical_name("id"), physical_name("v")}
+    rename_column_mapped(t, "v", "value")
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "value"]
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(12) if i % 4 != 1
+    ]
+
+
+def test_mapped_dv_rowlevel_cdf(spark, tmp_path):
+    """Batch CDF across a DV delete on a mapped table yields the exact
+    newly-deleted rows under LOGICAL names."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        read_delta_changes,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+        delete_delta_dv,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 10), t)           # v0
+    delete_delta_dv(spark, t, "id % 3 = 0")            # v1 (+protocol)
+    feed = read_delta_changes(spark, t, from_version=0).collect()
+    assert all(r._change_type == "delete" for r in feed)
+    assert sorted(r.id for r in feed) == [0, 3, 6, 9]
+    assert all(hasattr(r, "v") for r in feed)
