@@ -163,14 +163,69 @@ def mllib_minhash_candidates(docs: DataFrame, seed: int = 7) -> DataFrame:
     )
 
 
-@register("q171_mllib_minhash_pairs", oracle=None)  # seeded MLlib hash
-# family — not oracle-replayable; exactness/containment pinned in
-# tests/test_mllib_lsh.py
+def _q171_oracle() -> str:
+    from pyspark_anomaly_detection_spark.text.setjoin import (
+        EXACT_JACCARD_PAIRS_SQL,
+    )
+
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS mllib_subset_of_exact,
+           TRUE AS mllib_scores_exact,
+           TRUE AS recall_within_band
+    FROM ({EXACT_JACCARD_PAIRS_SQL})
+    """
+
+
+@register("q171_mllib_minhash_pairs", oracle=_q171_oracle())
+# promoted round 11 from rows-only (verdict r10 item 4): the seeded
+# MLlib hash family stays engine-private, but its CONTRACT is not —
+# every returned pair must be in the exact shingle-Jaccard ≥ 0.5 set
+# (q166's oracle-checked join) with the TRUE Jaccard score, at ≥ 0.6
+# recall (the test floor).  The oracle independently recomputes the
+# exact pair count and asserts the three contract flags TRUE.
 def q171_mllib_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via the stock MLlib MinHashLSH estimator at the
-    q166 threshold — the API-parity twin of the portable-hash pipelines."""
+    q166 threshold — the API-parity twin of the portable-hash
+    pipelines — returned as a contract-audit view (exact-pair count,
+    subset/score-exactness/recall flags); raw pairs via
+    :func:`mllib_minhash_pairs`."""
+    from pyspark_anomaly_detection_spark.cachepool import tracked_persist
+    from pyspark_anomaly_detection_spark.text.setjoin import (
+        prefix_jaccard_pairs,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return mllib_minhash_pairs(docs).orderBy("doc_a", "doc_b")
+    got = tracked_persist(mllib_minhash_pairs(docs))
+    exact = tracked_persist(prefix_jaccard_pairs(docs))
+    n_exact = exact.count()
+    pair_keys = exact.select("doc_a", "doc_b")
+    n_got = got.count()
+    false_pos = got.join(
+        pair_keys, ["doc_a", "doc_b"], "left_anti"
+    ).count()
+    max_diff = (
+        got.join(
+            exact.select(
+                "doc_a", "doc_b", F.col("jaccard").alias("_j_exact")
+            ),
+            ["doc_a", "doc_b"],
+        )
+        .agg(F.max(F.abs(F.col("jaccard") - F.col("_j_exact"))))
+        .first()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_exact,
+                false_pos == 0,
+                float(max_diff or 0.0) < 1e-9,
+                (n_got - false_pos) >= 0.6 * max(n_exact, 1),
+            )
+        ],
+        "n_exact_pairs long, mllib_subset_of_exact boolean, "
+        "mllib_scores_exact boolean, recall_within_band boolean",
+    )
 
 
 def _prep_units(df: DataFrame, id_col: str) -> DataFrame:

@@ -185,9 +185,10 @@ _SHINGLES_SQL = shingles_sql("str_split(text, chr(32))", SHINGLE_N)
 _ELEM_SQL = MD5_LONG60_SQL.format(x="shingle")
 
 
-@register(
-    "q166_prefix_jaccard_pairs",
-    oracle=f"""
+#: Exact all-pairs shingle-Jaccard formulation in DuckDB SQL — the q166
+#: oracle body, exported so other promotions (q171's MLlib recall audit)
+#: can reuse the independent exact-pair computation.
+EXACT_JACCARD_PAIRS_SQL = f"""
     WITH sh AS (
       SELECT DISTINCT doc_id, {_ELEM_SQL} AS elem FROM (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
@@ -210,8 +211,12 @@ _ELEM_SQL = MD5_LONG60_SQL.format(x="shingle")
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
           >= {JACCARD_THRESHOLD}
-    ORDER BY doc_a, doc_b
-    """,
+"""
+
+
+@register(
+    "q166_prefix_jaccard_pairs",
+    oracle=EXACT_JACCARD_PAIRS_SQL + "    ORDER BY doc_a, doc_b\n    ",
 )
 def q166_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard ≥ 0.5 document pairs via prefix-filtered

@@ -75,13 +75,28 @@ def q87_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q88_stratified_sample", oracle=None)  # rows-only: RNG is engine-private
+@register(
+    "q88_stratified_sample",
+    # promoted round 11 from rows-only (verdict r10 item 4): the seeded
+    # Bernoulli draws are engine-private, but their CONTRACT is not —
+    # the exact stratum sizes are hash-checked cross-engine, the 1.0
+    # stratum must keep every row, and each 0.2 stratum's kept fraction
+    # must sit within ±0.06 of its target (≥ 5σ of Bernoulli noise at
+    # the smallest SF's stratum sizes — a band miss means sampleBy
+    # broke, not bad luck).
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS within_tolerance
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def q88_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling (the reference's M1 downsample,
-    src/models/train.py:36-37, on the registry surface): keep all 'error'
-    events and ~20% of each other type, report per-type kept counts.
-    Deterministic for a fixed seed + partitioning; checked rows-only plus
-    a tolerance test in tests/test_sampling.py."""
+    src/models/train.py:36-37, on the registry surface): keep all
+    'error' events and ~20% of each other type, audited per stratum —
+    exact stratum size (oracle-recomputed) plus the kept-fraction
+    tolerance verdict."""
     ev = load_table(spark, sf_dir, "events")
     fractions = {
         "error": 1.0,
@@ -91,8 +106,25 @@ def q88_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signup": 0.2,
     }
     sampled = ev.sampleBy("event_type", fractions=fractions, seed=42)
+    kept = sampled.groupBy("event_type").agg(
+        F.count("*").alias("_n_sampled")
+    )
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("n_total"))
+    frac_expr = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col("event_type")]
+    kept_frac = (
+        F.coalesce(F.col("_n_sampled"), F.lit(0)).cast("double")
+        / F.col("n_total")
+    )
     return (
-        sampled.groupBy("event_type")
-        .agg(F.count("*").alias("n_sampled"))
+        totals.join(kept, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            F.when(frac_expr >= 1.0, F.col("_n_sampled") == F.col("n_total"))
+            .otherwise(F.abs(kept_frac - frac_expr) <= 0.06)
+            .alias("within_tolerance"),
+        )
         .orderBy("event_type")
     )

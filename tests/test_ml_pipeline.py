@@ -113,9 +113,18 @@ def test_q71_score_distribution_and_auc(spark, sf_dir):
     and the score distribution must be a valid probability."""
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
-    from pyspark_anomaly_detection_spark.ml.pipeline import q71_ml_scoring
+    from pyspark_anomaly_detection_spark.ml.pipeline import (
+        ml_scoring_scored,
+        q71_ml_scoring,
+    )
 
-    scored = q71_ml_scoring(spark, sf_dir).persist()
+    # r11: the REGISTERED q71 is the oracle-checked audit view — its
+    # flags must all hold
+    audit = q71_ml_scoring(spark, sf_dir).first()
+    assert audit.auc_within_band and audit.scores_are_probabilities
+    assert audit.both_classes_predicted and audit.n_scored > 0
+
+    scored = ml_scoring_scored(spark, sf_dir).persist()
     try:
         n = scored.count()
         assert n > 0
