@@ -214,17 +214,14 @@ def q171_mllib_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.abs(F.col("jaccard") - F.col("_j_exact"))))
         .first()[0]
     )
-    return spark.createDataFrame(
-        [
-            (
-                n_exact,
-                false_pos == 0,
-                float(max_diff or 0.0) < 1e-9,
-                (n_got - false_pos) >= 0.6 * max(n_exact, 1),
-            )
-        ],
-        "n_exact_pairs long, mllib_subset_of_exact boolean, "
-        "mllib_scores_exact boolean, recall_within_band boolean",
+    from pyspark_anomaly_detection_spark.plans import audit_row
+
+    return audit_row(
+        spark,
+        n_exact_pairs=n_exact,
+        mllib_subset_of_exact=false_pos == 0,
+        mllib_scores_exact=float(max_diff or 0.0) < 1e-9,
+        recall_within_band=bool((n_got - false_pos) >= 0.6 * max(n_exact, 1)),
     )
 
 

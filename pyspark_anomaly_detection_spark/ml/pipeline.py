@@ -279,17 +279,14 @@ def q71_ml_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         metricName="areaUnderROC",
     )
     auc = float(evaluator.evaluate(scored))
-    return spark.createDataFrame(
-        [
-            (
-                n,
-                auc >= 0.8,
-                bool(0.0 <= stats.lo <= stats.hi <= 1.0),
-                stats.n_preds == 2,
-            )
-        ],
-        "n_scored long, auc_within_band boolean, "
-        "scores_are_probabilities boolean, both_classes_predicted boolean",
+    from pyspark_anomaly_detection_spark.plans import audit_row
+
+    return audit_row(
+        spark,
+        n_scored=n,
+        auc_within_band=auc >= 0.8,
+        scores_are_probabilities=bool(0.0 <= stats.lo <= stats.hi <= 1.0),
+        both_classes_predicted=bool(stats.n_preds == 2),
     )
 
 

@@ -98,3 +98,31 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     """True if the plan contains a map-side partial aggregate before the
     shuffle (HashAggregate with partial functions)."""
     return "partial_" in formatted_plan(df)
+
+
+def audit_row(spark, **cols) -> DataFrame:
+    """One-row verdict frame built entirely JVM-side.
+
+    Contract-audit queries (q71, q171, ...) reduce a pipeline to a
+    single row of exact counts + boolean band verdicts.  Building that
+    row with ``spark.createDataFrame([tuple])`` plans as a Python RDD
+    scan (``applySchemaToPythonRDD``), which the no-Python blanket
+    contract rightly rejects — the values are driver scalars, so the
+    frame should be a pure ``Project`` over ``range(1)``.
+
+    Column order follows keyword order; bools/ints/floats/strs map to
+    their natural Spark types (ints are BIGINT to match DuckDB COUNT).
+    """
+    from pyspark.sql import functions as F
+
+    exprs = []
+    for name, v in cols.items():
+        lit = F.lit(v)
+        if isinstance(v, bool):
+            lit = lit.cast("boolean")
+        elif isinstance(v, int):
+            lit = lit.cast("long")
+        elif isinstance(v, float):
+            lit = lit.cast("double")
+        exprs.append(lit.alias(name))
+    return spark.range(1).select(*exprs)

@@ -55,7 +55,30 @@ def split_sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-@register("q87_sentence_split_udtf", oracle=None)  # rows-only: python UDTF
+@register(
+    "q87_sentence_split_udtf",
+    # promoted round 11 from rows-only: the UDTF runs Python, but its
+    # splitting rule is a plain regex DuckDB can evaluate identically —
+    # so the per-source aggregate IS exactly oracle-checkable (trim +
+    # empty-filter semantics mirrored; the avg is one double division
+    # in both engines).
+    oracle="""
+    WITH sents AS (
+      SELECT d.doc_id, trim(s.sent) AS sent
+      FROM documents d,
+           unnest(regexp_extract_all(d.text, '[^.!?]+[.!?]?')) AS s(sent)
+      WHERE trim(s.sent) <> ''
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(COUNT(DISTINCT sents.doc_id) AS BIGINT) AS n_docs,
+           CAST(MAX(length(sent)) AS INT) AS longest_sentence,
+           CAST(SUM(length(sent)) AS DOUBLE) / COUNT(*) AS avg_sentence_len
+    FROM sents JOIN documents d2 ON sents.doc_id = d2.doc_id
+    GROUP BY source ORDER BY source
+    """,
+    python_lane=True,  # the UDTF IS the operator under test
+)
 def q87_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence stats per source via the UDTF lateral view."""
     docs = load_table(spark, sf_dir, "documents")
