@@ -331,13 +331,18 @@ def write_delta(
     version = (versions[-1] + 1) if versions else 0
     evolved_schema: str | None = None
     part_cols: list[str] = list(partition_by or [])
+    snap = None
     if versions:
-        _, committed_json = _replay(table_path, versions[-1])
+        # ONE snapshot replay serves the CM guard, the layout check,
+        # schema evolution, constraint enforcement, and (overwrite mode)
+        # the prior active-file set below.
+        snap = _snapshot_state(table_path, versions[-1])
+        committed_json = snap.schema_json
         # ADVICE r10 (high): a plain append/overwrite on a column-mapped
         # table would write data files with LOGICAL names that the
         # physical-schema reader returns as all-NULL — fail loud instead.
         _guard_no_cm(committed_json, "write_delta")
-        committed_parts = _replay_adds(table_path, versions[-1])[2]
+        committed_parts = snap.part_cols
         if partition_by is not None and list(partition_by) != committed_parts:
             raise ValueError(
                 f"deltalite: partition_by {partition_by} conflicts with the "
@@ -396,14 +401,38 @@ def write_delta(
             )
     adds.sort(key=lambda a: a["add"]["path"])
 
+    # CHECK constraints (Delta writer-v3 feature): one columnar scan of
+    # the JUST-WRITTEN staging files — never a recompute of df's lineage
+    # — aborting before the commit, so a violation leaves only invisible
+    # staging files (the log is the source of truth; VACUUM sweeps them).
+    if snap is not None and adds:
+        from pyspark_anomaly_detection_spark.io.deltalite_constraints import (
+            check_constraints_of,
+            enforce_check_constraints,
+        )
+
+        cons = check_constraints_of(snap.meta)
+        if cons:
+            enforce_check_constraints(
+                spark.read.parquet(data_dir), cons, "write_delta"
+            )
+
     def _meta(schema_string: str) -> dict[str, Any]:
+        # configuration survives schema evolution (constraints, table
+        # properties) — resetting it here would silently DROP CHECK
+        # constraints on a mergeSchema append
+        prior_conf = (
+            dict((snap.meta or {}).get("configuration") or {})
+            if snap is not None
+            else {}
+        )
         return {
             "metaData": {
                 "id": uuid.uuid4().hex,
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema_string,
                 "partitionColumns": part_cols,
-                "configuration": {},
+                "configuration": prior_conf,
                 "createdTime": 0,
             }
         }
@@ -417,7 +446,7 @@ def write_delta(
     if evolved_schema is not None:
         actions.append(_meta(evolved_schema))
     if mode == "overwrite" and version > 0:
-        prior_adds, _, _ = _replay_adds(table_path, version - 1)
+        prior_adds = snap.adds
         for path in sorted(prior_adds):
             if replace_where and not all(
                 prior_adds[path].get("partitionValues", {}).get(c) == v

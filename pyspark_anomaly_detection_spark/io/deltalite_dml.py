@@ -250,6 +250,21 @@ def _rewrite_commit(
                 )
                 n_new_files += 1
 
+    # CHECK constraints: UPDATE/MERGE can introduce violating rows — one
+    # columnar scan of the staged rewrite (touched files only, never the
+    # table) before the commit; a violation aborts with nothing visible
+    if n_new_files:
+        from pyspark_anomaly_detection_spark.io.deltalite_constraints import (
+            check_constraints_of,
+            enforce_check_constraints,
+        )
+
+        cons = check_constraints_of(snap.meta)
+        if cons:
+            enforce_check_constraints(
+                spark.read.parquet(data_dir), cons, operation
+            )
+
     removes = [
         {"remove": {"path": rel, "dataChange": True}} for rel in touched
     ]
