@@ -292,7 +292,16 @@ def _schema_evolution(
             f"deltalite: new columns {added} need merge_schema=True "
             "(Delta's mergeSchema contract)"
         )
-    return df.schema.json()
+    # committed fields carry verbatim (their metadata — generation
+    # expressions, CM physical names — must survive evolution); the new
+    # trailing columns append from the frame's schema
+    incoming_fields = {
+        f["name"]: f for f in json.loads(df.schema.json())["fields"]
+    }
+    merged = json.loads(committed_json)["fields"] + [
+        incoming_fields[n] for n in added
+    ]
+    return json.dumps({"type": "struct", "fields": merged})
 
 
 def write_delta(
@@ -304,8 +313,14 @@ def write_delta(
     partition_by: list[str] | None = None,
     replace_where: dict[str, str] | None = None,
     extra_actions: list[dict[str, Any]] | None = None,
+    generated_columns: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to the deltalite table at ``table_path``.
+
+    ``generated_columns`` (commit 0 only, Delta's GENERATED ALWAYS AS):
+    column→expression map embedded in the schema metadata; later writes
+    that omit a generated column get it materialized, writes that
+    provide it are checked row-by-row (see io/deltalite_generated.py).
 
     ``mode='append'`` adds files; ``mode='overwrite'`` also emits
     ``remove`` actions for every previously-active file.  Returns the
@@ -349,7 +364,27 @@ def write_delta(
                 f"committed layout {committed_parts}"
             )
         part_cols = committed_parts
+        if generated_columns is not None:
+            raise ValueError(
+                "deltalite: generated_columns can only be declared at "
+                "table creation (commit 0), like Delta's GENERATED "
+                "ALWAYS AS"
+            )
+        from pyspark_anomaly_detection_spark.io.deltalite_generated import (
+            materialize_generated,
+        )
+
+        df = materialize_generated(df, committed_json)
         evolved_schema = _schema_evolution(committed_json, df, merge_schema)
+    created_schema_json: str | None = None
+    if generated_columns:
+        from pyspark_anomaly_detection_spark.io.deltalite_generated import (
+            embed_generation_exprs,
+        )
+
+        df, created_schema_json = embed_generation_exprs(
+            df, generated_columns
+        )
     if replace_where:
         unknown = set(replace_where) - set(part_cols)
         if unknown:
@@ -401,17 +436,27 @@ def write_delta(
             )
     adds.sort(key=lambda a: a["add"]["path"])
 
-    # CHECK constraints (Delta writer-v3 feature): one columnar scan of
-    # the JUST-WRITTEN staging files — never a recompute of df's lineage
-    # — aborting before the commit, so a violation leaves only invisible
-    # staging files (the log is the source of truth; VACUUM sweeps them).
-    if snap is not None and adds:
+    # CHECK constraints (Delta writer-v3) + generated-column equalities
+    # (writer-v4): one columnar scan of the JUST-WRITTEN staging files —
+    # never a recompute of df's lineage — aborting before the commit, so
+    # a violation leaves only invisible staging files (the log is the
+    # source of truth; VACUUM sweeps them).
+    if adds:
         from pyspark_anomaly_detection_spark.io.deltalite_constraints import (
             check_constraints_of,
             enforce_check_constraints,
         )
+        from pyspark_anomaly_detection_spark.io.deltalite_generated import (
+            generation_constraints,
+        )
 
-        cons = check_constraints_of(snap.meta)
+        cons: dict[str, str] = {}
+        if snap is not None:
+            cons.update(check_constraints_of(snap.meta))
+            cons.update(generation_constraints(snap.schema_json))
+        elif created_schema_json is not None:
+            # creation with provided generated-column values: checked too
+            cons.update(generation_constraints(created_schema_json))
         if cons:
             enforce_check_constraints(
                 spark.read.parquet(data_dir), cons, "write_delta"
@@ -440,9 +485,17 @@ def write_delta(
     actions: list[dict[str, Any]] = []
     if version == 0:
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    # generated columns are a writer-v4 feature: a foreign
+                    # writer that doesn't understand them must refuse the
+                    # table rather than silently let the columns drift
+                    "minWriterVersion": 4 if generated_columns else 2,
+                }
+            }
         )
-        actions.append(_meta(df.schema.json()))
+        actions.append(_meta(created_schema_json or df.schema.json()))
     if evolved_schema is not None:
         actions.append(_meta(evolved_schema))
     if mode == "overwrite" and version > 0:

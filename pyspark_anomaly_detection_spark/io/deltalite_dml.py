@@ -172,6 +172,27 @@ def _rewrite_commit(
     commit_dir = f"part-{version:05d}-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_path, commit_dir)
 
+    # generated columns recompute on every rewrite (Delta's UPDATE
+    # semantics: the expression, not the stale/stated value, wins) —
+    # one withColumn per generated column, stays in codegen
+    from pyspark_anomaly_detection_spark.io.deltalite_generated import (
+        generated_columns_of,
+    )
+
+    gen_exprs = generated_columns_of(snap.schema_json)
+    if gen_exprs:
+        inner_transform = transform
+
+        def transform(df: DataFrame) -> DataFrame:  # noqa: F811
+            out = inner_transform(df)
+            for col, expr in gen_exprs.items():
+                out = out.withColumn(col, F.expr(expr))
+            return out
+
+        if extra_adds_df is not None:
+            for col, expr in gen_exprs.items():
+                extra_adds_df = extra_adds_df.withColumn(col, F.expr(expr))
+
     # group touched files by partition tuple (one group, {}, when
     # unpartitioned — the write lands at the commit dir root, the
     # pre-partitioning layout)
@@ -250,16 +271,23 @@ def _rewrite_commit(
                 )
                 n_new_files += 1
 
-    # CHECK constraints: UPDATE/MERGE can introduce violating rows — one
-    # columnar scan of the staged rewrite (touched files only, never the
-    # table) before the commit; a violation aborts with nothing visible
+    # CHECK constraints + generated-column equalities: UPDATE/MERGE can
+    # introduce violating or drifted rows — one columnar scan of the
+    # staged rewrite (touched files only, never the table) before the
+    # commit; a violation aborts with nothing visible
     if n_new_files:
         from pyspark_anomaly_detection_spark.io.deltalite_constraints import (
             check_constraints_of,
             enforce_check_constraints,
         )
+        from pyspark_anomaly_detection_spark.io.deltalite_generated import (
+            generation_constraints,
+        )
 
-        cons = check_constraints_of(snap.meta)
+        cons = {
+            **check_constraints_of(snap.meta),
+            **generation_constraints(snap.schema_json),
+        }
         if cons:
             enforce_check_constraints(
                 spark.read.parquet(data_dir), cons, operation
@@ -332,6 +360,18 @@ def update_delta(
     snap = _snapshot_state(table_path)
     deltalite._guard_no_dv(snap.adds, "copy-on-write UPDATE")
     cmio = _cm_io(snap)
+    from pyspark_anomaly_detection_spark.io.deltalite_generated import (
+        generated_columns_of,
+    )
+
+    gen = generated_columns_of(snap.schema_json)
+    for col in assignments:
+        if col in gen:
+            raise ValueError(
+                f"cannot UPDATE generated column '{col}' — it is "
+                f"GENERATED ALWAYS AS ({gen[col]}) and recomputes from "
+                "its sources (Delta's rule)"
+            )
     if snap.part_cols:
         _guard_partition_columns(predicate, snap.part_cols)
         for col in assignments:

@@ -1,0 +1,158 @@
+"""Generated columns on deltalite: declared at creation in the schema
+metadata (delta-spark's key), materialized when omitted, checked when
+provided, recomputed through DML rewrites, protected from explicit
+UPDATE, and surviving schema evolution."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.deltalite import (
+    read_delta,
+    write_delta,
+)
+from pyspark_anomaly_detection_spark.io.deltalite_constraints import (
+    DeltaliteConstraintViolation,
+)
+from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+    merge_delta,
+    update_delta,
+)
+from pyspark_anomaly_detection_spark.io.deltalite_generated import (
+    GENERATION_KEY,
+    generated_columns_of,
+)
+
+GEN = {"doubled": "v * 2"}
+
+
+def _t(spark, tmp_path, n=10):
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(n).select(F.col("id"), F.col("id").alias("v")),
+        t,
+        generated_columns=GEN,
+    )
+    return t
+
+
+def test_creation_materializes_and_embeds_metadata(spark, tmp_path):
+    from pyspark_anomaly_detection_spark.io.deltalite import _snapshot_state
+
+    t = _t(spark, tmp_path)
+    got = read_delta(spark, t)
+    assert sorted((r.id, r.doubled) for r in got.collect()) == [
+        (i, i * 2) for i in range(10)
+    ]
+    snap = _snapshot_state(t)
+    assert generated_columns_of(snap.schema_json) == GEN
+    field = next(
+        f
+        for f in json.loads(snap.schema_json)["fields"]
+        if f["name"] == "doubled"
+    )
+    assert field["metadata"][GENERATION_KEY] == "v * 2"
+    assert snap.protocol["minWriterVersion"] >= 4
+
+
+def test_append_without_column_materializes(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    write_delta(
+        spark.range(10, 15).select(F.col("id"), F.col("id").alias("v")),
+        t,
+        mode="append",
+    )
+    got = read_delta(spark, t).filter("id >= 10")
+    assert sorted((r.id, r.doubled) for r in got.collect()) == [
+        (i, i * 2) for i in range(10, 15)
+    ]
+
+
+def test_append_with_wrong_value_rejected(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    bad = spark.range(10, 12).select(
+        F.col("id"), F.col("id").alias("v"), F.lit(0).cast("long").alias("doubled")
+    )
+    with pytest.raises(DeltaliteConstraintViolation, match="generated:doubled"):
+        write_delta(bad, t, mode="append")
+    assert read_delta(spark, t).count() == 10
+    # consistent provided values pass
+    good = spark.range(10, 12).select(
+        F.col("id"), F.col("id").alias("v"), (F.col("id") * 2).alias("doubled")
+    )
+    write_delta(good, t, mode="append")
+    assert read_delta(spark, t).count() == 12
+
+
+def test_creation_with_wrong_provided_value_rejected(spark, tmp_path):
+    t = str(tmp_path / "t")
+    bad = spark.range(3).select(
+        F.col("id"), F.col("id").alias("v"), F.lit(7).cast("long").alias("doubled")
+    )
+    with pytest.raises(DeltaliteConstraintViolation, match="generated:doubled"):
+        write_delta(bad, t, generated_columns=GEN)
+
+
+def test_update_recomputes_generated_column(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    update_delta(spark, t, "id = 3", {"v": "100"})
+    row = read_delta(spark, t).filter("id = 3").first()
+    assert row.v == 100 and row.doubled == 200
+
+
+def test_update_of_generated_column_rejected(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS"):
+        update_delta(spark, t, "id = 3", {"doubled": "999"})
+
+
+def test_merge_recomputes_generated_column(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    # source carries a stale doubled value: the rewrite recomputes it
+    src = spark.range(8, 12).select(
+        F.col("id"),
+        (F.col("id") + 50).alias("v"),
+        F.lit(0).cast("long").alias("doubled"),
+    )
+    merge_delta(spark, t, src, key="id")
+    got = {r.id: (r.v, r.doubled) for r in read_delta(spark, t).collect()}
+    for i in range(8, 12):
+        assert got[i] == (i + 50, (i + 50) * 2)
+
+
+def test_declaring_on_existing_table_rejected(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    with pytest.raises(ValueError, match="creation"):
+        write_delta(
+            spark.range(3).select(F.col("id"), F.col("id").alias("v")),
+            t,
+            mode="append",
+            generated_columns={"tripled": "v * 3"},
+        )
+
+
+def test_generation_expr_survives_schema_evolution(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    write_delta(
+        spark.range(10, 12).select(
+            F.col("id"), F.col("id").alias("v"), F.lit("x").alias("tag")
+        ),
+        t,
+        mode="append",
+        merge_schema=True,
+    )
+    # evolved metaData kept the field metadata: still materialized
+    write_delta(
+        spark.range(12, 14).select(
+            F.col("id"), F.col("id").alias("v"), F.lit("y").alias("tag")
+        ),
+        t,
+        mode="append",
+    )
+    got = read_delta(spark, t).filter("id >= 12")
+    assert sorted((r.id, r.doubled) for r in got.collect()) == [
+        (12, 24), (13, 26)
+    ]
