@@ -138,12 +138,17 @@ def _touched_files(
         .distinct()
     )
     prefix = "file://"
+    # map resolved paths back to their ADD KEYS (handles both relative
+    # adds and the absolute adds a shallow CLONE commits)
+    resolved = {
+        os.path.abspath(os.path.join(table_path, rel)): rel for rel in files
+    }
     out = []
     for r in scan.collect():
         path = r._dml_file
         if path.startswith(prefix):
             path = path[len(prefix):]
-        out.append(os.path.relpath(path, table_path))
+        out.append(resolved[os.path.abspath(path)])
     return sorted(out)
 
 
