@@ -314,6 +314,7 @@ def write_delta(
     replace_where: dict[str, str] | None = None,
     extra_actions: list[dict[str, Any]] | None = None,
     generated_columns: dict[str, str] | None = None,
+    identity_columns: dict[str, dict[str, int]] | None = None,
 ) -> int:
     """Commit ``df`` to the deltalite table at ``table_path``.
 
@@ -321,6 +322,11 @@ def write_delta(
     column→expression map embedded in the schema metadata; later writes
     that omit a generated column get it materialized, writes that
     provide it are checked row-by-row (see io/deltalite_generated.py).
+
+    ``identity_columns`` (commit 0 only, Delta's GENERATED ALWAYS AS
+    IDENTITY): column→{start, step} map; every write allocates values
+    above the committed high-water mark distributed and collect-bounded,
+    and bumps the mark in the same commit (io/deltalite_identity.py).
 
     ``mode='append'`` adds files; ``mode='overwrite'`` also emits
     ``remove`` actions for every previously-active file.  Returns the
@@ -375,7 +381,19 @@ def write_delta(
         )
 
         df = materialize_generated(df, committed_json)
-        evolved_schema = _schema_evolution(committed_json, df, merge_schema)
+        # identity allocation BEFORE the evolution check (df gains the
+        # column) and against the committed metadata (the high-water
+        # mark); the bumped schema becomes the base evolution merges onto
+        from pyspark_anomaly_detection_spark.io.deltalite_identity import (
+            allocate_identity,
+        )
+
+        df, identity_schema = allocate_identity(df, committed_json)
+        evolved_schema = _schema_evolution(
+            identity_schema or committed_json, df, merge_schema
+        )
+        if evolved_schema is None:
+            evolved_schema = identity_schema
     created_schema_json: str | None = None
     if generated_columns:
         from pyspark_anomaly_detection_spark.io.deltalite_generated import (
@@ -384,6 +402,22 @@ def write_delta(
 
         df, created_schema_json = embed_generation_exprs(
             df, generated_columns
+        )
+    if identity_columns:
+        if versions:
+            raise ValueError(
+                "deltalite: identity_columns can only be declared at "
+                "table creation (commit 0), like Delta's GENERATED "
+                "ALWAYS AS IDENTITY"
+            )
+        from pyspark_anomaly_detection_spark.io.deltalite_identity import (
+            allocate_identity,
+            embed_identity_schema,
+        )
+
+        base = created_schema_json or df.schema.json()
+        df, created_schema_json = allocate_identity(
+            df, embed_identity_schema(base, identity_columns)
         )
     if replace_where:
         unknown = set(replace_where) - set(part_cols)
@@ -488,10 +522,15 @@ def write_delta(
             {
                 "protocol": {
                     "minReaderVersion": 1,
-                    # generated columns are a writer-v4 feature: a foreign
-                    # writer that doesn't understand them must refuse the
-                    # table rather than silently let the columns drift
-                    "minWriterVersion": 4 if generated_columns else 2,
+                    # writer-feature versions: identity columns are v6,
+                    # generated columns v4 — a foreign writer that doesn't
+                    # understand them must refuse the table rather than
+                    # silently let the columns drift
+                    "minWriterVersion": (
+                        6
+                        if identity_columns
+                        else (4 if generated_columns else 2)
+                    ),
                 }
             }
         )

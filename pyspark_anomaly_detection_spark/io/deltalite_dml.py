@@ -370,12 +370,22 @@ def update_delta(
     )
 
     gen = generated_columns_of(snap.schema_json)
+    from pyspark_anomaly_detection_spark.io.deltalite_identity import (
+        identity_columns_of,
+    )
+
+    idcols = identity_columns_of(snap.schema_json)
     for col in assignments:
         if col in gen:
             raise ValueError(
                 f"cannot UPDATE generated column '{col}' — it is "
                 f"GENERATED ALWAYS AS ({gen[col]}) and recomputes from "
                 "its sources (Delta's rule)"
+            )
+        if col in idcols:
+            raise ValueError(
+                f"cannot UPDATE identity column '{col}' — it is "
+                "GENERATED ALWAYS AS IDENTITY (Delta's rule)"
             )
     if snap.part_cols:
         _guard_partition_columns(predicate, snap.part_cols)
@@ -440,6 +450,17 @@ def merge_delta(
         )
     snap = _snapshot_state(table_path)
     deltalite._guard_no_dv(snap.adds, "MERGE")
+    from pyspark_anomaly_detection_spark.io.deltalite_identity import (
+        identity_columns_of,
+    )
+
+    if identity_columns_of(snap.schema_json):
+        raise NotImplementedError(
+            "deltalite: MERGE into a table with identity columns — the "
+            "insert branch would need mid-rewrite identity allocation; "
+            "append the unmatched rows with write_delta (which allocates) "
+            "and run the matched-update as update_delta"
+        )
     cmio = _cm_io(snap)
     part_cols = snap.part_cols
     if key in part_cols:

@@ -183,6 +183,7 @@ def all_queries() -> dict[str, Query]:
     import pyspark_anomaly_detection_spark.io.deltalite_constraints  # noqa: F401
     import pyspark_anomaly_detection_spark.io.deltalite_generated  # noqa: F401
     import pyspark_anomaly_detection_spark.io.deltalite_clone  # noqa: F401
+    import pyspark_anomaly_detection_spark.io.deltalite_identity  # noqa: F401
     import pyspark_anomaly_detection_spark.events.time_windows  # noqa: F401
     import pyspark_anomaly_detection_spark.ml.clustering  # noqa: F401
     import pyspark_anomaly_detection_spark.ml.lsh  # noqa: F401

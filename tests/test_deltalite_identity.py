@@ -1,0 +1,126 @@
+"""Identity columns on deltalite: creation-only declaration, distributed
+allocation above the committed high-water mark, uniqueness across
+commits (and across an overwrite), explicit inserts rejected, DML
+guards, and the metadata/protocol surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.deltalite import (
+    read_delta,
+    write_delta,
+)
+from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+    delete_delta,
+    merge_delta,
+    update_delta,
+)
+from pyspark_anomaly_detection_spark.io.deltalite_identity import (
+    identity_columns_of,
+)
+
+ID = {"row_sk": {"start": 100, "step": 3}}
+
+
+def _t(spark, tmp_path, n=10):
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(n).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        t,
+        identity_columns=ID,
+    )
+    return t
+
+
+def _sks(spark, t):
+    return sorted(r.row_sk for r in read_delta(spark, t).collect())
+
+
+def test_creation_allocates_from_start(spark, tmp_path):
+    from pyspark_anomaly_detection_spark.io.deltalite import _snapshot_state
+
+    t = _t(spark, tmp_path)
+    assert _sks(spark, t) == [100 + 3 * k for k in range(10)]
+    snap = _snapshot_state(t)
+    info = identity_columns_of(snap.schema_json)["row_sk"]
+    assert info == {"start": 100, "step": 3, "high_water_mark": 127}
+    assert snap.protocol["minWriterVersion"] >= 6
+
+
+def test_appends_continue_above_high_water_mark(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    write_delta(
+        spark.range(10, 15).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        t,
+        mode="append",
+    )
+    sks = _sks(spark, t)
+    assert sks == [100 + 3 * k for k in range(15)]
+    assert len(set(sks)) == 15
+
+
+def test_allocation_is_distributed_and_gapless(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(1000)
+        .repartition(13)
+        .select(F.col("id"), (F.col("id") * 2).alias("v")),
+        t,
+        identity_columns=ID,
+    )
+    assert _sks(spark, t) == [100 + 3 * k for k in range(1000)]
+
+
+def test_overwrite_never_reuses_values(spark, tmp_path):
+    t = _t(spark, tmp_path)  # hwm = 127
+    write_delta(
+        spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        t,
+        mode="overwrite",
+    )
+    sks = _sks(spark, t)
+    assert min(sks) == 130  # strictly above the pre-overwrite mark
+    assert sks == [130 + 3 * k for k in range(5)]
+
+
+def test_explicit_insert_rejected(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    bad = spark.range(10, 12).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit(1).alias("row_sk")
+    )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        write_delta(bad, t, mode="append")
+
+
+def test_declaring_on_existing_table_rejected(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    with pytest.raises(ValueError, match="creation"):
+        write_delta(
+            spark.range(3).select(F.col("id"), (F.col("id") * 2).alias("v")),
+            t,
+            mode="append",
+            identity_columns={"other_sk": {"start": 1, "step": 1}},
+        )
+
+
+def test_update_of_identity_column_rejected(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    with pytest.raises(ValueError, match="IDENTITY"):
+        update_delta(spark, t, "id = 3", {"row_sk": "0"})
+
+
+def test_merge_into_identity_table_rejected(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    src = spark.range(8, 12).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    with pytest.raises(NotImplementedError, match="identity"):
+        merge_delta(spark, t, src, key="id")
+
+
+def test_delete_preserves_identity_values(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    before = {r.id: r.row_sk for r in read_delta(spark, t).collect()}
+    delete_delta(spark, t, "id % 2 = 0")
+    after = {r.id: r.row_sk for r in read_delta(spark, t).collect()}
+    assert after == {i: sk for i, sk in before.items() if i % 2 == 1}
