@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from typing import Any
 
@@ -167,6 +168,44 @@ class DeltaliteConcurrentCommit(Exception):
 MAX_COMMIT_RETRIES = 10
 
 
+def _commit_timestamp(table_path: str, version: int) -> int:
+    """Millisecond timestamp of a commit: the in-commit
+    ``commitInfo.timestamp`` when present (authoritative — survives file
+    copies, like Delta's inCommitTimestamps), else the commit file's
+    mtime (classic Delta's fallback); 0 when the commit JSON is gone
+    (expired past a checkpoint)."""
+    path = _log_path(table_path, version)
+    if not os.path.exists(path):
+        return 0
+    try:
+        for action in _read_commit(table_path, version):
+            if "commitInfo" in action and "timestamp" in action["commitInfo"]:
+                return int(action["commitInfo"]["timestamp"])
+    except Exception:
+        pass
+    return int(os.path.getmtime(path) * 1000)
+
+
+def version_at_timestamp(table_path: str, ts_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the LATEST version whose commit
+    timestamp is ≤ ``ts_ms``.  Raises when the timestamp predates the
+    first available commit (Delta's before-earliest-version error)."""
+    versions = _list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no deltalite log at {table_path}")
+    best = None
+    for v in versions:
+        if _commit_timestamp(table_path, v) <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"deltalite: timestamp {ts_ms} predates the earliest "
+            f"available commit (version {versions[0]} at "
+            f"{_commit_timestamp(table_path, versions[0])})"
+        )
+    return best
+
+
 def _commit_with_retry(
     table_path: str,
     version: int,
@@ -194,6 +233,21 @@ def _commit_with_retry(
     )
     attempt = 0
     while True:
+        # in-commit timestamp (Delta's inCommitTimestamps shape): stamped
+        # into commitInfo at claim time, forced monotonic vs the previous
+        # commit so TIMESTAMP AS OF resolution is well-ordered even when
+        # commits land within one clock tick
+        for a in actions:
+            if "commitInfo" in a:
+                prev_ts = (
+                    _commit_timestamp(table_path, version - 1)
+                    if version > 0
+                    else 0
+                )
+                a["commitInfo"]["timestamp"] = max(
+                    int(time.time() * 1000), prev_ts + 1
+                )
+                break
         try:
             fd = os.open(
                 _log_path(table_path, version),
@@ -1061,13 +1115,23 @@ def read_delta(
     table_path: str,
     version: int | None = None,
     partition_filter: dict[str, str] | None = None,
+    timestamp_as_of: int | None = None,
 ) -> DataFrame:
     """Snapshot (optionally time-travel) read: replay the log, read
     exactly the active files with the committed schema, reconstructing
     partition columns from ``add.partitionValues``.  An empty active
     set yields an empty frame with the committed schema.
     ``partition_filter`` prunes at the LOG level: files of non-matching
-    partitions are never opened."""
+    partitions are never opened.  ``timestamp_as_of`` (epoch ms) is
+    Delta's TIMESTAMP AS OF: resolves to the latest version committed
+    at or before that instant (mutually exclusive with ``version``)."""
+    if timestamp_as_of is not None:
+        if version is not None:
+            raise ValueError(
+                "read_delta: version and timestamp_as_of are mutually "
+                "exclusive (Delta's rule)"
+            )
+        version = version_at_timestamp(table_path, timestamp_as_of)
     adds, schema_json, part_cols = _replay_adds(table_path, version)
     if partition_filter:
         unknown = set(partition_filter) - set(part_cols)
@@ -1103,6 +1167,7 @@ def delta_history(table_path: str) -> list[dict[str, Any]]:
             {
                 "version": v,
                 "operation": op,
+                "timestamp": _commit_timestamp(table_path, v),
                 "n_adds": sum(1 for a in actions if "add" in a),
                 "n_removes": sum(1 for a in actions if "remove" in a),
             }

@@ -200,3 +200,39 @@ def test_restore_surfaces_in_change_feed(spark, tmp_path):
         )
         == list(range(10, 20))
     )
+
+
+def test_cdf_stream_delivers_restore_as_changes(spark, tmp_path):
+    """CDF-mode stream across a RESTORE: the rollback commit feeds
+    delete rows (for the files it removes) and insert rows (for the
+    files it re-adds) attributed to the restore's commit version."""
+    from pyspark_anomaly_detection_spark.io.deltalite_stream import (
+        read_deltalite_stream,
+    )
+
+    def drain(ckpt, sink):
+        q = (
+            read_deltalite_stream(spark, t, read_change_feed=True)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=2)  # ids 0..19
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+    drain(ckpt, sink)  # consume the append history
+    delete_delta(spark, t, "id < 10")  # v2
+    v_restore = restore_delta(t, version=1)["version"]
+    out = drain(ckpt, sink)  # same checkpoint: only the new commits
+    restore_rows = out.filter(F.col("_commit_version") == v_restore)
+    ins = sorted(
+        r.id
+        for r in restore_rows.filter(F.col("_change_type") == "insert").collect()
+    )
+    assert ins == list(range(10))  # the rolled-back rows come back

@@ -1,0 +1,61 @@
+"""TIMESTAMP AS OF on deltalite: in-commit timestamps stamped
+monotonically at claim time, history exposure, and version resolution
+(latest commit at-or-before the instant; before-earliest raises;
+mutually exclusive with VERSION AS OF)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_anomaly_detection_spark.io.deltalite import (
+    delta_history,
+    read_delta,
+    version_at_timestamp,
+    write_delta,
+)
+
+
+def _build(spark, t, n=3):
+    for i in range(n):
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10).select("id").coalesce(1),
+            t,
+            mode="append",
+        )
+
+
+def test_in_commit_timestamps_monotonic(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    ts = [h["timestamp"] for h in delta_history(t)]
+    assert all(ts[i] < ts[i + 1] for i in range(len(ts) - 1))
+    assert all(x > 0 for x in ts)
+
+
+def test_timestamp_as_of_resolves_between_commits(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    hist = delta_history(t)
+    # exactly at a commit → that commit; just before → the prior one
+    for h in hist:
+        assert version_at_timestamp(t, h["timestamp"]) == h["version"]
+    assert version_at_timestamp(t, hist[1]["timestamp"] - 1) == 0
+    assert version_at_timestamp(t, hist[-1]["timestamp"] + 10_000) == 2
+    got = read_delta(spark, t, timestamp_as_of=hist[1]["timestamp"])
+    assert sorted(r.id for r in got.collect()) == list(range(20))
+
+
+def test_timestamp_before_earliest_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t, n=1)
+    first = delta_history(t)[0]["timestamp"]
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(t, first - 1)
+
+
+def test_version_and_timestamp_mutually_exclusive(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t, n=1)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_delta(spark, t, version=0, timestamp_as_of=1)
