@@ -455,6 +455,15 @@ def test_no_cartesian_or_nested_loop_in_oracle_queries(spark, sf_dir):
         "q183_semantic_dedup_keep",  # q52's dispatch feeding components
         "q214_hard_negative_mining",  # broadcast anchor-matrix scorer
         #                               (q37's shape + label filter)
+        # r11 ANN audit promotions: each embeds q37's whitelisted exact
+        # fold as the audit's hash-checked reference half (the BNL is the
+        # broadcast query-matrix scorer, by construction k×|Q|); the
+        # approximate operator under test contributes no cartesian
+        "q53_ivf_ann_topk",
+        "q140_pq_ann_topk",
+        "q172_mllib_brp_ann",
+        "q177_mllib_ann_probe",
+        "q203_mllib_ann_probe_batched",
     }
     allowed = allowed_scalar_broadcast | allowed_theta
     offenders = []
