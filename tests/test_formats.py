@@ -144,18 +144,27 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
 
     after = spark.read.parquet(path)
     assert after.agg(F.sum("id"), F.count("*")).first() == before_sum
-    # sortWithinPartitions: each output file's k-range is narrow — check
-    # via per-file min/max spread using the input_file_name pseudo-column
-    # range-partitioned sorted rewrite: each file covers a narrow,
-    # disjoint k-range, so the worst per-file span is far below the
-    # full 0..999 domain a round-robin layout would show
-    spans = (
+    # Range-partitioned sorted rewrite: each file covers a DISJOINT
+    # k-range (file boundaries from the range partitioner are strict),
+    # unlike the round-robin input layout where every file spans the
+    # whole 0..999 domain. The partitioner samples its split points, so
+    # the ranges need not be *even* — asserting evenness is flaky
+    # (observed 561/1000 on a 2-file sampled boundary); disjointness is
+    # the deterministic property min/max pruning actually relies on.
+    ranges = sorted(
         after.groupBy(F.input_file_name().alias("f"))
-        .agg((F.max("k") - F.min("k")).alias("span"))
-        .collect()
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect(),
+        key=lambda r: r.lo,
     )
-    worst = max(r.span for r in spans)
-    assert worst <= 1000 // len(spans) + 50, (worst, len(spans))
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev.hi < cur.lo, [(r.lo, r.hi) for r in ranges]
+    # and no single file covers (nearly) the whole domain — that would
+    # mean the sort/range step silently degraded to round-robin
+    assert len(ranges) >= 2
+    assert max(r.hi - r.lo for r in ranges) < 900, [
+        (r.lo, r.hi) for r in ranges
+    ]
 
 
 def test_compaction_survives_stale_leftovers(spark, tmp_path):
