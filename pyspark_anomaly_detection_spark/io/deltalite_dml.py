@@ -161,10 +161,16 @@ def _rewrite_commit(
     extra_adds_df: DataFrame | None = None,
     snap=None,
     cmio=None,
+    new_schema_json: "str | None" = None,
 ) -> dict[str, int]:
     """Copy-on-write commit: rewrite ``touched`` files through
     ``transform`` (DataFrame -> DataFrame), optionally append
-    ``extra_adds_df`` rows, remove+add atomically.
+    ``extra_adds_df`` rows, remove+add atomically.  When
+    ``new_schema_json`` is given the commit also carries a metaData
+    action with that schemaString (same table id / partition columns /
+    configuration) — MERGE's identity-allocation path uses this to bump
+    the high-water mark in the SAME commit as the inserted rows, so a
+    reader of any version sees marks consistent with the data.
 
     Partition-aware (ADVICE r9, high): touched files of a partitioned
     table carry NO partition columns in their data (Delta contract —
@@ -301,7 +307,25 @@ def _rewrite_commit(
     removes = [
         {"remove": {"path": rel, "dataChange": True}} for rel in touched
     ]
-    actions = removes + actions + [
+    meta_actions: list[dict[str, Any]] = []
+    if new_schema_json is not None:
+        prior = dict(snap.meta or {})
+        meta_actions.append(
+            {
+                "metaData": {
+                    # the table id is STABLE across commits (Delta's
+                    # contract); only the schemaString changes here
+                    "id": prior.get("id") or uuid.uuid4().hex,
+                    "format": prior.get("format")
+                    or {"provider": "parquet", "options": {}},
+                    "schemaString": new_schema_json,
+                    "partitionColumns": snap.part_cols,
+                    "configuration": dict(prior.get("configuration") or {}),
+                    "createdTime": prior.get("createdTime", 0),
+                }
+            }
+        )
+    actions = meta_actions + removes + actions + [
         {"commitInfo": {"operation": operation, "engineInfo": "deltalite"}}
     ]
     version = _commit_actions(table_path, version, actions)
@@ -454,12 +478,23 @@ def merge_delta(
         identity_columns_of,
     )
 
-    if identity_columns_of(snap.schema_json):
-        raise NotImplementedError(
-            "deltalite: MERGE into a table with identity columns — the "
-            "insert branch would need mid-rewrite identity allocation; "
-            "append the unmatched rows with write_delta (which allocates) "
-            "and run the matched-update as update_delta"
+    # identity columns (GENERATED ALWAYS AS IDENTITY): the source must
+    # not provide them; the UPDATE branch keeps the target's values; the
+    # INSERT branch allocates above the committed high-water mark with
+    # write_delta's distributed per-partition-offset scheme, and the
+    # bumped mark commits atomically with the rows (new_schema_json).
+    idcols = identity_columns_of(snap.schema_json)
+    for col in idcols:
+        if col in source.columns:
+            raise ValueError(
+                f"merge_delta: identity column '{col}' is GENERATED "
+                "ALWAYS — the MERGE source cannot provide it "
+                "(allowExplicitInsert is false)"
+            )
+    if key in idcols:
+        raise ValueError(
+            "merge_delta: the merge key cannot be an identity column — "
+            "the source cannot carry GENERATED ALWAYS values to match on"
         )
     cmio = _cm_io(snap)
     part_cols = snap.part_cols
@@ -514,7 +549,7 @@ def merge_delta(
                 *[
                     F.col(c).alias(f"_dml_src_{c}")
                     for c in target_cols
-                    if c != key
+                    if c != key and c not in idcols
                 ],
             )
         )
@@ -524,7 +559,9 @@ def merge_delta(
             return joined.select(
                 *[
                     F.col(c)
-                    if c == key
+                    # identity values never update — Delta's rule; the
+                    # matched row keeps the value it was allocated
+                    if c == key or c in idcols
                     else F.when(
                         F.col("_dml_m") == 1, F.col(f"_dml_src_{c}")
                     )
@@ -580,7 +617,9 @@ def merge_delta(
         # files by construction, so the touched scan is the full match
         # set).  Partitioned inserts keep their partition columns for
         # the hive-layout write in _rewrite_commit.
-        insert_cols = target_cols + [c for c in part_cols if c not in target_cols]
+        insert_cols = [c for c in target_cols if c not in idcols] + [
+            c for c in part_cols if c not in target_cols
+        ]
         if touched:
             tgt_keys = _read_files(spark, table_path, touched, cmio).select(
                 key
@@ -591,6 +630,21 @@ def merge_delta(
         else:
             inserts = src.select(*insert_cols)
 
+        # allocate identity values for ONLY the insert branch — same
+        # distributed (per-partition offset map) scheme as write_delta;
+        # skipped when no row inserts so the schema/mark stays untouched
+        new_schema_json = None
+        if idcols and n_src - n_matched_keys > 0:
+            from pyspark_anomaly_detection_spark.io.deltalite_identity import (
+                allocate_identity,
+            )
+
+            inserts, new_schema_json = allocate_identity(
+                inserts, snap.schema_json
+            )
+        elif idcols:
+            inserts = None  # zero inserts: nothing to append or allocate
+
         out = _rewrite_commit(
             spark,
             table_path,
@@ -600,6 +654,7 @@ def merge_delta(
             extra_adds_df=inserts,
             snap=snap,
             cmio=cmio,
+            new_schema_json=new_schema_json,
         )
         out["rows_matched"] = n_matched
         out["rows_inserted"] = n_src - n_matched_keys

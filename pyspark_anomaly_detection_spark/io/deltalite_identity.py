@@ -161,12 +161,16 @@ from pyspark_anomaly_detection_spark.registry import register  # noqa: E402
     # oracle checks.  Uniqueness-across-commits is the identity
     # contract; a duplicated or skipped allocation breaks the sum.
     oracle="""
-    WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN doc_id % 3 <> 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS nm
+               FROM documents)
     SELECT n AS n_rows,
            CAST(1000 AS BIGINT) AS min_id,
            CAST(1000 + 2 * (n - 1) AS BIGINT) AS max_id,
            n AS distinct_ids,
-           CAST(n * 1000 + 2 * (n * (n - 1) // 2) AS BIGINT) AS id_sum
+           CAST(n * 1000 + 2 * (n * (n - 1) // 2) AS BIGINT) AS id_sum,
+           nm AS n_merged
     FROM c
     """,
 )
@@ -175,10 +179,15 @@ def q230_deltalite_identity_columns(
 ) -> DataFrame:
     """Identity-column lifecycle census: documents lands in THREE
     commits on a table created with ``row_sk GENERATED ALWAYS AS
-    IDENTITY (START 1000 STEP 2)``; each commit allocates above the
-    committed high-water mark, so the final id set must be exactly
-    {1000, 1002, ..., 1000+2(n-1)} — min/max/distinct/sum all
-    hash-checked cross-engine against closed forms in COUNT(*)."""
+    IDENTITY (START 1000 STEP 2)`` — commit 0 creates with the %3==0
+    third, commit 1 appends the %3==1 third, and commit 2 is a MERGE
+    whose source is both remaining thirds with source='merged': the
+    %3==1 rows hit the UPDATE branch (identity preserved), the %3==2
+    rows hit the INSERT branch (identity allocated above the committed
+    high-water mark in the same commit).  The final id set must still be
+    exactly {1000, 1002, ..., 1000+2(n-1)} — min/max/distinct/sum
+    hash-checked cross-engine against closed forms in COUNT(*), plus the
+    merged-row census proving the UPDATE branch actually rewrote."""
     import os
     import shutil
     import tempfile
@@ -199,16 +208,30 @@ def q230_deltalite_identity_columns(
             table,
             identity_columns={"row_sk": {"start": 1000, "step": 2}},
         )
-        for third in (1, 2):
-            write_delta(
-                docs.filter(F.col("doc_id") % 3 == third), table, mode="append"
-            )
+        write_delta(
+            docs.filter(F.col("doc_id") % 3 == 1), table, mode="append"
+        )
+        from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+            merge_delta,
+        )
+
+        merge_delta(
+            spark,
+            table,
+            docs.filter(F.col("doc_id") % 3 != 0).withColumn(
+                "source", F.lit("merged")
+            ),
+            key="doc_id",
+        )
         result = read_delta(spark, table).agg(
             F.count("*").alias("n_rows"),
             F.min("row_sk").alias("min_id"),
             F.max("row_sk").alias("max_id"),
             F.countDistinct("row_sk").alias("distinct_ids"),
             F.sum("row_sk").alias("id_sum"),
+            F.sum(
+                (F.col("source") == "merged").cast("long")
+            ).alias("n_merged"),
         )
         return detach_local(result)  # 1 row; detach before rmtree
     finally:

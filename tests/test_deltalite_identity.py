@@ -111,10 +111,57 @@ def test_update_of_identity_column_rejected(spark, tmp_path):
         update_delta(spark, t, "id = 3", {"row_sk": "0"})
 
 
-def test_merge_into_identity_table_rejected(spark, tmp_path):
+def test_merge_inserts_allocate_identity_above_mark(spark, tmp_path):
+    """MERGE into an identity table: the UPDATE branch keeps each
+    matched row's allocated value untouched; the INSERT branch allocates
+    gaplessly above the committed high-water mark and the bumped mark
+    lands in the SAME commit (Delta's GENERATED ALWAYS AS IDENTITY ×
+    MERGE contract)."""
+    from pyspark_anomaly_detection_spark.io.deltalite import _snapshot_state
+
+    t = _t(spark, tmp_path)  # ids 0..9, sks {100..127}, hwm 127
+    before = {r.id: r.row_sk for r in read_delta(spark, t).collect()}
+    src = spark.range(8, 14).select(
+        F.col("id"), (F.col("id") * 100).alias("v")
+    )
+    out = merge_delta(spark, t, src, key="id")
+    assert out["rows_matched"] == 2 and out["rows_inserted"] == 4
+
+    rows = {r.id: r for r in read_delta(spark, t).collect()}
+    assert len(rows) == 14
+    # UPDATE branch: identity untouched, non-key columns take the source
+    for i in range(10):
+        assert rows[i].row_sk == before[i]
+        assert rows[i].v == (i * 100 if i >= 8 else i * 2)
+    # INSERT branch: contiguous above the pre-merge mark of 127
+    assert sorted(rows[i].row_sk for i in range(10, 14)) == [130, 133, 136, 139]
+    snap = _snapshot_state(t)
+    info = identity_columns_of(snap.schema_json)["row_sk"]
+    assert info["high_water_mark"] == 139
+
+    # a MERGE with zero inserts must not move the mark or reallocate
+    out2 = merge_delta(
+        spark,
+        t,
+        spark.range(2).select(F.col("id"), F.lit(-1).alias("v")),
+        key="id",
+    )
+    assert out2["rows_inserted"] == 0
+    snap2 = _snapshot_state(t)
+    assert (
+        identity_columns_of(snap2.schema_json)["row_sk"]["high_water_mark"]
+        == 139
+    )
+    after = {r.id: r.row_sk for r in read_delta(spark, t).collect()}
+    assert after == {i: r.row_sk for i, r in rows.items()}
+
+
+def test_merge_source_providing_identity_rejected(spark, tmp_path):
     t = _t(spark, tmp_path)
-    src = spark.range(8, 12).select(F.col("id"), (F.col("id") * 2).alias("v"))
-    with pytest.raises(NotImplementedError, match="identity"):
+    src = spark.range(8, 12).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit(1).alias("row_sk")
+    )
+    with pytest.raises(ValueError, match="GENERATED"):
         merge_delta(spark, t, src, key="id")
 
 
