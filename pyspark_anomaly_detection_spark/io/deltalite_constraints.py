@@ -189,7 +189,7 @@ def drop_check_constraint(
 
 
 @register(
-    "q227_deltalite_check_constraints",
+    "q232_deltalite_check_constraints",
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -200,7 +200,7 @@ def drop_check_constraint(
     ORDER BY o_orderpriority
     """,
 )
-def q227_deltalite_check_constraints(
+def q232_deltalite_check_constraints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """CHECK-constraint lifecycle census: half of orders lands at v0,

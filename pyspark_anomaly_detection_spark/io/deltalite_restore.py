@@ -122,7 +122,7 @@ def restore_delta(
 
 
 @register(
-    "q226_deltalite_restore",
+    "q231_deltalite_restore",
     oracle="""
     SELECT 'post_restore' AS phase,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -136,7 +136,7 @@ def restore_delta(
     ORDER BY phase
     """,
 )
-def q226_deltalite_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q231_deltalite_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE lifecycle census: documents lands at v0, a COW DELETE
     removes every 3rd doc (v1), a second DELETE removes every 5th (v2),
     then RESTORE to v1 rolls the second delete back (v3).  The final

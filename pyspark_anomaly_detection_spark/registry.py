@@ -24,6 +24,7 @@ Oracle-parity conventions (SURVEY.md §5.2 / §7.4), applied to EVERY pair:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -48,6 +49,9 @@ class Query:
 
 
 REGISTRY: dict[str, Query] = {}
+
+#: qNN number → owning query name (uniqueness enforced in register())
+_QNUM_OWNER: dict[int, str] = {}
 
 #: Placeholder an oracle may embed when it must address the parquet FILES
 #: themselves (DuckDB table functions like ``parquet_metadata``) rather
@@ -91,6 +95,18 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        # qNN is a stable handle in docs/verdicts/PLAN_AUDIT — collisions
+        # (two q226s existed through r11) silently fork the handle, so
+        # enforce number uniqueness at registration time
+        m = re.match(r"q(\d+)_", name)
+        if m:
+            num = int(m.group(1))
+            other = _QNUM_OWNER.setdefault(num, name)
+            if other != name:
+                raise ValueError(
+                    f"duplicate query number q{num}: '{name}' collides "
+                    f"with '{other}' — renumber the new registration"
+                )
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             from pyspark_anomaly_detection_spark.cachepool import release_tracked
