@@ -129,21 +129,22 @@ def test_write_zordered_skips_on_both_dimensions(spark, sf_dir, tmp_path, n_file
 
 
 def test_q207_pruning_stats_floor(spark):
-    """The registered pruning-proof query (rows-only for the driver) is
-    quantitatively bounded here.  Pinned to sf0.01: at sf0.001 the key
-    domains are so sparse (≤375 rows/file) that the range partitioner's
-    SAMPLED boundaries wobble run-to-run and per-dimension floors flake.
-    The sampling still moves boundaries at sf0.01, so the hard floor is
-    on the BETTER dimension and the combined cost; both dimensions must
-    skip at least one file."""
+    """The pruning measurement behind q207 is quantitatively bounded
+    here.  Pinned to sf0.01: at sf0.001 the key domains are so sparse
+    (≤375 rows/file at 16 files) that the range partitioner's SAMPLED
+    boundaries wobble run-to-run and per-dimension floors flake (q207
+    itself drops to 8 fatter files there).  The sampling still moves
+    boundaries at sf0.01, so the hard floor is on the BETTER dimension
+    and the combined cost; both dimensions must skip at least one
+    file."""
     from pyspark_anomaly_detection_spark.io.introspect import (
-        q207_zorder_pruning_stats,
+        zorder_pruning_stats,
     )
 
     got = {
         (r.layout, r.dimension): r
-        for r in q207_zorder_pruning_stats(
-            spark, "/root/testdata/sf0.01"
+        for r in zorder_pruning_stats(
+            spark, "/root/testdata/sf0.01", n_files=16
         ).collect()
     }
     z_a, z_b = got[("zorder", "l_partkey")], got[("zorder", "l_suppkey")]
@@ -159,6 +160,25 @@ def test_q207_pruning_stats_floor(spark):
     assert (
         z_a.files_opened + z_b.files_opened < l_a.files_opened + l_b.files_opened
     )
+
+
+def test_q207_verdict_bands_all_true(spark):
+    """The registered q207 exposes the measurement as five
+    sampling-invariant verdict bands, every one TRUE (this is what the
+    oracle hash-locks against literal TRUE)."""
+    from pyspark_anomaly_detection_spark.io.introspect import (
+        q207_zorder_pruning_stats,
+    )
+
+    rows = q207_zorder_pruning_stats(spark, "/root/testdata/sf0.001").collect()
+    assert [r.check_name for r in rows] == [
+        "better_dim_prunes_2x",
+        "linear_full_scan_off_dim",
+        "linear_skips_sort_dim",
+        "zorder_beats_linear_combined",
+        "zorder_skips_both_dims",
+    ]
+    assert all(r.verdict for r in rows), rows
 
 
 def test_write_zordered_rejects_empty_and_all_null(spark, tmp_path):
