@@ -130,3 +130,54 @@ def test_fingerprint_moves_when_a_query_changes(live_hash):
         hashlib.md5("\n".join(lines_perturbed).encode()).hexdigest()
         != live_hash
     )
+
+
+# ---------------------------------------------------------------- COVERAGE.md
+
+
+def test_coverage_oracle_status_matches_registry():
+    """COVERAGE.md's oracle-status block is generated from the registry
+    (tools/coverage_status.py) — VERDICT r11 item 3: through round 11 the
+    hand-written map carried ~19 stale rows-only annotations.  This fails
+    whenever the committed block disagrees with the live registry."""
+    import tools.coverage_status as cs
+
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
+    assert cs.BEGIN in text and cs.END in text, (
+        "COVERAGE.md lost its generated oracle-status block — rerun "
+        "python tools/coverage_status.py"
+    )
+    committed = text.partition(cs.BEGIN)[2].partition(cs.END)[0]
+    live = cs.render_block().partition(cs.BEGIN)[2].partition(cs.END)[0]
+    assert committed == live, (
+        "COVERAGE.md oracle-status block is STALE vs the live registry — "
+        "rerun python tools/coverage_status.py"
+    )
+
+
+def test_coverage_has_no_hand_written_rows_only_markers():
+    """Per-query oracle status lives ONLY in the generated block: a
+    starred ``*rows-only*`` marker anywhere else in COVERAGE.md is a
+    hand-written status annotation that can (and did) go stale."""
+    import tools.coverage_status as cs
+
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
+    outside = text.partition(cs.BEGIN)[0] + text.partition(cs.END)[2]
+    assert "*rows-only*" not in outside, (
+        "hand-written *rows-only* marker found outside the generated "
+        "oracle-status block — delete it; the generated block is the "
+        "single source of truth"
+    )
+
+
+def test_coverage_guard_goes_red_on_contradiction():
+    """The block comparison must actually detect a stale status line: a
+    doctored block claiming an oracle-backed query is rows-only differs
+    from the live rendering."""
+    import tools.coverage_status as cs
+
+    live = cs.render_block()
+    doctored = live.replace(
+        "rows-only**", "rows-only** (doctored)"
+    )
+    assert doctored != live

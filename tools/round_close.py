@@ -16,8 +16,9 @@ against what was just written:
 2. ``tools/bench_slope.py``       → BENCH_ALL_sf0.01/0.1.json (two-SF sweep)
 3. ``tools/parity_check.py``      → PARITY_sf0.001/0.01/0.1.json (3-SF matrix)
 4. ``tools/bench_history.py``     → BENCH_HISTORY.json   (cross-round check)
-5. ``pytest tests/``              → the whole contract, including the
-   freshness guards over the artifacts written in 1-4.
+5. ``tools/coverage_status.py``   → COVERAGE.md oracle-status block
+6. ``pytest tests/``              → the whole contract, including the
+   freshness guards over the artifacts written in 1-5.
 
 Refuses (non-zero exit) on the FIRST failing step.
 """
@@ -61,6 +62,7 @@ def main() -> None:
         parity_dirs.append("/root/testdata/sf0.1")
     run("parity matrix", [py, "tools/parity_check.py", *parity_dirs])
     run("bench history", [py, "tools/bench_history.py"])
+    run("coverage oracle-status", [py, "tools/coverage_status.py"])
     run("pytest", [py, "-m", "pytest", "tests/", "-q", "-x"])
     # commit-message counts DERIVED from the registry, never hand-typed
     # (verdict r10 item 1: commit 57b0328 said "224-query registry" over
