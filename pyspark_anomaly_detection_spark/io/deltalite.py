@@ -557,7 +557,15 @@ def write_delta(
         prior_conf = (
             dict((snap.meta or {}).get("configuration") or {})
             if snap is not None
-            else {}
+            else {
+                # every deltalite commit is stamped in commitInfo at
+                # claim time (_commit_actions), so the table DECLARES
+                # Delta's in-commit-timestamps feature from creation —
+                # the same table properties real Delta sets when
+                # enabling it (enablement version 0: no pre-ICT span)
+                "delta.enableInCommitTimestamps": "true",
+                "delta.inCommitTimestampEnablementVersion": "0",
+            }
         )
         return {
             "metaData": {

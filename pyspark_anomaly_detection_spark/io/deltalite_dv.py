@@ -310,13 +310,18 @@ def dv_diff_rows(
 
 
 #: Protocol action announcing the deletionVectors table feature
-#: (reader v3 / writer v7 — the table-features protocol).
+#: (reader v3 / writer v7 — the table-features protocol).  Writer v7
+#: requires the writerFeatures list to carry EVERY writer feature the
+#: table uses: deltalite stamps in-commit timestamps into every commit
+#: and declares delta.enableInCommitTimestamps at creation, so the v7
+#: upgrade lists inCommitTimestamp alongside deletionVectors (ICT is
+#: writer-only — minReaderVersion stays 3).
 DV_PROTOCOL_ACTION = {
     "protocol": {
         "minReaderVersion": 3,
         "minWriterVersion": 7,
         "readerFeatures": ["deletionVectors"],
-        "writerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors", "inCommitTimestamp"],
     }
 }
 

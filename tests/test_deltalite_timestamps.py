@@ -59,3 +59,40 @@ def test_version_and_timestamp_mutually_exclusive(spark, tmp_path):
     _build(spark, t, n=1)
     with pytest.raises(ValueError, match="mutually exclusive"):
         read_delta(spark, t, version=0, timestamp_as_of=1)
+
+
+def test_ict_declared_as_table_feature_from_creation(spark, tmp_path):
+    """Every deltalite commit is stamped, so the table must DECLARE it
+    (VERDICT r11 item 8): commit 0's metaData carries Delta's
+    delta.enableInCommitTimestamps property with enablement version 0,
+    the declaration survives appends and schema evolution (configuration
+    carry-forward), and a table-features protocol upgrade (the DV v7
+    transition) lists inCommitTimestamp in writerFeatures."""
+    from pyspark_anomaly_detection_spark.io.deltalite import _snapshot_state
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import delete_delta_dv
+
+    t = str(tmp_path / "t")
+    _build(spark, t, n=3)
+    conf = _snapshot_state(t).meta["configuration"]
+    assert conf["delta.enableInCommitTimestamps"] == "true"
+    assert conf["delta.inCommitTimestampEnablementVersion"] == "0"
+
+    # evolution commit rewrites metaData — the declaration must survive
+    write_delta(
+        spark.range(100, 103).withColumn("extra", F.lit("x")),
+        t,
+        mode="append",
+        merge_schema=True,
+    )
+    snap = _snapshot_state(t)
+    assert (
+        snap.meta["configuration"]["delta.enableInCommitTimestamps"]
+        == "true"
+    )
+
+    # the v7 table-features upgrade (first DV delete) must list ICT
+    delete_delta_dv(spark, t, "id = 0")
+    proto = _snapshot_state(t).protocol
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
