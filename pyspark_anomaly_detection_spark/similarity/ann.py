@@ -188,9 +188,25 @@ def ann_audit_oracle(query_pred: str = "vec_id % 20 = 0") -> str:
     headline=True,
 )
 def q37_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k, size-adaptively dispatched (the q100 pattern;
+    round-12 scale lane finding): the query set is ``vec_id % 20 == 0``,
+    so Q grows WITH the corpus and the pair count is quadratic in N by
+    construction.  At oracle-parity scales the interpreted JVM
+    expression fold runs (bitwise DuckDB hash parity); above ~2M pairs
+    it would dominate wall-clock (measured 148 s at the sf1 slope point
+    vs 1.9 s at sf0.1 — a 78× cliff for 10× data), so the BLAS
+    ``brute_force_topk_vectorized`` lane takes over — same exact
+    semantics and columns, float summation order differs in the last
+    ulp (the reason q116 is rows-only)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
-    return brute_force_topk(queries, emb).orderBy("query_id", "rk")
+    n = emb.count()  # pairs ≈ n · (n/20): >2M pairs ⇔ n > ~6300
+    topk = (
+        brute_force_topk_vectorized
+        if n * (n // 20 + 1) > 2_000_000
+        else brute_force_topk
+    )
+    return topk(queries, emb).orderBy("query_id", "rk")
 
 
 def _hyperplanes(n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:

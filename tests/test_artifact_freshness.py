@@ -31,6 +31,7 @@ JSON_ARTIFACTS = [
     "PARITY_sf0.1.json",
     "BENCH_ALL_sf0.01.json",
     "BENCH_ALL_sf0.1.json",
+    "BENCH_SCALE_sf1.json",
 ]
 
 

@@ -72,3 +72,32 @@ def test_parity_artifacts_cover_current_registry():
             f"matrix: {sorted(missing)}; regenerate with tools/parity_check.py"
         )
         assert data["n_fail"] == 0, data["failures"]
+
+
+def test_scale_point_slope_passes():
+    """Third slope point (VERDICT r11 item 6): the committed sf1 sweep
+    (headline + driver-state-sensitive queries over the deterministic
+    10× explode of sf0.1) must exist, cover the expected query set, and
+    pass the sf0.1 → sf1 sub-quadratic check.  This lane caught a real
+    cliff on arrival: q37's interpreted pair fold at 78× for 10× data,
+    fixed by size-adaptive dispatch to the BLAS lane."""
+    import bench_slope
+
+    from pyspark_anomaly_detection_spark.registry import all_queries
+
+    assert os.path.exists(bench_slope.SCALE_ART), (
+        "BENCH_SCALE_sf1.json missing — run `python tools/bench_slope.py`"
+    )
+    expected = {
+        n for n, q in all_queries().items() if q.headline
+    } | set(bench_slope.SCALE_EXTRA_QUERIES)
+    with open(bench_slope.SCALE_ART) as f:
+        data = json.load(f)
+    covered = set(data["queries"]) | set(data.get("errors", {}))
+    missing = expected - covered
+    assert not missing, (
+        f"BENCH_SCALE_sf1.json is stale — expected queries not swept: "
+        f"{sorted(missing)}; regenerate with tools/bench_slope.py"
+    )
+    problems = bench_slope.check_scale()
+    assert not problems, "\n".join(problems)

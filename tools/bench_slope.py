@@ -7,10 +7,14 @@ Usage:
     python tools/bench_slope.py            # run both sweeps + check
     python tools/bench_slope.py --check    # check committed artifacts only
 
-Artifacts: BENCH_ALL_sf0.01.json and BENCH_ALL_sf0.1.json at the repo
-root (stable names — refreshed per round, diffable in git history).
-tests/test_bench_slope.py re-runs the check on the committed pair so a
-regression cannot land silently alongside stale artifacts.
+Artifacts: BENCH_ALL_sf0.01.json, BENCH_ALL_sf0.1.json, and (round 12)
+BENCH_SCALE_sf1.json at the repo root (stable names — refreshed per
+round, diffable in git history).  The third point sweeps the headline +
+driver-state-sensitive queries over a deterministic 10× explode of
+sf0.1 (tools/make_scale_data.py) and checks sf0.1 → sf1 with the same
+bounds — on arrival it caught q37's 78× interpreted-fold cliff.
+tests/test_bench_slope.py re-runs the checks on the committed artifacts
+so a regression cannot land silently alongside stale ones.
 
 Method: for 10× rows, a linear operator costs ~10×, an n·log n one a bit
 more, a quadratic one ~100×.  The bound is ratio < SLOPE_BOUND (15) for
@@ -37,11 +41,33 @@ SLOPE_BOUND = 15.0  # 10× data may cost at most 15×
 NOISE_FLOOR = 0.3  # seconds at the small SF before ratios mean anything
 ABS_BOUND = 12.0  # big-SF ceiling for queries too fast to ratio
 
+# --- third point (VERDICT r11 item 6): ~10× sf0.1, synthesized by
+# tools/make_scale_data.py into .scaledata/ (gitignored).  Covers the
+# headline suite plus the driver-state-sensitive paths (identity offset
+# map q230, shard manifest q168, global row ids q185, deltalite file
+# census q220) — the queries whose driver-side state could grow with
+# input — rather than all 230 (a full sweep at sf1 is ~1 h).
+SCALE_ART = os.path.join(REPO, "BENCH_SCALE_sf1.json")
+SCALE_EXTRA_QUERIES = [
+    "q168_shard_manifest",
+    "q185_global_row_ids",
+    "q220_deltalite_dml_census",
+    "q230_deltalite_identity_columns",
+]
+SCALE_ABS_BOUND = 60.0  # sf1 ceiling for queries under the noise floor
 
-def run_sweep(sf_dir: str, artifact: str) -> None:
+
+def run_sweep(
+    sf_dir: str, artifact: str, only: "list[str] | None" = None, reps: int = 0
+) -> None:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    if reps:
+        env["SPARK_GRAFT_BENCH_REPS"] = str(reps)
+    args = (
+        ["--only", ",".join(only)] if only is not None else ["--all"]
+    )
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--all"],
+        [sys.executable, os.path.join(REPO, "bench.py"), *args],
         env=env,
         capture_output=True,
         text=True,
@@ -96,13 +122,58 @@ def check(small_art: str = SMALL_ART, big_art: str = BIG_ART) -> list[str]:
     return problems
 
 
+def check_scale(
+    big_art: str = BIG_ART, scale_art: str = SCALE_ART
+) -> list[str]:
+    """Third-point check: sf0.1 → sf1 (10×) with the same slope bound."""
+    with open(big_art) as f:
+        big = json.load(f)
+    with open(scale_art) as f:
+        scale = json.load(f)
+    problems = []
+    if scale.get("errors"):
+        problems.append(f"scale sweep errors: {sorted(scale['errors'])}")
+    bq, cq = big["queries"], scale["queries"]
+    missing = sorted(set(cq) - set(bq))
+    if missing:
+        problems.append(f"scale queries absent from the sf0.1 sweep: {missing}")
+    for name in sorted(set(cq) & set(bq)):
+        tb, tc = bq[name], cq[name]
+        if tb >= NOISE_FLOOR:
+            ratio = tc / tb
+            if ratio >= SLOPE_BOUND:
+                problems.append(
+                    f"{name}: {tb:.2f}s @sf0.1 → {tc:.2f}s @sf1 = "
+                    f"{ratio:.1f}× for 10× data (bound {SLOPE_BOUND}×) — "
+                    "super-linear blow-up"
+                )
+        elif tc >= SCALE_ABS_BOUND:
+            problems.append(
+                f"{name}: {tc:.2f}s at sf1 from {tb:.2f}s at sf0.1 — "
+                f"absolute ceiling {SCALE_ABS_BOUND}s exceeded"
+            )
+    return problems
+
+
 def main() -> None:
     if "--check" not in sys.argv:
         print(f"sweep at {SMALL} → {SMALL_ART}", file=sys.stderr)
         run_sweep(SMALL, SMALL_ART)
         print(f"sweep at {BIG} → {BIG_ART}", file=sys.stderr)
         run_sweep(BIG, BIG_ART)
-    problems = check()
+        sys.path.insert(0, REPO)
+        from tools.make_scale_data import ensure
+
+        scale_dir = ensure()
+        from pyspark_anomaly_detection_spark.registry import all_queries
+
+        scale_queries = sorted(
+            [n for n, q in all_queries().items() if q.headline]
+            + SCALE_EXTRA_QUERIES
+        )
+        print(f"scale sweep at {scale_dir} → {SCALE_ART}", file=sys.stderr)
+        run_sweep(scale_dir, SCALE_ART, only=scale_queries, reps=2)
+    problems = check() + check_scale()
     if problems:
         print("SLOPE CHECK FAILED:")
         for p in problems:
@@ -110,7 +181,12 @@ def main() -> None:
         sys.exit(1)
     with open(SMALL_ART) as f:
         n = len(json.load(f)["queries"])
-    print(f"slope check OK: {n} queries sub-quadratic across sf0.01 → sf0.1")
+    with open(SCALE_ART) as f:
+        ns = len(json.load(f)["queries"])
+    print(
+        f"slope check OK: {n} queries sub-quadratic across sf0.01 → sf0.1; "
+        f"{ns} across sf0.1 → sf1 (10× third point)"
+    )
 
 
 if __name__ == "__main__":
