@@ -30,7 +30,11 @@ row is updated IN PLACE with its source row's values (duplicate-key
 target rows keep their cardinality, exactly Delta's semantics),
 unmatched source rows append, all in ONE commit; ambiguous sources
 (duplicate keys) are rejected, mirroring Delta's
-``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE``.
+``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE``.  Round 12
+adds the standard clause matrix: ``WHEN MATCHED [AND cond] THEN
+DELETE``, conditional updates, insert-only merges (matched rows — and
+their files — untouched), and no-insert merges; identity-column
+targets allocate mid-rewrite for the insert branch (q230/q233).
 """
 
 from __future__ import annotations
@@ -453,19 +457,50 @@ def merge_delta(
     table_path: str,
     source: DataFrame,
     key: str,
+    matched: "str | None" = "update",
+    matched_condition: "str | None" = None,
+    insert: bool = True,
 ) -> dict[str, int]:
-    """MERGE INTO target USING source ON target.key = source.key
-    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
-    one copy-on-write commit.  Matched target rows update in place
-    (duplicate-key target rows each update, preserving cardinality);
-    duplicate source keys raise (Delta's multiple-source-rows-match
-    error).  Source must carry the target's full schema.
+    """MERGE INTO target USING source ON target.key = source.key —
+    one copy-on-write commit, with Delta's standard clause variants
+    (round 12):
+
+    * ``matched="update"`` (default) — WHEN MATCHED THEN UPDATE SET *:
+      matched target rows update in place (duplicate-key target rows
+      each update, preserving cardinality).
+    * ``matched="delete"`` — WHEN MATCHED THEN DELETE: matched rows are
+      removed instead (the CDC tombstone-apply shape).
+    * ``matched=None`` — no matched clause: matched rows are untouched
+      (with ``insert=True`` this is the insert-only / dedup-append
+      MERGE, the idempotent-ingest pattern).
+    * ``matched_condition`` — SQL predicate gating the matched clause
+      (WHEN MATCHED AND <cond>); rows failing it stay untouched.
+      Target columns by bare name, source columns as ``src.<col>``
+      (e.g. ``"src.updated_at > updated_at"`` — the CDC freshness
+      guard).
+    * ``insert=False`` — no WHEN NOT MATCHED clause: unmatched source
+      rows are ignored.
+
+    Duplicate source keys raise (Delta's multiple-source-rows-match
+    error).  Source must carry the target's full schema (minus identity
+    columns, which the insert branch allocates).
 
     Partitioned tables are supported (round 10) as long as the merge
     key is a DATA column and no matched source row changes a partition
     column (a partition-moving MERGE would need a cross-partition
     delete+insert rewrite — raises NotImplementedError); inserts land
     in their own partitions via a hive-layout write."""
+    if matched not in ("update", "delete", None):
+        raise ValueError(
+            f"merge_delta: matched must be 'update', 'delete', or None, "
+            f"got {matched!r}"
+        )
+    if matched is None and matched_condition is not None:
+        raise ValueError(
+            "merge_delta: matched_condition without a matched clause"
+        )
+    if matched is None and not insert:
+        raise ValueError("merge_delta: no clauses — nothing to do")
     dupes = source.groupBy(key).count().filter("count > 1").limit(1).count()
     if dupes:
         raise ValueError(
@@ -553,29 +588,62 @@ def merge_delta(
                 ],
             )
         )
+        # WHEN MATCHED AND <cond>: target columns by bare name, source
+        # columns as src.<col> — translated onto the joined frame's
+        # _dml_src_ aliases (documented textual mapping).  src.<key> is
+        # the target key itself (they are equal on a matched row), which
+        # the joined frame carries under the bare name.
+        cond_col = (
+            F.expr(
+                matched_condition.replace(f"src.{key}", key).replace(
+                    "src.", "_dml_src_"
+                )
+            )
+            if matched_condition is not None
+            else F.lit(True)
+        )
+        hit = (F.col("_dml_m") == 1) & cond_col
 
         def update_matched(df: DataFrame) -> DataFrame:
             joined = df.join(marked, key, "left")
+            if matched == "delete":
+                # WHEN MATCHED [AND cond] THEN DELETE
+                return joined.filter(~F.coalesce(hit, F.lit(False))).select(
+                    *target_cols
+                )
             return joined.select(
                 *[
                     F.col(c)
                     # identity values never update — Delta's rule; the
                     # matched row keeps the value it was allocated
                     if c == key or c in idcols
-                    else F.when(
-                        F.col("_dml_m") == 1, F.col(f"_dml_src_{c}")
-                    )
+                    else F.when(hit, F.col(f"_dml_src_{c}"))
                     .otherwise(F.col(c))
                     .alias(c)
                     for c in target_cols
                 ]
             )
 
+        # rows the matched clause actually affects (condition applied);
+        # one bounded job over only the touched files
+        n_affected = 0
+        if matched is not None and touched and n_matched:
+            if matched_condition is None:
+                n_affected = n_matched
+            else:
+                n_affected = (
+                    _read_files(spark, table_path, touched, cmio)
+                    .join(marked, key, "inner")
+                    .filter(F.coalesce(cond_col, F.lit(False)))
+                    .count()
+                )
+
         # partition-move guard: a matched source row whose partition
         # columns differ from its target row's would have to move
         # partitions — a cross-partition delete+insert this COW shape
-        # doesn't express
-        if part_cols and touched and n_matched:
+        # doesn't express.  Only the UPDATE clause can move rows; DELETE
+        # and no-matched-clause merges never change partition values.
+        if matched == "update" and part_cols and touched and n_matched:
             import operator
             from functools import reduce
 
@@ -620,7 +688,10 @@ def merge_delta(
         insert_cols = [c for c in target_cols if c not in idcols] + [
             c for c in part_cols if c not in target_cols
         ]
-        if touched:
+        n_inserted = (n_src - n_matched_keys) if insert else 0
+        if not insert:
+            inserts = None
+        elif touched:
             tgt_keys = _read_files(spark, table_path, touched, cmio).select(
                 key
             )
@@ -634,7 +705,7 @@ def merge_delta(
         # distributed (per-partition offset map) scheme as write_delta;
         # skipped when no row inserts so the schema/mark stays untouched
         new_schema_json = None
-        if idcols and n_src - n_matched_keys > 0:
+        if idcols and inserts is not None and n_inserted > 0:
             from pyspark_anomaly_detection_spark.io.deltalite_identity import (
                 allocate_identity,
             )
@@ -645,10 +716,14 @@ def merge_delta(
         elif idcols:
             inserts = None  # zero inserts: nothing to append or allocate
 
+        # no matched clause (insert-only MERGE): matched rows are
+        # untouched, so the touched files are NOT rewritten at all —
+        # their only role was bounding the anti-join's key scan
+        rewrite_files = touched if matched is not None else []
         out = _rewrite_commit(
             spark,
             table_path,
-            touched,
+            rewrite_files,
             update_matched,
             "MERGE",
             extra_adds_df=inserts,
@@ -657,7 +732,11 @@ def merge_delta(
             new_schema_json=new_schema_json,
         )
         out["rows_matched"] = n_matched
-        out["rows_inserted"] = n_src - n_matched_keys
+        out["rows_inserted"] = n_inserted
+        if matched == "update":
+            out["rows_updated"] = n_affected
+        elif matched == "delete":
+            out["rows_deleted"] = n_affected
         return out
     finally:
         src.unpersist()
@@ -717,6 +796,113 @@ def q220_deltalite_dml_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             table,
             "o_orderkey % 5 = 0",
             {"o_totalprice": "o_totalprice + 1.0"},
+        )
+        result = (
+            read_delta(spark, table)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return detach_local(result)  # ≤5 rows; detach before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q233_deltalite_merge_clauses",
+    # Final price per key is CLOSED-FORM in the key (see the lifecycle in
+    # the docstring): %3==0 rows keep base price +50 only when the
+    # conditional update's freshness guard passes (%5==0); even non-%3
+    # keys arrive via the insert-only merge at base+1000 and are never
+    # "fresher" than that afterwards; odd non-%3 keys arrive via the
+    # conditional-update merge's insert branch at base±50; the final
+    # conditional DELETE removes exactly the odd %7 keys.
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pr,
+        CASE WHEN o_orderkey % 3 = 0 THEN
+               o_totalprice + CASE WHEN o_orderkey % 5 = 0
+                                   THEN 50.0 ELSE 0.0 END
+             WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0
+             ELSE o_totalprice + CASE WHEN o_orderkey % 5 = 0
+                                      THEN 50.0 ELSE -50.0 END
+        END AS price
+      FROM orders
+      WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 2 = 1)
+    )
+    SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM f GROUP BY pr ORDER BY pr
+    """,
+)
+def q233_deltalite_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE clause-matrix lifecycle (round 12): orders lands through
+    three differently-shaped MERGEs —
+
+    1. table created with the %3==0 keys at base price;
+    2. INSERT-ONLY merge (``matched=None``): source = even keys at
+       base+1000 — existing %6==0 rows untouched, new even keys append;
+    3. CONDITIONAL-UPDATE merge (``src.o_totalprice > o_totalprice``):
+       source = ALL keys at base + (50 if %5==0 else −50) — only +50
+       sources beat a base-priced row, nothing beats base+1000, and the
+       insert branch lands the remaining odd keys;
+    4. CONDITIONAL-DELETE merge (``matched='delete'``, ``insert=False``):
+       source = %7 keys, condition ``src.o_orderkey % 2 = 1`` — exactly
+       the odd %7 keys vanish.
+
+    The census hash-checks the closed-form outcome per priority, proving
+    every clause (gated update, gated delete, insert-only, no-insert)
+    touched exactly the rows Delta's MERGE semantics dictate."""
+    import shutil
+    import tempfile
+
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        read_delta,
+        write_delta,
+    )
+    from pyspark_anomaly_detection_spark.io.detach import detach_local
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="deltalite_merge_")
+    table = os.path.join(base, "orders_t")
+    try:
+        write_delta(orders.filter(F.col("o_orderkey") % 3 == 0), table)
+        merge_delta(
+            spark,
+            table,
+            orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1000.0
+            ),
+            key="o_orderkey",
+            matched=None,
+        )
+        merge_delta(
+            spark,
+            table,
+            orders.withColumn(
+                "o_totalprice",
+                F.col("o_totalprice")
+                + F.when(F.col("o_orderkey") % 5 == 0, 50.0).otherwise(-50.0),
+            ),
+            key="o_orderkey",
+            matched_condition="src.o_totalprice > o_totalprice",
+        )
+        merge_delta(
+            spark,
+            table,
+            orders.filter(F.col("o_orderkey") % 7 == 0),
+            key="o_orderkey",
+            matched="delete",
+            matched_condition="src.o_orderkey % 2 = 1",
+            insert=False,
         )
         result = (
             read_delta(spark, table)

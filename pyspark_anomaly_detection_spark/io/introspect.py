@@ -345,6 +345,13 @@ def q207_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             z_a.files_opened < total and z_b.files_opened < total,
         ),
     ]
-    return spark.createDataFrame(
-        checks, "check_name string, verdict boolean"
-    ).orderBy("check_name")
+    from pyspark_anomaly_detection_spark.io.detach import detach_local
+
+    # detach: the verdicts are driver-computed scalars — return them as
+    # a JVM LocalTableScan (the q213/q220 pattern) so the plan stays on
+    # the JVM path the no-python-eval contract checks
+    return detach_local(
+        spark.createDataFrame(
+            checks, "check_name string, verdict boolean"
+        ).orderBy("check_name")
+    )

@@ -287,3 +287,117 @@ def test_merge_key_cannot_be_partition_column(spark, tmp_path):
     src = spark.createDataFrame([("0", 1)], "side string, id long")
     with pytest.raises(ValueError, match="partition column"):
         merge_delta(spark, t, src, key="side")
+
+
+def test_merge_matched_delete_clause(spark, tmp_path):
+    """WHEN MATCHED THEN DELETE + WHEN NOT MATCHED INSERT: the CDC
+    tombstone-apply shape — matched rows vanish, unmatched source rows
+    land, everything else intact."""
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=3)  # ids 0..29, v = 2*id
+    src = spark.createDataFrame(
+        [(5, 0), (25, 0), (100, 10000)], "id long, v long"
+    )
+    out = merge_delta(spark, t, src, key="id", matched="delete")
+    assert out["rows_matched"] == 2
+    assert out["rows_deleted"] == 2
+    assert out["rows_inserted"] == 1
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert len(rows) == 29  # 30 - 2 deleted + 1 inserted
+    assert 5 not in rows and 25 not in rows
+    assert rows[100] == 10000
+    assert rows[6] == 12
+
+
+def test_merge_insert_only(spark, tmp_path):
+    """matched=None: idempotent-ingest MERGE — matched rows untouched
+    (their files are not even rewritten), only new keys append."""
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=2)  # ids 0..19
+    before_files = set(
+        read_delta(spark, t).select(F.input_file_name()).distinct().toPandas()[
+            "input_file_name()"
+        ]
+    )
+    src = spark.createDataFrame(
+        [(5, 9999), (100, 10000), (101, 10100)], "id long, v long"
+    )
+    out = merge_delta(spark, t, src, key="id", matched=None)
+    assert out["rows_matched"] == 1
+    assert out["rows_inserted"] == 2
+    assert out["files_rewritten"] == 0
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert rows[5] == 10  # matched row NOT updated
+    assert rows[100] == 10000 and rows[101] == 10100
+    after_files = set(
+        read_delta(spark, t).select(F.input_file_name()).distinct().toPandas()[
+            "input_file_name()"
+        ]
+    )
+    assert before_files <= after_files  # original files untouched
+
+
+def test_merge_matched_condition_gates_update(spark, tmp_path):
+    """WHEN MATCHED AND src.v > v THEN UPDATE — the CDC freshness guard:
+    stale source rows leave the target row untouched."""
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=2)  # ids 0..19, v = 2*id
+    src = spark.createDataFrame(
+        [(5, 9999), (6, 0), (100, 10000)], "id long, v long"
+    )
+    out = merge_delta(
+        spark, t, src, key="id", matched_condition="src.v > v"
+    )
+    assert out["rows_matched"] == 2
+    assert out["rows_updated"] == 1  # only id=5 passes the condition
+    assert out["rows_inserted"] == 1
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert rows[5] == 9999  # fresh source won
+    assert rows[6] == 12  # stale source ignored
+    assert rows[100] == 10000
+
+
+def test_merge_matched_condition_gates_delete(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=2)  # ids 0..19
+    src = spark.createDataFrame(
+        [(3, 1), (4, 0)], "id long, v long"
+    )
+    out = merge_delta(
+        spark,
+        t,
+        src,
+        key="id",
+        matched="delete",
+        matched_condition="src.v = 1",
+        insert=False,
+    )
+    assert out["rows_matched"] == 2
+    assert out["rows_deleted"] == 1
+    assert out["rows_inserted"] == 0
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert 3 not in rows and rows[4] == 8 and len(rows) == 19
+
+
+def test_merge_no_insert_clause(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=2)
+    src = spark.createDataFrame([(5, 500), (100, 1)], "id long, v long")
+    out = merge_delta(spark, t, src, key="id", insert=False)
+    assert out["rows_inserted"] == 0
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert rows[5] == 500 and 100 not in rows
+
+
+def test_merge_clause_validation(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=1)
+    src = spark.createDataFrame([(1, 1)], "id long, v long")
+    with pytest.raises(ValueError, match="matched must be"):
+        merge_delta(spark, t, src, key="id", matched="upsert")
+    with pytest.raises(ValueError, match="without a matched clause"):
+        merge_delta(
+            spark, t, src, key="id", matched=None, matched_condition="v > 0"
+        )
+    with pytest.raises(ValueError, match="nothing to do"):
+        merge_delta(spark, t, src, key="id", matched=None, insert=False)

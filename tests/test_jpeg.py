@@ -221,19 +221,25 @@ def test_q178_jpeg_decode_stats_geometry_and_determinism(spark, sf_dir):
     n = docs.filter(F.col("doc_id") % 7 == 0).count()
 
     rows = all_queries()["q178_jpeg_decode_stats"].fn(spark, sf_dir).collect()
-    assert len(rows) == 1 and rows[0].decode_ok == "ok"
-    assert rows[0].n_media == n
-    assert rows[0].width_sum == float(_JPEG_W * n)
-    assert rows[0].height_sum == float(_JPEG_H * n)
-    assert 0.0 < rows[0].mean_luma < 255.0
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_media == n and r.n_ok == n
+    assert r.width_sum == float(_JPEG_W * n)
+    assert r.height_sum == float(_JPEG_H * n)
+    assert r.luma_in_band and r.rgb_channels
 
-    media = jpeg_media_from_documents(docs.repartition(13))
-    again = (
-        extract_features(attach_media_metadata(media))
-        .agg(F.sum(F.element_at("feature", 15)).alias("luma_sum"))
-        .collect()[0]
-    )
-    assert abs(again.luma_sum / n - rows[0].mean_luma) < 1e-4
+    # content depends only on (doc_id, text), never on partitioning:
+    # the corpus luma statistic is identical under a different layout
+    def luma_sum(d):
+        media = jpeg_media_from_documents(d)
+        return (
+            extract_features(attach_media_metadata(media))
+            .agg(F.sum(F.element_at("feature", 15)).alias("s"))
+            .collect()[0]
+            .s
+        )
+
+    assert abs(luma_sum(docs) - luma_sum(docs.repartition(13))) < 1e-6
 
 
 def test_fill_bytes_before_markers_tolerated():
