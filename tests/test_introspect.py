@@ -1,8 +1,8 @@
 """Parquet footer introspection tests (io/introspect.py): the pyarrow
 footer walk cross-checked against DuckDB's INDEPENDENT
 ``parquet_metadata()`` reader on the same binary files — two unrelated
-parquet implementations agreeing field-by-field is the rows-only q193's
-stand-in for a SQL oracle.
+parquet implementations agreeing field-by-field backs q193's oracle
+(promoted to a fully hash-checked cross-engine comparison in r11).
 """
 
 from __future__ import annotations

@@ -1,5 +1,6 @@
-"""LDA topic-profile invariants (q219 is rows-only: seeded variational
-init is not oracle-replayable, so these pin the quantitative contract)."""
+"""LDA topic-profile invariants (q219's oracle hash-checks the exact row
+censuses + shape verdicts; seeded variational INTERNALS are not
+oracle-replayable, so these pin the quantitative contract)."""
 
 from __future__ import annotations
 
