@@ -423,3 +423,47 @@ def test_mapped_dv_rowlevel_cdf(spark, tmp_path):
     assert all(r._change_type == "delete" for r in feed)
     assert sorted(r.id for r in feed) == [0, 3, 6, 9]
     assert all(hasattr(r, "v") for r in feed)
+
+
+def test_mapped_merge_clause_matrix(spark, tmp_path):
+    """Round-12 MERGE clauses compose with column mapping: the condition
+    evaluates in LOGICAL space (the shared _read_files rename), delete
+    and insert-only branches included."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import merge_delta
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 10), t)
+    # conditional update: only fresher source rows win
+    src = spark.createDataFrame(
+        [(2, 999), (3, 0), (50, 777)], "id long, v long"
+    )
+    out = merge_delta(spark, t, src, "id", matched_condition="src.v > v")
+    assert out["rows_matched"] == 2 and out["rows_updated"] == 1
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert rows[2] == 999 and rows[3] == 6 and rows[50] == 777
+    # conditional delete, no insert clause
+    src2 = spark.createDataFrame([(4, 1), (5, 0)], "id long, v long")
+    out2 = merge_delta(
+        spark,
+        t,
+        src2,
+        "id",
+        matched="delete",
+        matched_condition="src.v = 1",
+        insert=False,
+    )
+    assert out2["rows_deleted"] == 1
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert 4 not in rows and rows[5] == 10
+    # insert-only: matched files not rewritten, physical names preserved
+    out3 = merge_delta(
+        spark,
+        t,
+        spark.createDataFrame([(5, 1), (60, 2)], "id long, v long"),
+        "id",
+        matched=None,
+    )
+    assert out3["files_rewritten"] == 0 and out3["rows_inserted"] == 1
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert rows[5] == 10 and rows[60] == 2
+    assert _physical_columns(t) == {physical_name("id"), physical_name("v")}
