@@ -401,3 +401,44 @@ def test_merge_clause_validation(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="nothing to do"):
         merge_delta(spark, t, src, key="id", matched=None, insert=False)
+
+
+def test_merge_clauses_on_partitioned_table(spark, tmp_path):
+    """Round-12 clauses compose with partitioned tables: the delete
+    branch rewrites only touched partitions (values reinjected), and the
+    insert-only branch appends via the hive-layout write without
+    rewriting any file."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 12).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("side"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_delta(df, t, partition_by=["side"])
+    # conditional delete (no inserts): only src.v = 1 rows vanish
+    src = spark.createDataFrame(
+        [(4, "0", 1), (5, "1", 0)], "id long, side string, v long"
+    )
+    out = merge_delta(
+        spark,
+        t,
+        src,
+        key="id",
+        matched="delete",
+        matched_condition="src.v = 1",
+        insert=False,
+    )
+    assert out["rows_deleted"] == 1 and out["rows_inserted"] == 0
+    rows = {r.id: (r.side, r.v) for r in read_delta(spark, t).collect()}
+    assert 4 not in rows and rows[5] == ("1", 10) and len(rows) == 11
+    # insert-only into an existing and a brand-new partition
+    src2 = spark.createDataFrame(
+        [(5, "1", 999), (200, "0", 400), (201, "9", 402)],
+        "id long, side string, v long",
+    )
+    out2 = merge_delta(spark, t, src2, key="id", matched=None)
+    assert out2["files_rewritten"] == 0 and out2["rows_inserted"] == 2
+    rows = {r.id: (r.side, r.v) for r in read_delta(spark, t).collect()}
+    assert rows[5] == ("1", 10)  # matched row untouched
+    assert rows[200] == ("0", 400) and rows[201] == ("9", 402)
+    assert all(side is not None for side, _ in rows.values())
