@@ -109,6 +109,41 @@ def _to_physical(df: DataFrame, cmio) -> DataFrame:
     return df.select(*logical).toDF(*physical)
 
 
+def _translate_matched_condition(
+    cond: str, key: str, aliased_cols: set[str]
+) -> str:
+    """Translate a WHEN MATCHED AND <cond> predicate onto the joined
+    frame: ``src.<col>`` → ``_dml_src_<col>`` for every column the join
+    aliased, ``src.<key>`` → the bare key (equal on a matched row by the
+    ON clause), bare names read the target.
+
+    A real token pass, not string replacement (ADVICE r12 medium):
+    ``src.<name>`` is matched on word boundaries so ``src.id`` never
+    corrupts ``src.id_ts``, single-quoted SQL string literals pass
+    through untouched ('' is the in-literal escape), and a ``src.*``
+    reference that is not an aliased source column raises instead of
+    silently reading the target."""
+    import re
+
+    def repl(m: "re.Match[str]") -> str:
+        col = m.group(1)
+        if col == key:
+            return key
+        if col not in aliased_cols:
+            raise ValueError(
+                f"merge_delta: matched_condition references src.{col}, "
+                "which is not a usable source column here (source data "
+                "columns only — identity and partition columns cannot "
+                "be referenced via src.)"
+            )
+        return f"_dml_src_{col}"
+
+    out: list[str] = []
+    for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", cond)):
+        out.append(seg if i % 2 else re.sub(r"\bsrc\.(\w+)", repl, seg))
+    return "".join(out)
+
+
 def _guard_partition_columns(predicate: str, part_cols: list[str]) -> None:
     import re
 
@@ -166,9 +201,14 @@ def _rewrite_commit(
     snap=None,
     cmio=None,
     new_schema_json: "str | None" = None,
+    transform_with_pv: bool = False,
 ) -> dict[str, int]:
     """Copy-on-write commit: rewrite ``touched`` files through
-    ``transform`` (DataFrame -> DataFrame), optionally append
+    ``transform`` (DataFrame -> DataFrame; with
+    ``transform_with_pv=True`` it is called as ``transform(df,
+    partition_values)`` so a partitioned rewrite can route rows by the
+    file group's own partition tuple — MERGE's partition-move path
+    needs this), optionally append
     ``extra_adds_df`` rows, remove+add atomically.  When
     ``new_schema_json`` is given the commit also carries a metaData
     action with that schemaString (same table id / partition columns /
@@ -198,8 +238,12 @@ def _rewrite_commit(
     if gen_exprs:
         inner_transform = transform
 
-        def transform(df: DataFrame) -> DataFrame:  # noqa: F811
-            out = inner_transform(df)
+        def transform(df: DataFrame, pv=None) -> DataFrame:  # noqa: F811
+            out = (
+                inner_transform(df, pv)
+                if transform_with_pv
+                else inner_transform(df)
+            )
             for col, expr in gen_exprs.items():
                 out = out.withColumn(col, F.expr(expr))
             return out
@@ -246,7 +290,12 @@ def _rewrite_commit(
         return written
 
     for i, (pv_items, rels) in enumerate(sorted(groups.items())):
-        kept = transform(_read_files(spark, table_path, rels, cmio))
+        piece = _read_files(spark, table_path, rels, cmio)
+        kept = (
+            transform(piece, dict(pv_items))
+            if transform_with_pv
+            else transform(piece)
+        )
         if extra_adds_df is not None and not snap.part_cols:
             kept = kept.unionByName(extra_adds_df)
             extra_adds_df = None  # folded into the single group's write
@@ -313,22 +362,22 @@ def _rewrite_commit(
     ]
     meta_actions: list[dict[str, Any]] = []
     if new_schema_json is not None:
-        prior = dict(snap.meta or {})
-        meta_actions.append(
-            {
-                "metaData": {
-                    # the table id is STABLE across commits (Delta's
-                    # contract); only the schemaString changes here
-                    "id": prior.get("id") or uuid.uuid4().hex,
-                    "format": prior.get("format")
-                    or {"provider": "parquet", "options": {}},
-                    "schemaString": new_schema_json,
-                    "partitionColumns": snap.part_cols,
-                    "configuration": dict(prior.get("configuration") or {}),
-                    "createdTime": prior.get("createdTime", 0),
-                }
-            }
-        )
+        # start from the FULL prior metaData and override only what this
+        # commit changes (ADVICE r12 low: rebuilding from a fixed field
+        # subset silently dropped unknown fields like name/description)
+        meta = dict(snap.meta or {})
+        meta["id"] = meta.get("id") or uuid.uuid4().hex
+        meta["format"] = meta.get("format") or {
+            "provider": "parquet",
+            "options": {},
+        }
+        # the table id is STABLE across commits (Delta's contract);
+        # only the schemaString changes here
+        meta["schemaString"] = new_schema_json
+        meta["partitionColumns"] = snap.part_cols
+        meta["configuration"] = dict(meta.get("configuration") or {})
+        meta.setdefault("createdTime", 0)
+        meta_actions.append({"metaData": meta})
     actions = meta_actions + removes + actions + [
         {"commitInfo": {"operation": operation, "engineInfo": "deltalite"}}
     ]
@@ -586,17 +635,24 @@ def merge_delta(
                     for c in target_cols
                     if c != key and c not in idcols
                 ],
+                # source partition values ride along so the per-group
+                # rewrite can route partition-moving rows (below)
+                *[F.col(c).alias(f"_dml_s_{c}") for c in part_cols],
             )
         )
         # WHEN MATCHED AND <cond>: target columns by bare name, source
         # columns as src.<col> — translated onto the joined frame's
-        # _dml_src_ aliases (documented textual mapping).  src.<key> is
+        # _dml_src_ aliases by a token pass that validates every src.*
+        # reference (see _translate_matched_condition).  src.<key> is
         # the target key itself (they are equal on a matched row), which
         # the joined frame carries under the bare name.
+        aliased = {
+            c for c in target_cols if c != key and c not in idcols
+        }
         cond_col = (
             F.expr(
-                matched_condition.replace(f"src.{key}", key).replace(
-                    "src.", "_dml_src_"
+                _translate_matched_condition(
+                    matched_condition, key, aliased
                 )
             )
             if matched_condition is not None
@@ -604,13 +660,48 @@ def merge_delta(
         )
         hit = (F.col("_dml_m") == 1) & cond_col
 
-        def update_matched(df: DataFrame) -> DataFrame:
+        part_types: dict[str, Any] = {}
+        if part_cols:
+            import json as _json
+
+            from pyspark.sql.types import StructType as _StructType
+
+            _full = _StructType.fromJson(_json.loads(snap.schema_json))
+            part_types = {c: _full[c].dataType for c in part_cols}
+
+        def _moves(pv: dict) -> "F.Column":
+            # a matched row MOVES iff the update clause applies (hit —
+            # matched AND condition, ADVICE r12: an unconditional check
+            # spuriously flagged rows the clause would never touch) and
+            # the source's partition tuple differs from this file
+            # group's (values cast exactly as _read_adds reinjects them)
+            import operator
+            from functools import reduce
+
+            differs = reduce(
+                operator.or_,
+                [
+                    ~F.col(f"_dml_s_{c}").eqNullSafe(
+                        F.lit(pv.get(c)).cast(part_types[c])
+                    )
+                    for c in part_cols
+                ],
+            )
+            return F.coalesce(hit & differs, F.lit(False))
+
+        def update_matched(df: DataFrame, pv=None) -> DataFrame:
             joined = df.join(marked, key, "left")
             if matched == "delete":
                 # WHEN MATCHED [AND cond] THEN DELETE
                 return joined.filter(~F.coalesce(hit, F.lit(False))).select(
                     *target_cols
                 )
+            if part_cols:
+                # partition-moving MERGE (round 13): an updated row whose
+                # source partition values differ leaves this group's
+                # files entirely — its updated version re-enters through
+                # the insert path, landing in its NEW partition
+                joined = joined.filter(~_moves(pv or {}))
             return joined.select(
                 *[
                     F.col(c)
@@ -638,22 +729,27 @@ def merge_delta(
                     .count()
                 )
 
-        # partition-move guard: a matched source row whose partition
-        # columns differ from its target row's would have to move
-        # partitions — a cross-partition delete+insert this COW shape
-        # doesn't express.  Only the UPDATE clause can move rows; DELETE
-        # and no-matched-clause merges never change partition values.
+        # partition-moving MERGE (round 13; was a fail-loud guard): a
+        # matched UPDATE row whose source partition values differ from
+        # its target row's moves partitions — COW expresses this as a
+        # delete from the old group's rewrite (update_matched filters it
+        # out) plus an insert of the UPDATED row into its new partition
+        # (unioned into the insert path's hive-layout write below).
+        # Only the UPDATE clause can move rows; DELETE and
+        # no-matched-clause merges never change partition values.
+        mover_rows: "DataFrame | None" = None
+        n_moved = 0
         if matched == "update" and part_cols and touched and n_matched:
             import operator
             from functools import reduce
 
-            tgt_pv = deltalite._read_adds(
+            tgt_full = deltalite._read_adds(
                 spark,
                 table_path,
                 {rel: snap.adds[rel] for rel in touched},
                 snap.schema_json,
                 part_cols,
-            ).select(key, *part_cols)
+            )
             differs = reduce(
                 operator.or_,
                 [
@@ -661,24 +757,33 @@ def merge_delta(
                     for c in part_cols
                 ],
             )
-            moved = tgt_pv.join(
-                F.broadcast(
-                    src.select(
-                        F.col(key),
-                        *[
-                            F.col(c).alias(f"_dml_s_{c}")
-                            for c in part_cols
-                        ],
-                    )
-                ),
-                key,
-            ).filter(differs)
-            if moved.limit(1).count():
-                raise NotImplementedError(
-                    "merge_delta: a matched source row changes a "
-                    "partition column — partition-moving MERGE is not "
-                    "supported"
-                )
+            # inner join = matched; cond_col (the translated WHEN
+            # MATCHED AND predicate) gates the clause, so rows it never
+            # touches cannot move (ADVICE r12 low)
+            moved = tgt_full.join(marked, key, "inner").filter(
+                F.coalesce(cond_col, F.lit(False)) & differs
+            )
+            # the mover's new row: UPDATE SET * semantics — source
+            # values for data columns, target's key/identity values,
+            # source partition values
+            mover_rows = moved.select(
+                *[
+                    (
+                        F.col(c)
+                        if c == key or c in idcols
+                        else F.col(f"_dml_src_{c}")
+                    ).alias(c)
+                    for c in target_cols
+                ],
+                *[
+                    F.col(f"_dml_s_{c}").alias(c)
+                    for c in part_cols
+                    if c not in target_cols
+                ],
+            )
+            n_moved = mover_rows.count()
+            if not n_moved:
+                mover_rows = None
 
         # WHEN NOT MATCHED THEN INSERT *: only source rows whose key is
         # absent from the target append (matched keys live in touched
@@ -716,6 +821,15 @@ def merge_delta(
         elif idcols:
             inserts = None  # zero inserts: nothing to append or allocate
 
+        # partition movers re-enter through the insert path (AFTER
+        # identity allocation — movers keep their allocated values)
+        if mover_rows is not None:
+            inserts = (
+                inserts.unionByName(mover_rows)
+                if inserts is not None
+                else mover_rows
+            )
+
         # no matched clause (insert-only MERGE): matched rows are
         # untouched, so the touched files are NOT rewritten at all —
         # their only role was bounding the anti-join's key scan
@@ -730,9 +844,11 @@ def merge_delta(
             snap=snap,
             cmio=cmio,
             new_schema_json=new_schema_json,
+            transform_with_pv=True,
         )
         out["rows_matched"] = n_matched
         out["rows_inserted"] = n_inserted
+        out["rows_moved"] = n_moved
         if matched == "update":
             out["rows_updated"] = n_affected
         elif matched == "delete":

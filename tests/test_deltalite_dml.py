@@ -264,18 +264,88 @@ def test_merge_on_partitioned_table(spark, tmp_path):
     assert all(side is not None for side, _ in rows.values())
 
 
-def test_merge_partition_move_raises(spark, tmp_path):
+def test_merge_partition_move(spark, tmp_path):
+    """Partition-moving MERGE (round 13; was a fail-loud guard): a
+    matched UPDATE row whose source partition values differ leaves its
+    old partition's files and lands, updated, in the new partition —
+    real Delta's MERGE semantics."""
     t = str(tmp_path / "t")
     df = spark.range(0, 6).select(
         F.col("id"), (F.col("id") % 2).cast("string").alias("side"),
         (F.col("id") * 2).alias("v"),
     )
     write_delta(df, t, partition_by=["side"])
-    mover = spark.createDataFrame(
-        [(4, "1", 99)], "id long, side string, v long"  # 4 lives in side '0'
+    src = spark.createDataFrame(
+        [
+            (4, "1", 99),   # 4 lives in side '0' -> moves to '1'
+            (2, "0", 22),   # stays in side '0', in-place update
+            (100, "7", 700),  # unmatched -> insert into NEW partition
+        ],
+        "id long, side string, v long",
     )
-    with pytest.raises(NotImplementedError, match="partition column"):
-        merge_delta(spark, t, mover, key="id")
+    out = merge_delta(spark, t, src, key="id")
+    assert out["rows_matched"] == 2
+    assert out["rows_moved"] == 1
+    assert out["rows_updated"] == 2
+    assert out["rows_inserted"] == 1
+    rows = {r.id: (r.side, r.v) for r in read_delta(spark, t).collect()}
+    assert len(rows) == 7
+    assert rows[4] == ("1", 99)      # moved AND updated
+    assert rows[2] == ("0", 22)      # in-place update
+    assert rows[100] == ("7", 700)   # insert
+    assert rows[3] == ("1", 6)       # untouched rows intact
+    assert rows[0] == ("0", 0)
+    # the move is honest in the LOG, not just the read: no active file
+    # of partition '0' contains id 4 anymore
+    from pyspark_anomaly_detection_spark.io.deltalite import _snapshot_state
+
+    snap = _snapshot_state(t)
+    part0 = [
+        rel
+        for rel, a in snap.adds.items()
+        if a.get("partitionValues", {}).get("side") == "0"
+    ]
+    got = spark.read.parquet(
+        *[str(tmp_path / "t" / rel) for rel in part0]
+    )
+    assert 4 not in {r.id for r in got.collect()}
+
+
+def test_merge_partition_move_blocked_by_condition(spark, tmp_path):
+    """ADVICE r12: a conditional UPDATE whose partition-differing
+    matched rows all FAIL the condition moves nothing — the rows stay
+    untouched in their original partitions."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 6).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("side"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_delta(df, t, partition_by=["side"])
+    src = spark.createDataFrame(
+        [(4, "1", 99)], "id long, side string, v long"
+    )
+    out = merge_delta(
+        spark, t, src, key="id",
+        matched_condition="src.v > v",  # 99 > 8 is true…
+        insert=False,
+    )
+    assert out["rows_moved"] == 1  # …so this one DOES move
+    rows = {r.id: (r.side, r.v) for r in read_delta(spark, t).collect()}
+    assert rows[4] == ("1", 99)
+
+    # now a condition every mover fails: nothing moves, nothing changes
+    src2 = spark.createDataFrame(
+        [(2, "1", 0)], "id long, side string, v long"
+    )
+    out2 = merge_delta(
+        spark, t, src2, key="id",
+        matched_condition="src.v > v",  # 0 > 4 is false
+        insert=False,
+    )
+    assert out2["rows_moved"] == 0
+    assert out2["rows_updated"] == 0
+    rows2 = {r.id: (r.side, r.v) for r in read_delta(spark, t).collect()}
+    assert rows2[2] == ("0", 4)  # untouched, still in side '0'
 
 
 def test_merge_key_cannot_be_partition_column(spark, tmp_path):
@@ -387,6 +457,55 @@ def test_merge_no_insert_clause(spark, tmp_path):
     assert out["rows_inserted"] == 0
     rows = {r.id: r.v for r in read_delta(spark, t).collect()}
     assert rows[5] == 500 and 100 not in rows
+
+
+def test_matched_condition_token_translation():
+    """ADVICE r12 (medium): src.<col> translation is a token pass, not
+    string replacement — prefixes never corrupt longer names, string
+    literals pass through, unknown src.* references raise."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+        _translate_matched_condition as tr,
+    )
+
+    cols = {"v", "id_ts", "note"}
+    # key='id' must NOT eat the prefix of src.id_ts
+    assert tr("src.id_ts > id_ts", "id", cols) == "_dml_src_id_ts > id_ts"
+    # src.<key> maps to the bare key
+    assert tr("src.id % 2 = 1", "id", cols) == "id % 2 = 1"
+    # 'src.' inside a string literal is untouched ('' escape too)
+    assert (
+        tr("note <> 'src.v is ''src.x''' AND src.v > v", "id", cols)
+        == "note <> 'src.v is ''src.x''' AND _dml_src_v > v"
+    )
+    # unknown src.* reference raises instead of silently reading target
+    with pytest.raises(ValueError, match="src.nope"):
+        tr("src.nope = 1", "id", cols)
+
+
+def test_merge_condition_key_prefix_column(spark, tmp_path):
+    """End-to-end: a source column whose name starts with the merge key
+    (id vs id_ts) is referenced via src. in the condition — the old
+    textual replacement corrupted it into the TARGET column (condition
+    always false); the token pass reads the source value."""
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 100, 10), (2, 200, 20)], "id long, id_ts long, v long"
+        ).coalesce(1),
+        t,
+    )
+    src = spark.createDataFrame(
+        [(1, 999, 11), (2, 50, 22)], "id long, id_ts long, v long"
+    )
+    out = merge_delta(
+        spark, t, src, key="id",
+        matched_condition="src.id_ts > id_ts",  # freshness guard
+        insert=False,
+    )
+    assert out["rows_updated"] == 1  # only id=1's source is fresher
+    rows = {r.id: (r.id_ts, r.v) for r in read_delta(spark, t).collect()}
+    assert rows[1] == (999, 11)
+    assert rows[2] == (200, 20)  # stale source ignored
 
 
 def test_merge_clause_validation(spark, tmp_path):
