@@ -169,18 +169,24 @@ MAX_COMMIT_RETRIES = 10
 
 
 def _commit_timestamp(table_path: str, version: int) -> int:
-    """Millisecond timestamp of a commit: the in-commit
-    ``commitInfo.timestamp`` when present (authoritative — survives file
-    copies, like Delta's inCommitTimestamps), else the commit file's
-    mtime (classic Delta's fallback); 0 when the commit JSON is gone
-    (expired past a checkpoint)."""
+    """Millisecond timestamp of a commit: the spec's
+    ``commitInfo.inCommitTimestamp`` when present (authoritative —
+    survives file copies; Delta PROTOCOL.md In-Commit Timestamps), else
+    the engine's ``commitInfo.timestamp`` (older deltalite commits),
+    else the commit file's mtime (classic Delta's fallback); 0 when the
+    commit JSON is gone (expired past a checkpoint)."""
     path = _log_path(table_path, version)
     if not os.path.exists(path):
         return 0
     try:
         for action in _read_commit(table_path, version):
-            if "commitInfo" in action and "timestamp" in action["commitInfo"]:
-                return int(action["commitInfo"]["timestamp"])
+            ci = action.get("commitInfo")
+            if ci is None:
+                continue
+            if "inCommitTimestamp" in ci:
+                return int(ci["inCommitTimestamp"])
+            if "timestamp" in ci:
+                return int(ci["timestamp"])
     except Exception:
         pass
     return int(os.path.getmtime(path) * 1000)
@@ -231,12 +237,23 @@ def _commit_with_retry(
     blind_append = not our_removes and not any(
         "protocol" in a or "metaData" in a for a in actions
     )
+    # spec conformance (ADVICE r12 medium): when ICT is enabled the
+    # commitInfo action must be the FIRST action of the commit and the
+    # timestamp lives in the spec's inCommitTimestamp field — reorder
+    # once here so every commit path (write, DML, OPTIMIZE, clone)
+    # satisfies it without each caller knowing
+    actions = [a for a in actions if "commitInfo" in a] + [
+        a for a in actions if "commitInfo" not in a
+    ]
     attempt = 0
     while True:
-        # in-commit timestamp (Delta's inCommitTimestamps shape): stamped
-        # into commitInfo at claim time, forced monotonic vs the previous
-        # commit so TIMESTAMP AS OF resolution is well-ordered even when
-        # commits land within one clock tick
+        # in-commit timestamp (Delta's inCommitTimestamps feature):
+        # stamped into commitInfo at claim time, forced monotonic vs the
+        # previous commit so TIMESTAMP AS OF resolution is well-ordered
+        # even when commits land within one clock tick.  Written to the
+        # spec's inCommitTimestamp field; commitInfo.timestamp is kept
+        # as the engine's free-form duplicate (commitInfo content is
+        # unconstrained by the protocol)
         for a in actions:
             if "commitInfo" in a:
                 prev_ts = (
@@ -244,9 +261,9 @@ def _commit_with_retry(
                     if version > 0
                     else 0
                 )
-                a["commitInfo"]["timestamp"] = max(
-                    int(time.time() * 1000), prev_ts + 1
-                )
+                ts = max(int(time.time() * 1000), prev_ts + 1)
+                a["commitInfo"]["inCommitTimestamp"] = ts
+                a["commitInfo"]["timestamp"] = ts
                 break
         try:
             fd = os.open(
@@ -558,13 +575,17 @@ def write_delta(
             dict((snap.meta or {}).get("configuration") or {})
             if snap is not None
             else {
-                # every deltalite commit is stamped in commitInfo at
-                # claim time (_commit_actions), so the table DECLARES
-                # Delta's in-commit-timestamps feature from creation —
-                # the same table properties real Delta sets when
-                # enabling it (enablement version 0: no pre-ICT span)
+                # every deltalite commit carries the spec's
+                # commitInfo.inCommitTimestamp as its FIRST action
+                # (_commit_with_retry), so the table DECLARES Delta's
+                # in-commit-timestamps feature from creation.  Enabled
+                # at commit 0 ⇒ the enablementVersion/Timestamp
+                # provenance properties are deliberately absent — the
+                # spec only requires the PAIR when ICT is switched on
+                # later in a table's life (ADVICE r12: a lone
+                # enablementVersion without its paired timestamp is
+                # non-conformant)
                 "delta.enableInCommitTimestamps": "true",
-                "delta.inCommitTimestampEnablementVersion": "0",
             }
         )
         return {

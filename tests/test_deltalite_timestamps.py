@@ -63,19 +63,33 @@ def test_version_and_timestamp_mutually_exclusive(spark, tmp_path):
 
 def test_ict_declared_as_table_feature_from_creation(spark, tmp_path):
     """Every deltalite commit is stamped, so the table must DECLARE it
-    (VERDICT r11 item 8): commit 0's metaData carries Delta's
-    delta.enableInCommitTimestamps property with enablement version 0,
-    the declaration survives appends and schema evolution (configuration
-    carry-forward), and a table-features protocol upgrade (the DV v7
-    transition) lists inCommitTimestamp in writerFeatures."""
-    from pyspark_anomaly_detection_spark.io.deltalite import _snapshot_state
+    (VERDICT r11 item 8) in the SPEC's shape (ADVICE r12): commit 0's
+    metaData carries delta.enableInCommitTimestamps with NO
+    enablement-provenance properties (those are only required when ICT
+    is enabled after commit 0, and only as a version+timestamp PAIR);
+    every commit's FIRST action is commitInfo carrying the spec's
+    inCommitTimestamp field; the declaration survives appends and schema
+    evolution (configuration carry-forward); and a table-features
+    protocol upgrade (the DV v7 transition) lists inCommitTimestamp in
+    writerFeatures."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        _read_commit,
+        _snapshot_state,
+    )
     from pyspark_anomaly_detection_spark.io.deltalite_dv import delete_delta_dv
 
     t = str(tmp_path / "t")
     _build(spark, t, n=3)
     conf = _snapshot_state(t).meta["configuration"]
     assert conf["delta.enableInCommitTimestamps"] == "true"
-    assert conf["delta.inCommitTimestampEnablementVersion"] == "0"
+    assert "delta.inCommitTimestampEnablementVersion" not in conf
+    assert "delta.inCommitTimestampEnablementTimestamp" not in conf
+
+    # spec: commitInfo is the FIRST action and carries inCommitTimestamp
+    for v in (0, 1, 2):
+        acts = _read_commit(t, v)
+        assert "commitInfo" in acts[0], f"v{v}: commitInfo not first"
+        assert isinstance(acts[0]["commitInfo"]["inCommitTimestamp"], int)
 
     # evolution commit rewrites metaData — the declaration must survive
     write_delta(
