@@ -40,6 +40,18 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+#: Decimal places every exact-top-k lane rounds ``cos_sim`` to BEFORE
+#: ranking.  This is the lane-independence contract (ADVICE r12): the
+#: interpreted JVM fold and the BLAS batch lane differ in float
+#: summation order by ≲1e-13 relative, so ranking raw doubles makes the
+#: hash-locked oracle depend on which lane ran; at 6dp both lanes (and
+#: DuckDB's own fold) agree except when a true value sits within an ulp
+#: of a 5e-7 boundary (~1e-9 per emitted value — negligible), and
+#: near-ties inside 1e-6 become exact ties broken by cand_id
+#: identically everywhere.
+TOPK_ROUND_DP = 6
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -51,7 +63,9 @@ def brute_force_topk(
 
     Norms are precomputed once per vector (N+Q sqrt/folds) instead of per
     pair (2·N·Q) — same bitwise result (sqrt of the identical dot), ~2× less
-    work in the pair loop.  Deterministic tie-break on candidate id.
+    work in the pair loop.  ``cos_sim`` is rounded to TOPK_ROUND_DP before
+    ranking (lane-independence contract, see above); deterministic
+    tie-break on candidate id.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
@@ -65,9 +79,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "cand_id",
-            (
+            F.round(
                 _dot(F.col("qvec"), F.col("cvec"))
-                / (F.col("qnorm") * F.col("cnorm"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                TOPK_ROUND_DP,
             ).alias("cos_sim"),
         )
         .withColumn("rk", F.row_number().over(w))
@@ -139,9 +154,9 @@ def ann_audit_oracle(query_pred: str = "vec_id % 20 = 0") -> str:
       SELECT
         query_id,
         cand_id,
-        list_dot_product(qvec, cvec)
+        ROUND(list_dot_product(qvec, cvec)
           / (sqrt(list_dot_product(qvec, qvec))
-             * sqrt(list_dot_product(cvec, cvec))) AS cos_sim
+             * sqrt(list_dot_product(cvec, cvec))), 6) AS cos_sim
       FROM c JOIN q ON query_id <> cand_id
     ),
     ranked AS (
@@ -171,8 +186,8 @@ def ann_audit_oracle(query_pred: str = "vec_id % 20 = 0") -> str:
       SELECT
         query_id,
         cand_id,
-        list_dot_product(qvec, cvec)
-          / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec)))
+        ROUND(list_dot_product(qvec, cvec)
+          / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))), 6)
           AS cos_sim
       FROM c JOIN q ON query_id <> cand_id
     )
@@ -191,22 +206,37 @@ def q37_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k, size-adaptively dispatched (the q100 pattern;
     round-12 scale lane finding): the query set is ``vec_id % 20 == 0``,
     so Q grows WITH the corpus and the pair count is quadratic in N by
-    construction.  At oracle-parity scales the interpreted JVM
-    expression fold runs (bitwise DuckDB hash parity); above ~2M pairs
-    it would dominate wall-clock (measured 148 s at the sf1 slope point
-    vs 1.9 s at sf0.1 — a 78× cliff for 10× data), so the BLAS
-    ``brute_force_topk_vectorized`` lane takes over — same exact
-    semantics and columns, float summation order differs in the last
-    ulp (the reason q116 is rows-only)."""
+    construction.  At small scales the interpreted JVM expression fold
+    runs; above ~2M pairs it would dominate wall-clock (measured 148 s
+    at the sf1 slope point vs 1.9 s at sf0.1 — a 78× cliff for 10× data),
+    so the BLAS ``brute_force_topk_vectorized`` lane takes over.  Under
+    the TOPK_ROUND_DP contract both lanes emit identical rounded values
+    and ranks, so the hash-locked oracle holds REGARDLESS of which lane
+    ran (ADVICE r12: parity no longer depends on corpus size crossing a
+    hidden threshold), and the lane decision reads the parquet footer's
+    row count — no Spark job."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
-    n = emb.count()  # pairs ≈ n · (n/20): >2M pairs ⇔ n > ~6300
+    n = _parquet_rows(sf_dir, "embeddings")
     topk = (
         brute_force_topk_vectorized
-        if n * (n // 20 + 1) > 2_000_000
+        if n * (n // 20 + 1) > 2_000_000  # pairs ≈ n·(n/20)
         else brute_force_topk
     )
     return topk(queries, emb).orderBy("query_id", "rk")
+
+
+def _parquet_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata — no Spark job, no scan."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    return sum(
+        f.metadata.num_rows
+        for f in ds.dataset(path, format="parquet").get_fragments()
+    )
 
 
 def _hyperplanes(n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
@@ -304,7 +334,11 @@ def lsh_topk(
         .select(
             F.col(f"a.{id_col}").alias("query_id"),
             F.col(f"b.{id_col}").alias("cand_id"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+            # same rounding contract as brute_force_topk, so overlap
+            # pairs carry identical scores across exact and LSH lanes
+            F.round(
+                cosine(F.col("a.vec"), F.col("b.vec")), TOPK_ROUND_DP
+            ).alias("cos_sim"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
@@ -324,15 +358,21 @@ def brute_force_topk_vectorized(
     n_queries) and emits only its local top-k per query; a final window
     keeps the global top-k over ≤ k·n_batches rows per query.
 
-    Versus ``brute_force_topk``'s JVM fold (kept for bitwise oracle
-    parity): ~50× less per-pair work via BLAS, and the shuffle input
-    shrinks from |candidates|·|queries| scored pairs to k per (query,
-    batch).  Results are recall-checked against the exact fold version —
-    float summation order differs (pairwise/SIMD vs sequential), so last-
-    ulp rank flips on near-ties are tolerated, not hash equality.
+    Versus ``brute_force_topk``'s JVM fold: ~50× less per-pair work via
+    BLAS, and the shuffle input shrinks from |candidates|·|queries|
+    scored pairs to ~k per (query, batch).  Float summation order
+    differs from the fold (pairwise/SIMD vs sequential) by ≲1e-13
+    relative — under the TOPK_ROUND_DP contract both lanes emit the SAME
+    rounded values and ranks (ADVICE r12: hash parity no longer depends
+    on which lane ran).  Each batch emits a small local slack
+    (k + _LOCAL_SLACK by raw sims) so a candidate that ties at 6dp with
+    a local top-k member — and would win the global cand_id tie-break —
+    is never dropped before the global window sees it.
     """
     import numpy as np
     import pandas as pd
+
+    _LOCAL_SLACK = 8
 
     spark = queries.sparkSession
     qrows = queries.select(
@@ -351,7 +391,7 @@ def brute_force_topk_vectorized(
             cnorm = np.linalg.norm(cmat, axis=1)
             sims = (cmat @ b_qmat.T) / np.outer(cnorm, b_qnorm)  # B × Q
             sims[cids[:, None] == b_qids[None, :]] = -np.inf  # self-match
-            top = min(k, sims.shape[0])
+            top = min(k + _LOCAL_SLACK, sims.shape[0])
             idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # top × Q
             out_q = np.repeat(b_qids, top)
             flat = idx.T.ravel()
@@ -366,9 +406,15 @@ def brute_force_topk_vectorized(
     c = candidates.select(
         F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
     )
-    local_topk = c.mapInPandas(
-        score_batches, schema="query_id long, cand_id long, cos_sim double"
-    ).filter(F.col("cos_sim") != float("-inf"))
+    local_topk = (
+        c.mapInPandas(
+            score_batches, schema="query_id long, cand_id long, cos_sim double"
+        )
+        .filter(F.col("cos_sim") != float("-inf"))
+        # the rounding contract: rank on the 6dp value, cand_id breaks
+        # ties — identical to the fold lane and the DuckDB oracle
+        .withColumn("cos_sim", F.round("cos_sim", TOPK_ROUND_DP))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
         local_topk.withColumn("rk", F.row_number().over(w))
@@ -376,14 +422,46 @@ def brute_force_topk_vectorized(
     )
 
 
-@register("q116_ann_topk_vectorized", oracle=None, headline=True)  # float
-# summation order differs from SQL folds by design; recall-checked against
-# the exact q37 in tests/test_similarity.py.  Deliberately NOT promoted to
-# the r11 audit-view pattern (q53/q140/q172): q116 is a HEADLINE bench
-# query and the audit adds a full exact-fold pass (~3× its sf0.1 time),
-# which would break cross-round bench comparability for no new signal —
-# the exact half of the audit is already q37, hash-checked every round.
+@register(
+    "q116_ann_topk_vectorized",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    c AS (
+      SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cvec FROM embeddings
+    ),
+    scored AS (
+      SELECT
+        query_id,
+        cand_id,
+        ROUND(list_dot_product(qvec, cvec)
+          / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))), 6)
+          AS cos_sim
+      FROM c JOIN q ON query_id <> cand_id
+    )
+    SELECT query_id, cand_id, cos_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
+      ) AS rk
+      FROM scored
+    )
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    headline=True,
+)
 def q116_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS lane, pinned (q37 dispatches; this always runs
+    vectorized) — promoted from rows-only to a full hash-checked oracle
+    in round 13: the TOPK_ROUND_DP contract makes the vectorized lane's
+    rounded values and ranks identical to DuckDB's sequential fold, so
+    the ulp-level summation-order difference that forced rows-only
+    status no longer reaches the output.  Adds ZERO Spark-side work to
+    this headline bench query (the rounding was already in the plan via
+    brute_force_topk_vectorized); the oracle cost is DuckDB's, paid only
+    in the parity harness."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return brute_force_topk_vectorized(queries, emb).orderBy("query_id", "rk")
@@ -615,9 +693,12 @@ def pq_ann_topk(
         .select(
             "query_id",
             "cand_id",
-            (
+            # same TOPK_ROUND_DP contract as brute_force_topk: re-ranked
+            # scores agree with the exact lanes wherever pairs overlap
+            F.round(
                 _dot(F.col("qvec"), F.col("cvec"))
-                / (F.col("qnorm") * F.col("cnorm"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                TOPK_ROUND_DP,
             ).alias("cos_sim"),
         )
         .withColumn("rk", F.row_number().over(w))
