@@ -298,14 +298,42 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("q70_multimodal_features", oracle=None)  # rows-only: python decode path
+@register(
+    "q70_multimodal_features",
+    # closed-form binary oracle (the q208–q212 pattern, promoted from
+    # rows-only in round 13): feature[0] is a decoded CONSTANT per
+    # modality — image width 16, audio sample rate 8000, video fps 4 —
+    # and all three feature vectors are 16-dim, so the whole aggregate
+    # is closed-form in the per-modality doc counts.  Float sums of
+    # 16.0/8000.0/4.0 are exact in IEEE754 (small power-of-two
+    # multiples), so no summation-order hazard.  A decode failure
+    # surfaces as a decode_ok≠'ok' group the oracle doesn't emit —
+    # the hash check IS the decode gate.
+    oracle="""
+    WITH m AS (
+      SELECT CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+             END AS modality
+      FROM documents
+    )
+    SELECT modality, 'ok' AS decode_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(16 AS INTEGER) AS feature_dim,
+           CAST(CASE modality WHEN 'image' THEN 16.0
+                              WHEN 'audio' THEN 8000.0
+                              ELSE 4.0 END * COUNT(*) AS DOUBLE) AS f1_sum
+    FROM m GROUP BY modality
+    ORDER BY modality, decode_ok
+    """,
+)
 def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: synthesize media from documents
     (image rows = real binary-PPM payloads, audio rows = real PCM-WAV
-    payloads) → JVM-side metadata → Arrow-batched mapInPandas decode +
-    feature extraction → per-modality aggregate.  ``f1_sum`` sums
-    feature[0]: decoded width for images (16.0 × n), decoded sample rate
-    for audio (8000.0 × n), histogram bucket-0 mass for video."""
+    payloads, video rows = real RIFF/AVI) → JVM-side metadata →
+    Arrow-batched mapInPandas decode + feature extraction →
+    per-modality aggregate.  ``f1_sum`` sums feature[0]: decoded width
+    for images (16.0 × n), decoded sample rate for audio (8000.0 × n),
+    decoded fps for video (4.0 × n)."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_metadata(media_table_from_documents(docs))
     feats = extract_features(media)
