@@ -214,13 +214,18 @@ def q37_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ranks, so the hash-locked oracle holds REGARDLESS of which lane
     ran (ADVICE r12: parity no longer depends on corpus size crossing a
     hidden threshold), and the lane decision reads the parquet footer's
-    row count — no Spark job."""
+    row count — no Spark job.  Lane independence also moved the
+    crossover down from 2M pairs (where the fold became a wall-clock
+    cliff) to where the BLAS lane simply starts winning: measured at
+    sf0.1 the fold took 1.7 s vs 0.59 s vectorized.  sf0.001/sf0.01
+    stay on the fold, so the parity matrix keeps exercising BOTH lanes
+    every round."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     n = _parquet_rows(sf_dir, "embeddings")
     topk = (
         brute_force_topk_vectorized
-        if n * (n // 20 + 1) > 2_000_000  # pairs ≈ n·(n/20)
+        if n * (n // 20 + 1) > 100_000  # pairs ≈ n·(n/20)
         else brute_force_topk
     )
     return topk(queries, emb).orderBy("query_id", "rk")
