@@ -509,10 +509,13 @@ def merge_delta(
     matched: "str | None" = "update",
     matched_condition: "str | None" = None,
     insert: bool = True,
+    not_matched_by_source: "str | None" = None,
+    not_matched_by_source_condition: "str | None" = None,
+    not_matched_by_source_set: "dict[str, str] | None" = None,
 ) -> dict[str, int]:
     """MERGE INTO target USING source ON target.key = source.key —
     one copy-on-write commit, with Delta's standard clause variants
-    (round 12):
+    (rounds 12-13):
 
     * ``matched="update"`` (default) — WHEN MATCHED THEN UPDATE SET *:
       matched target rows update in place (duplicate-key target rows
@@ -529,16 +532,27 @@ def merge_delta(
       guard).
     * ``insert=False`` — no WHEN NOT MATCHED clause: unmatched source
       rows are ignored.
+    * ``not_matched_by_source="delete"|"update"`` (round 13) — Delta's
+      WHEN NOT MATCHED BY SOURCE clause: target rows whose key has NO
+      source row are deleted, or updated via
+      ``not_matched_by_source_set`` ({column: SQL expr} over the OLD
+      row — the SCD soft-delete / staleness-flag shape).  With
+      ``matched="update"`` + ``insert=True`` + delete-by-source this is
+      the full snapshot-sync MERGE: afterwards the table EQUALS the
+      source.  The optional condition references TARGET columns only
+      (no source row exists to reference).  Cost note, same as real
+      Delta's: without a selective condition every file holding an
+      unmatched row is rewritten.
 
     Duplicate source keys raise (Delta's multiple-source-rows-match
     error).  Source must carry the target's full schema (minus identity
     columns, which the insert branch allocates).
 
     Partitioned tables are supported (round 10) as long as the merge
-    key is a DATA column and no matched source row changes a partition
-    column (a partition-moving MERGE would need a cross-partition
-    delete+insert rewrite — raises NotImplementedError); inserts land
-    in their own partitions via a hive-layout write."""
+    key is a DATA column; a matched UPDATE row whose source partition
+    values differ MOVES partitions (round 13: delete from the old
+    group's rewrite + insert into the new partition); inserts land in
+    their own partitions via a hive-layout write."""
     if matched not in ("update", "delete", None):
         raise ValueError(
             f"merge_delta: matched must be 'update', 'delete', or None, "
@@ -548,7 +562,37 @@ def merge_delta(
         raise ValueError(
             "merge_delta: matched_condition without a matched clause"
         )
-    if matched is None and not insert:
+    if not_matched_by_source not in ("update", "delete", None):
+        raise ValueError(
+            "merge_delta: not_matched_by_source must be 'update', "
+            f"'delete', or None, got {not_matched_by_source!r}"
+        )
+    if not_matched_by_source is None and (
+        not_matched_by_source_condition is not None
+        or not_matched_by_source_set is not None
+    ):
+        raise ValueError(
+            "merge_delta: not_matched_by_source_condition/_set without "
+            "a not_matched_by_source clause"
+        )
+    if not_matched_by_source == "update" and not not_matched_by_source_set:
+        raise ValueError(
+            "merge_delta: not_matched_by_source='update' needs "
+            "not_matched_by_source_set assignments"
+        )
+    if not_matched_by_source == "delete" and not_matched_by_source_set:
+        raise ValueError(
+            "merge_delta: not_matched_by_source_set with a DELETE clause"
+        )
+    if not_matched_by_source_condition is not None:
+        import re as _re
+
+        if _re.search(r"\bsrc\.", not_matched_by_source_condition):
+            raise ValueError(
+                "merge_delta: not_matched_by_source_condition cannot "
+                "reference src.* — no source row exists for these rows"
+            )
+    if matched is None and not insert and not_matched_by_source is None:
         raise ValueError("merge_delta: no clauses — nothing to do")
     dupes = source.groupBy(key).count().filter("count > 1").limit(1).count()
     if dupes:
@@ -660,6 +704,64 @@ def merge_delta(
         )
         hit = (F.col("_dml_m") == 1) & cond_col
 
+        # WHEN NOT MATCHED BY SOURCE (round 13): applies to target rows
+        # whose key has NO source row (left-join _dml_m is null); the
+        # optional condition references target columns only.  ONE
+        # anti-join scan finds the affected rows and their files — the
+        # inherent cost of the clause (absence of a match cannot be
+        # pruned), bounded by the condition's selectivity.
+        nmbs_cond_col = (
+            F.expr(not_matched_by_source_condition)
+            if not_matched_by_source_condition is not None
+            else F.lit(True)
+        )
+        nmbs_hit = F.col("_dml_m").isNull() & F.coalesce(
+            nmbs_cond_col, F.lit(False)
+        )
+        nmbs_touched: list[str] = []
+        n_nmbs = 0
+        if not_matched_by_source is not None:
+            for c in not_matched_by_source_set or {}:
+                if c == key or c in idcols:
+                    raise ValueError(
+                        "merge_delta: not_matched_by_source_set cannot "
+                        f"assign '{c}' (merge key / identity column)"
+                    )
+                if c in part_cols:
+                    raise ValueError(
+                        "merge_delta: not_matched_by_source_set cannot "
+                        f"assign partition column '{c}' — NOT MATCHED BY "
+                        "SOURCE updates never move rows"
+                    )
+                if c not in target_cols:
+                    raise ValueError(
+                        "merge_delta: not_matched_by_source_set assigns "
+                        f"unknown column '{c}'"
+                    )
+            if not_matched_by_source_condition is not None and part_cols:
+                _guard_partition_columns(
+                    not_matched_by_source_condition, part_cols
+                )
+            if active:
+                nscan = (
+                    _read_files(spark, table_path, active, cmio)
+                    .withColumn("_dml_file", F.input_file_name())
+                    .join(F.broadcast(src.select(key)), key, "left_anti")
+                )
+                if not_matched_by_source_condition is not None:
+                    nscan = nscan.filter(
+                        F.expr(not_matched_by_source_condition)
+                    )
+                n_nmbs = nscan.count()
+                if n_nmbs:
+                    prefix = "file://"
+                    for r in nscan.select("_dml_file").distinct().collect():
+                        p = r._dml_file
+                        if p.startswith(prefix):
+                            p = p[len(prefix):]
+                        nmbs_touched.append(os.path.relpath(p, table_path))
+                    nmbs_touched.sort()
+
         part_types: dict[str, Any] = {}
         if part_cols:
             import json as _json
@@ -691,11 +793,38 @@ def merge_delta(
 
         def update_matched(df: DataFrame, pv=None) -> DataFrame:
             joined = df.join(marked, key, "left")
+            # NOT MATCHED BY SOURCE first: disjoint from the matched
+            # clauses (a row is matched or it isn't), so composition is
+            # order-free — this order just keeps the projections simple
+            if not_matched_by_source == "delete":
+                joined = joined.filter(~nmbs_hit)
+            elif not_matched_by_source == "update":
+                # ONE select so every assignment reads the OLD row
+                # (Delta's UPDATE SET semantics), replacing assigned
+                # columns under their bare names for the matched-clause
+                # projection below
+                joined = joined.select(
+                    *[
+                        F.when(
+                            nmbs_hit,
+                            F.expr(not_matched_by_source_set[c]),
+                        )
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in (not_matched_by_source_set or {})
+                        else F.col(c)
+                        for c in joined.columns
+                    ]
+                )
             if matched == "delete":
                 # WHEN MATCHED [AND cond] THEN DELETE
                 return joined.filter(~F.coalesce(hit, F.lit(False))).select(
                     *target_cols
                 )
+            if matched is None:
+                # no matched clause: this file is being rewritten for
+                # NOT MATCHED BY SOURCE only — matched rows pass through
+                return joined.select(*target_cols)
             if part_cols:
                 # partition-moving MERGE (round 13): an updated row whose
                 # source partition values differ leaves this group's
@@ -831,9 +960,12 @@ def merge_delta(
             )
 
         # no matched clause (insert-only MERGE): matched rows are
-        # untouched, so the touched files are NOT rewritten at all —
-        # their only role was bounding the anti-join's key scan
-        rewrite_files = touched if matched is not None else []
+        # untouched, so the matched-key files are NOT rewritten — their
+        # only role was bounding the anti-join's key scan.  NOT MATCHED
+        # BY SOURCE adds its own touched files regardless.
+        rewrite_files = sorted(
+            set(touched if matched is not None else []) | set(nmbs_touched)
+        )
         out = _rewrite_commit(
             spark,
             table_path,
@@ -853,6 +985,10 @@ def merge_delta(
             out["rows_updated"] = n_affected
         elif matched == "delete":
             out["rows_deleted"] = n_affected
+        if not_matched_by_source == "delete":
+            out["rows_deleted_by_source"] = n_nmbs
+        elif not_matched_by_source == "update":
+            out["rows_updated_by_source"] = n_nmbs
         return out
     finally:
         src.unpersist()
@@ -1019,6 +1155,82 @@ def q233_deltalite_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
             matched="delete",
             matched_condition="src.o_orderkey % 2 = 1",
             insert=False,
+        )
+        result = (
+            read_delta(spark, table)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return detach_local(result)  # ≤5 rows; detach before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q234_deltalite_merge_sync",
+    # After a full snapshot-sync MERGE (update + insert + delete-by-
+    # source) the table EQUALS the source BY CONSTRUCTION, so the oracle
+    # is simply the source's census: the divergences planted in the
+    # target (missing %5==4 keys, +7.0-stale %3==0 prices, %7==0 rows
+    # absent from the source) must all have been repaired — a hash
+    # match proves every clause fired on exactly the right rows.
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q234_deltalite_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full snapshot-sync MERGE (round 13 — WHEN NOT MATCHED BY SOURCE):
+    the target starts divergent from the current snapshot in all three
+    ways a replica drifts — stale values (%3==0 prices +7.0), missing
+    rows (%5==4 keys never loaded), and rows deleted upstream (%7==0
+    keys, absent from the source).  ONE merge with
+    ``not_matched_by_source='delete'`` repairs all three: matched rows
+    take source values, unmatched source rows insert, target rows gone
+    from the source delete.  The census then hash-checks that the table
+    EQUALS the source."""
+    import shutil
+    import tempfile
+
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        read_delta,
+        write_delta,
+    )
+    from pyspark_anomaly_detection_spark.io.detach import detach_local
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="deltalite_sync_")
+    table = os.path.join(base, "orders_t")
+    try:
+        # the drifted replica
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 5 != 4).withColumn(
+                "o_totalprice",
+                F.col("o_totalprice")
+                + F.when(F.col("o_orderkey") % 3 == 0, 7.0).otherwise(0.0),
+            ),
+            table,
+        )
+        # the current snapshot
+        merge_delta(
+            spark,
+            table,
+            orders.filter(F.col("o_orderkey") % 7 != 0),
+            key="o_orderkey",
+            not_matched_by_source="delete",
         )
         result = (
             read_delta(spark, table)

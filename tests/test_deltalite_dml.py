@@ -522,6 +522,129 @@ def test_merge_clause_validation(spark, tmp_path):
         merge_delta(spark, t, src, key="id", matched=None, insert=False)
 
 
+def test_merge_not_matched_by_source_delete_full_sync(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE DELETE + update + insert = the full
+    snapshot-sync MERGE: afterwards the table EQUALS the source."""
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=3)  # ids 0..29, v = 2*id
+    src = spark.createDataFrame(
+        [(i, i * 100) for i in range(10, 40)], "id long, v long"
+    )
+    out = merge_delta(
+        spark, t, src, key="id", not_matched_by_source="delete"
+    )
+    assert out["rows_matched"] == 20        # ids 10..29
+    assert out["rows_inserted"] == 10       # ids 30..39
+    assert out["rows_deleted_by_source"] == 10  # ids 0..9
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert rows == {i: i * 100 for i in range(10, 40)}
+
+
+def test_merge_not_matched_by_source_delete_with_condition(spark, tmp_path):
+    """The NMBS condition (target columns only) bounds both the rows
+    deleted AND the files rewritten."""
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=3)  # files [0..9], [10..19], [20..29]
+    src = spark.createDataFrame(
+        [(i, 0) for i in range(10, 20)], "id long, v long"
+    )
+    # delete unmatched rows only where id >= 25 — file 0 has unmatched
+    # rows but none passing, so it must stay byte-identical
+    before = _file_bytes(t)
+    out = merge_delta(
+        spark, t, src, key="id",
+        matched=None, insert=False,
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="id >= 25",
+    )
+    assert out["rows_deleted_by_source"] == 5  # ids 25..29
+    assert out["files_rewritten"] == 1  # only the [20..29] file
+    after = _file_bytes(t)
+    assert all(after[p] == b for p, b in before.items() if p in after)
+    rows = {r.id for r in read_delta(spark, t).collect()}
+    assert rows == set(range(25))
+
+
+def test_merge_not_matched_by_source_update_soft_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE UPDATE SET — the SCD staleness-flag
+    shape: rows gone from the source get flagged, not removed; every
+    assignment reads the OLD row."""
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, i * 2, 0) for i in range(10)], "id long, v long, stale long"
+        ).coalesce(1),
+        t,
+    )
+    src = spark.createDataFrame(
+        [(i, i * 2, 0) for i in range(5)], "id long, v long, stale long"
+    )
+    out = merge_delta(
+        spark, t, src, key="id",
+        insert=False,
+        not_matched_by_source="update",
+        not_matched_by_source_set={"stale": "1", "v": "v + 1000"},
+    )
+    assert out["rows_updated_by_source"] == 5
+    rows = {r.id: (r.v, r.stale) for r in read_delta(spark, t).collect()}
+    for i in range(5):
+        assert rows[i] == (i * 2, 0)          # matched: updated in place
+    for i in range(5, 10):
+        assert rows[i] == (i * 2 + 1000, 1)   # unmatched: flagged
+
+
+def test_merge_nmbs_on_partitioned_table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 12).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("side"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_delta(df, t, partition_by=["side"])
+    src = spark.createDataFrame(
+        [(i, str(i % 2), i * 100) for i in range(6)],
+        "id long, side string, v long",
+    )
+    out = merge_delta(
+        spark, t, src, key="id", not_matched_by_source="delete"
+    )
+    assert out["rows_deleted_by_source"] == 6
+    rows = {r.id: (r.side, r.v) for r in read_delta(spark, t).collect()}
+    assert rows == {i: (str(i % 2), i * 100) for i in range(6)}
+
+
+def test_merge_nmbs_validation(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _build(spark, t, n_files=1)
+    src = spark.createDataFrame([(1, 1)], "id long, v long")
+    with pytest.raises(ValueError, match="cannot reference src"):
+        merge_delta(
+            spark, t, src, key="id",
+            not_matched_by_source="delete",
+            not_matched_by_source_condition="src.v > 0",
+        )
+    with pytest.raises(ValueError, match="needs"):
+        merge_delta(
+            spark, t, src, key="id", not_matched_by_source="update"
+        )
+    with pytest.raises(ValueError, match="DELETE clause"):
+        merge_delta(
+            spark, t, src, key="id",
+            not_matched_by_source="delete",
+            not_matched_by_source_set={"v": "0"},
+        )
+    with pytest.raises(ValueError, match="without a not_matched"):
+        merge_delta(
+            spark, t, src, key="id",
+            not_matched_by_source_condition="v > 0",
+        )
+    with pytest.raises(ValueError, match="merge key / identity"):
+        merge_delta(
+            spark, t, src, key="id",
+            not_matched_by_source="update",
+            not_matched_by_source_set={"id": "0"},
+        )
+
+
 def test_merge_clauses_on_partitioned_table(spark, tmp_path):
     """Round-12 clauses compose with partitioned tables: the delete
     branch rewrites only touched partitions (values reinjected), and the
