@@ -21,6 +21,11 @@ deltalite implements the 'name' mode subset:
 * :func:`rename_column_mapped` — the showcase metadata-only rename: a
   new metaData action rebinds a logical name to the SAME physical name;
   zero data files touched, old versions still read under the old name;
+* :func:`drop_column_mapped` / :func:`add_column_mapped` (round 13) —
+  metadata-only DROP/ADD COLUMN: dropped physical columns stay in old
+  files but prune away on read (OPTIMIZE doubles as REORG PURGE);
+  re-adding a dropped logical name allocates a FRESH physical name and
+  the next column id, so old data can never resurrect;
 * copy-on-write DML (DELETE / UPDATE / MERGE), OPTIMIZE (plain and
   ZORDER), stats backfill, and stats-pruned reads are TAUGHT the
   translation (verdict r10 item 2): file reads go physical-schema →
@@ -213,6 +218,118 @@ def rename_column_mapped(
     )
 
 
+def drop_column_mapped(table_path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN as a metadata-only commit (round 13):
+    remove the field from the committed schema — zero data files
+    touched; the physical column stays in existing parquet files and
+    every reader ignores it (the mapped read path builds its read
+    schema from the COMMITTED fields only, so extra physical columns
+    prune away).  Time travel before the drop still reads the column.
+    ``optimize_delta`` doubles as REORG PURGE: a compaction rewrites
+    files through the committed schema, physically shedding dropped
+    columns.
+
+    Guards (Delta's rules): mapped table only; the column must exist,
+    must not be the last column, must not be referenced by a CHECK
+    constraint or a generated-column expression."""
+    import json
+    import re
+
+    snap = deltalite._snapshot_state(table_path)
+    if snap.meta is None or (
+        snap.meta.get("configuration", {}).get("delta.columnMapping.mode")
+        != "name"
+    ):
+        raise ValueError("drop_column_mapped requires a column-mapped table")
+    schema = json.loads(snap.schema_json)
+    names = [f["name"] for f in schema["fields"]]
+    if name not in names:
+        raise ValueError(f"no such column: {name}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last column")
+    if name in (snap.part_cols or []):
+        raise ValueError(f"cannot drop partition column: {name}")
+    from pyspark_anomaly_detection_spark.io.deltalite_constraints import (
+        check_constraints_of,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_generated import (
+        generated_columns_of,
+    )
+
+    referencing = {
+        **check_constraints_of(snap.meta),
+        **generated_columns_of(snap.schema_json),
+    }
+    for owner, expr in referencing.items():
+        if re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"cannot drop column '{name}': referenced by "
+                f"constraint/generated column '{owner}' ({expr})"
+            )
+    schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
+    meta = dict(snap.meta)
+    meta["schemaString"] = json.dumps(schema)
+    actions = [
+        {"metaData": meta},
+        {
+            "commitInfo": {
+                "operation": "DROP COLUMNS",
+                "engineInfo": "deltalite-cm",
+            }
+        },
+    ]
+    return deltalite._commit_with_retry(table_path, snap.version + 1, actions)
+
+
+def add_column_mapped(table_path: str, name: str, sql_type: str) -> int:
+    """ALTER TABLE ADD COLUMN as a metadata-only commit: append a
+    nullable field with a FRESH physical name (uuid) and the next
+    column id (``maxColumnId`` bumps in the same commit).  Existing
+    files lack the new physical column, so old rows read as NULL — and
+    because the physical name is fresh, re-adding a previously DROPPED
+    logical name can never resurrect the old data (the reason real
+    Delta requires column mapping for drop/re-add)."""
+    import json
+
+    snap = deltalite._snapshot_state(table_path)
+    if snap.meta is None or (
+        snap.meta.get("configuration", {}).get("delta.columnMapping.mode")
+        != "name"
+    ):
+        raise ValueError("add_column_mapped requires a column-mapped table")
+    schema = json.loads(snap.schema_json)
+    if name in [f["name"] for f in schema["fields"]]:
+        raise ValueError(f"column already exists: {name}")
+    conf = dict(snap.meta.get("configuration") or {})
+    next_id = int(conf.get("delta.columnMapping.maxColumnId", "0")) + 1
+    schema["fields"].append(
+        {
+            "name": name,
+            "type": sql_type,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": next_id,
+                "delta.columnMapping.physicalName": "col-"
+                + uuid.uuid4().hex[:16],
+            },
+        }
+    )
+    conf["delta.columnMapping.maxColumnId"] = str(next_id)
+    meta = dict(snap.meta)
+    meta["schemaString"] = json.dumps(schema)
+    meta["configuration"] = conf
+    actions = [
+        {"metaData": meta},
+        {
+            "commitInfo": {
+                "operation": "ADD COLUMNS",
+                "engineInfo": "deltalite-cm",
+            }
+        },
+    ]
+    return deltalite._commit_with_retry(table_path, snap.version + 1, actions)
+
+
 from pyspark_anomaly_detection_spark.registry import register  # noqa: E402
 
 
@@ -283,6 +400,81 @@ def q226_deltalite_cm_dml_census(
                 F.sum(F.col("price").cast("decimal(18,2)"))
                 .cast("double")
                 .alias("total_price"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return detach_local(result)  # ≤5 rows; detach before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q235_deltalite_cm_schema_evolution",
+    # Closed-form no-resurrection oracle: after RENAME → DROP → re-ADD
+    # (fresh physical name) → append, every pre-drop row's price is NULL
+    # (the old physical column is invisible to the new field) and only
+    # the appended %3==0 rows carry values — expressed in SQL as a UNION
+    # of the null-priced original corpus and the priced append.
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority, CAST(NULL AS DOUBLE) AS price FROM orders
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(price) AS BIGINT) AS n_priced,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q235_deltalite_cm_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column-mapping schema-evolution lifecycle (round 13): orders
+    lands mapped, a metadata-only RENAME rebinds o_totalprice → price,
+    DROP COLUMN removes it (zero files touched), ADD COLUMN re-creates
+    the same logical name with a FRESH physical name, and an append
+    supplies prices for the %3==0 keys.  The census hash-checks Delta's
+    no-resurrection contract cross-engine: every pre-drop row reads
+    price NULL (the old physical column is unreachable under the new
+    field id), only appended rows carry values."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_anomaly_detection_spark.io.detach import detach_local
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="deltalite_cm_evo_")
+    table = os.path.join(base, "orders_t")
+    try:
+        write_delta_mapped(orders, table)
+        rename_column_mapped(table, "o_totalprice", "price")
+        drop_column_mapped(table, "price")
+        add_column_mapped(table, "price", "double")
+        write_delta_mapped(
+            orders.filter(F.col("o_orderkey") % 3 == 0).select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.col("o_totalprice").alias("price"),
+            ),
+            table,
+            mode="append",
+        )
+        result = (
+            deltalite.read_delta(spark, table)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.count("price").alias("n_priced"),
+                F.sum(F.col("price").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
             )
             .orderBy("o_orderpriority")
         )

@@ -467,3 +467,99 @@ def test_mapped_merge_clause_matrix(spark, tmp_path):
     rows = {r.id: r.v for r in read_delta(spark, t).collect()}
     assert rows[5] == 10 and rows[60] == 2
     assert _physical_columns(t) == {physical_name("id"), physical_name("v")}
+
+
+def test_drop_column_is_metadata_only(spark, tmp_path):
+    """DROP COLUMN commits only metadata: files byte-identical, the
+    column gone from reads, time travel before the drop still sees it,
+    and a compaction (REORG PURGE) physically sheds it."""
+    from pyspark_anomaly_detection_spark.io.deltalite import optimize_delta
+    from pyspark_anomaly_detection_spark.io.deltalite_cm import (
+        drop_column_mapped,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 10), t)
+    before = _physical_columns(t)
+    v = drop_column_mapped(t, "v")
+    assert _physical_columns(t) == before  # zero data files touched
+    assert read_delta(spark, t).columns == ["id"]
+    assert read_delta(spark, t, version=v - 1).columns == ["id", "v"]
+    # REORG PURGE: compaction rewrites through the committed schema
+    # (+ vacuum, so the on-disk walk sees only the tip's files)
+    from pyspark_anomaly_detection_spark.io.deltalite import vacuum_delta
+
+    optimize_delta(spark, t)
+    vacuum_delta(t, retain_versions=1)
+    assert physical_name("v") not in _physical_columns(t)
+    assert {r.id for r in read_delta(spark, t).collect()} == set(range(10))
+
+
+def test_drop_readd_never_resurrects(spark, tmp_path):
+    """Delta's no-resurrection contract: re-adding a dropped logical
+    name gets a FRESH physical name, so pre-drop values stay invisible;
+    only rows appended after the re-add carry values."""
+    from pyspark_anomaly_detection_spark.io.deltalite_cm import (
+        add_column_mapped,
+        drop_column_mapped,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 10), t)
+    drop_column_mapped(t, "v")
+    add_column_mapped(t, "v", "long")
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert rows == {i: None for i in range(10)}  # NOT resurrected
+    write_delta_mapped(_df(spark, 10, 15), t, mode="append")
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert all(rows[i] is None for i in range(10))
+    assert all(rows[i] == i * 2 for i in range(10, 15))
+
+
+def test_drop_add_guards(spark, tmp_path):
+    from pyspark_anomaly_detection_spark.io.deltalite_cm import (
+        add_column_mapped,
+        drop_column_mapped,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 5), t)
+    with pytest.raises(ValueError, match="no such column"):
+        drop_column_mapped(t, "nope")
+    with pytest.raises(ValueError, match="already exists"):
+        add_column_mapped(t, "v", "long")
+    drop_column_mapped(t, "v")
+    with pytest.raises(ValueError, match="last column"):
+        drop_column_mapped(t, "id")
+    # unmapped tables refuse both
+    u = str(tmp_path / "u")
+    write_delta(_df(spark, 0, 3), u)
+    with pytest.raises(ValueError, match="column-mapped"):
+        drop_column_mapped(u, "v")
+    with pytest.raises(ValueError, match="column-mapped"):
+        add_column_mapped(u, "w", "long")
+
+
+def test_add_column_bumps_max_column_id(spark, tmp_path):
+    import json
+
+    from pyspark_anomaly_detection_spark.io.deltalite import _snapshot_state
+    from pyspark_anomaly_detection_spark.io.deltalite_cm import (
+        add_column_mapped,
+        drop_column_mapped,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 5), t)  # ids 1, 2
+    drop_column_mapped(t, "v")
+    add_column_mapped(t, "w", "double")      # id 3
+    add_column_mapped(t, "v", "long")        # id 4, fresh physical name
+    snap = _snapshot_state(t)
+    conf = snap.meta["configuration"]
+    assert conf["delta.columnMapping.maxColumnId"] == "4"
+    fields = {f["name"]: f for f in json.loads(snap.schema_json)["fields"]}
+    assert fields["v"]["metadata"]["delta.columnMapping.id"] == 4
+    assert (
+        fields["v"]["metadata"]["delta.columnMapping.physicalName"]
+        != physical_name("v")
+    )
