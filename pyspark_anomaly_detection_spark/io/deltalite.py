@@ -245,6 +245,26 @@ def _commit_with_retry(
     actions = [a for a in actions if "commitInfo" in a] + [
         a for a in actions if "commitInfo" not in a
     ]
+    # delta.appendOnly enforcement (round 13), central so every writer
+    # honors it: a table with the property set refuses any commit that
+    # REMOVES data (remove actions with dataChange=true — DELETE,
+    # UPDATE/MERGE rewrites, overwrite, RESTORE).  OPTIMIZE/REORG stay
+    # legal: their removes carry dataChange=false, per the protocol.
+    if version > 0 and any(
+        a.get("remove", {}).get("dataChange") for a in actions
+    ):
+        try:
+            conf = (_snapshot_state(table_path).meta or {}).get(
+                "configuration"
+            ) or {}
+        except Exception:
+            conf = {}
+        if conf.get("delta.appendOnly") == "true":
+            raise ValueError(
+                "deltalite: table is delta.appendOnly=true — commits "
+                "that remove data are forbidden (unset the property to "
+                "allow deletes/updates/overwrites)"
+            )
     attempt = 0
     while True:
         # in-commit timestamp (Delta's inCommitTimestamps feature):
@@ -1575,6 +1595,38 @@ def read_delta_pruned(
     if mapping and schema is not None:
         df = df.toDF(*[f.name for f in schema.fields])
     return df.filter((F.col(col) >= lo) & (F.col(col) <= hi)), meta
+
+
+def set_table_properties(
+    table_path: str,
+    set_props: "dict[str, str] | None" = None,
+    unset: "tuple[str, ...] | list[str]" = (),
+) -> int:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES as a metadata-only commit
+    (round 13): the full prior metaData carries forward with only
+    ``configuration`` updated.  The practical use here is
+    ``delta.appendOnly=true`` — once set, every writer refuses commits
+    that remove data (enforced centrally in the commit path); unset it
+    to re-enable deletes/updates/overwrites."""
+    snap = _snapshot_state(table_path)
+    if snap.meta is None:
+        raise ValueError(f"no deltalite table at {table_path}")
+    conf = dict(snap.meta.get("configuration") or {})
+    for k in unset:
+        conf.pop(k, None)
+    conf.update(set_props or {})
+    meta = dict(snap.meta)
+    meta["configuration"] = conf
+    actions = [
+        {"metaData": meta},
+        {
+            "commitInfo": {
+                "operation": "SET TBLPROPERTIES",
+                "engineInfo": "deltalite",
+            }
+        },
+    ]
+    return _commit_with_retry(table_path, snap.version + 1, actions)
 
 
 def vacuum_delta(table_path: str, retain_versions: int = 1) -> dict[str, int]:

@@ -539,3 +539,53 @@ def test_two_threaded_writers_all_appends_land(spark, tmp_path):
         [i for b in (0, 1000) for j in range(4) for i in range(b + j * 10, b + j * 10 + 10)]
     )
     assert ids == want
+
+
+def test_append_only_table_property(spark, tmp_path):
+    """delta.appendOnly enforcement (round 13): once set via
+    set_table_properties, every data-removing commit refuses — DELETE,
+    UPDATE, overwrite, MERGE rewrites — while appends and OPTIMIZE
+    (dataChange=false removes) stay legal; UNSET re-enables removal."""
+    import pytest
+
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        optimize_delta,
+        read_delta,
+        set_table_properties,
+        write_delta,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+        delete_delta,
+        update_delta,
+    )
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    for i in range(2):
+        write_delta(
+            spark.range(i * 5, (i + 1) * 5)
+            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+            .coalesce(1),
+            t,
+            mode="append",
+        )
+    set_table_properties(t, {"delta.appendOnly": "true"})
+    with pytest.raises(ValueError, match="appendOnly"):
+        delete_delta(spark, t, "id = 1")
+    with pytest.raises(ValueError, match="appendOnly"):
+        update_delta(spark, t, "id = 1", {"v": "v + 1"})
+    with pytest.raises(ValueError, match="appendOnly"):
+        write_delta(spark.range(1).select(
+            F.col("id"), F.col("id").alias("v")), t, mode="overwrite")
+    # appends and OPTIMIZE stay legal
+    write_delta(
+        spark.range(10, 12).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        t,
+        mode="append",
+    )
+    optimize_delta(spark, t)
+    assert {r.id for r in read_delta(spark, t).collect()} == set(range(12))
+    # UNSET re-enables removal
+    set_table_properties(t, unset=["delta.appendOnly"])
+    delete_delta(spark, t, "id = 0")
+    assert {r.id for r in read_delta(spark, t).collect()} == set(range(1, 12))
