@@ -636,6 +636,14 @@ def merge_delta(
     src = source.cache()
     try:
         n_src = src.count()  # == distinct keys (dupes rejected above)
+        # 100 TB shape: the source side of every MERGE join is broadcast
+        # only while it is broadcast-sized (the common CDC-batch case);
+        # a big source falls back to plain joins and lets AQE pick the
+        # strategy — a forced broadcast of a huge source would OOM every
+        # executor (round 13)
+        _bcast = (
+            F.broadcast if n_src <= 1_000_000 else (lambda df: df)
+        )
         # one scan finds the files holding matched keys
         touched: list[str] = []
         n_matched = 0
@@ -644,7 +652,7 @@ def merge_delta(
             scan = (
                 _read_files(spark, table_path, active, cmio)
                 .withColumn("_dml_file", F.input_file_name())
-                .join(F.broadcast(src.select(key)), key, "left_semi")
+                .join(_bcast(src.select(key)), key, "left_semi")
             )
             agg = scan.agg(
                 F.count("*").alias("nr"),
@@ -670,7 +678,7 @@ def merge_delta(
         # anti-join-then-insert collapsed duplicates — ADVICE r9).  A
         # match flag, not coalesce, so a NULL in the source still
         # overwrites.
-        marked = F.broadcast(
+        marked = _bcast(
             src.select(
                 F.col(key),
                 F.lit(1).alias("_dml_m"),
@@ -746,7 +754,7 @@ def merge_delta(
                 nscan = (
                     _read_files(spark, table_path, active, cmio)
                     .withColumn("_dml_file", F.input_file_name())
-                    .join(F.broadcast(src.select(key)), key, "left_anti")
+                    .join(_bcast(src.select(key)), key, "left_anti")
                 )
                 if not_matched_by_source_condition is not None:
                     nscan = nscan.filter(
