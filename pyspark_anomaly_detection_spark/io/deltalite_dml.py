@@ -35,6 +35,12 @@ adds the standard clause matrix: ``WHEN MATCHED [AND cond] THEN
 DELETE``, conditional updates, insert-only merges (matched rows — and
 their files — untouched), and no-insert merges; identity-column
 targets allocate mid-rewrite for the insert branch (q230/q233).
+Round 13 completes the matrix: ``WHEN NOT MATCHED BY SOURCE``
+(delete, or UPDATE SET over the old row — q234's full snapshot-sync),
+partition-MOVING matched updates (old group drops the row, the updated
+row re-enters through the hive-layout insert path), token-validated
+``src.<col>`` condition translation, and a size-conditional source
+broadcast (big sources fall back to AQE-planned joins).
 """
 
 from __future__ import annotations
