@@ -143,6 +143,16 @@ def write_delta_mapped(
                 actions.append(
                     {"remove": {"path": path, "dataChange": True}}
                 )
+        # CHECK constraints (round 13 — stored and evaluated in LOGICAL
+        # names): enforce on the input frame before any file lands
+        from pyspark_anomaly_detection_spark.io.deltalite_constraints import (
+            check_constraints_of,
+            enforce_check_constraints,
+        )
+
+        cons = check_constraints_of(snap.meta)
+        if cons:
+            enforce_check_constraints(df, cons, "write_delta_mapped")
 
     commit_dir = f"part-{version:05d}-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_path, commit_dir)
@@ -199,6 +209,29 @@ def rename_column_mapped(
         raise ValueError(f"no such column: {old}")
     if new in names:
         raise ValueError(f"column already exists: {new}")
+    # a CHECK constraint / generated column stores the predicate in
+    # LOGICAL names — renaming a referenced column would silently break
+    # it (Delta refuses this too)
+    import re
+
+    from pyspark_anomaly_detection_spark.io.deltalite_constraints import (
+        check_constraints_of,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_generated import (
+        generated_columns_of,
+    )
+
+    referencing = {
+        **check_constraints_of(snap.meta),
+        **generated_columns_of(snap.schema_json),
+    }
+    for owner, expr in referencing.items():
+        if re.search(rf"\b{re.escape(old)}\b", expr):
+            raise ValueError(
+                f"cannot rename column '{old}': referenced by "
+                f"constraint/generated column '{owner}' ({expr}) — "
+                "drop the constraint first"
+            )
     for f in schema["fields"]:
         if f["name"] == old:
             f["name"] = new

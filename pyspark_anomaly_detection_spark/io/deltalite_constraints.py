@@ -96,13 +96,12 @@ def add_check_constraint(
     (one scan), stores the predicate in the metadata configuration, and
     upgrades the protocol to writer v3.  Returns the commit version."""
     snap = _snapshot_state(table_path)
-    if deltalite._column_mapping_of(snap.schema_json):
-        raise NotImplementedError(
-            "deltalite: CHECK constraints on column-mapped tables are not "
-            "supported yet — the predicate would need logical→physical "
-            "translation on every rewrite path; add the constraint before "
-            "enabling column mapping"
-        )
+    # column-mapped tables are supported (round 13): the predicate is
+    # stored and evaluated in LOGICAL names — every enforcement site
+    # reads staged files through the physical→logical translation
+    # (write_delta_mapped enforces on the logical input frame;
+    # _rewrite_commit translates the staged rewrite before the check),
+    # and rename_column_mapped refuses to rename a referenced column.
     key = CONSTRAINT_PREFIX + name
     conf = dict((snap.meta or {}).get("configuration") or {})
     if key in conf:

@@ -359,9 +359,14 @@ def _rewrite_commit(
             **generation_constraints(snap.schema_json),
         }
         if cons:
-            enforce_check_constraints(
-                spark.read.parquet(data_dir), cons, operation
+            # constraints are stored in LOGICAL names; a mapped table's
+            # staged files carry physical names, so translate first
+            staged = (
+                spark.read.schema(cmio[0]).parquet(data_dir).toDF(*cmio[1])
+                if cmio is not None
+                else spark.read.parquet(data_dir)
             )
+            enforce_check_constraints(staged, cons, operation)
 
     removes = [
         {"remove": {"path": rel, "dataChange": True}} for rel in touched

@@ -563,3 +563,61 @@ def test_add_column_bumps_max_column_id(spark, tmp_path):
         fields["v"]["metadata"]["delta.columnMapping.physicalName"]
         != physical_name("v")
     )
+
+
+def test_check_constraints_on_mapped_tables(spark, tmp_path):
+    """CHECK constraints x column mapping (round 13 — was a fail-loud
+    guard): the predicate is stored and evaluated in LOGICAL names.
+    Violating appends and violating COW updates abort with nothing
+    visible; renaming a referenced column refuses."""
+    from pyspark_anomaly_detection_spark.io.deltalite_constraints import (
+        DeltaliteConstraintViolation,
+        add_check_constraint,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import update_delta
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 10), t)  # v = 2*id >= 0
+    add_check_constraint(spark, t, "v_nonneg", "v >= 0")
+
+    # violating mapped append aborts; table unchanged
+    bad = spark.createDataFrame([(100, -1)], "id long, v long")
+    with pytest.raises(DeltaliteConstraintViolation, match="v_nonneg"):
+        write_delta_mapped(bad, t, mode="append")
+    assert read_delta(spark, t).count() == 10
+
+    # violating COW UPDATE aborts through the physical->logical
+    # translation of the staged rewrite; table unchanged
+    with pytest.raises(DeltaliteConstraintViolation, match="v_nonneg"):
+        update_delta(spark, t, "id = 3", {"v": "-5"})
+    assert {r.v for r in read_delta(spark, t).collect()} == {
+        i * 2 for i in range(10)
+    }
+
+    # valid paths still work
+    write_delta_mapped(_df(spark, 10, 12), t, mode="append")
+    update_delta(spark, t, "id = 3", {"v": "99"})
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert rows[3] == 99 and rows[11] == 22
+
+    # renaming a constrained column refuses (the predicate would break)
+    with pytest.raises(ValueError, match="referenced by"):
+        rename_column_mapped(t, "v", "w")
+    # unconstrained columns still rename
+    rename_column_mapped(t, "id", "ident")
+    assert read_delta(spark, t).columns == ["ident", "v"]
+
+
+def test_drop_constrained_column_refuses_mapped(spark, tmp_path):
+    from pyspark_anomaly_detection_spark.io.deltalite_constraints import (
+        add_check_constraint,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_cm import (
+        drop_column_mapped,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(_df(spark, 0, 5), t)
+    add_check_constraint(spark, t, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="referenced by"):
+        drop_column_mapped(t, "v")
