@@ -1131,11 +1131,6 @@ def _read_adds(
         for p in pieces[1:]:
             out = out.unionByName(p)
         return out
-    if dv_adds:
-        raise NotImplementedError(
-            "deltalite: deletion vectors on partitioned tables are not "
-            "supported"
-        )
     data_schema = StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
@@ -1146,9 +1141,32 @@ def _read_adds(
         by_part.setdefault(key, []).append(rel)
     parts = []
     for key, rels in sorted(by_part.items()):
-        df = spark.read.schema(data_schema).parquet(
-            *[os.path.join(table_path, rel) for rel in rels]
-        )
+        # DV × partitions (round 13): subtract bitmaps per partition
+        # group — data files carry no partition columns, so the DV
+        # anti-join runs on the data schema and the group's partition
+        # values reinject afterward, exactly like the plain read
+        plain = [r for r in rels if r not in dv_adds]
+        pieces = []
+        if plain:
+            pieces.append(
+                spark.read.schema(data_schema).parquet(
+                    *[os.path.join(table_path, rel) for rel in plain]
+                )
+            )
+        group_dv = {r: adds[r] for r in rels if r in dv_adds}
+        if group_dv:
+            from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+                read_files_minus_dv,
+            )
+
+            pieces.append(
+                read_files_minus_dv(
+                    spark, table_path, group_dv, data_schema
+                )
+            )
+        df = pieces[0]
+        for p in pieces[1:]:
+            df = df.unionByName(p)
         for col, val in zip(part_cols, key):
             ftype = schema[col].dataType
             df = df.withColumn(col, F.lit(val).cast(ftype))
@@ -1774,13 +1792,40 @@ def read_delta_changes(
                         for f in base.fields
                     ]
                 )
-            diff = dv_diff_rows(spark, table_path, dv_pairs, read_schema)
-            if mapping and base is not None:
-                diff = diff.toDF(*[f.name for f in base.fields])
-            pieces.append(
-                diff.withColumn("_change_type", F.lit("delete"))
-                .withColumn("_commit_version", F.lit(v).cast("int"))
-            )
+            # partitioned tables (round 13): data files carry no
+            # partition columns — diff per partition GROUP on the data
+            # schema, then reinject the group's values so the change
+            # rows carry real (not NULL) partition columns
+            if part_cols and base is not None:
+                data_schema = StructType(
+                    [f for f in base.fields if f.name not in part_cols]
+                )
+                by_pv: dict[tuple, list] = {}
+                for p, a, o in dv_pairs:
+                    pvk = tuple(
+                        sorted((a.get("partitionValues") or {}).items())
+                    )
+                    by_pv.setdefault(pvk, []).append((p, a, o))
+                for pv_items, grp in sorted(by_pv.items()):
+                    diff = dv_diff_rows(spark, table_path, grp, data_schema)
+                    pv = dict(pv_items)
+                    for col in part_cols:
+                        diff = diff.withColumn(
+                            col, F.lit(pv.get(col)).cast(base[col].dataType)
+                        )
+                    pieces.append(
+                        diff.select(*[f.name for f in base.fields])
+                        .withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_version", F.lit(v).cast("int"))
+                    )
+            else:
+                diff = dv_diff_rows(spark, table_path, dv_pairs, read_schema)
+                if mapping and base is not None:
+                    diff = diff.toDF(*[f.name for f in base.fields])
+                pieces.append(
+                    diff.withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v).cast("int"))
+                )
         for action in actions:
             if "add" in action:
                 add = action["add"]

@@ -150,6 +150,20 @@ def _translate_matched_condition(
     return "".join(out)
 
 
+def _scan_file_to_local(path: str) -> str:
+    """``input_file_name()`` URI → plain decoded local path: strip the
+    ``file:`` scheme and percent-DECODE URI escapes — hive partition
+    directories with special characters arrive URI-encoded from the
+    scan but live decoded on disk and in the log's add paths (round
+    13).  ``unquote`` (not ``unquote_plus``) keeps literal ``+``."""
+    import re
+    from urllib.parse import unquote
+
+    if path.startswith("file:"):
+        path = re.sub(r"^file:/*", "/", path)
+    return unquote(path)
+
+
 def _guard_partition_columns(predicate: str, part_cols: list[str]) -> None:
     import re
 
@@ -182,7 +196,6 @@ def _touched_files(
         .select("_dml_file")
         .distinct()
     )
-    prefix = "file://"
     # map resolved paths back to their ADD KEYS (handles both relative
     # adds and the absolute adds a shallow CLONE commits)
     resolved = {
@@ -190,9 +203,7 @@ def _touched_files(
     }
     out = []
     for r in scan.collect():
-        path = r._dml_file
-        if path.startswith(prefix):
-            path = path[len(prefix):]
+        path = _scan_file_to_local(r._dml_file)
         out.append(resolved[os.path.abspath(path)])
     return sorted(out)
 
@@ -671,11 +682,8 @@ def merge_delta(
             ).first()
             n_matched = agg.nr
             n_matched_keys = agg.nk
-            prefix = "file://"
             for r in scan.select("_dml_file").distinct().collect():
-                p = r._dml_file
-                if p.startswith(prefix):
-                    p = p[len(prefix):]
+                p = _scan_file_to_local(r._dml_file)
                 touched.append(os.path.relpath(p, table_path))
             touched.sort()
         target_cols = [
@@ -773,11 +781,8 @@ def merge_delta(
                     )
                 n_nmbs = nscan.count()
                 if n_nmbs:
-                    prefix = "file://"
                     for r in nscan.select("_dml_file").distinct().collect():
-                        p = r._dml_file
-                        if p.startswith(prefix):
-                            p = p[len(prefix):]
+                        p = _scan_file_to_local(r._dml_file)
                         nmbs_touched.append(os.path.relpath(p, table_path))
                     nmbs_touched.sort()
 

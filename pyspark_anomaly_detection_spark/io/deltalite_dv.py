@@ -104,8 +104,15 @@ def _file_uri(table_path: str, rel: str) -> str:
 
 def _norm_file_path_col(col):
     """``_metadata.file_path`` → plain absolute path: strip any
-    ``file:``/``file://``/``file:///`` prefix down to a single ``/``."""
-    return F.regexp_replace(col, r"^file:/*", "/")
+    ``file:``/``file://``/``file:///`` prefix down to a single ``/``,
+    then percent-DECODE URI escapes — hive partition directories with
+    special characters (``o_orderpriority=4-NOT SPECIFIED`` → ``%20``)
+    arrive URI-encoded from the scan but live decoded on disk and in
+    the log's add paths (round 13, surfaced by DV × partitions).
+    Literal ``+`` is protected first: it is a legal path byte that
+    ``url_decode``'s form semantics would turn into a space."""
+    stripped = F.regexp_replace(col, r"^file:/*", "/")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
 
 
 def _dv_file_path(table_path: str, path_or_inline: str) -> str:
@@ -344,9 +351,16 @@ def delete_delta_dv(
         raise ValueError(f"deltalite DV storage must be 'i'|'u': {storage}")
     snap = deltalite._snapshot_state(table_path)
     if snap.part_cols:
-        raise NotImplementedError(
-            "deltalite DV delete on partitioned tables is not supported"
+        # partitioned tables are supported (round 13): the scan below
+        # reads DATA files (no partition columns in them), bitmaps are
+        # per-file regardless of layout, and the rewritten add actions
+        # carry the old add's partitionValues — only predicates naming
+        # a partition column must refuse (they live in the log)
+        from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+            _guard_partition_columns,
         )
+
+        _guard_partition_columns(predicate, snap.part_cols)
     adds = snap.adds
     if not adds:
         return {"version": snap.version, "files_with_dv": 0, "rows_deleted": 0}
@@ -524,31 +538,50 @@ def purge_delta(spark: SparkSession, table_path: str) -> dict[str, int]:
                 for f in schema.fields
             ]
         )
-    cleaned = read_files_minus_dv(spark, table_path, dv_adds, schema)
+    # partitioned tables (round 13): data files carry no partition
+    # columns, so purge rewrites per partition GROUP with the group's
+    # partitionValues re-stamped on the new adds
+    if snap.part_cols and schema is not None:
+        schema = StructType(
+            [f for f in schema.fields if f.name not in snap.part_cols]
+        )
+    groups: dict[tuple, dict[str, Any]] = {}
+    for rel, a in dv_adds.items():
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(tuple(sorted(pv.items())), {})[rel] = a
     version = snap.version + 1
     commit_dir = f"part-{version:05d}-{_uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_path, commit_dir)
-    cleaned.write.mode("error").parquet(data_dir)
     actions: list[dict[str, Any]] = []
     for rel in sorted(dv_adds):
         actions.append({"remove": {"path": rel, "dataChange": False}})
     n_added = 0
-    for name in sorted(os.listdir(data_dir)):
-        if name.endswith(".parquet"):
-            actions.append(
-                {
-                    "add": {
-                        "path": f"{commit_dir}/{name}",
-                        "partitionValues": {},
-                        "size": os.path.getsize(
-                            os.path.join(data_dir, name)
-                        ),
-                        "modificationTime": 0,
-                        "dataChange": False,
+    for i, (pv_items, group) in enumerate(sorted(groups.items())):
+        cleaned = read_files_minus_dv(spark, table_path, group, schema)
+        subdir = f"g{i}" if snap.part_cols else ""
+        out_dir = os.path.join(data_dir, subdir) if subdir else data_dir
+        cleaned.write.mode("error").parquet(out_dir)
+        for name in sorted(os.listdir(out_dir)):
+            if name.endswith(".parquet"):
+                rel = (
+                    f"{commit_dir}/{subdir}/{name}"
+                    if subdir
+                    else f"{commit_dir}/{name}"
+                )
+                actions.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": dict(pv_items),
+                            "size": os.path.getsize(
+                                os.path.join(out_dir, name)
+                            ),
+                            "modificationTime": 0,
+                            "dataChange": False,
+                        }
                     }
-                }
-            )
-            n_added += 1
+                )
+                n_added += 1
     actions.append(
         {"commitInfo": {"operation": "REORG PURGE",
                         "engineInfo": "deltalite-dv"}}
@@ -696,5 +729,73 @@ def q227_deltalite_dv_cdf_census(
             .orderBy("commit_version")
         )
         return detach_local(result)  # 2 rows; detach before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q236_deltalite_dv_partitioned",
+    # q224's lifecycle on a PARTITIONED table (round 13 — DV x
+    # partitions was a fail-loud guard): bitmaps attach per data file
+    # inside hive partitions, the reader subtracts per partition group
+    # and reinjects partition values, a partition-pruned read agrees
+    # with SQL's WHERE on the partition column, and REORG PURGE
+    # re-stamps each rewritten file's partitionValues.  The census
+    # GROUPs BY the partition column itself, so a NULL-partition bug
+    # (the failure mode the old guard prevented) collapses every group
+    # and can't hash-match.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 3
+          AND o_orderpriority >= '3'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q236_deltalite_dv_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deletion vectors on a PARTITIONED deltalite table: orders lands
+    hive-partitioned by o_orderpriority, two successive DV deletes
+    attach bitmaps (the second merges into already-DV'd files; no data
+    files written), a REORG PURGE materializes them preserving each
+    file's partitionValues, and the census reads back through a
+    PARTITION-PRUNED read (priorities ≥ '3' — the pruning happens in
+    the log, the oracle's WHERE replays it)."""
+    import shutil
+    import tempfile
+
+    from pyspark_anomaly_detection_spark.io.detach import detach_local
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="deltalite_dv_part_")
+    table = os.path.join(base, "orders_t")
+    try:
+        deltalite.write_delta(
+            orders, table, partition_by=["o_orderpriority"]
+        )
+        delete_delta_dv(spark, table, "o_orderkey % 7 = 0")
+        delete_delta_dv(spark, table, "o_orderkey % 11 = 3", storage="u")
+        purge_delta(spark, table)
+        pruned = deltalite.read_delta(spark, table).filter(
+            F.col("o_orderpriority") >= "3"
+        )
+        result = (
+            pruned.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return detach_local(result)  # ≤3 rows; detach before rmtree
     finally:
         shutil.rmtree(base, ignore_errors=True)

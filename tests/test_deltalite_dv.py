@@ -635,3 +635,104 @@ def test_stream_restart_across_purge_does_not_redeliver(spark, tmp_path):
     assert sorted(
         r.id for r in got.filter("_change_type = 'insert' and id >= 100").collect()
     ) == [100, 101, 102]
+
+
+# ----------------- round 13: deletion vectors x partitioned tables
+
+
+def _part_table(spark, t, n=12):
+    df = spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("side"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_delta(df, t, partition_by=["side"])
+
+
+@pytest.mark.parametrize("storage", ["i", "u"])
+def test_dv_delete_on_partitioned_table(spark, tmp_path, storage):
+    """DV delete on a partitioned table (round 13 — was a fail-loud
+    guard): no data files written, partition values intact on the
+    rewritten adds, reads subtract per partition group, time travel
+    sees pre-delete rows."""
+    t = str(tmp_path / "t")
+    _part_table(spark, t)
+    data_files_before = sorted(
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(t)
+        for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    )
+    out = delete_delta_dv(spark, t, "id % 3 = 0", storage=storage)
+    assert out["rows_deleted"] == 4  # ids 0,3,6,9
+    data_files_after = sorted(
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(t)
+        for n in ns
+        if n.endswith(".parquet") and "_delta_log" not in r
+    )
+    assert data_files_after == data_files_before  # merge-on-read
+    rows = {r.id: (r.side, r.v) for r in read_delta(spark, t).collect()}
+    assert set(rows) == {i for i in range(12) if i % 3 != 0}
+    for i, (side, v) in rows.items():
+        assert side == str(i % 2) and v == i * 2  # pv reinjected per group
+    # time travel before the delete
+    pre = read_delta(spark, t, version=0)
+    assert pre.count() == 12
+    # second delete merges bitmaps across the same files
+    out2 = delete_delta_dv(spark, t, "id = 1", storage=storage)
+    assert out2["rows_deleted"] == 1
+    assert {r.id for r in read_delta(spark, t).collect()} == {
+        i for i in range(12) if i % 3 != 0 and i != 1
+    }
+
+
+def test_dv_partitioned_predicate_guard(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _part_table(spark, t)
+    with pytest.raises(ValueError, match="partition column"):
+        delete_delta_dv(spark, t, "side = '0'")
+
+
+def test_dv_partitioned_cdf_carries_partition_values(spark, tmp_path):
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        read_delta_changes,
+    )
+
+    t = str(tmp_path / "t")
+    _part_table(spark, t)
+    v = delete_delta_dv(spark, t, "id % 4 = 1")["version"]  # ids 1,5,9
+    changes = read_delta_changes(spark, t, from_version=v - 1, to_version=v)
+    rows = [
+        (r.id, r.side, r._change_type) for r in changes.collect()
+    ]
+    assert sorted(rows) == [
+        (1, "1", "delete"), (5, "1", "delete"), (9, "1", "delete")
+    ]
+
+
+def test_dv_partitioned_purge(spark, tmp_path):
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        _snapshot_state,
+        optimize_delta,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import purge_delta
+
+    t = str(tmp_path / "t")
+    _part_table(spark, t)
+    delete_delta_dv(spark, t, "id % 3 = 0")
+    out = purge_delta(spark, t)
+    assert out["files_purged"] >= 1
+    snap = _snapshot_state(t)
+    assert not any(a.get("deletionVector") for a in snap.adds.values())
+    # every add still carries its partition value
+    assert all(
+        (a.get("partitionValues") or {}).get("side") in ("0", "1")
+        for a in snap.adds.values()
+    )
+    rows = {r.id: r.side for r in read_delta(spark, t).collect()}
+    assert set(rows) == {i for i in range(12) if i % 3 != 0}
+    assert all(rows[i] == str(i % 2) for i in rows)
+    # DV-free again: COW operations re-enabled
+    optimize_delta(spark, t)
+    assert read_delta(spark, t).count() == 8
