@@ -325,6 +325,7 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
     FROM m GROUP BY modality
     ORDER BY modality, decode_ok
     """,
+    python_lane=True,  # the mapInPandas decode IS the operator under test
 )
 def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: synthesize media from documents

@@ -456,6 +456,7 @@ def brute_force_topk_vectorized(
     ORDER BY query_id, rk
     """,
     headline=True,
+    python_lane=True,  # the Arrow-batched BLAS lane IS the operator
 )
 def q116_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BLAS lane, pinned (q37 dispatches; this always runs
