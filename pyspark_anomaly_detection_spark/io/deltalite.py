@@ -703,11 +703,11 @@ class _Snapshot:
         elif "add" in action:
             add = action["add"]
             dv = add.get("deletionVector")
-            if dv and dv.get("storageType") not in ("i", "u"):
+            if dv and dv.get("storageType") not in ("i", "u", "p"):
                 raise NotImplementedError(
-                    "deltalite: only inline ('i') and file-based ('u') "
-                    "deletion vectors are supported, got storageType "
-                    f"{dv.get('storageType')!r}"
+                    "deltalite: only inline ('i'), file-based ('u') and "
+                    "absolute-path ('p') deletion vectors are supported, "
+                    f"got storageType {dv.get('storageType')!r}"
                 )
             self.adds[add["path"]] = add
             self.tombstones.pop(add["path"], None)

@@ -71,12 +71,22 @@ def clone_delta(
         dv = add.get("deletionVector")
         if shallow:
             if dv and dv.get("storageType") == "u":
-                raise NotImplementedError(
-                    "deltalite: shallow CLONE of a table with file-based "
-                    "('u') deletion vectors — the DV paths are table-"
-                    "relative and would dangle; REORG PURGE first or use "
-                    "a deep clone"
+                # 'u' descriptors resolve table-relative and would
+                # dangle from the clone — rewrite to the spec's
+                # ABSOLUTE-path storage ('p') pointing at the source
+                # table's DV file (round 13; was a fail-loud guard).
+                # Offset/size/cardinality are unchanged: same file,
+                # same entry.
+                from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+                    _dv_file_path,
                 )
+
+                dv = dict(dv)
+                dv["storageType"] = "p"
+                dv["pathOrInlineDv"] = _dv_file_path(
+                    source_path, dv["pathOrInlineDv"]
+                )
+                add["deletionVector"] = dv
             add["path"] = os.path.abspath(os.path.join(source_path, rel))
         else:
             src_file = os.path.join(source_path, rel)
@@ -85,15 +95,23 @@ def clone_delta(
             shutil.copyfile(src_file, dst_file)
             bytes_copied += os.path.getsize(dst_file)
             if dv and dv.get("storageType") == "u":
-                dv_rel = dv["pathOrInlineDv"]
-                os.makedirs(
-                    os.path.dirname(os.path.join(target_path, dv_rel)),
-                    exist_ok=True,
+                # resolve the REAL DV file (pathOrInlineDv is a z85
+                # uuid token, not a path — copying it verbatim raised
+                # FileNotFoundError; latent bug fixed in round 13) and
+                # copy it to the same relative location so the 'u'
+                # descriptor keeps resolving inside the clone
+                from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+                    _dv_file_path,
                 )
-                shutil.copyfile(
-                    os.path.join(source_path, dv_rel),
-                    os.path.join(target_path, dv_rel),
+
+                src_dv = _dv_file_path(source_path, dv["pathOrInlineDv"])
+                dst_dv = os.path.join(
+                    target_path, os.path.relpath(src_dv, source_path)
                 )
+                os.makedirs(os.path.dirname(dst_dv), exist_ok=True)
+                if not os.path.exists(dst_dv):  # one file per commit
+                    shutil.copyfile(src_dv, dst_dv)
+                    bytes_copied += os.path.getsize(dst_dv)
         add["dataChange"] = True
         actions.append({"add": add})
     actions.append(

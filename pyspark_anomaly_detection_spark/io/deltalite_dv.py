@@ -174,14 +174,22 @@ def _decode_descriptor(
         return deserialize_roaring64(
             z85_decode(dv["pathOrInlineDv"], dv.get("sizeInBytes"))
         )
-    if st == "u":
+    if st in ("u", "p"):
         import zlib
 
-        if table_path is None:
-            raise ValueError(
-                "deltalite DV: decoding a 'u' descriptor needs table_path"
-            )
-        full = _dv_file_path(table_path, dv["pathOrInlineDv"])
+        if st == "p":
+            # absolute-path storage (spec 'p'): pathOrInlineDv IS the
+            # DV file's absolute path — shallow CLONEs of 'u'-DV
+            # tables emit these so the clone's descriptors keep
+            # resolving against the SOURCE table's DV file (round 13)
+            full = dv["pathOrInlineDv"]
+        else:
+            if table_path is None:
+                raise ValueError(
+                    "deltalite DV: decoding a 'u' descriptor needs "
+                    "table_path"
+                )
+            full = _dv_file_path(table_path, dv["pathOrInlineDv"])
         with open(full, "rb") as f:
             f.seek(int(dv.get("offset", 1)))
             (size,) = struct.unpack(">i", f.read(4))

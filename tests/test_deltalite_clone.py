@@ -164,3 +164,74 @@ def test_clone_partitioned_table(spark, tmp_path):
     got = read_delta(spark, tgt)
     assert got.count() == 20
     assert got.filter(F.col("p") == "0").count() == 10
+
+
+def test_shallow_clone_of_file_dv_table(spark, tmp_path):
+    """Shallow CLONE of a table with file-based ('u') deletion vectors
+    (round 13 — was a fail-loud guard): the clone's descriptors rewrite
+    to the spec's absolute-path storage ('p'), resolving against the
+    SOURCE table's DV file; reads subtract correctly and further DV
+    deletes on the clone leave the source untouched."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+        delete_delta_dv,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    write_delta(
+        spark.range(0, 20).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1),
+        src,
+    )
+    delete_delta_dv(spark, src, "id % 5 = 0", storage="u")
+    out = clone_delta(src, tgt, shallow=True)
+    assert out["bytes_copied"] == 0
+    # the clone reads the same DV-subtracted rows through 'p' descriptors
+    from pyspark_anomaly_detection_spark.io.deltalite import _snapshot_state
+
+    snap = _snapshot_state(tgt)
+    descs = [
+        a["deletionVector"]
+        for a in snap.adds.values()
+        if a.get("deletionVector")
+    ]
+    assert descs and all(d["storageType"] == "p" for d in descs)
+    assert all(d["pathOrInlineDv"].startswith("/") for d in descs)
+    got = {r.id for r in read_delta(spark, tgt).collect()}
+    assert got == {i for i in range(20) if i % 5 != 0}
+    # divergence: a further DV delete on the CLONE only
+    delete_delta_dv(spark, tgt, "id = 1")
+    assert {r.id for r in read_delta(spark, tgt).collect()} == {
+        i for i in range(20) if i % 5 != 0 and i != 1
+    }
+    assert {r.id for r in read_delta(spark, src).collect()} == {
+        i for i in range(20) if i % 5 != 0
+    }
+
+
+def test_deep_clone_of_file_dv_table(spark, tmp_path):
+    """Deep CLONE copies the spec-format DV FILE itself (resolved from
+    the z85 uuid token — copying the token as a path was a latent
+    FileNotFoundError) so the clone is self-contained: deleting the
+    source afterwards leaves the clone fully readable."""
+    import shutil
+
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+        delete_delta_dv,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    write_delta(
+        spark.range(0, 20).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1),
+        src,
+    )
+    delete_delta_dv(spark, src, "id % 5 = 0", storage="u")
+    out = clone_delta(src, tgt, shallow=False)
+    assert out["bytes_copied"] > 0
+    shutil.rmtree(src)  # the deep clone must not depend on the source
+    got = {r.id for r in read_delta(spark, tgt).collect()}
+    assert got == {i for i in range(20) if i % 5 != 0}
