@@ -371,11 +371,19 @@ def _rewrite_commit(
         }
         if cons:
             # constraints are stored in LOGICAL names; a mapped table's
-            # staged files carry physical names, so translate first
+            # staged files carry physical names, so translate first.
+            # recursiveFileLookup disables partition-directory inference:
+            # a partitioned MERGE's commit dir mixes flat rewrite groups
+            # (g0/…) with a hive-layout inserts/ tree, which inference
+            # rejects (CONFLICTING_DIRECTORY_STRUCTURES — round-13 bug
+            # surfaced by the generated-column × partition-move pin);
+            # constraints reference DATA columns only, which every
+            # staged file carries uniformly
+            reader = spark.read.option("recursiveFileLookup", "true")
             staged = (
-                spark.read.schema(cmio[0]).parquet(data_dir).toDF(*cmio[1])
+                reader.schema(cmio[0]).parquet(data_dir).toDF(*cmio[1])
                 if cmio is not None
-                else spark.read.parquet(data_dir)
+                else reader.parquet(data_dir)
             )
             enforce_check_constraints(staged, cons, operation)
 

@@ -684,3 +684,65 @@ def test_merge_clauses_on_partitioned_table(spark, tmp_path):
     assert rows[5] == ("1", 10)  # matched row untouched
     assert rows[200] == ("0", 400) and rows[201] == ("9", 402)
     assert all(side is not None for side, _ in rows.values())
+
+
+def test_merge_nmbs_with_identity_columns(spark, tmp_path):
+    """Composition pin: NOT MATCHED BY SOURCE DELETE on a table with a
+    GENERATED ALWAYS AS IDENTITY column — surviving rows keep their
+    allocated identity values, inserts allocate above the committed
+    mark, and the clause matrix composes in one commit."""
+    from pyspark_anomaly_detection_spark.io.deltalite import write_delta
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(10)], "k long, v long"
+        ).coalesce(1),
+        t,
+        identity_columns={"rid": {"start": 100, "step": 1}},
+    )
+    before = {r.k: r.rid for r in read_delta(spark, t).collect()}
+    src = spark.createDataFrame(
+        [(i, i * 100) for i in range(5, 12)], "k long, v long"
+    )
+    out = merge_delta(
+        spark, t, src, key="k", not_matched_by_source="delete"
+    )
+    assert out["rows_deleted_by_source"] == 5   # ks 0..4
+    assert out["rows_inserted"] == 2            # ks 10, 11
+    rows = {r.k: (r.v, r.rid) for r in read_delta(spark, t).collect()}
+    assert set(rows) == set(range(5, 12))
+    for k in range(5, 10):
+        assert rows[k] == (k * 100, before[k])  # identity stable
+    new_rids = {rows[k][1] for k in (10, 11)}
+    assert all(r > max(before.values()) for r in new_rids)  # above mark
+    assert len(new_rids) == 2
+
+
+def test_merge_partition_move_recomputes_generated(spark, tmp_path):
+    """Composition pin: a partition-MOVING merge on a table with a
+    generated column — the mover re-enters through the insert path and
+    its generated value recomputes from the UPDATED row."""
+    from pyspark_anomaly_detection_spark.io.deltalite import write_delta
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(0, 6).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("string").alias("side"),
+            (F.col("id") * 2).alias("v"),
+        ),
+        t,
+        partition_by=["side"],
+        generated_columns={"v2": "v * 10"},
+    )
+    src = spark.createDataFrame(
+        [(4, "1", 99)], "id long, side string, v long"
+    ).withColumn("v2", F.col("v") * 10)
+    out = merge_delta(spark, t, src, key="id")
+    assert out["rows_moved"] == 1
+    rows = {
+        r.id: (r.side, r.v, r.v2) for r in read_delta(spark, t).collect()
+    }
+    assert rows[4] == ("1", 99, 990)   # moved, updated, recomputed
+    assert rows[2] == ("0", 4, 40)     # untouched rows keep theirs
