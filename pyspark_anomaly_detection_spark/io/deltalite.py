@@ -118,19 +118,6 @@ def _read_commit(table_path: str, version: int) -> list[dict[str, Any]]:
         return [json.loads(line) for line in f if line.strip()]
 
 
-def _guard_no_dv(adds: "dict[str, dict[str, Any]]", what: str) -> None:
-    """Operations that re-read or re-write data files raw must refuse a
-    table whose adds carry deletion vectors — they would resurrect (or
-    silently drop) the DV-deleted rows.  Snapshot reads subtract DVs in
-    _read_adds; everything else gates here until taught otherwise."""
-    if any(a.get("deletionVector") for a in adds.values()):
-        raise NotImplementedError(
-            f"deltalite: {what} on a table with deletion vectors is not "
-            "supported — run a copy-on-write rewrite first or read via "
-            "read_delta"
-        )
-
-
 def _column_mapping_of(schema_json: "str | None") -> dict[str, str]:
     """logical → physical name map from the committed schema's field
     metadata; empty when the table is unmapped."""
@@ -1429,7 +1416,11 @@ def optimize_delta(
 
     target = target_file_bytes or TARGET_FILE_BYTES
     snap = _snapshot_state(table_path)
-    _guard_no_dv(snap.adds, "OPTIMIZE")  # raw rewrite would resurrect rows
+    # DV tables compose (round 14): the read below goes through
+    # read_delta, which subtracts every deletion vector, so the compacted
+    # rewrite materializes the deletes — logical content unchanged
+    # (dataChange stays false) and the new adds carry no DV, exactly a
+    # REORG PURGE folded into the compaction
     # column-mapped tables (verdict r10 item 2): read logical via
     # read_delta, rename logical → physical before the file write, and
     # z-order/stat on the PHYSICAL columns (the protocol keeps stats
@@ -1528,7 +1519,12 @@ def annotate_stats(table_path: str, cols: list[str]) -> int:
     false) — Delta's ``COMPUTE STATISTICS``-style backfill.  Returns the
     new version (or -1 when every active add already carries stats)."""
     snap = _snapshot_state(table_path)
-    _guard_no_dv(snap.adds, "annotate_stats")  # re-add would drop the DV
+    # DV tables compose (round 14): the re-add below copies the FULL
+    # prior add action — deletionVector descriptor included — so stats
+    # attach without dropping the bitmap.  Footer stats count PHYSICAL
+    # rows (deleted positions included), which per the protocol keeps
+    # min/max envelopes a SUPERSET of the live rows — data skipping in
+    # read_delta_pruned stays sound (it can only over-read, never drop).
     # stats of a mapped table key PHYSICAL column names (protocol rule);
     # callers pass logical names and we translate
     mapping = _column_mapping_of(snap.schema_json)
@@ -1598,7 +1594,6 @@ def read_delta_pruned(
     meta = {"files_total": len(active), "files_read": len(keep)}
     if not keep:
         return spark.createDataFrame([], schema), meta
-    reader = spark.read
     read_schema = schema
     if mapping and schema is not None:
         read_schema = StructType(
@@ -1607,9 +1602,33 @@ def read_delta_pruned(
                 for f in schema.fields
             ]
         )
-    if read_schema is not None:
-        reader = reader.schema(read_schema)
-    df = reader.parquet(*[os.path.join(table_path, rel) for rel in keep])
+    # DV-carrying kept files subtract their bitmaps (round 14: stats can
+    # now coexist with DVs, so the pruned read must not resurrect rows)
+    dv_keep = {
+        rel: latest_add[rel]
+        for rel in keep
+        if latest_add[rel].get("deletionVector")
+    }
+    plain = [rel for rel in keep if rel not in dv_keep]
+    pieces = []
+    if plain:
+        reader = spark.read
+        if read_schema is not None:
+            reader = reader.schema(read_schema)
+        pieces.append(
+            reader.parquet(*[os.path.join(table_path, rel) for rel in plain])
+        )
+    if dv_keep:
+        from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+            read_files_minus_dv,
+        )
+
+        pieces.append(
+            read_files_minus_dv(spark, table_path, dv_keep, read_schema)
+        )
+    df = pieces[0]
+    for p in pieces[1:]:
+        df = df.unionByName(p)
     if mapping and schema is not None:
         df = df.toDF(*[f.name for f in schema.fields])
     return df.filter((F.col(col) >= lo) & (F.col(col) <= hi)), meta

@@ -96,14 +96,62 @@ def _cm_io(snap):
     return phys_schema, logical, physical
 
 
-def _read_files(spark: SparkSession, table_path: str, rels, cmio) -> DataFrame:
-    """Raw read of data files as a LOGICAL-name frame (physical-schema
-    read + rename when the table is column-mapped)."""
-    paths = [os.path.join(table_path, rel) for rel in rels]
-    if cmio is None:
-        return spark.read.parquet(*paths)
-    phys_schema, logical, _ = cmio
-    return spark.read.schema(phys_schema).parquet(*paths).toDF(*logical)
+def _read_files(
+    spark: SparkSession,
+    table_path: str,
+    rels,
+    cmio,
+    snap=None,
+    file_col: "str | None" = None,
+) -> DataFrame:
+    """Read data files as a LOGICAL-name frame (physical-schema read +
+    rename when the table is column-mapped), subtracting any DELETION
+    VECTORS carried by the snapshot's adds (round 14: COW DML runs on
+    DV tables by reading touched files THROUGH their bitmaps — the
+    rewrite then drops the file's DV in the same commit).  ``file_col``
+    appends each row's source-file path (URI for plain files, normalized
+    absolute path for DV files — ``_scan_file_to_local`` handles both)
+    for the touched-file scans."""
+    dv_map = (
+        {
+            r: snap.adds[r]
+            for r in rels
+            if (snap.adds.get(r) or {}).get("deletionVector")
+        }
+        if snap is not None
+        else {}
+    )
+    plain = [r for r in rels if r not in dv_map]
+    phys_schema = logical = None
+    if cmio is not None:
+        phys_schema, logical, _ = cmio
+    pieces: list[DataFrame] = []
+    if plain:
+        paths = [os.path.join(table_path, rel) for rel in plain]
+        if cmio is None:
+            df = spark.read.parquet(*paths)
+        else:
+            df = spark.read.schema(phys_schema).parquet(*paths).toDF(*logical)
+        if file_col:
+            df = df.withColumn(file_col, F.input_file_name())
+        pieces.append(df)
+    if dv_map:
+        from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+            read_files_minus_dv,
+        )
+
+        df = read_files_minus_dv(
+            spark, table_path, dv_map, phys_schema, file_col=file_col
+        )
+        if cmio is not None:
+            # physical → logical; the optional file column trails the
+            # schema fields (read_files_minus_dv appends it last)
+            df = df.toDF(*(logical + ([file_col] if file_col else [])))
+        pieces.append(df)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _to_physical(df: DataFrame, cmio) -> DataFrame:
@@ -177,30 +225,39 @@ def _guard_partition_columns(predicate: str, part_cols: list[str]) -> None:
             )
 
 
+def _resolved_add_keys(table_path: str, rels) -> dict[str, str]:
+    """Resolved absolute file path → add key, for mapping scan-reported
+    file paths back to the log's add actions.  Handles both relative
+    adds and the ABSOLUTE adds a shallow CLONE commits (ADVICE r13: the
+    MERGE scans used ``os.path.relpath`` instead, so MERGE on a shallow
+    clone crashed with a KeyError while DELETE/UPDATE worked)."""
+    return {
+        os.path.abspath(os.path.join(table_path, rel)): rel for rel in rels
+    }
+
+
 def _touched_files(
     spark: SparkSession,
     table_path: str,
     files: list[str],
     predicate: str,
     cmio=None,
+    snap=None,
 ) -> list[str]:
-    """Relative paths of active files containing at least one row
-    matching ``predicate`` — one distributed scan, driver result bounded
-    by file count."""
+    """Relative paths of active files containing at least one LIVE row
+    matching ``predicate`` (deletion-vector rows excluded) — one
+    distributed scan, driver result bounded by file count."""
     if not files:
         return []
     scan = (
-        _read_files(spark, table_path, files, cmio)
-        .withColumn("_dml_file", F.input_file_name())
+        _read_files(
+            spark, table_path, files, cmio, snap=snap, file_col="_dml_file"
+        )
         .filter(F.expr(predicate))
         .select("_dml_file")
         .distinct()
     )
-    # map resolved paths back to their ADD KEYS (handles both relative
-    # adds and the absolute adds a shallow CLONE commits)
-    resolved = {
-        os.path.abspath(os.path.join(table_path, rel)): rel for rel in files
-    }
+    resolved = _resolved_add_keys(table_path, files)
     out = []
     for r in scan.collect():
         path = _scan_file_to_local(r._dml_file)
@@ -307,7 +364,12 @@ def _rewrite_commit(
         return written
 
     for i, (pv_items, rels) in enumerate(sorted(groups.items())):
-        piece = _read_files(spark, table_path, rels, cmio)
+        # DV-carrying touched files are read THROUGH their bitmaps: the
+        # rewrite materializes the deletes, and the remove+add drops the
+        # file's DV in this same commit (round 14 — real Delta's COW-on-
+        # DV-table behavior; the guard that forced a REORG PURGE first
+        # is gone)
+        piece = _read_files(spark, table_path, rels, cmio, snap=snap)
         kept = (
             transform(piece, dict(pv_items))
             if transform_with_pv
@@ -426,12 +488,13 @@ def delete_delta(
     containing matching rows.  Returns {'version', 'files_rewritten',
     'files_added', 'files_untouched', 'rows_deleted'}."""
     snap = _snapshot_state(table_path)
-    deltalite._guard_no_dv(snap.adds, "copy-on-write DELETE")
     cmio = _cm_io(snap)
     if snap.part_cols:
         _guard_partition_columns(predicate, snap.part_cols)
     active = sorted(snap.adds)
-    touched = _touched_files(spark, table_path, active, predicate, cmio)
+    touched = _touched_files(
+        spark, table_path, active, predicate, cmio, snap=snap
+    )
     if not touched:
         return {
             "version": snap.version,
@@ -441,7 +504,7 @@ def delete_delta(
             "rows_deleted": 0,
         }
     n_match = (
-        _read_files(spark, table_path, touched, cmio)
+        _read_files(spark, table_path, touched, cmio, snap=snap)
         .filter(F.expr(predicate))
         .count()
     )
@@ -470,7 +533,6 @@ def update_delta(
     expression) to the matching rows and passing the rest through
     unchanged."""
     snap = _snapshot_state(table_path)
-    deltalite._guard_no_dv(snap.adds, "copy-on-write UPDATE")
     cmio = _cm_io(snap)
     from pyspark_anomaly_detection_spark.io.deltalite_generated import (
         generated_columns_of,
@@ -502,7 +564,9 @@ def update_delta(
                     f"cannot UPDATE partition column '{col}'"
                 )
     active = sorted(snap.adds)
-    touched = _touched_files(spark, table_path, active, predicate, cmio)
+    touched = _touched_files(
+        spark, table_path, active, predicate, cmio, snap=snap
+    )
     if not touched:
         return {
             "version": snap.version,
@@ -511,7 +575,7 @@ def update_delta(
             "rows_updated": 0,
         }
     n_match = (
-        _read_files(spark, table_path, touched, cmio)
+        _read_files(spark, table_path, touched, cmio, snap=snap)
         .filter(F.expr(predicate))
         .count()
     )
@@ -631,7 +695,6 @@ def merge_delta(
             "MERGE (Delta rejects this too)"
         )
     snap = _snapshot_state(table_path)
-    deltalite._guard_no_dv(snap.adds, "MERGE")
     from pyspark_anomaly_detection_spark.io.deltalite_identity import (
         identity_columns_of,
     )
@@ -674,14 +737,23 @@ def merge_delta(
         _bcast = (
             F.broadcast if n_src <= 1_000_000 else (lambda df: df)
         )
-        # one scan finds the files holding matched keys
+        # one scan finds the files holding matched LIVE keys (DV rows
+        # excluded); scan paths map back through the resolved-abspath →
+        # add-key table so shallow-clone absolute adds resolve too
+        resolved = _resolved_add_keys(table_path, active)
         touched: list[str] = []
         n_matched = 0
         n_matched_keys = 0
         if active and n_src:
             scan = (
-                _read_files(spark, table_path, active, cmio)
-                .withColumn("_dml_file", F.input_file_name())
+                _read_files(
+                    spark,
+                    table_path,
+                    active,
+                    cmio,
+                    snap=snap,
+                    file_col="_dml_file",
+                )
                 .join(_bcast(src.select(key)), key, "left_semi")
             )
             agg = scan.agg(
@@ -692,7 +764,7 @@ def merge_delta(
             n_matched_keys = agg.nk
             for r in scan.select("_dml_file").distinct().collect():
                 p = _scan_file_to_local(r._dml_file)
-                touched.append(os.path.relpath(p, table_path))
+                touched.append(resolved[os.path.abspath(p)])
             touched.sort()
         target_cols = [
             f.name
@@ -779,8 +851,14 @@ def merge_delta(
                 )
             if active:
                 nscan = (
-                    _read_files(spark, table_path, active, cmio)
-                    .withColumn("_dml_file", F.input_file_name())
+                    _read_files(
+                        spark,
+                        table_path,
+                        active,
+                        cmio,
+                        snap=snap,
+                        file_col="_dml_file",
+                    )
                     .join(_bcast(src.select(key)), key, "left_anti")
                 )
                 if not_matched_by_source_condition is not None:
@@ -791,7 +869,7 @@ def merge_delta(
                 if n_nmbs:
                     for r in nscan.select("_dml_file").distinct().collect():
                         p = _scan_file_to_local(r._dml_file)
-                        nmbs_touched.append(os.path.relpath(p, table_path))
+                        nmbs_touched.append(resolved[os.path.abspath(p)])
                     nmbs_touched.sort()
 
         part_types: dict[str, Any] = {}
@@ -884,7 +962,7 @@ def merge_delta(
                 n_affected = n_matched
             else:
                 n_affected = (
-                    _read_files(spark, table_path, touched, cmio)
+                    _read_files(spark, table_path, touched, cmio, snap=snap)
                     .join(marked, key, "inner")
                     .filter(F.coalesce(cond_col, F.lit(False)))
                     .count()
@@ -958,9 +1036,9 @@ def merge_delta(
         if not insert:
             inserts = None
         elif touched:
-            tgt_keys = _read_files(spark, table_path, touched, cmio).select(
-                key
-            )
+            tgt_keys = _read_files(
+                spark, table_path, touched, cmio, snap=snap
+            ).select(key)
             inserts = src.select(*insert_cols).join(
                 tgt_keys, key, "left_anti"
             )

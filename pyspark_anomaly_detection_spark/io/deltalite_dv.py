@@ -238,9 +238,13 @@ def read_files_minus_dv(
     table_path: str,
     dv_adds: dict[str, dict[str, Any]],
     schema,
+    file_col: "str | None" = None,
 ) -> DataFrame:
     """Read DV-carrying data files with their deleted rows subtracted
-    (anti-join on (file, row_index))."""
+    (anti-join on (file, row_index)).  ``file_col`` keeps the source
+    file's NORMALIZED absolute path as a trailing column — the COW DML
+    touched-file scan needs it (round 14: DML runs on DV tables by
+    reading THROUGH the bitmap)."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -258,9 +262,10 @@ def read_files_minus_dv(
     )
     if total_card <= DV_BROADCAST_MAX_ROWS:
         pos = F.broadcast(pos)
-    return df.join(pos, ["_dv_f", "_dv_i"], "left_anti").drop(
-        "_dv_f", "_dv_i"
-    )
+    out = df.join(pos, ["_dv_f", "_dv_i"], "left_anti").drop("_dv_i")
+    if file_col:
+        return out.withColumnRenamed("_dv_f", file_col)
+    return out.drop("_dv_f")
 
 
 def dv_diff_rows(
@@ -805,5 +810,93 @@ def q236_deltalite_dv_partitioned(
             .orderBy("o_orderpriority")
         )
         return detach_local(result)  # ≤3 rows; detach before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q237_deltalite_dv_dml_census",
+    # Closed form per key (lifecycle in the docstring): %11 keys end at
+    # base+100 whether they were live (matched UPDATE) or DV-deleted
+    # (re-INSERT through the not-matched branch); other live keys keep
+    # base plus the +1.0 COW-update bump when %5==0; %7 keys not
+    # resurrected by the merge stay deleted.
+    oracle="""
+    WITH f AS (
+      SELECT o_orderpriority AS pr,
+        CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 100.0
+             ELSE o_totalprice + CASE WHEN o_orderkey % 5 = 0
+                                      THEN 1.0 ELSE 0.0 END
+        END AS price
+      FROM orders
+      WHERE o_orderkey % 7 <> 0 OR o_orderkey % 11 = 0
+    )
+    SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM f GROUP BY pr ORDER BY pr
+    """,
+)
+def q237_deltalite_dv_dml_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deletion-vector × DML lifecycle (round 14 — verdict r13 item 1):
+    orders lands in three appends, a merge-on-read DELETE bitmaps every
+    7th key, a copy-on-write UPDATE bumps every live 5th key's price by
+    1.0 — the rewrite reads touched files THROUGH their bitmaps and
+    drops those files' DVs in the same commit — and a MERGE upserts
+    every 11th key at base+100: live ones match and update, DV-deleted
+    ones (%77 keys) are NOT matched and re-insert.  The census
+    hash-checks the closed form, proving deletes never resurrect
+    through rewrites, bitmap subtraction composes with the merge's
+    matched/not-matched split, and untouched files keep their DVs."""
+    import shutil
+    import tempfile
+
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+        merge_delta,
+        update_delta,
+    )
+    from pyspark_anomaly_detection_spark.io.detach import detach_local
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="deltalite_dv_dml_")
+    table = os.path.join(base, "orders_t")
+    try:
+        for third in (0, 1, 2):
+            deltalite.write_delta(
+                orders.filter(F.col("o_orderkey") % 3 == third),
+                table,
+                mode="append",
+            )
+        delete_delta_dv(spark, table, "o_orderkey % 7 = 0")
+        update_delta(
+            spark,
+            table,
+            "o_orderkey % 5 = 0",
+            {"o_totalprice": "o_totalprice + 1.0"},
+        )
+        merge_delta(
+            spark,
+            table,
+            orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 100.0
+            ),
+            key="o_orderkey",
+        )
+        result = (
+            deltalite.read_delta(spark, table)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return detach_local(result)  # ≤5 rows; detach before rmtree
     finally:
         shutil.rmtree(base, ignore_errors=True)

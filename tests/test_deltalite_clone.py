@@ -235,3 +235,40 @@ def test_deep_clone_of_file_dv_table(spark, tmp_path):
     shutil.rmtree(src)  # the deep clone must not depend on the source
     got = {r.id for r in read_delta(spark, tgt).collect()}
     assert got == {i for i in range(20) if i % 5 != 0}
+
+
+def test_merge_on_shallow_clone(spark, tmp_path):
+    """ADVICE r13: MERGE's scans mapped scanned files back with
+    relpath instead of the resolved-abspath → add-key table, so MERGE
+    on a shallow clone (absolute add paths) crashed with a KeyError
+    while DELETE/UPDATE worked.  The full clause mix must run on a
+    clone and leave the source untouched."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import merge_delta
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    write_delta(
+        spark.range(0, 20)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .coalesce(1),
+        src,
+    )
+    clone_delta(src, tgt)
+    source = spark.createDataFrame(
+        [(3, 333), (30, 3030)], "id long, v long"
+    )
+    out = merge_delta(
+        spark,
+        tgt,
+        source,
+        key="id",
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="id >= 15",
+    )
+    assert out["rows_matched"] == 1 and out["rows_inserted"] == 1
+    assert out["rows_deleted_by_source"] == 5
+    rows = {r.id: r.v for r in read_delta(spark, tgt).collect()}
+    assert sorted(rows) == list(range(15)) + [30]
+    assert rows[3] == 333 and rows[30] == 3030
+    # source table byte-identical
+    assert {r.id for r in read_delta(spark, src).collect()} == set(range(20))

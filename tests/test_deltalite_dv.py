@@ -1,7 +1,8 @@
 """Deletion vectors: roaring/Z85 codec round-trips, merge-on-read
 DELETE semantics (no data files written, DV merge, time travel), the
-DV-subtracting reader, and the fail-loud guards on operations that
-would corrupt a DV table."""
+DV-subtracting reader, and (round 14) the DV × DML composition — COW
+DELETE/UPDATE/MERGE, OPTIMIZE and stats backfill all run on DV tables
+by reading touched files through their bitmaps."""
 
 from __future__ import annotations
 
@@ -124,19 +125,129 @@ def test_dv_noop_when_nothing_matches(spark, tmp_path):
     assert read_delta(spark, t).count() == 30
 
 
-def test_dv_guards_fail_loud(spark, tmp_path):
-    """Operations that would re-write or re-add DV-carrying files raw
-    still refuse; the CDF surfaces (batch + stream) are DV-aware as of
-    r11 and covered by their own row-level-delta tests below."""
+def _active_adds(t):
+    from pyspark_anomaly_detection_spark.io.deltalite import _snapshot_state
+
+    return _snapshot_state(t).adds
+
+
+def test_cow_delete_on_dv_table(spark, tmp_path):
+    """Round 14 (verdict r13 item 1): copy-on-write DELETE runs on a DV
+    table — the rewrite reads touched files THROUGH their bitmaps (no
+    resurrection), drops each touched file's DV in the same commit, and
+    counts only LIVE matching rows."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import delete_delta
+
+    t = str(tmp_path / "t")
+    _build(spark, t)  # ids 0..29 in 3 files of 10
+    delete_delta_dv(spark, t, "id % 10 = 7")  # every file gets a DV
+    out = delete_delta(spark, t, "id % 3 = 0")
+    # live matches: multiples of 3 minus the DV-deleted 27 → 9 rows
+    assert out["rows_deleted"] == 9
+    assert out["files_rewritten"] == 3  # every file has a live match
+    ids = sorted(r.id for r in read_delta(spark, t).collect())
+    assert ids == [i for i in range(30) if i % 10 != 7 and i % 3 != 0]
+    # every rewrite materialized its bitmap: no DV survives
+    assert not any(
+        a.get("deletionVector") for a in _active_adds(t).values()
+    )
+    # a file with NO live match stays untouched and keeps its DV
+    t2 = str(tmp_path / "t2")
+    _build(spark, t2)
+    delete_delta_dv(spark, t2, "id < 10")  # file 0 fully DV-deleted
+    out2 = delete_delta(spark, t2, "id % 3 = 0")
+    assert out2["files_rewritten"] == 2 and out2["rows_deleted"] == 6
+    assert (
+        sum(1 for a in _active_adds(t2).values() if a.get("deletionVector"))
+        == 1
+    )
+
+
+def test_cow_update_on_dv_table(spark, tmp_path):
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import update_delta
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id % 10 = 7")  # 7, 17, 27 deleted
+    out = update_delta(spark, t, "id % 5 = 0", {"v": "v + 1000"})
+    assert out["rows_updated"] == 6  # 0,5,10,15,20,25 all live
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert sorted(rows) == [i for i in range(30) if i % 10 != 7]
+    for i, v in rows.items():
+        assert v == i * 2 + (1000 if i % 5 == 0 else 0)
+    # every touched file's DV dropped with the rewrite
+    assert not any(
+        a.get("deletionVector") for a in _active_adds(t).values()
+    )
+
+
+def test_merge_on_dv_table_deleted_rows_do_not_match(spark, tmp_path):
+    """A DV-deleted key is NOT a matched row: MERGE re-inserts it via
+    the not-matched branch, exactly as real Delta's merge-on-read
+    semantics dictate."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import merge_delta
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id >= 20")  # file 2 fully DV-deleted
+    src = spark.createDataFrame(
+        [(5, 555), (25, 2525), (40, 4040)], "id long, v long"
+    )
+    out = merge_delta(spark, t, src, key="id")
+    assert out["rows_matched"] == 1  # only 5 is live
+    assert out["rows_inserted"] == 2  # 25 (DV-deleted) and 40
+    rows = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert sorted(rows) == list(range(20)) + [25, 40]
+    assert rows[5] == 555 and rows[25] == 2525 and rows[40] == 4040
+    assert rows[6] == 12  # untouched live row passes through
+
+
+def test_optimize_on_dv_table_materializes_bitmaps(spark, tmp_path):
+    """OPTIMIZE on a DV table compacts through the bitmaps: deleted
+    rows vanish physically, no DV survives, dataChange stays false
+    (logical content unchanged)."""
+    from pyspark_anomaly_detection_spark.io.deltalite import optimize_delta
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id % 10 = 7")
+    out = optimize_delta(spark, t)
+    assert out["files_before"] == 3
+    ids = sorted(r.id for r in read_delta(spark, t).collect())
+    assert ids == [i for i in range(30) if i % 10 != 7]
+    assert not any(
+        a.get("deletionVector") for a in _active_adds(t).values()
+    )
+
+
+def test_annotate_stats_preserves_dv(spark, tmp_path):
+    """Stats backfill on a DV table re-adds files WITH their bitmaps
+    (physical min/max envelopes stay a superset of live rows, so
+    skipping can only over-read)."""
     from pyspark_anomaly_detection_spark.io.deltalite import (
         annotate_stats,
-        optimize_delta,
+        read_delta_pruned,
     )
-    from pyspark_anomaly_detection_spark.io.deltalite_dml import (
-        delete_delta,
-        merge_delta,
-        update_delta,
-    )
+
+    t = str(tmp_path / "t")
+    _build(spark, t)
+    delete_delta_dv(spark, t, "id % 10 = 7")
+    v = annotate_stats(t, ["id"])
+    assert v > 0
+    adds = _active_adds(t)
+    assert all("stats" in a for a in adds.values())
+    assert sum(1 for a in adds.values() if a.get("deletionVector")) == 3
+    df, meta = read_delta_pruned(spark, t, "id", 10, 19)
+    assert meta["files_read"] == 1  # skipping still prunes
+    assert sorted(r.id for r in df.collect()) == [
+        i for i in range(10, 20) if i % 10 != 7
+    ]
+
+
+def test_dv_table_plain_stream_still_refuses(spark, tmp_path):
+    """The plain (non-CDF, non-ignoreChanges) streaming source still
+    refuses a DV commit at planning time via the non-append guard —
+    retractions cannot stream as appends."""
     from pyspark_anomaly_detection_spark.io.deltalite_stream import (
         read_deltalite_stream,
     )
@@ -144,23 +255,6 @@ def test_dv_guards_fail_loud(spark, tmp_path):
     t = str(tmp_path / "t")
     _build(spark, t)
     delete_delta_dv(spark, t, "id = 3")
-    with pytest.raises(NotImplementedError):
-        optimize_delta(spark, t)
-    with pytest.raises(NotImplementedError):
-        annotate_stats(t, ["id"])
-    with pytest.raises(NotImplementedError):
-        delete_delta(spark, t, "id = 4")
-    with pytest.raises(NotImplementedError):
-        update_delta(spark, t, "id = 4", {"v": "v + 1"})
-    with pytest.raises(NotImplementedError):
-        merge_delta(
-            spark,
-            t,
-            spark.createDataFrame([(4, 44)], "id long, v long"),
-            key="id",
-        )
-    # the plain (non-CDF, non-ignoreChanges) streaming source refuses
-    # the DV commit at planning time via the non-append guard
     ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
     q = (
         read_deltalite_stream(spark, t)
