@@ -1045,7 +1045,17 @@ def _read_adds(
     partition values (the data files of a partitioned table do NOT
     contain the partition columns — readers reconstruct them from
     ``add.partitionValues``, exactly as Delta does).  One read per
-    distinct partition tuple, unioned — bounded by partition count."""
+    distinct partition tuple, unioned — bounded by partition count.
+
+    ONE generic path (round 14): column mapping, hive partitioning and
+    deletion vectors all COMPOSE.  Files are read in PHYSICAL space
+    (data columns only — partition columns never live in files), DV
+    bitmaps subtract per group, names rename physical → logical, and
+    the group's partition values reinject.  Per the protocol's column-
+    mapping rule, a mapped table's ``add.partitionValues`` are keyed by
+    PHYSICAL partition-column names ('Track partition values ... with
+    the physical name of the column in the transaction log');
+    ``metaData.partitionColumns`` stays logical."""
     from pyspark.sql.types import StructField, StructType
 
     schema = (
@@ -1055,88 +1065,45 @@ def _read_adds(
         return spark.createDataFrame([], schema)
     dv_adds = {r: a for r, a in adds.items() if a.get("deletionVector")}
     mapping = _column_mapping_of(schema_json)
-    if mapping:
-        if part_cols:
-            raise NotImplementedError(
-                "deltalite: column mapping combined with partitions is "
-                "not supported"
-            )
-        phys_schema = StructType(
+    data_fields = (
+        [f for f in schema.fields if f.name not in part_cols]
+        if schema is not None
+        else None
+    )
+    read_schema = None
+    if data_fields is not None:
+        read_schema = StructType(
             [
                 StructField(
                     mapping.get(f.name, f.name), f.dataType, f.nullable
                 )
-                for f in schema.fields
+                for f in data_fields
             ]
+            if mapping
+            else data_fields
         )
-        logical = [f.name for f in schema.fields]
-        pieces = []
-        plain = [r for r in sorted(adds) if r not in dv_adds]
-        if plain:
-            pieces.append(
-                spark.read.schema(phys_schema)
-                .parquet(*[os.path.join(table_path, rel) for rel in plain])
-                .toDF(*logical)
-            )
-        if dv_adds:
-            # DV subtraction runs in PHYSICAL space (files + bitmaps are
-            # per physical file), then renames to logical (r11)
-            from pyspark_anomaly_detection_spark.io.deltalite_dv import (
-                read_files_minus_dv,
-            )
-
-            pieces.append(
-                read_files_minus_dv(
-                    spark, table_path, dv_adds, phys_schema
-                ).toDF(*logical)
-            )
-        out = pieces[0]
-        for p in pieces[1:]:
-            out = out.unionByName(p)
-        return out
-    if not part_cols:
-        plain = [r for r in sorted(adds) if r not in dv_adds]
-        pieces = []
-        if plain:
-            reader = spark.read
-            if schema is not None:
-                reader = reader.schema(schema)
-            pieces.append(
-                reader.parquet(
-                    *[os.path.join(table_path, rel) for rel in plain]
-                )
-            )
-        if dv_adds:
-            from pyspark_anomaly_detection_spark.io.deltalite_dv import (
-                read_files_minus_dv,
-            )
-
-            pieces.append(
-                read_files_minus_dv(spark, table_path, dv_adds, schema)
-            )
-        out = pieces[0]
-        for p in pieces[1:]:
-            out = out.unionByName(p)
-        return out
-    data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+    logical_data = (
+        [f.name for f in data_fields] if data_fields is not None else None
     )
+
     by_part: dict[tuple, list[str]] = {}
     for rel in sorted(adds):
         pv = adds[rel].get("partitionValues", {})
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(mapping.get(c, c)) for c in part_cols)
         by_part.setdefault(key, []).append(rel)
+
     parts = []
-    for key, rels in sorted(by_part.items()):
-        # DV × partitions (round 13): subtract bitmaps per partition
-        # group — data files carry no partition columns, so the DV
-        # anti-join runs on the data schema and the group's partition
-        # values reinject afterward, exactly like the plain read
+    for key, rels in sorted(
+        by_part.items(), key=lambda kv: tuple(map(str, kv[0]))
+    ):
         plain = [r for r in rels if r not in dv_adds]
         pieces = []
         if plain:
+            reader = spark.read
+            if read_schema is not None:
+                reader = reader.schema(read_schema)
             pieces.append(
-                spark.read.schema(data_schema).parquet(
+                reader.parquet(
                     *[os.path.join(table_path, rel) for rel in plain]
                 )
             )
@@ -1148,16 +1115,20 @@ def _read_adds(
 
             pieces.append(
                 read_files_minus_dv(
-                    spark, table_path, group_dv, data_schema
+                    spark, table_path, group_dv, read_schema
                 )
             )
         df = pieces[0]
         for p in pieces[1:]:
             df = df.unionByName(p)
+        if mapping and logical_data is not None:
+            df = df.toDF(*logical_data)
         for col, val in zip(part_cols, key):
             ftype = schema[col].dataType
             df = df.withColumn(col, F.lit(val).cast(ftype))
-        parts.append(df.select(*[f.name for f in schema.fields]))
+        if schema is not None:
+            df = df.select(*[f.name for f in schema.fields])
+        parts.append(df)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1193,11 +1164,14 @@ def read_delta(
             raise ValueError(
                 f"partition_filter on non-partition columns: {sorted(unknown)}"
             )
+        # callers filter by LOGICAL names; a mapped table's
+        # partitionValues are keyed physically (round 14)
+        mapping = _column_mapping_of(schema_json)
         adds = {
             rel: a
             for rel, a in adds.items()
             if all(
-                a.get("partitionValues", {}).get(c) == v
+                a.get("partitionValues", {}).get(mapping.get(c, c)) == v
                 for c, v in partition_filter.items()
             )
         }
@@ -1407,7 +1381,19 @@ def optimize_delta(
     per-file min/max ``stats`` for BOTH columns in the SAME commit, so
     :func:`read_delta_pruned` skips files for predicates on either
     dimension immediately — clustering and skipping stats land
-    atomically, exactly like the real OPTIMIZE ZORDER."""
+    atomically, exactly like the real OPTIMIZE ZORDER.
+
+    PARTITIONED tables compact PER PARTITION (round 14 — the flat
+    rewrite committed ``partitionValues: {}``, silently NULLing the
+    partition columns on read): each partition group's files rewrite
+    into their own ``ceil(group_bytes/target)`` files re-stamped with
+    the group's partition tuple, exactly real OPTIMIZE's
+    partition-local scope (and z-ordering clusters WITHIN partitions).
+    DV-carrying files are read through their bitmaps (the compaction
+    doubles as REORG PURGE); column-mapped files rewrite
+    physical-to-physical with stats keyed by physical names."""
+    from pyspark.sql.types import StructField, StructType
+
     from pyspark_anomaly_detection_spark.io.maintenance import (
         TARGET_FILE_BYTES,
         plan_file_count,
@@ -1416,61 +1402,115 @@ def optimize_delta(
 
     target = target_file_bytes or TARGET_FILE_BYTES
     snap = _snapshot_state(table_path)
-    # DV tables compose (round 14): the read below goes through
-    # read_delta, which subtracts every deletion vector, so the compacted
-    # rewrite materializes the deletes — logical content unchanged
-    # (dataChange stays false) and the new adds carry no DV, exactly a
-    # REORG PURGE folded into the compaction
-    # column-mapped tables (verdict r10 item 2): read logical via
-    # read_delta, rename logical → physical before the file write, and
-    # z-order/stat on the PHYSICAL columns (the protocol keeps stats
-    # under physical names when mapping is enabled)
     mapping = _column_mapping_of(snap.schema_json)
     current = snap.version
-    active = set(snap.adds)
+    active = snap.adds
     if not active:
         return {"version": current, "files_before": 0, "files_after": 0}
-    total = sum(
-        os.path.getsize(os.path.join(table_path, rel)) for rel in active
+    if zorder_by:
+        for c in zorder_by:
+            if c in snap.part_cols:
+                raise ValueError(
+                    f"deltalite OPTIMIZE: cannot ZORDER BY partition "
+                    f"column '{c}' — it lives in the log, not the files"
+                )
+    schema = (
+        StructType.fromJson(json.loads(snap.schema_json))
+        if snap.schema_json
+        else None
     )
-    n_files = plan_file_count(total, target)
-    df = read_delta(spark, table_path, version=current)
-    if mapping:
-        df = df.toDF(*[mapping.get(c, c) for c in df.columns])
+    data_schema = (
+        StructType(
+            [f for f in schema.fields if f.name not in snap.part_cols]
+        )
+        if schema is not None
+        else None
+    )
+    if mapping and data_schema is not None:
+        data_schema = StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in data_schema.fields
+            ]
+        )
     zcols = (
         tuple(mapping.get(c, c) for c in zorder_by) if mapping and zorder_by
         else zorder_by
     )
 
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in active.items():
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(tuple(sorted(pv.items())), []).append(rel)
+
     version = current + 1
     commit_dir = f"part-{version:05d}-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_path, commit_dir)
-    if zcols:
-        write_zordered(df, data_dir, zcols[0], zcols[1], n_files)
-    else:
-        df.repartition(n_files).write.mode("error").parquet(data_dir)
-
     actions: list[dict[str, Any]] = []
     for rel in sorted(active):
         actions.append({"remove": {"path": rel, "dataChange": False}})
-    for name in sorted(os.listdir(data_dir)):
-        if name.endswith(".parquet"):
-            rel = f"{commit_dir}/{name}"
-            add = {
-                "path": rel,
-                "partitionValues": {},
-                "size": os.path.getsize(os.path.join(data_dir, name)),
-                "modificationTime": 0,
-                "dataChange": False,
-            }
-            if zcols:
-                add["stats"] = json.dumps(
-                    _file_stats(
-                        os.path.join(data_dir, name), list(zcols)
-                    ),
-                    separators=(",", ":"),
+    for i, (pv_items, rels) in enumerate(sorted(groups.items())):
+        dv_rels = {
+            r: active[r] for r in rels if active[r].get("deletionVector")
+        }
+        plain = [r for r in rels if r not in dv_rels]
+        pieces = []
+        if plain:
+            reader = spark.read
+            if data_schema is not None:
+                reader = reader.schema(data_schema)
+            pieces.append(
+                reader.parquet(
+                    *[os.path.join(table_path, r) for r in plain]
                 )
-            actions.append({"add": add})
+            )
+        if dv_rels:
+            from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+                read_files_minus_dv,
+            )
+
+            pieces.append(
+                read_files_minus_dv(spark, table_path, dv_rels, data_schema)
+            )
+        df = pieces[0]
+        for p in pieces[1:]:
+            df = df.unionByName(p)
+        group_bytes = sum(
+            active[r].get("size")
+            or os.path.getsize(os.path.join(table_path, r))
+            for r in rels
+        )
+        n_files = plan_file_count(group_bytes, target)
+        subdir = f"g{i}" if snap.part_cols else ""
+        out_dir = os.path.join(data_dir, subdir) if subdir else data_dir
+        if zcols:
+            write_zordered(df, out_dir, zcols[0], zcols[1], n_files)
+        else:
+            df.repartition(n_files).write.mode("error").parquet(out_dir)
+        for name in sorted(os.listdir(out_dir)):
+            if name.endswith(".parquet"):
+                rel = (
+                    f"{commit_dir}/{subdir}/{name}"
+                    if subdir
+                    else f"{commit_dir}/{name}"
+                )
+                add = {
+                    "path": rel,
+                    "partitionValues": dict(pv_items),
+                    "size": os.path.getsize(os.path.join(out_dir, name)),
+                    "modificationTime": 0,
+                    "dataChange": False,
+                }
+                if zcols:
+                    add["stats"] = json.dumps(
+                        _file_stats(
+                            os.path.join(out_dir, name), list(zcols)
+                        ),
+                        separators=(",", ":"),
+                    )
+                actions.append({"add": add})
     actions.append(
         {"commitInfo": {"operation": "OPTIMIZE", "engineInfo": "deltalite"}}
     )
@@ -1814,10 +1854,24 @@ def read_delta_changes(
             # partitioned tables (round 13): data files carry no
             # partition columns — diff per partition GROUP on the data
             # schema, then reinject the group's values so the change
-            # rows carry real (not NULL) partition columns
+            # rows carry real (not NULL) partition columns.  Mapped
+            # tables (round 14) diff in PHYSICAL space and look pv up
+            # under physical keys.
             if part_cols and base is not None:
+                data_fields = [
+                    f for f in base.fields if f.name not in part_cols
+                ]
                 data_schema = StructType(
-                    [f for f in base.fields if f.name not in part_cols]
+                    [
+                        StructField(
+                            mapping.get(f.name, f.name),
+                            f.dataType,
+                            f.nullable,
+                        )
+                        for f in data_fields
+                    ]
+                    if mapping
+                    else data_fields
                 )
                 by_pv: dict[tuple, list] = {}
                 for p, a, o in dv_pairs:
@@ -1827,10 +1881,15 @@ def read_delta_changes(
                     by_pv.setdefault(pvk, []).append((p, a, o))
                 for pv_items, grp in sorted(by_pv.items()):
                     diff = dv_diff_rows(spark, table_path, grp, data_schema)
+                    if mapping:
+                        diff = diff.toDF(*[f.name for f in data_fields])
                     pv = dict(pv_items)
                     for col in part_cols:
                         diff = diff.withColumn(
-                            col, F.lit(pv.get(col)).cast(base[col].dataType)
+                            col,
+                            F.lit(pv.get(mapping.get(col, col))).cast(
+                                base[col].dataType
+                            ),
                         )
                     pieces.append(
                         diff.select(*[f.name for f in base.fields])

@@ -41,10 +41,14 @@ deltalite implements the 'name' mode subset:
 * deletion vectors compose with column mapping too (r11): DV deletes
   bind logical predicates through the physical schema, reads subtract
   bitmaps in physical space then rename, and REORG PURGE rewrites
-  files physical-to-physical.  The one remaining untaught composition
-  — column mapping × partitioned layouts — is unreachable through
-  these writers (``write_delta_mapped`` has no partition_by) and
-  guarded in ``_read_adds`` for foreign tables.
+  files physical-to-physical;
+* partitioned layouts compose as of round 14 (the last CM edge):
+  hive partition directories and ``add.partitionValues`` keys use
+  PHYSICAL names — the protocol's 'track partition values with the
+  physical name' rule — while ``metaData.partitionColumns`` stays
+  logical; write/append, log-level pruning, COW DML, MERGE inserts,
+  per-group OPTIMIZE, DV deletes and partition-column RENAME all
+  translate (q238's oracle-hashed lifecycle).
 
 Protocol: commit 0 writes ``minReaderVersion 2 / minWriterVersion 5``
 (column mapping is exactly the reader-v2 feature set) and the
@@ -89,10 +93,18 @@ def _mapped_schema_json(df: DataFrame) -> str:
 
 
 def write_delta_mapped(
-    df: DataFrame, table_path: str, mode: str = "append"
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: "list[str] | None" = None,
 ) -> int:
     """Create or append to a column-mapped deltalite table.  The frame
-    carries LOGICAL names; data files land with physical names."""
+    carries LOGICAL names; data files land with physical names.
+
+    ``partition_by`` (commit 0 only, round 14 — the last CM composition
+    edge): hive layout under PHYSICAL partition-directory names, with
+    ``add.partitionValues`` keyed physically per the protocol's
+    column-mapping rule and ``metaData.partitionColumns`` logical."""
     import json
 
     if mode not in ("append", "overwrite"):
@@ -100,7 +112,16 @@ def write_delta_mapped(
     versions = deltalite._list_versions(table_path)
     version = (versions[-1] + 1) if versions else 0
     actions: list[dict[str, Any]] = []
+    snap = None
+    cons: dict[str, str] = {}
     if version == 0:
+        part_cols = list(partition_by or [])
+        for c in part_cols:
+            if c not in [f.name for f in df.schema.fields]:
+                raise ValueError(
+                    f"write_delta_mapped: partition column '{c}' not in "
+                    "the frame"
+                )
         schema_json = _mapped_schema_json(df)
         actions.append(
             {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
@@ -111,7 +132,7 @@ def write_delta_mapped(
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_json,
-                    "partitionColumns": [],
+                    "partitionColumns": part_cols,
                     "configuration": {
                         "delta.columnMapping.mode": "name",
                         "delta.columnMapping.maxColumnId": str(
@@ -130,6 +151,12 @@ def write_delta_mapped(
             f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
             for f in committed
         }
+        if partition_by is not None and list(partition_by) != snap.part_cols:
+            raise ValueError(
+                f"write_delta_mapped: partition_by {partition_by} "
+                f"conflicts with the committed layout {snap.part_cols}"
+            )
+        part_cols = snap.part_cols
         if [f.name for f in df.schema.fields] != [
             f["name"] for f in committed
         ]:
@@ -143,37 +170,75 @@ def write_delta_mapped(
                 actions.append(
                     {"remove": {"path": path, "dataChange": True}}
                 )
-        # CHECK constraints (round 13 — stored and evaluated in LOGICAL
-        # names): enforce on the input frame before any file lands
         from pyspark_anomaly_detection_spark.io.deltalite_constraints import (
             check_constraints_of,
-            enforce_check_constraints,
         )
 
         cons = check_constraints_of(snap.meta)
-        if cons:
-            enforce_check_constraints(df, cons, "write_delta_mapped")
 
     commit_dir = f"part-{version:05d}-{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table_path, commit_dir)
-    df.toDF(*[mapping[f.name] for f in df.schema.fields]).write.mode(
-        "error"
-    ).parquet(data_dir)
-    for name in sorted(os.listdir(data_dir)):
-        if name.endswith(".parquet"):
+    writer = df.toDF(
+        *[mapping[f.name] for f in df.schema.fields]
+    ).write.mode("error")
+    phys_parts = [mapping[c] for c in part_cols]
+    if phys_parts:
+        writer = writer.partitionBy(*phys_parts)
+    writer.parquet(data_dir)
+
+    # CHECK constraints (stored and evaluated in LOGICAL names) enforce
+    # on the STAGED files, exactly like write_delta and _rewrite_commit
+    # (ADVICE r13: checking the input frame admitted nondeterministic
+    # inputs — rand()/UDF columns re-evaluate between the check and the
+    # write — and double-evaluated the frame's lineage).  Constraints
+    # reference data columns only, which every staged file carries.
+    if cons:
+        from pyspark.sql.types import StructField, StructType
+
+        from pyspark_anomaly_detection_spark.io.deltalite_constraints import (
+            enforce_check_constraints,
+        )
+
+        data_fields = [
+            f for f in df.schema.fields if f.name not in part_cols
+        ]
+        phys_schema = StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
+        spark = df.sparkSession
+        staged = (
+            spark.read.option("recursiveFileLookup", "true")
+            .schema(phys_schema)
+            .parquet(data_dir)
+            .toDF(*[f.name for f in data_fields])
+        )
+        enforce_check_constraints(staged, cons, "write_delta_mapped")
+
+    for root, _dirs, files in os.walk(data_dir):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            pvals: dict[str, str] = {}
+            for seg in os.path.relpath(root, data_dir).split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    pvals[k] = v  # physical keys (hive dirs are physical)
             actions.append(
                 {
                     "add": {
-                        "path": f"{commit_dir}/{name}",
-                        "partitionValues": {},
-                        "size": os.path.getsize(
-                            os.path.join(data_dir, name)
-                        ),
+                        "path": os.path.relpath(full, table_path),
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(full),
                         "modificationTime": 0,
                         "dataChange": True,
                     }
                 }
             )
+    actions.sort(key=lambda a: a.get("add", {}).get("path", ""))
     actions.append(
         {
             "commitInfo": {
@@ -237,6 +302,13 @@ def rename_column_mapped(
             f["name"] = new
     meta = dict(snap.meta)
     meta["schemaString"] = json.dumps(schema)
+    # partitionColumns track LOGICAL names (round 14: renaming a
+    # partition column must rebind the layout metadata too — the hive
+    # dirs and partitionValues stay put under the physical name)
+    if old in (snap.part_cols or []):
+        meta["partitionColumns"] = [
+            new if c == old else c for c in snap.part_cols
+        ]
     actions = [
         {"metaData": meta},
         {
@@ -512,5 +584,87 @@ def q235_deltalite_cm_schema_evolution(
             .orderBy("o_orderpriority")
         )
         return detach_local(result)  # ≤5 rows; detach before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q238_deltalite_cm_partitioned",
+    # Same detached-Arrow shape as q226/q236.  The oracle applies the
+    # rename, the delete predicate, the CASE-expressed update and the
+    # partition-pruning WHERE straight to orders: a green hash proves
+    # the physical partition-dir/partitionValues translation is
+    # lossless through appends, DML rewrites, a partition-column
+    # RENAME, and log-level pruning — grouping BY the (renamed)
+    # partition column itself so a NULL-partition bug cannot hash-match.
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice + CASE WHEN o_orderkey % 5 = 0
+                                             THEN 1.0 ELSE 0.0 END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 7 <> 0 AND o_orderpriority >= '3'
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def q238_deltalite_cm_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column mapping × partitioned tables (round 14 — the last CM
+    composition edge, verdict r13 item 2): orders lands in two MAPPED
+    hive-partitioned appends (physical partition-dir names, physically
+    keyed partitionValues), a copy-on-write DELETE removes every 7th
+    key and an UPDATE bumps every 5th key's price — logical predicates
+    translated through the physical files per partition group — then a
+    metadata-only RENAME rebinds the partition column
+    o_orderpriority → priority and the census reads back through a
+    log-level PARTITION-PRUNED read (priorities ≥ '3')."""
+    import shutil
+    import tempfile
+
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+        delete_delta,
+        update_delta,
+    )
+    from pyspark_anomaly_detection_spark.io.detach import detach_local
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="deltalite_cm_part_")
+    table = os.path.join(base, "orders_t")
+    try:
+        for half in (0, 1):
+            write_delta_mapped(
+                orders.filter(F.col("o_orderkey") % 2 == half),
+                table,
+                mode="append",
+                partition_by=["o_orderpriority"] if half == 0 else None,
+            )
+        delete_delta(spark, table, "o_orderkey % 7 = 0")
+        update_delta(
+            spark,
+            table,
+            "o_orderkey % 5 = 0",
+            {"o_totalprice": "o_totalprice + 1.0"},
+        )
+        rename_column_mapped(table, "o_orderpriority", "priority")
+        pruned = deltalite.read_delta(spark, table).filter(
+            F.col("priority") >= "3"
+        )
+        result = (
+            pruned.groupBy("priority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .orderBy("priority")
+        )
+        return detach_local(result)  # ≤3 rows; detach before rmtree
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -69,12 +69,14 @@ def _commit_actions(
 
 def _cm_io(snap):
     """Column-mapping translators for a snapshot, or None when the table
-    is unmapped.  Returns ``(phys_schema, logical_names, phys_names)``:
-    data files of a mapped table carry PHYSICAL column names, so every
-    raw file read goes through the physical schema then renames to
-    logical (predicates/assignments/transforms all operate in logical
-    space), and every file write renames logical → physical just before
-    the parquet sink — the same translation write_delta_mapped and
+    is unmapped.  Returns ``(phys_schema, logical_names, phys_names)``
+    over the DATA columns only (partition columns never live in data
+    files — round 14, when CM × partitions landed): data files of a
+    mapped table carry PHYSICAL column names, so every raw file read
+    goes through the physical schema then renames to logical
+    (predicates/assignments/transforms all operate in logical space),
+    and every file write renames logical → physical just before the
+    parquet sink — the same translation write_delta_mapped and
     _read_adds use (verdict r10 item 2: COW DML and OPTIMIZE were gated
     on mapped tables instead of taught this translation)."""
     mapping = deltalite._column_mapping_of(snap.schema_json)
@@ -85,13 +87,16 @@ def _cm_io(snap):
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType.fromJson(json.loads(snap.schema_json))
+    data_fields = [
+        f for f in schema.fields if f.name not in (snap.part_cols or [])
+    ]
     phys_schema = StructType(
         [
             StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
-            for f in schema.fields
+            for f in data_fields
         ]
     )
-    logical = [f.name for f in schema.fields]
+    logical = [f.name for f in data_fields]
     physical = [mapping.get(n, n) for n in logical]
     return phys_schema, logical, physical
 
@@ -363,7 +368,19 @@ def _rewrite_commit(
             written += 1
         return written
 
-    for i, (pv_items, rels) in enumerate(sorted(groups.items())):
+    # a mapped table's partitionValues are keyed by PHYSICAL names; the
+    # transform (merge's partition-move check) works in logical space
+    full_mapping = deltalite._column_mapping_of(snap.schema_json)
+    phys_to_logical = {p: n for n, p in full_mapping.items()}
+
+    def _logical_pv(pv_items) -> dict:
+        return {
+            phys_to_logical.get(k, k): v for k, v in dict(pv_items).items()
+        }
+
+    for i, (pv_items, rels) in enumerate(
+        sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0])))
+    ):
         # DV-carrying touched files are read THROUGH their bitmaps: the
         # rewrite materializes the deletes, and the remove+add drops the
         # file's DV in this same commit (round 14 — real Delta's COW-on-
@@ -371,7 +388,7 @@ def _rewrite_commit(
         # is gone)
         piece = _read_files(spark, table_path, rels, cmio, snap=snap)
         kept = (
-            transform(piece, dict(pv_items))
+            transform(piece, _logical_pv(pv_items))
             if transform_with_pv
             else transform(piece)
         )
@@ -386,11 +403,18 @@ def _rewrite_commit(
     elif extra_adds_df is not None:
         # partitioned inserts (MERGE): hive-layout write inside the
         # commit dir, partitionValues harvested from the dir segments —
-        # the same contract write_delta uses
+        # the same contract write_delta uses.  Mapped tables rename ALL
+        # columns (data + partition) logical → physical so the hive dirs
+        # and harvested pv keys land physical (round 14)
         ins_dir = os.path.join(data_dir, "inserts")
-        extra_adds_df.write.mode("error").partitionBy(
-            *snap.part_cols
-        ).parquet(ins_dir)
+        ins = extra_adds_df
+        part_names = snap.part_cols
+        if full_mapping:
+            ins = ins.toDF(
+                *[full_mapping.get(c, c) for c in ins.columns]
+            )
+            part_names = [full_mapping.get(c, c) for c in snap.part_cols]
+        ins.write.mode("error").partitionBy(*part_names).parquet(ins_dir)
         for root, _dirs, files in os.walk(ins_dir):
             for name in sorted(files):
                 if not name.endswith(".parquet"):

@@ -394,18 +394,23 @@ def delete_delta_dv(
         from pyspark.sql.types import StructField, StructType
 
         schema = StructType.fromJson(_json.loads(snap.schema_json))
+        # data columns only: partition fields never live in data files
+        # (round 14 — CM × partitions)
+        data_fields = [
+            f for f in schema.fields if f.name not in (snap.part_cols or [])
+        ]
         phys_schema = StructType(
             [
                 StructField(
                     mapping.get(f.name, f.name), f.dataType, f.nullable
                 )
-                for f in schema.fields
+                for f in data_fields
             ]
         )
         scan = spark.read.schema(phys_schema).parquet(*paths).select(
             *[
                 F.col(mapping.get(f.name, f.name)).alias(f.name)
-                for f in schema.fields
+                for f in data_fields
             ],
             *meta_cols,
         )
@@ -539,6 +544,16 @@ def purge_delta(spark: SparkSession, table_path: str) -> dict[str, int]:
         if snap.schema_json
         else None
     )
+    # partitioned tables (round 13): data files carry no partition
+    # columns, so purge rewrites per partition GROUP with the group's
+    # partitionValues re-stamped on the new adds.  Partition fields drop
+    # by LOGICAL name BEFORE the physical rename (round 14: the old
+    # order filtered physical names against logical part_cols, leaving
+    # phantom partition fields in a mapped partitioned purge)
+    if snap.part_cols and schema is not None:
+        schema = StructType(
+            [f for f in schema.fields if f.name not in snap.part_cols]
+        )
     # column-mapped tables (r11): purge rewrites files in PHYSICAL space
     # end-to-end — read phys, write phys — no rename round-trip needed
     mapping = deltalite._column_mapping_of(snap.schema_json)
@@ -550,13 +565,6 @@ def purge_delta(spark: SparkSession, table_path: str) -> dict[str, int]:
                 )
                 for f in schema.fields
             ]
-        )
-    # partitioned tables (round 13): data files carry no partition
-    # columns, so purge rewrites per partition GROUP with the group's
-    # partitionValues re-stamped on the new adds
-    if snap.part_cols and schema is not None:
-        schema = StructType(
-            [f for f in schema.fields if f.name not in snap.part_cols]
         )
     groups: dict[tuple, dict[str, Any]] = {}
     for rel, a in dv_adds.items():

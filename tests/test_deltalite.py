@@ -589,3 +589,40 @@ def test_append_only_table_property(spark, tmp_path):
     set_table_properties(t, unset=["delta.appendOnly"])
     delete_delta(spark, t, "id = 0")
     assert {r.id for r in read_delta(spark, t).collect()} == set(range(1, 12))
+
+
+def test_optimize_partitioned_table_preserves_partition_values(
+    spark, tmp_path
+):
+    """Round 14: OPTIMIZE on a partitioned table compacts PER PARTITION
+    GROUP and re-stamps each group's partitionValues — the old flat
+    rewrite committed empty partitionValues, silently NULLing the
+    partition columns on every subsequent read."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        _snapshot_state,
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    for lo in (0, 4, 8):
+        write_delta(
+            spark.range(lo, lo + 4).select(
+                F.col("id"),
+                (F.col("id") % 2).cast("string").alias("side"),
+            ),
+            t,
+            mode="append",
+            partition_by=["side"] if lo == 0 else None,
+        )
+    out = optimize_delta(spark, t)
+    assert out["files_after"] == 2  # one compacted file per partition
+    snap = _snapshot_state(t)
+    assert all(
+        (a.get("partitionValues") or {}).get("side") in ("0", "1")
+        for a in snap.adds.values()
+    )
+    rows = {r.id: r.side for r in read_delta(spark, t).collect()}
+    assert sorted(rows) == list(range(12))
+    assert all(rows[i] == str(i % 2) for i in rows)

@@ -96,22 +96,110 @@ def test_unmapped_table_rejects_rename(spark, tmp_path):
         rename_column_mapped(t, "v", "value")
 
 
-def test_mapped_guards_fail_loud(spark, tmp_path):
-    """The one remaining untaught composition — column mapping ×
-    partitioned layouts — is unreachable through our writers, but a
-    FOREIGN mapped+partitioned table must still fail loud in the
-    reader rather than reconstruct partition columns wrongly."""
-    import json
+def test_mapped_partitioned_lifecycle(spark, tmp_path):
+    """Column mapping × partitioned tables (round 14 — the last CM
+    composition edge): hive dirs and partitionValues keys are PHYSICAL
+    names, partitionColumns stays logical, and write / append / pruned
+    read / COW DML / time travel all translate."""
+    from pyspark_anomaly_detection_spark.io import deltalite
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+        delete_delta,
+        update_delta,
+    )
 
+    t = str(tmp_path / "t")
+    df = spark.range(0, 8).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 2).cast("string").alias("side"),
+    )
+    write_delta_mapped(df, t, partition_by=["side"])
+    write_delta_mapped(
+        spark.range(8, 12).select(
+            F.col("id"),
+            (F.col("id") * 2).alias("v"),
+            (F.col("id") % 2).cast("string").alias("side"),
+        ),
+        t,
+        mode="append",
+    )
+    snap = deltalite._snapshot_state(t)
+    assert snap.part_cols == ["side"]  # logical in metaData
+    phys_side = physical_name("side")
+    assert all(
+        set(a["partitionValues"]) == {phys_side}
+        for a in snap.adds.values()
+    )  # physical keys in the log, per the protocol's CM rule
+    rows = {r.id: (r.side, r.v) for r in read_delta(spark, t).collect()}
+    assert sorted(rows) == list(range(12))
+    assert all(rows[i][0] == str(i % 2) for i in rows)
+    # log-level pruning by LOGICAL name
+    pruned = read_delta(spark, t, partition_filter={"side": "1"})
+    assert sorted(r.id for r in pruned.collect()) == [
+        i for i in range(12) if i % 2 == 1
+    ]
+    # COW DML with logical predicates
+    delete_delta(spark, t, "id % 3 = 0")
+    update_delta(spark, t, "id % 5 = 1", {"v": "v + 100"})
+    rows = {r.id: (r.side, r.v) for r in read_delta(spark, t).collect()}
+    assert sorted(rows) == [i for i in range(12) if i % 3 != 0]
+    for i, (side, v) in rows.items():
+        assert side == str(i % 2)
+        assert v == i * 2 + (100 if i % 5 == 1 else 0)
+    # time travel still reconstructs partition columns
+    assert read_delta(spark, t, version=1).count() == 12
+
+
+def test_mapped_partitioned_rename_partition_column(spark, tmp_path):
+    """Renaming a partition column is metadata-only: partitionColumns
+    rebinds to the new logical name while hive dirs / partitionValues
+    stay put under the stable physical name."""
     from pyspark_anomaly_detection_spark.io import deltalite
 
     t = str(tmp_path / "t")
-    write_delta_mapped(_df(spark, 0, 6), t)
+    df = spark.range(0, 6).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("side")
+    )
+    write_delta_mapped(df, t, partition_by=["side"])
+    rename_column_mapped(t, "side", "bucket")
     snap = deltalite._snapshot_state(t)
-    with pytest.raises(NotImplementedError, match="partitions"):
-        deltalite._read_adds(
-            spark, t, snap.adds, snap.schema_json, ["id"]
-        )
+    assert snap.part_cols == ["bucket"]
+    rows = {r.id: r.bucket for r in read_delta(spark, t).collect()}
+    assert all(rows[i] == str(i % 2) for i in rows)
+    pruned = read_delta(spark, t, partition_filter={"bucket": "0"})
+    assert sorted(r.id for r in pruned.collect()) == [0, 2, 4]
+
+
+def test_mapped_partitioned_merge_and_optimize(spark, tmp_path):
+    """MERGE (insert branch lands in physical hive dirs) and per-group
+    OPTIMIZE both translate on a mapped partitioned table."""
+    from pyspark_anomaly_detection_spark.io import deltalite
+    from pyspark_anomaly_detection_spark.io.deltalite import optimize_delta
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import merge_delta
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 8).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 2).cast("string").alias("side"),
+    )
+    write_delta_mapped(df, t, partition_by=["side"])
+    src = spark.createDataFrame(
+        [(3, 333, "1"), (20, 2020, "0")], "id long, v long, side string"
+    )
+    out = merge_delta(spark, t, src, key="id")
+    assert out["rows_matched"] == 1 and out["rows_inserted"] == 1
+    optimize_delta(spark, t)
+    snap = deltalite._snapshot_state(t)
+    phys_side = physical_name("side")
+    assert all(
+        set(a["partitionValues"]) == {phys_side}
+        for a in snap.adds.values()
+    )
+    rows = {r.id: (r.side, r.v) for r in read_delta(spark, t).collect()}
+    assert sorted(rows) == list(range(8)) + [20]
+    assert rows[3] == ("1", 333) and rows[20] == ("0", 2020)
+    assert all(rows[i][0] == str(i % 2) for i in range(8))
 
 
 def test_plain_write_delta_refuses_mapped_table(spark, tmp_path):

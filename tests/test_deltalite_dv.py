@@ -827,6 +827,9 @@ def test_dv_partitioned_purge(spark, tmp_path):
     rows = {r.id: r.side for r in read_delta(spark, t).collect()}
     assert set(rows) == {i for i in range(12) if i % 3 != 0}
     assert all(rows[i] == str(i % 2) for i in rows)
-    # DV-free again: COW operations re-enabled
+    # DV-free again: COW operations re-enabled; the compaction keeps
+    # every row's partition value (round 14 — per-group OPTIMIZE)
     optimize_delta(spark, t)
-    assert read_delta(spark, t).count() == 8
+    rows = {r.id: r.side for r in read_delta(spark, t).collect()}
+    assert set(rows) == {i for i in range(12) if i % 3 != 0}
+    assert all(rows[i] == str(i % 2) for i in rows)
