@@ -1725,7 +1725,14 @@ def vacuum_delta(table_path: str, retain_versions: int = 1) -> dict[str, int]:
     n_deleted = 0
     n_kept = 0
     for root, _dirs, files in os.walk(table_path):
-        if _LOG_DIR in os.path.relpath(root, table_path).split(os.sep):
+        segs = os.path.relpath(root, table_path).split(os.sep)
+        if _LOG_DIR in segs:
+            continue
+        if "_change_data" in segs:
+            # cdc files are referenced by cdc actions, not adds — their
+            # retention follows the LOG's (they become unreadable only
+            # when their commit JSON expires past a checkpoint), so the
+            # add-based sweep must not touch them (round 14)
             continue
         for name in files:
             if not name.endswith(".parquet"):
@@ -1746,17 +1753,79 @@ def vacuum_delta(table_path: str, retain_versions: int = 1) -> dict[str, int]:
     return {"files_deleted": n_deleted, "files_kept": n_kept}
 
 
+def _read_cdc_files(
+    spark: SparkSession,
+    table_path: str,
+    cdc_actions: list[dict[str, Any]],
+    schema_json: str | None,
+    part_cols: list[str],
+) -> DataFrame:
+    """Read a commit's ``_change_data`` files (``cdc`` actions): data
+    columns + the physical ``_change_type`` column, grouped by partition
+    tuple with the values reinjected — the same translation as
+    ``_read_adds`` (physical names on mapped tables; ``_change_type``
+    itself is never mapped)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    base = StructType.fromJson(json.loads(schema_json))
+    mapping = _column_mapping_of(schema_json)
+    data_fields = [f for f in base.fields if f.name not in part_cols]
+    read_schema = StructType(
+        (
+            [
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in data_fields
+            ]
+            if mapping
+            else list(data_fields)
+        )
+        + [StructField("_change_type", StringType())]
+    )
+    logical = [f.name for f in data_fields] + ["_change_type"]
+    by_pv: dict[tuple, list[str]] = {}
+    for c in cdc_actions:
+        pvk = tuple(sorted((c.get("partitionValues") or {}).items()))
+        by_pv.setdefault(pvk, []).append(c["path"])
+    out = None
+    order = [f.name for f in base.fields] + ["_change_type"]
+    for pv_items, rels in sorted(by_pv.items()):
+        df = spark.read.schema(read_schema).parquet(
+            *[os.path.join(table_path, rel) for rel in sorted(rels)]
+        )
+        if mapping:
+            df = df.toDF(*logical)
+        pv = dict(pv_items)
+        for col in part_cols:
+            df = df.withColumn(
+                col,
+                F.lit(pv.get(mapping.get(col, col))).cast(
+                    base[col].dataType
+                ),
+            )
+        df = df.select(*order)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def read_delta_changes(
     spark: SparkSession,
     table_path: str,
     from_version: int,
     to_version: int | None = None,
 ) -> DataFrame:
-    """File-level CHANGE DATA FEED: every row added or removed by the
-    commits in ``(from_version, to_version]``, tagged with
-    ``_change_type`` ('insert' | 'delete') and ``_commit_version`` — the
-    incremental-consumption surface that lets a downstream pipeline
-    process only what changed instead of re-reading snapshots.
+    """CHANGE DATA FEED over ``(from_version, to_version]``, tagged
+    with ``_change_type`` and ``_commit_version`` — the incremental-
+    consumption surface that lets a downstream pipeline process only
+    what changed instead of re-reading snapshots.
+
+    Commits carrying ``cdc`` actions (DML rewrites on a table with
+    ``delta.enableChangeDataFeed=true`` — round 14) are read ROW-LEVEL
+    from their ``_change_data`` files: 'insert' / 'delete' /
+    'update_preimage' / 'update_postimage', exactly the changed rows.
+    Other commits reconstruct file-level changes from add/remove
+    actions ('insert' | 'delete') as before.
 
     ``dataChange: false`` actions (OPTIMIZE, COMPUTE STATS, REORG
     PURGE) are excluded: layout maintenance is not a data change.
@@ -1807,6 +1876,23 @@ def read_delta_changes(
                 "retention horizon"
             )
         actions = _read_commit(table_path, v)
+        # spec rule (round 14): when a commit carries ``cdc`` actions
+        # they are the COMPLETE change description — read the
+        # ``_change_data`` files (row-level preimage/postimage/delete/
+        # insert) and SKIP the add/remove reconstruction for this
+        # commit entirely.  known_add still tracks the commit's adds so
+        # later commits' removed-file lookups stay correct.
+        cdc_actions = [a["cdc"] for a in actions if "cdc" in a]
+        if cdc_actions:
+            pieces.append(
+                _read_cdc_files(
+                    spark, table_path, cdc_actions, schema_json, part_cols
+                ).withColumn("_commit_version", F.lit(v).cast("int"))
+            )
+            for action in actions:
+                if "add" in action:
+                    known_add[action["add"]["path"]] = action["add"]
+            continue
         removes_v = {
             a["remove"]["path"]
             for a in actions

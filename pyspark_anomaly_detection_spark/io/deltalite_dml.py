@@ -270,6 +270,17 @@ def _touched_files(
     return sorted(out)
 
 
+def _cdf_enabled(snap) -> bool:
+    """True when the table records row-level change data (Delta's
+    ``delta.enableChangeDataFeed`` property — set via
+    ``set_table_properties``).  Only then do DML rewrites pay the extra
+    touched-file scan that materializes ``_change_data`` files; without
+    it the batch CDF reconstructs file-level changes from add/remove
+    actions as before."""
+    conf = ((snap.meta or {}).get("configuration") or {})
+    return conf.get("delta.enableChangeDataFeed") == "true"
+
+
 def _rewrite_commit(
     spark: SparkSession,
     table_path: str,
@@ -281,6 +292,7 @@ def _rewrite_commit(
     cmio=None,
     new_schema_json: "str | None" = None,
     transform_with_pv: bool = False,
+    cdc_df: "DataFrame | None" = None,
 ) -> dict[str, int]:
     """Copy-on-write commit: rewrite ``touched`` files through
     ``transform`` (DataFrame -> DataFrame; with
@@ -473,6 +485,48 @@ def _rewrite_commit(
             )
             enforce_check_constraints(staged, cons, operation)
 
+    # row-level change data (round 14 — verdict r13 item 3): write the
+    # commit's exact change set as spec-shaped ``_change_data`` files +
+    # ``cdc`` actions (hive-partitioned like the table, physical names
+    # on mapped tables, ``_change_type`` as a physical column).  Per the
+    # protocol, when a commit carries cdc actions they are the COMPLETE
+    # change description — CDF readers use them INSTEAD of the
+    # file-level add/remove reconstruction, so a 1-row UPDATE in a
+    # 1M-row file feeds exactly 1 preimage + 1 postimage downstream.
+    if cdc_df is not None:
+        cdc_dir = os.path.join(table_path, "_change_data", commit_dir)
+        cdc_out = cdc_df
+        part_names = snap.part_cols
+        if full_mapping:
+            cdc_out = cdc_out.toDF(
+                *[full_mapping.get(c, c) for c in cdc_out.columns]
+            )
+            part_names = [full_mapping.get(c, c) for c in snap.part_cols]
+        w = cdc_out.write.mode("error")
+        if part_names:
+            w = w.partitionBy(*part_names)
+        w.parquet(cdc_dir)
+        for root, _dirs, files in os.walk(cdc_dir):
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                pvals: dict[str, str] = {}
+                for seg in os.path.relpath(root, cdc_dir).split(os.sep):
+                    if "=" in seg:
+                        k, _, val = seg.partition("=")
+                        pvals[k] = val
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": os.path.relpath(full, table_path),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(full),
+                            "dataChange": False,
+                        }
+                    }
+                )
+
     removes = [
         {"remove": {"path": rel, "dataChange": True}} for rel in touched
     ]
@@ -532,6 +586,20 @@ def delete_delta(
         .filter(F.expr(predicate))
         .count()
     )
+    cdc_df = None
+    if _cdf_enabled(snap):
+        # full logical rows (partition columns reinjected) of exactly
+        # the deleted set — one extra scan of ONLY the touched files
+        pre = deltalite._read_adds(
+            spark,
+            table_path,
+            {r: snap.adds[r] for r in touched},
+            snap.schema_json,
+            snap.part_cols,
+        )
+        cdc_df = pre.filter(F.expr(predicate)).withColumn(
+            "_change_type", F.lit("delete")
+        )
     out = _rewrite_commit(
         spark,
         table_path,
@@ -540,6 +608,7 @@ def delete_delta(
         "DELETE",
         snap=snap,
         cmio=cmio,
+        cdc_df=cdc_df,
     )
     out["files_untouched"] = len(active) - len(touched)
     out["rows_deleted"] = n_match
@@ -612,8 +681,41 @@ def update_delta(
             )
         return df
 
+    cdc_df = None
+    if _cdf_enabled(snap):
+        pre = deltalite._read_adds(
+            spark,
+            table_path,
+            {r: snap.adds[r] for r in touched},
+            snap.schema_json,
+            snap.part_cols,
+        ).filter(F.expr(predicate))
+        # ONE select so every assignment reads the OLD row, then
+        # generated columns recompute — mirroring the rewrite itself
+        post = pre.select(
+            *[
+                F.expr(assignments[c]).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in pre.columns
+            ]
+        )
+        for col, expr in gen.items():
+            post = post.withColumn(col, F.expr(expr))
+        cdc_df = pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            post.withColumn("_change_type", F.lit("update_postimage"))
+        )
     out = _rewrite_commit(
-        spark, table_path, touched, apply_set, "UPDATE", snap=snap, cmio=cmio
+        spark,
+        table_path,
+        touched,
+        apply_set,
+        "UPDATE",
+        snap=snap,
+        cmio=cmio,
+        cdc_df=cdc_df,
     )
     out["rows_updated"] = n_match
     return out
@@ -1084,6 +1186,10 @@ def merge_delta(
         elif idcols:
             inserts = None  # zero inserts: nothing to append or allocate
 
+        # the PURE insert set, captured before partition movers union in
+        # — movers are UPDATES in the change feed, never inserts
+        cdc_inserts = inserts if n_inserted > 0 else None
+
         # partition movers re-enter through the insert path (AFTER
         # identity allocation — movers keep their allocated values)
         if mover_rows is not None:
@@ -1100,6 +1206,113 @@ def merge_delta(
         rewrite_files = sorted(
             set(touched if matched is not None else []) | set(nmbs_touched)
         )
+
+        # row-level change data (round 14): every clause contributes its
+        # exact change rows — matched updates as preimage/postimage
+        # pairs (partition movers naturally included: preimage in the
+        # old partition, postimage carrying the source's), matched and
+        # not-matched-by-source deletes as 'delete', the anti-join
+        # inserts as 'insert'.  One extra scan of only the rewrite set.
+        cdc_df = None
+        if _cdf_enabled(snap):
+            from pyspark_anomaly_detection_spark.io.deltalite_generated import (
+                generated_columns_of,
+            )
+
+            gen_exprs = generated_columns_of(snap.schema_json)
+            all_cols = target_cols + [
+                c for c in part_cols if c not in target_cols
+            ]
+            hitf = F.coalesce(hit, F.lit(False))
+
+            def _with_gen(df: DataFrame) -> DataFrame:
+                for col, expr in gen_exprs.items():
+                    df = df.withColumn(col, F.expr(expr))
+                return df
+
+            pieces_cdc: list[DataFrame] = []
+            if rewrite_files:
+                tgt_all = deltalite._read_adds(
+                    spark,
+                    table_path,
+                    {r: snap.adds[r] for r in rewrite_files},
+                    snap.schema_json,
+                    part_cols,
+                ).join(marked, key, "left")
+                if matched == "update":
+                    m = tgt_all.filter(hitf)
+                    pieces_cdc.append(
+                        m.select(*all_cols).withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                    )
+                    post = m.select(
+                        *[
+                            (
+                                F.col(c)
+                                if c == key or c in idcols
+                                else F.col(f"_dml_src_{c}")
+                            ).alias(c)
+                            for c in target_cols
+                        ],
+                        *[
+                            F.col(f"_dml_s_{c}").alias(c)
+                            for c in part_cols
+                            if c not in target_cols
+                        ],
+                    )
+                    pieces_cdc.append(
+                        _with_gen(post)
+                        .select(*all_cols)
+                        .withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                elif matched == "delete":
+                    pieces_cdc.append(
+                        tgt_all.filter(hitf)
+                        .select(*all_cols)
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
+                if not_matched_by_source == "delete":
+                    pieces_cdc.append(
+                        tgt_all.filter(nmbs_hit)
+                        .select(*all_cols)
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
+                elif not_matched_by_source == "update":
+                    npre = tgt_all.filter(nmbs_hit)
+                    pieces_cdc.append(
+                        npre.select(*all_cols).withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                    )
+                    npost = npre.select(
+                        *[
+                            F.expr(not_matched_by_source_set[c]).alias(c)
+                            if c in (not_matched_by_source_set or {})
+                            else F.col(c)
+                            for c in all_cols
+                        ]
+                    )
+                    pieces_cdc.append(
+                        _with_gen(npost)
+                        .select(*all_cols)
+                        .withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+            if cdc_inserts is not None:
+                pieces_cdc.append(
+                    _with_gen(cdc_inserts)
+                    .select(*all_cols)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            if pieces_cdc:
+                cdc_df = pieces_cdc[0]
+                for p in pieces_cdc[1:]:
+                    cdc_df = cdc_df.unionByName(p)
+
         out = _rewrite_commit(
             spark,
             table_path,
@@ -1111,6 +1324,7 @@ def merge_delta(
             cmio=cmio,
             new_schema_json=new_schema_json,
             transform_with_pv=True,
+            cdc_df=cdc_df,
         )
         out["rows_matched"] = n_matched
         out["rows_inserted"] = n_inserted
@@ -1378,5 +1592,108 @@ def q234_deltalite_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority")
         )
         return detach_local(result)  # ≤5 rows; detach before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q239_deltalite_cdf_dml_census",
+    # Per-commit, per-change-type census of the ROW-LEVEL feed.  Each
+    # leg's row set and prices are closed-form in the key: v2 deletes
+    # the %7 keys at base price; v3 updates the live %5 keys (preimage
+    # base, postimage base+1); v4's merge matches live %11 keys (their
+    # preimage includes v3's +1 when %5 too — proving the feed reflects
+    # the table state BETWEEN commits) and re-inserts the %77 keys the
+    # delete removed, all at base+100.
+    oracle="""
+    WITH t AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+    SELECT 2 AS commit_version, 'delete' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM t WHERE k % 7 = 0
+    UNION ALL
+    SELECT 3, 'update_preimage', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+    FROM t WHERE k % 5 = 0 AND k % 7 <> 0
+    UNION ALL
+    SELECT 3, 'update_postimage', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(p + 1.0 AS DECIMAL(18,2))) AS DOUBLE)
+    FROM t WHERE k % 5 = 0 AND k % 7 <> 0
+    UNION ALL
+    SELECT 4, 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(p + 100.0 AS DECIMAL(18,2))) AS DOUBLE)
+    FROM t WHERE k % 11 = 0 AND k % 7 = 0
+    UNION ALL
+    SELECT 4, 'update_preimage', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(p + CASE WHEN k % 5 = 0 THEN 1.0 ELSE 0.0 END
+                          AS DECIMAL(18,2))) AS DOUBLE)
+    FROM t WHERE k % 11 = 0 AND k % 7 <> 0
+    UNION ALL
+    SELECT 4, 'update_postimage', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(p + 100.0 AS DECIMAL(18,2))) AS DOUBLE)
+    FROM t WHERE k % 11 = 0 AND k % 7 <> 0
+    ORDER BY commit_version, change_type
+    """,
+)
+def q239_deltalite_cdf_dml_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Row-level change data feed for copy-on-write DML (round 14 —
+    verdict r13 item 3): orders lands with
+    ``delta.enableChangeDataFeed=true``, a DELETE removes the %7 keys,
+    an UPDATE bumps the %5 keys' price by 1.0, and a MERGE upserts the
+    %11 keys at base+100 — each rewrite writing spec-shaped
+    ``_change_data`` files + ``cdc`` actions.  The feed census proves
+    every commit reports EXACTLY its changed rows (preimage/postimage
+    pairs for updates, never file-level delete+insert storms) and that
+    v4's preimages reflect v3's update — the feed is consistent with
+    the table's state between commits."""
+    import shutil
+    import tempfile
+
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        read_delta_changes,
+        set_table_properties,
+        write_delta,
+    )
+
+    from pyspark_anomaly_detection_spark.io.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+    )
+    base = tempfile.mkdtemp(prefix="deltalite_cdf_dml_")
+    table = os.path.join(base, "orders_t")
+    try:
+        write_delta(orders, table)
+        set_table_properties(
+            table, {"delta.enableChangeDataFeed": "true"}
+        )
+        delete_delta(spark, table, "k % 7 = 0")
+        update_delta(spark, table, "k % 5 = 0", {"p": "p + 1.0"})
+        merge_delta(
+            spark,
+            table,
+            orders.filter(F.col("k") % 11 == 0).withColumn(
+                "p", F.col("p") + 100.0
+            ),
+            key="k",
+        )
+        feed = read_delta_changes(spark, table, from_version=1)
+        result = (
+            feed.groupBy(
+                F.col("_commit_version").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("p").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .orderBy("commit_version", "change_type")
+        )
+        return detach_local(result)  # 6 rows; detach before rmtree
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -121,6 +121,26 @@ class DeltaliteStreamReader(DataSourceStreamReader):
             known = dict(base.adds)
         for v in range(start["version"] + 1, end["version"] + 1):
             actions = deltalite._read_commit(self.table_path, v)
+            # spec rule (round 14): a commit carrying ``cdc`` actions is
+            # COMPLETELY described by them in change-feed mode — one
+            # partition per _change_data file (the file's own
+            # ``_change_type`` column travels through), adds tracked for
+            # later removed-file lookups, add/remove partitions skipped
+            cdc_in_v = [a["cdc"] for a in actions if "cdc" in a]
+            if self.change_feed and cdc_in_v:
+                for c in cdc_in_v:
+                    out.append(
+                        _AddFilePartition(
+                            os.path.join(self.table_path, c["path"]),
+                            c.get("partitionValues", {}),
+                            v,
+                            change_type=None,  # read from the file
+                        )
+                    )
+                for action in actions:
+                    if "add" in action:
+                        known[action["add"]["path"]] = action["add"]
+                continue
             # a DV rewrite is a same-commit remove+re-add of the SAME
             # path where the add carries a deletionVector: in change-feed
             # mode it surfaces as ROW-LEVEL deletes (the DV diff), not a
@@ -294,9 +314,12 @@ class DeltaliteStreamReader(DataSourceStreamReader):
         cols[COMMIT_VERSION_COL] = pa.array([partition.version] * n, pa.int64())
         ordered = [f.name for f in self.schema.fields] + [COMMIT_VERSION_COL]
         if self.change_feed:
-            cols[CHANGE_TYPE_COL] = pa.array(
-                [partition.change_type] * n, pa.string()
-            )
+            if partition.change_type is not None:
+                cols[CHANGE_TYPE_COL] = pa.array(
+                    [partition.change_type] * n, pa.string()
+                )
+            # change_type None → a _change_data (cdc) file: its own
+            # physical _change_type column is already in cols
             ordered.append(CHANGE_TYPE_COL)
         out = pa.table({c: cols[c] for c in ordered})
         return iter(out.to_batches(max_chunksize=1 << 16))
