@@ -145,6 +145,42 @@ def _guard_no_cm(schema_json: "str | None", what: str) -> None:
         )
 
 
+#: Legacy writer versions fold into these table-feature names when a
+#: table upgrades to the v7 table-features protocol (Delta PROTOCOL.md
+#: "Table Features" — the upgrade must list every feature the legacy
+#: version implied).  Cumulative by version.
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("generatedColumns", "changeDataFeed"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+
+
+def _folded_writer_features(proto: "dict[str, Any] | None") -> set[str]:
+    """The writer-feature set a protocol implies: its explicit
+    ``writerFeatures`` plus, for legacy (< 7) writer versions, the
+    features those versions imply."""
+    wv = (proto or {}).get("minWriterVersion", 2)
+    feats = set((proto or {}).get("writerFeatures") or [])
+    if wv < 7:
+        for v, names in _LEGACY_WRITER_FEATURES.items():
+            if wv >= v:
+                feats.update(names)
+    return feats
+
+
+#: Table properties whose enablement requires the named writer feature
+#: on a v7 table (spec: a feature must be listed before its metadata
+#: can turn it on).
+_PROPERTY_WRITER_FEATURES = {
+    "delta.appendOnly": "appendOnly",
+    "delta.enableChangeDataFeed": "changeDataFeed",
+    "delta.enableInCommitTimestamps": "inCommitTimestamp",
+}
+
+
 class DeltaliteConcurrentCommit(Exception):
     """A concurrent writer committed a logically conflicting
     transaction — the deltalite analogue of Delta's
@@ -608,19 +644,29 @@ def write_delta(
 
     actions: list[dict[str, Any]] = []
     if version == 0:
+        # v7 TABLE-FEATURES protocol from creation (ADVICE r13: the
+        # table declares delta.enableInCommitTimestamps, and per the
+        # spec ICT is a writer table feature requiring protocol v7 +
+        # 'inCommitTimestamp' in writerFeatures — a legacy-versioned
+        # protocol left a foreign spec-following writer free to commit
+        # without stamping).  The list carries every feature this
+        # engine's writers honor on plain tables: appendOnly/invariants
+        # (the legacy-v2 pair; deltalite never embeds invariant
+        # metadata, so invariant enforcement is trivially satisfied),
+        # plus generated/identity columns when declared — foreign
+        # writers that don't understand them must refuse the table
+        # rather than silently let the columns drift.
+        features = {"appendOnly", "invariants", "inCommitTimestamp"}
+        if generated_columns:
+            features.add("generatedColumns")
+        if identity_columns:
+            features.add("identityColumns")
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 1,
-                    # writer-feature versions: identity columns are v6,
-                    # generated columns v4 — a foreign writer that doesn't
-                    # understand them must refuse the table rather than
-                    # silently let the columns drift
-                    "minWriterVersion": (
-                        6
-                        if identity_columns
-                        else (4 if generated_columns else 2)
-                    ),
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(features),
                 }
             }
         )
@@ -1694,7 +1740,29 @@ def set_table_properties(
     conf.update(set_props or {})
     meta = dict(snap.meta)
     meta["configuration"] = conf
-    actions = [
+    actions: list[dict[str, Any]] = []
+    # spec rule (round 14): on a v7 table, enabling a feature-backed
+    # property requires the feature in writerFeatures FIRST — add it in
+    # the same commit so the metadata can never outrun the protocol
+    proto = snap.protocol or {}
+    if proto.get("minWriterVersion") == 7:
+        needed = {
+            feat
+            for prop, feat in _PROPERTY_WRITER_FEATURES.items()
+            if (set_props or {}).get(prop) == "true"
+        } - set(proto.get("writerFeatures") or [])
+        if needed:
+            actions.append(
+                {
+                    "protocol": {
+                        **proto,
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or []) | needed
+                        ),
+                    }
+                }
+            )
+    actions += [
         {"metaData": meta},
         {
             "commitInfo": {

@@ -139,11 +139,27 @@ def add_check_constraint(
     meta = dict(snap.meta)
     meta["configuration"] = conf
     actions: list[dict[str, Any]] = []
-    writer_v = (snap.protocol or {}).get("minWriterVersion", 2)
-    if writer_v < 3:
-        reader_v = (snap.protocol or {}).get("minReaderVersion", 1)
+    proto = snap.protocol or {}
+    writer_v = proto.get("minWriterVersion", 2)
+    if writer_v >= 7:
+        # table-features protocol (round 14): list checkConstraints in
+        # writerFeatures rather than touching the legacy version
+        feats = set(proto.get("writerFeatures") or [])
+        if "checkConstraints" not in feats:
+            actions.append(
+                {
+                    "protocol": {
+                        **proto,
+                        "writerFeatures": sorted(
+                            feats | {"checkConstraints"}
+                        ),
+                    }
+                }
+            )
+    elif writer_v < 3:
+        reader_v = proto.get("minReaderVersion", 1)
         actions.append(
-            {"protocol": {**(snap.protocol or {}),
+            {"protocol": {**proto,
                           "minReaderVersion": reader_v,
                           "minWriterVersion": 3}}
         )

@@ -329,21 +329,31 @@ def dv_diff_rows(
     )
 
 
-#: Protocol action announcing the deletionVectors table feature
-#: (reader v3 / writer v7 — the table-features protocol).  Writer v7
-#: requires the writerFeatures list to carry EVERY writer feature the
-#: table uses: deltalite stamps in-commit timestamps into every commit
-#: and declares delta.enableInCommitTimestamps at creation, so the v7
-#: upgrade lists inCommitTimestamp alongside deletionVectors (ICT is
-#: writer-only — minReaderVersion stays 3).
-DV_PROTOCOL_ACTION = {
-    "protocol": {
-        "minReaderVersion": 3,
-        "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"],
-        "writerFeatures": ["deletionVectors", "inCommitTimestamp"],
+def dv_protocol_action(proto: "dict[str, Any] | None") -> dict[str, Any]:
+    """Protocol action announcing the deletionVectors table feature
+    (reader v3 / writer v7 — the table-features protocol), MERGED with
+    the table's existing protocol (round 14): per the spec, a v7
+    upgrade must list every feature the prior legacy version implied
+    (``_LEGACY_WRITER_FEATURES`` — so a reader-v2 mapped table keeps
+    ``columnMapping`` in BOTH feature lists, a writer-v6 identity table
+    keeps ``identityColumns``, …), and deltalite stamps in-commit
+    timestamps into every commit so ``inCommitTimestamp`` rides along
+    (writer-only — it never appears in readerFeatures)."""
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    reader_feats = set(proto.get("readerFeatures") or [])
+    if proto.get("minReaderVersion", 1) == 2:
+        reader_feats.add("columnMapping")  # legacy reader v2 == CM
+    reader_feats.add("deletionVectors")
+    writer_feats = deltalite._folded_writer_features(proto)
+    writer_feats.update({"deletionVectors", "inCommitTimestamp"})
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(reader_feats),
+            "writerFeatures": sorted(writer_feats),
+        }
     }
-}
 
 
 def delete_delta_dv(
@@ -468,7 +478,7 @@ def delete_delta_dv(
         (snap.protocol or {}).get("readerFeatures") or []
     )
     actions: list[dict[str, Any]] = (
-        [] if dv_enabled else [DV_PROTOCOL_ACTION]
+        [] if dv_enabled else [dv_protocol_action(snap.protocol)]
     )
     rows_sorted = sorted(built, key=lambda r: r._dv_f)
     if storage == "u":

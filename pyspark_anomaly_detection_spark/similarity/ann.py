@@ -369,15 +369,18 @@ def brute_force_topk_vectorized(
     differs from the fold (pairwise/SIMD vs sequential) by ≲1e-13
     relative — under the TOPK_ROUND_DP contract both lanes emit the SAME
     rounded values and ranks (ADVICE r12: hash parity no longer depends
-    on which lane ran).  Each batch emits a small local slack
-    (k + _LOCAL_SLACK by raw sims) so a candidate that ties at 6dp with
-    a local top-k member — and would win the global cand_id tie-break —
-    is never dropped before the global window sees it.
+    on which lane ran).  Each batch selects its local top-k on the
+    ROUNDED score and keeps the WHOLE tie group at the k-th value
+    (ADVICE r13: the old fixed slack of 8 raw-score neighbors could
+    drop a candidate that ties at 6dp and wins the global cand_id
+    tie-break when a boundary tie group exceeded the slack) — a
+    candidate strictly below a batch's k-th rounded value is beaten by
+    ≥ k same-batch candidates globally, so the pruning is exact.
     """
     import numpy as np
     import pandas as pd
 
-    _LOCAL_SLACK = 8
+    _ROUND_DP = TOPK_ROUND_DP  # captured for the executor closure
 
     spark = queries.sparkSession
     qrows = queries.select(
@@ -396,15 +399,18 @@ def brute_force_topk_vectorized(
             cnorm = np.linalg.norm(cmat, axis=1)
             sims = (cmat @ b_qmat.T) / np.outer(cnorm, b_qnorm)  # B × Q
             sims[cids[:, None] == b_qids[None, :]] = -np.inf  # self-match
-            top = min(k + _LOCAL_SLACK, sims.shape[0])
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # top × Q
-            out_q = np.repeat(b_qids, top)
-            flat = idx.T.ravel()
+            # local top-k on the ROUNDED score, whole tie groups kept:
+            # everything at-or-above the batch's k-th rounded value
+            # survives to the global window (typically ~k rows/query)
+            rounded = np.round(sims, _ROUND_DP)
+            kk = min(k, rounded.shape[0])
+            thresh = -np.partition(-rounded, kk - 1, axis=0)[kk - 1]  # Q
+            ci, qi = np.nonzero(rounded >= thresh[None, :])
             yield pd.DataFrame(
                 {
-                    "query_id": out_q,
-                    "cand_id": cids[flat],
-                    "cos_sim": sims[flat, np.repeat(np.arange(len(b_qids)), top)],
+                    "query_id": b_qids[qi],
+                    "cand_id": cids[ci],
+                    "cos_sim": sims[ci, qi],
                 }
             )
 

@@ -165,3 +165,29 @@ def test_duplicate_name_rejected(spark, tmp_path):
     add_check_constraint(spark, t, "c1", "v >= 0")
     with pytest.raises(ValueError, match="already exists"):
         add_check_constraint(spark, t, "c1", "v >= 1")
+
+
+def test_add_constraint_rejects_partition_columns(spark, tmp_path):
+    """ADVICE r13: constraints reference DATA columns only — the
+    staged-file rewrite check reads data files (no partition columns),
+    so a predicate over a partition column must refuse cleanly at ADD
+    time, never die later inside a partitioned DML commit."""
+    from pyspark.sql import functions as F
+
+    from pyspark_anomaly_detection_spark.io.deltalite import write_delta
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import delete_delta
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(0, 8).select(
+            F.col("id"), (F.col("id") % 2).cast("string").alias("side")
+        ),
+        t,
+        partition_by=["side"],
+    )
+    with pytest.raises(ValueError, match="data columns"):
+        add_check_constraint(spark, t, "side_ok", "side IN ('0','1')")
+    # data-column constraints still work on the partitioned table, and
+    # partitioned DML enforces them on the staged rewrite
+    add_check_constraint(spark, t, "id_nonneg", "id >= 0")
+    delete_delta(spark, t, "id = 3")

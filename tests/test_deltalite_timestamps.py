@@ -80,10 +80,19 @@ def test_ict_declared_as_table_feature_from_creation(spark, tmp_path):
 
     t = str(tmp_path / "t")
     _build(spark, t, n=3)
-    conf = _snapshot_state(t).meta["configuration"]
+    snap0 = _snapshot_state(t)
+    conf = snap0.meta["configuration"]
     assert conf["delta.enableInCommitTimestamps"] == "true"
     assert "delta.inCommitTimestampEnablementVersion" not in conf
     assert "delta.inCommitTimestampEnablementTimestamp" not in conf
+    # ADVICE r13: the ICT property requires the v7 table-features
+    # protocol with 'inCommitTimestamp' in writerFeatures FROM CREATION
+    # — a legacy-versioned protocol left foreign writers free to commit
+    # without stamping
+    assert snap0.protocol["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in snap0.protocol["writerFeatures"]
+    assert snap0.protocol["minReaderVersion"] == 1
+    assert "readerFeatures" not in snap0.protocol
 
     # spec: commitInfo is the FIRST action and carries inCommitTimestamp
     for v in (0, 1, 2):
@@ -110,3 +119,69 @@ def test_ict_declared_as_table_feature_from_creation(spark, tmp_path):
     assert proto["minWriterVersion"] == 7
     assert "inCommitTimestamp" in proto["writerFeatures"]
     assert "deletionVectors" in proto["writerFeatures"]
+
+
+def test_v7_feature_list_tracks_property_and_constraint_adds(
+    spark, tmp_path
+):
+    """Round 14: on a v7 table, enabling a feature-backed property
+    (appendOnly, changeDataFeed) or adding a CHECK constraint lists the
+    matching writer feature in the same commit — metadata never outruns
+    the protocol."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        _snapshot_state,
+        set_table_properties,
+        write_delta,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_constraints import (
+        add_check_constraint,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(0, 5).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        t,
+    )
+    set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+    feats = _snapshot_state(t).protocol["writerFeatures"]
+    assert "changeDataFeed" in feats
+    add_check_constraint(spark, t, "v_nonneg", "v >= 0")
+    snap = _snapshot_state(t)
+    assert "checkConstraints" in snap.protocol["writerFeatures"]
+    assert snap.protocol["minWriterVersion"] == 7  # stays table-features
+
+
+def test_dv_upgrade_merges_legacy_features(spark, tmp_path):
+    """The DV v7 upgrade of a legacy-versioned table folds in every
+    feature the legacy writer version implied (spec's upgrade rule) —
+    a mapped (reader-2/writer-5) table keeps columnMapping in BOTH
+    feature lists."""
+    from pyspark_anomaly_detection_spark.io.deltalite import _snapshot_state
+    from pyspark_anomaly_detection_spark.io.deltalite_cm import (
+        write_delta_mapped,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+        delete_delta_dv,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(
+        spark.range(0, 6).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        t,
+    )
+    delete_delta_dv(spark, t, "id = 2")
+    proto = _snapshot_state(t).protocol
+    assert proto["minReaderVersion"] == 3
+    assert set(proto["readerFeatures"]) == {
+        "columnMapping",
+        "deletionVectors",
+    }
+    for feat in (
+        "columnMapping",
+        "deletionVectors",
+        "inCommitTimestamp",
+        "checkConstraints",  # implied by legacy writer v5
+        "generatedColumns",
+        "appendOnly",
+    ):
+        assert feat in proto["writerFeatures"], feat
