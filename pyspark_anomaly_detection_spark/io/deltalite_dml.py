@@ -843,6 +843,18 @@ def merge_delta(
             "merge_delta: the merge key cannot be an identity column — "
             "the source cannot carry GENERATED ALWAYS values to match on"
         )
+    # GENERATED columns the source omits behave like identity columns
+    # in the plumbing (round 14): never read from the source — the
+    # rewrite recomputes them from their expressions anyway, so a
+    # source that provides only the key (the NMBS-only merge shape) or
+    # only the generating columns works.  A source that DOES provide
+    # them keeps the old validation path (the recompute overwrites).
+    from pyspark_anomaly_detection_spark.io.deltalite_generated import (
+        generated_columns_of as _gen_of,
+    )
+
+    gencols = set(_gen_of(snap.schema_json))
+    absent_gen = {c for c in gencols if c not in source.columns}
     cmio = _cm_io(snap)
     part_cols = snap.part_cols
     if key in part_cols:
@@ -910,7 +922,7 @@ def merge_delta(
                 *[
                     F.col(c).alias(f"_dml_src_{c}")
                     for c in target_cols
-                    if c != key and c not in idcols
+                    if c != key and c not in idcols and c not in absent_gen
                 ],
                 # source partition values ride along so the per-group
                 # rewrite can route partition-moving rows (below)
@@ -924,7 +936,7 @@ def merge_delta(
         # the target key itself (they are equal on a matched row), which
         # the joined frame carries under the bare name.
         aliased = {
-            c for c in target_cols if c != key and c not in idcols
+            c for c in target_cols if c != key and c not in idcols and c not in absent_gen
         }
         cond_col = (
             F.expr(
@@ -959,6 +971,12 @@ def merge_delta(
                     raise ValueError(
                         "merge_delta: not_matched_by_source_set cannot "
                         f"assign '{c}' (merge key / identity column)"
+                    )
+                if c in gencols:
+                    raise ValueError(
+                        f"merge_delta: cannot assign generated column "
+                        f"'{c}' in not_matched_by_source_set — it "
+                        "recomputes from its expression (Delta's rule)"
                     )
                 if c in part_cols:
                     raise ValueError(
@@ -1072,7 +1090,7 @@ def merge_delta(
                     F.col(c)
                     # identity values never update — Delta's rule; the
                     # matched row keeps the value it was allocated
-                    if c == key or c in idcols
+                    if c == key or c in idcols or c in absent_gen
                     else F.when(hit, F.col(f"_dml_src_{c}"))
                     .otherwise(F.col(c))
                     .alias(c)
@@ -1135,7 +1153,7 @@ def merge_delta(
                 *[
                     (
                         F.col(c)
-                        if c == key or c in idcols
+                        if c == key or c in idcols or c in absent_gen
                         else F.col(f"_dml_src_{c}")
                     ).alias(c)
                     for c in target_cols
@@ -1155,7 +1173,7 @@ def merge_delta(
         # files by construction, so the touched scan is the full match
         # set).  Partitioned inserts keep their partition columns for
         # the hive-layout write in _rewrite_commit.
-        insert_cols = [c for c in target_cols if c not in idcols] + [
+        insert_cols = [c for c in target_cols if c not in idcols and c not in absent_gen] + [
             c for c in part_cols if c not in target_cols
         ]
         n_inserted = (n_src - n_matched_keys) if insert else 0
@@ -1250,7 +1268,7 @@ def merge_delta(
                         *[
                             (
                                 F.col(c)
-                                if c == key or c in idcols
+                                if c == key or c in idcols or c in absent_gen
                                 else F.col(f"_dml_src_{c}")
                             ).alias(c)
                             for c in target_cols
