@@ -182,3 +182,21 @@ def test_coverage_guard_goes_red_on_contradiction():
         "rows-only**", "rows-only** (doctored)"
     )
     assert doctored != live
+
+
+def test_readme_counts_match_live(live_hash):  # noqa: ARG001 (ordering)
+    """VERDICT r13 item 5: README.md's query/oracle/test counts are
+    DERIVED (tools/readme_counts.py markers), never hand-typed — this
+    fails whenever the registry or the test suite grows without the
+    README being regenerated at close."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "tools", "readme_counts.py"),
+         "--check"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

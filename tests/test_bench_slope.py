@@ -99,5 +99,12 @@ def test_scale_point_slope_passes():
         f"BENCH_SCALE_sf1.json is stale — expected queries not swept: "
         f"{sorted(missing)}; regenerate with tools/bench_slope.py"
     )
+    # dispersion discipline (VERDICT r13 item 4): the slope point runs
+    # the same ≥5-rep rule as the headline suite — stdev from two
+    # samples is not a spread
+    assert int(data.get("reps", 0)) >= 5, (
+        f"BENCH_SCALE_sf1.json has reps={data.get('reps')} — the slope "
+        "point needs >= 5 reps; regenerate with tools/bench_slope.py"
+    )
     problems = bench_slope.check_scale()
     assert not problems, "\n".join(problems)

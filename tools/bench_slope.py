@@ -172,7 +172,10 @@ def main() -> None:
             + SCALE_EXTRA_QUERIES
         )
         print(f"scale sweep at {scale_dir} → {SCALE_ART}", file=sys.stderr)
-        run_sweep(scale_dir, SCALE_ART, only=scale_queries, reps=2)
+        # reps=5 (VERDICT r13 item 4): the slope point gets the same
+        # dispersion discipline as the headline suite — two samples are
+        # not a spread, and the 15× bound can trip on noise without it
+        run_sweep(scale_dir, SCALE_ART, only=scale_queries, reps=5)
     problems = check() + check_scale()
     if problems:
         print("SLOPE CHECK FAILED:")

@@ -17,8 +17,9 @@ against what was just written:
 3. ``tools/parity_check.py``      → PARITY_sf0.001/0.01/0.1.json (3-SF matrix)
 4. ``tools/bench_history.py``     → BENCH_HISTORY.json   (cross-round check)
 5. ``tools/coverage_status.py``   → COVERAGE.md oracle-status block
-6. ``pytest tests/``              → the whole contract, including the
-   freshness guards over the artifacts written in 1-5.
+6. ``tools/readme_counts.py``     → README.md derived counts (r14)
+7. ``pytest tests/``              → the whole contract, including the
+   freshness guards over the artifacts written in 1-6.
 
 Refuses (non-zero exit) on the FIRST failing step.
 """
@@ -63,6 +64,7 @@ def main() -> None:
     run("parity matrix", [py, "tools/parity_check.py", *parity_dirs])
     run("bench history", [py, "tools/bench_history.py"])
     run("coverage oracle-status", [py, "tools/coverage_status.py"])
+    run("readme counts", [py, "tools/readme_counts.py"])
     run("pytest", [py, "-m", "pytest", "tests/", "-q", "-x"])
     # commit-message counts DERIVED from the registry, never hand-typed
     # (verdict r10 item 1: commit 57b0328 said "224-query registry" over
