@@ -110,13 +110,18 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> str |
     return None
 
 
-def run_sf(sf_dir: str) -> dict:
+def run_sf(sf_dir: str, only: "set[str] | None" = None) -> dict:
     spark = get_spark_session("parity", master="local[16]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        # testdata tables are single files; the sf1 scale dir's are
+        # Spark-written DIRECTORIES of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     registry = all_queries()
     statuses: dict[str, str] = {}
@@ -124,6 +129,8 @@ def run_sf(sf_dir: str) -> dict:
     start = time.perf_counter()
     for name, query in sorted(registry.items()):
         if not query.oracle:
+            continue
+        if only is not None and name not in only:
             continue
         try:
             spark_pdf = query.fn(spark, sf_dir).toPandas()
@@ -158,7 +165,40 @@ def run_sf(sf_dir: str) -> dict:
     }
 
 
+def scale_point_queries() -> set[str]:
+    """The sf1 audit set (VERDICT r13 item 8): the slope-lane queries
+    plus the adaptive-dispatch pair whose containment rules only engage
+    above the exact cap — at the 10× dir the q37/q116 BLAS lane and the
+    q52/q183 blocking lanes all run simultaneously."""
+    from tools.bench_slope import SCALE_EXTRA_QUERIES
+
+    return (
+        {n for n, q in all_queries().items() if q.headline}
+        | set(SCALE_EXTRA_QUERIES)
+        | {"q52_embedding_neardup", "q183_semantic_dedup_keep"}
+    )
+
+
 def main() -> None:
+    if "--scale-point" in sys.argv:
+        # hostile-SF oracle audit: same comparison, at the 10× explode
+        from tools.make_scale_data import ensure
+
+        sf_dir = ensure()
+        result = run_sf(sf_dir, only=scale_point_queries())
+        out = os.path.join(REPO, "PARITY_sf1.json")
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=False)
+            f.write("\n")
+        print(
+            f"sf1: {result['n_pass']}/{result['n_oracle']} pass, "
+            f"{result['n_fail']} fail → {out}"
+        )
+        if result["n_fail"]:
+            for name, why in result["failures"].items():
+                print(f"  FAIL {name}: {why}")
+            sys.exit(1)
+        return
     sf_dirs = sys.argv[1:] or [
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.01",
