@@ -1798,9 +1798,10 @@ def vacuum_delta(table_path: str, retain_versions: int = 1) -> dict[str, int]:
             continue
         if "_change_data" in segs:
             # cdc files are referenced by cdc actions, not adds — their
-            # retention follows the LOG's (they become unreadable only
-            # when their commit JSON expires past a checkpoint), so the
-            # add-based sweep must not touch them (round 14)
+            # retention follows the LOG's: readable while their commit
+            # JSON exists, garbage once expire_log has deleted it.  The
+            # add-based sweep must not touch live ones (round 14);
+            # expired ones are reclaimed below by commit version.
             continue
         for name in files:
             if not name.endswith(".parquet"):
@@ -1812,6 +1813,25 @@ def vacuum_delta(table_path: str, retain_versions: int = 1) -> dict[str, int]:
             else:
                 os.remove(full)
                 n_deleted += 1
+    # reclaim cdc files of EXPIRED commits: a _change_data/<commit-dir>
+    # is readable only through its commit JSON; once expire_log deleted
+    # that (version below the checkpoint horizon), the cdc files are
+    # unreachable garbage.  Commit dirs are named part-<version>-<uuid>.
+    cdc_root = os.path.join(table_path, "_change_data")
+    live_versions = set(_list_versions(table_path))
+    if os.path.isdir(cdc_root):
+        import re as _re
+        import shutil as _shutil
+
+        for name in sorted(os.listdir(cdc_root)):
+            m = _re.match(r"part-(\d+)-", name)
+            if m and int(m.group(1)) not in live_versions:
+                full = os.path.join(cdc_root, name)
+                n_deleted += sum(
+                    len(fs) for _r, _d, fs in os.walk(full)
+                )
+                _shutil.rmtree(full)
+
     # sweep now-empty commit directories
     for root, dirs, files in os.walk(table_path, topdown=False):
         if root == table_path or _LOG_DIR in root:

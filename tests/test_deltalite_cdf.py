@@ -225,3 +225,36 @@ def test_cdf_streaming_delivers_row_level_changes(spark, tmp_path):
         (2, "update_preimage", 7, 14),
         (3, "delete", 9, 18),
     ]
+
+
+def test_cdf_files_reclaimed_after_log_expiry(spark, tmp_path):
+    """cdc retention follows the log: VACUUM keeps _change_data while
+    the commit JSON exists and reclaims it once expire_log deleted the
+    commit (the files are unreachable then — the feed range raises)."""
+    import pytest
+
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        create_checkpoint,
+        expire_log,
+    )
+
+    t = str(tmp_path / "t")
+    _cdf_table(spark, t)
+    delete_delta(spark, t, "id < 10")  # v2: cdc files land
+    cdc_root = os.path.join(t, "_change_data")
+    assert os.path.isdir(cdc_root) and os.listdir(cdc_root)
+    vacuum_delta(t)
+    assert os.listdir(cdc_root)  # live commit: kept
+    write_delta(
+        spark.range(200, 205).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ),
+        t,
+        mode="append",
+    )
+    create_checkpoint(t)  # horizon at v3
+    expire_log(t)  # v0..v2 JSONs gone
+    with pytest.raises(ValueError, match="expired|missing|not in log"):
+        read_delta_changes(spark, t, from_version=1, to_version=2).count()
+    vacuum_delta(t)
+    assert not os.path.isdir(cdc_root) or not os.listdir(cdc_root)
