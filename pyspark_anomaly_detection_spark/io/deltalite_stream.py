@@ -275,7 +275,11 @@ class DeltaliteStreamReader(DataSourceStreamReader):
         n = table.num_rows
         cols: dict[str, Any] = {c: table.column(c) for c in table.column_names}
         for name in self.part_cols:
-            raw = partition.partition_values.get(name)
+            # mapped tables key partitionValues by PHYSICAL name (round
+            # 14 — CM × partitions); part_cols are logical
+            raw = partition.partition_values.get(
+                self.column_mapping.get(name, name)
+            )
             dt = self.schema[name].dataType
             field = dt.typeName()
             if raw is None:

@@ -276,3 +276,40 @@ def test_cdf_stream_across_dml_hand_computed(spark, tmp_path):
         (4, 8, 2, "insert"),   # rewritten survivors
         (5, 999, 2, "insert"),
     }
+
+
+def test_stream_mapped_partitioned_table(spark, tmp_path):
+    """Round 14 (CM × partitions): the streaming source reconstructs
+    partition columns of a MAPPED partitioned table — partitionValues
+    are keyed by physical name in the log."""
+    from pyspark_anomaly_detection_spark.io.deltalite_cm import (
+        write_delta_mapped,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_stream import (
+        read_deltalite_stream,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta_mapped(
+        spark.range(0, 8).select(
+            F.col("id"),
+            (F.col("id") * 2).alias("v"),
+            (F.col("id") % 2).cast("string").alias("side"),
+        ),
+        t,
+        partition_by=["side"],
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        read_deltalite_stream(spark, t)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.id: r.side for r in spark.read.parquet(sink).collect()}
+    assert sorted(rows) == list(range(8))
+    assert all(rows[i] == str(i % 2) for i in rows)
