@@ -626,3 +626,49 @@ def test_optimize_partitioned_table_preserves_partition_values(
     rows = {r.id: r.side for r in read_delta(spark, t).collect()}
     assert sorted(rows) == list(range(12))
     assert all(rows[i] == str(i % 2) for i in rows)
+
+
+def test_optimize_zorder_partitioned_clusters_within_groups(
+    spark, tmp_path
+):
+    """ZORDER on a partitioned table clusters WITHIN each partition
+    group (real OPTIMIZE's scope): stats land per file, partitionValues
+    survive, and the pruned read still subtracts nothing."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        _snapshot_state,
+        optimize_delta,
+        read_delta,
+        read_delta_pruned,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(0, 400).select(
+            F.col("id"),
+            (F.col("id") % 20).alias("x"),
+            ((F.col("id") * 7) % 20).alias("y"),
+            (F.col("id") % 2).cast("string").alias("side"),
+        ),
+        t,
+        partition_by=["side"],
+    )
+    out = optimize_delta(
+        spark, t, target_file_bytes=2000, zorder_by=("x", "y")
+    )
+    assert out["files_after"] >= 2
+    snap = _snapshot_state(t)
+    for a in snap.adds.values():
+        assert a["partitionValues"].get("side") in ("0", "1")
+        assert "stats" in a
+    rows = {r.id: r.side for r in read_delta(spark, t).collect()}
+    assert sorted(rows) == list(range(400))
+    assert all(rows[i] == str(i % 2) for i in rows)
+    df, meta = read_delta_pruned(spark, t, "x", 0, 2)
+    assert meta["files_read"] < meta["files_total"]  # skipping engages
+    assert df.count() == 60  # x in {0,1,2} → 3 * 20 ids
+    # partition column cannot be a zorder dimension
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition"):
+        optimize_delta(spark, t, zorder_by=("side", "x"))

@@ -258,3 +258,26 @@ def test_cdf_files_reclaimed_after_log_expiry(spark, tmp_path):
         read_delta_changes(spark, t, from_version=1, to_version=2).count()
     vacuum_delta(t)
     assert not os.path.isdir(cdc_root) or not os.listdir(cdc_root)
+
+
+def test_cdf_dml_on_dv_table_counts_live_rows_only(spark, tmp_path):
+    """CDF × DV × COW composition: a COW UPDATE on a table whose files
+    carry deletion vectors feeds only LIVE changed rows (the cdc scan
+    reads through the bitmaps), and the cdc commit supersedes the
+    file-level view entirely."""
+    from pyspark_anomaly_detection_spark.io.deltalite_dv import (
+        delete_delta_dv,
+    )
+
+    t = str(tmp_path / "t")
+    _cdf_table(spark, t, n=30)
+    delete_delta_dv(spark, t, "id % 10 = 5")  # v2: DV delete (3 rows)
+    update_delta(spark, t, "id % 5 = 0", {"v": "v + 1000"})  # v3
+    feed = read_delta_changes(spark, t, from_version=2)
+    rows = [(r._change_type, r.id, r.v) for r in feed.collect()]
+    # live %5 keys: 0,10,20 (5,15,25 are DV-deleted) — 3 pre + 3 post
+    want = []
+    for i in (0, 10, 20):
+        want.append(("update_preimage", i, i * 2))
+        want.append(("update_postimage", i, i * 2 + 1000))
+    assert sorted(rows) == sorted(want)
