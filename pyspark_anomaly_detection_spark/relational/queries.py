@@ -47,11 +47,13 @@ from pyspark_anomaly_detection_spark.registry import register
       l_linestatus,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+        AS sum_disc_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(18,2)))
-               * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE)
+        AS sum_charge,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
@@ -65,6 +67,12 @@ from pyspark_anomaly_detection_spark.registry import register
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # the scale-4/6 product sums REDUCE to scale 2 (ROUND half-up, same
+    # as DuckDB's ROUND half-away) before the double cast: at sf1 the
+    # scale-6 sum's scaled integer exceeds 2^53, where DuckDB's
+    # int128→double path double-rounds while Spark's BigDecimal
+    # single-rounds — a 1-ulp divergence PARITY_sf1 caught (round 14);
+    # at scale 2 the scaled integer stays exact in double far past sf100
     disc_price = dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
     charge = disc_price * (F.lit(1) + dec2("l_tax"))
     return (
@@ -73,8 +81,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             sum_dbl("l_quantity").alias("sum_qty"),
             sum_dbl("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(disc_price), 2).cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             avg_dbl("l_quantity").alias("avg_qty"),
             avg_dbl("l_extendedprice").alias("avg_price"),
             avg_dbl("l_discount").alias("avg_disc"),

@@ -132,20 +132,29 @@ def run_sf(sf_dir: str, only: "set[str] | None" = None) -> dict:
             continue
         if only is not None and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             spark_pdf = query.fn(spark, sf_dir).toPandas()
+            t_spark = time.perf_counter() - t0
             duck_pdf = con.execute(
                 resolve_oracle(query.oracle, sf_dir)
             ).df()
+            t_duck = time.perf_counter() - t0 - t_spark
             err = compare(spark_pdf, duck_pdf, name)
         except Exception as e:  # noqa: BLE001 - sweep robustness
             err = f"error: {str(e)[:200]}"
+            t_spark = t_duck = -1.0
         if err is None:
             statuses[name] = "pass"
         else:
             statuses[name] = "fail"
             failures[name] = err
-        print(f"  {name}: {statuses[name]}", file=sys.stderr)
+        print(
+            f"  {name}: {statuses[name]} "
+            f"(spark {t_spark:.1f}s, oracle {t_duck:.1f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
     elapsed = round(time.perf_counter() - start, 1)
     con.close()
     spark.stop()
@@ -166,16 +175,18 @@ def run_sf(sf_dir: str, only: "set[str] | None" = None) -> dict:
 
 
 def scale_point_queries() -> set[str]:
-    """The sf1 audit set (VERDICT r13 item 8): the slope-lane queries
-    plus the adaptive-dispatch pair whose containment rules only engage
-    above the exact cap — at the 10× dir the q37/q116 BLAS lane and the
-    q52/q183 blocking lanes all run simultaneously."""
+    """The sf1 audit set (VERDICT r13 item 8): the slope-lane queries —
+    the q37/q116 BLAS lane and the size-adaptive dispatches all engage
+    at the 10× dir.  The q52/q183 adaptive pair is deliberately NOT
+    here: their DuckDB oracles are exact ALL-PAIRS recomputations
+    (20k×20k at sf1), which is an hour-scale oracle cost for no extra
+    engine coverage — their blocking lanes are already containment-
+    checked at sf0.1 where the caps engage (ADAPTIVE_SUBSET_CASES)."""
     from tools.bench_slope import SCALE_EXTRA_QUERIES
 
     return (
         {n for n, q in all_queries().items() if q.headline}
         | set(SCALE_EXTRA_QUERIES)
-        | {"q52_embedding_neardup", "q183_semantic_dedup_keep"}
     )
 
 
