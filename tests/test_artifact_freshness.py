@@ -29,6 +29,7 @@ JSON_ARTIFACTS = [
     "PARITY_sf0.001.json",
     "PARITY_sf0.01.json",
     "PARITY_sf0.1.json",
+    "PARITY_sf1.json",
     "BENCH_ALL_sf0.01.json",
     "BENCH_ALL_sf0.1.json",
     "BENCH_SCALE_sf1.json",
@@ -200,3 +201,29 @@ def test_readme_counts_match_live(live_hash):  # noqa: ARG001 (ordering)
         cwd=REPO,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_scale_point_parity_green_and_covering():
+    """VERDICT r13 item 8: the hostile-SF oracle audit — the committed
+    PARITY_sf1.json must cover the slope-lane query set and be fully
+    green (on arrival it caught q01's decimal→double divergence above
+    2^53, invisible at the three committed SFs)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(REPO, "tools"))
+    import parity_check
+
+    path = os.path.join(REPO, "PARITY_sf1.json")
+    assert os.path.exists(path), (
+        "PARITY_sf1.json missing — run "
+        "`python tools/parity_check.py --scale-point`"
+    )
+    with open(path) as f:
+        data = json.load(f)
+    expected = parity_check.scale_point_queries()
+    covered = set(data["queries"])
+    assert covered == expected, (
+        f"PARITY_sf1.json stale: missing={sorted(expected - covered)} "
+        f"extra={sorted(covered - expected)}"
+    )
+    assert data["n_fail"] == 0, data["failures"]

@@ -62,6 +62,13 @@ def main() -> None:
     if not quick:
         parity_dirs.append("/root/testdata/sf0.1")
     run("parity matrix", [py, "tools/parity_check.py", *parity_dirs])
+    if not quick:
+        # hostile-SF oracle audit (r14): slope queries at the 10× dir —
+        # caught q01's decimal→double divergence above 2^53 on arrival
+        run(
+            "parity scale point (sf1)",
+            [py, "tools/parity_check.py", "--scale-point"],
+        )
     run("bench history", [py, "tools/bench_history.py"])
     run("coverage oracle-status", [py, "tools/coverage_status.py"])
     run("readme counts", [py, "tools/readme_counts.py"])
