@@ -320,12 +320,19 @@ def _rewrite_commit(
 
     # generated columns recompute on every rewrite (Delta's UPDATE
     # semantics: the expression, not the stale/stated value, wins) —
-    # one withColumn per generated column, stays in codegen
+    # one withColumn per generated column, stays in codegen.  Generated
+    # PARTITION columns are different (round 14): they never live in
+    # data files (their value is the group's partitionValues, reinjected
+    # on read), so the data-file transform must NOT materialize them;
+    # the hive-layout insert path computes them for ROUTING only
+    # (partitionBy strips them from the files again).
     from pyspark_anomaly_detection_spark.io.deltalite_generated import (
         generated_columns_of,
     )
 
-    gen_exprs = generated_columns_of(snap.schema_json)
+    all_gen = generated_columns_of(snap.schema_json)
+    part_gen = {c: e for c, e in all_gen.items() if c in snap.part_cols}
+    gen_exprs = {c: e for c, e in all_gen.items() if c not in snap.part_cols}
     if gen_exprs:
         inner_transform = transform
 
@@ -339,8 +346,11 @@ def _rewrite_commit(
                 out = out.withColumn(col, F.expr(expr))
             return out
 
-        if extra_adds_df is not None:
-            for col, expr in gen_exprs.items():
+    if extra_adds_df is not None:
+        for col, expr in gen_exprs.items():
+            extra_adds_df = extra_adds_df.withColumn(col, F.expr(expr))
+        for col, expr in part_gen.items():
+            if col not in extra_adds_df.columns:
                 extra_adds_df = extra_adds_df.withColumn(col, F.expr(expr))
 
     # group touched files by partition tuple (one group, {}, when
@@ -467,6 +477,11 @@ def _rewrite_commit(
             **check_constraints_of(snap.meta),
             **generation_constraints(snap.schema_json),
         }
+        # generated PARTITION columns never live in data files — their
+        # equality can't be checked on the staged scan (round 14); the
+        # hive routing / partition-move machinery carries their value
+        for c in snap.part_cols:
+            cons.pop(f"generated:{c}", None)
         if cons:
             # constraints are stored in LOGICAL names; a mapped table's
             # staged files carry physical names, so translate first.
@@ -651,11 +666,28 @@ def update_delta(
             )
     if snap.part_cols:
         _guard_partition_columns(predicate, snap.part_cols)
+        import re as _re
+
         for col in assignments:
             if col in snap.part_cols:
                 raise ValueError(
                     f"cannot UPDATE partition column '{col}'"
                 )
+            # a generated PARTITION column's value is the file group's
+            # committed partitionValues — updating one of its SOURCES
+            # would silently leave the row in the stale partition
+            # (round 14: probed — the rewrite stayed in the old group
+            # while the expression now implies another)
+            for pcol in snap.part_cols:
+                expr = gen.get(pcol)
+                if expr and _re.search(rf"\b{_re.escape(col)}\b", expr):
+                    raise ValueError(
+                        f"cannot UPDATE column '{col}': partition "
+                        f"column '{pcol}' is GENERATED ALWAYS AS "
+                        f"({expr}) from it — the update would move "
+                        "rows between partitions; use MERGE (whose "
+                        "partition-move path handles this) instead"
+                    )
     active = sorted(snap.adds)
     touched = _touched_files(
         spark, table_path, active, predicate, cmio, snap=snap
@@ -853,7 +885,8 @@ def merge_delta(
         generated_columns_of as _gen_of,
     )
 
-    gencols = set(_gen_of(snap.schema_json))
+    gen_map = _gen_of(snap.schema_json)
+    gencols = set(gen_map)
     absent_gen = {c for c in gencols if c not in source.columns}
     cmio = _cm_io(snap)
     part_cols = snap.part_cols
@@ -925,8 +958,17 @@ def merge_delta(
                     if c != key and c not in idcols and c not in absent_gen
                 ],
                 # source partition values ride along so the per-group
-                # rewrite can route partition-moving rows (below)
-                *[F.col(c).alias(f"_dml_s_{c}") for c in part_cols],
+                # rewrite can route partition-moving rows (below);
+                # GENERATED partition columns always recompute from
+                # their expression over the source's data columns
+                # (round 14) — the source need not carry them, and a
+                # carried value never overrides the expression
+                *[
+                    (
+                        F.expr(gen_map[c]) if c in gen_map else F.col(c)
+                    ).alias(f"_dml_s_{c}")
+                    for c in part_cols
+                ],
             )
         )
         # WHEN MATCHED AND <cond>: target columns by bare name, source
@@ -978,6 +1020,17 @@ def merge_delta(
                         f"'{c}' in not_matched_by_source_set — it "
                         "recomputes from its expression (Delta's rule)"
                     )
+                for pcol in part_cols:
+                    pexpr = gen_map.get(pcol)
+                    if pexpr and __import__("re").search(
+                        rf"\b{__import__('re').escape(c)}\b", pexpr
+                    ):
+                        raise ValueError(
+                            "merge_delta: not_matched_by_source_set "
+                            f"cannot assign '{c}' — partition column "
+                            f"'{pcol}' is GENERATED from it and NMBS "
+                            "updates never move rows"
+                        )
                 if c in part_cols:
                     raise ValueError(
                         "merge_delta: not_matched_by_source_set cannot "
@@ -1161,7 +1214,11 @@ def merge_delta(
                 *[
                     F.col(f"_dml_s_{c}").alias(c)
                     for c in part_cols
-                    if c not in target_cols
+                    # GENERATED partition columns recompute in
+                    # _rewrite_commit's insert path (round 14) — and
+                    # must be absent here so movers union with the
+                    # insert frame, which never carries them
+                    if c not in target_cols and c not in gen_map
                 ],
             )
             n_moved = mover_rows.count()
@@ -1173,8 +1230,16 @@ def merge_delta(
         # files by construction, so the touched scan is the full match
         # set).  Partitioned inserts keep their partition columns for
         # the hive-layout write in _rewrite_commit.
-        insert_cols = [c for c in target_cols if c not in idcols and c not in absent_gen] + [
-            c for c in part_cols if c not in target_cols
+        insert_cols = [
+            c
+            for c in target_cols
+            if c not in idcols and c not in absent_gen
+        ] + [
+            # generated partition columns compute in the hive-write
+            # path (_rewrite_commit) — never required of the source
+            c
+            for c in part_cols
+            if c not in target_cols and c not in gen_map
         ]
         n_inserted = (n_src - n_matched_keys) if insert else 0
         if not insert:

@@ -192,3 +192,80 @@ def test_nmbs_update_recomputes_generated_column(spark, tmp_path):
             not_matched_by_source="update",
             not_matched_by_source_set={"doubled": "v * 7"},
         )
+
+
+def test_generated_partition_column_lifecycle(spark, tmp_path):
+    """Round 14: a GENERATED column as the PARTITION column (Delta's
+    date-from-timestamp pattern).  Creation and appends route by the
+    computed value; UPDATE of a generating source REFUSES (it would
+    silently strand rows in stale partitions — probed before the
+    guard); MERGE never requires the source to carry the generated
+    partition column and recomputes it for inserts AND the
+    partition-move path."""
+    import pytest
+
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        _snapshot_state,
+        read_delta,
+        write_delta,
+    )
+    from pyspark_anomaly_detection_spark.io.deltalite_dml import (
+        delete_delta,
+        update_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(0, 12).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        t,
+        generated_columns={"bucket": "CAST(id % 3 AS STRING)"},
+        partition_by=["bucket"],
+    )
+    write_delta(
+        spark.range(12, 18).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        t,
+        mode="append",
+    )
+    snap = _snapshot_state(t)
+    assert all(
+        a["partitionValues"].get("bucket") in ("0", "1", "2")
+        for a in snap.adds.values()
+    )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        update_delta(spark, t, "id = 5", {"id": "100"})
+    update_delta(spark, t, "id % 2 = 0", {"v": "v + 7"})
+    delete_delta(spark, t, "id % 7 = 1")
+    rows = {r.id: (r.v, r.bucket) for r in read_delta(spark, t).collect()}
+    assert sorted(rows) == [i for i in range(18) if i % 7 != 1]
+    for i, (v, b) in rows.items():
+        assert b == str(i % 3)
+        assert v == i * 2 + (7 if i % 2 == 0 else 0)
+
+
+def test_merge_moves_rows_when_generated_partition_changes(spark, tmp_path):
+    """A matched MERGE update whose new data values imply a DIFFERENT
+    generated partition value MOVES the row (delete from the old group
+    + hive insert into the new one), with the value recomputed from the
+    expression — the source never carries the partition column."""
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(0, 8).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        t,
+        generated_columns={"side": "CAST(v % 4 AS STRING)"},
+        partition_by=["side"],
+    )
+    # id 3: v 6 (side '2') -> v 8 (side '0'): moves partitions
+    # id 20: fresh insert at v 5 (side '1')
+    src = spark.createDataFrame([(3, 8), (20, 5)], "id long, v long")
+    out = merge_delta(spark, t, src, key="id")
+    assert out["rows_matched"] == 1 and out["rows_inserted"] == 1
+    assert out["rows_moved"] == 1
+    rows = {r.id: (r.v, r.side) for r in read_delta(spark, t).collect()}
+    assert sorted(rows) == list(range(8)) + [20]
+    assert rows[3] == (8, "0") and rows[20] == (5, "1")
+    assert all(rows[i][1] == str(rows[i][0] % 4) for i in rows)
