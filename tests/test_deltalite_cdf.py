@@ -281,3 +281,102 @@ def test_cdf_dml_on_dv_table_counts_live_rows_only(spark, tmp_path):
         want.append(("update_preimage", i, i * 2))
         want.append(("update_postimage", i, i * 2 + 1000))
     assert sorted(rows) == sorted(want)
+
+
+def test_cdc_commit_conflict_matrix(spark, tmp_path):
+    """Round 14: cdc actions ride existing conflict semantics — an
+    insert-only commit carrying cdc actions is still a blind append
+    (REBASES over an interleaved append), while a DML rewrite carrying
+    removes + cdc conflicts with ANY interleaved data change."""
+    import json
+
+    import pytest
+
+    from pyspark_anomaly_detection_spark.io.deltalite import (
+        DeltaliteConcurrentCommit,
+        _commit_with_retry,
+        _log_path,
+    )
+
+    t = str(tmp_path / "t")
+    _cdf_table(spark, t, n=10)  # v0 write, v1 property
+    # simulate an interleaved blind append claiming v2
+    with open(_log_path(t, 2), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "interleaved/x.parquet",
+                        "partitionValues": {},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+            + json.dumps({"commitInfo": {"operation": "WRITE"}})
+            + "\n"
+        )
+    # insert-only + cdc: no removes, no metadata -> rebases to v3
+    ver = _commit_with_retry(
+        t,
+        2,
+        [
+            {"commitInfo": {"operation": "MERGE"}},
+            {
+                "add": {
+                    "path": "ins/y.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+            {
+                "cdc": {
+                    "path": "_change_data/ins/y.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "dataChange": False,
+                }
+            },
+        ],
+    )
+    assert ver == 3
+    # rewrite (remove + add + cdc) targeted at an already-taken version
+    # conflicts with the interleaved data change
+    with open(_log_path(t, 4), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "interleaved/z.parquet",
+                        "partitionValues": {},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+            + json.dumps({"commitInfo": {"operation": "WRITE"}})
+            + "\n"
+        )
+    with pytest.raises(DeltaliteConcurrentCommit):
+        _commit_with_retry(
+            t,
+            4,
+            [
+                {"commitInfo": {"operation": "DELETE"}},
+                {"remove": {"path": "ins/y.parquet", "dataChange": True}},
+                {
+                    "cdc": {
+                        "path": "_change_data/d/w.parquet",
+                        "partitionValues": {},
+                        "size": 1,
+                        "dataChange": False,
+                    }
+                },
+            ],
+        )
