@@ -104,11 +104,19 @@ def main() -> None:
         headline = {n: registry[n] for n in sorted(wanted)}
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
 
-    # JVM/codegen warmup on the smallest SF so timings measure the engine,
-    # not first-query initialization. Whole-stage codegen compiles per
-    # distinct plan, so every headline plan is warmed, not just the first.
+    # Two-stage warmup. Stage 1 (sf0.001): whole-stage codegen compiles per
+    # distinct plan, so every headline plan is warmed cheaply. Stage 2 (one
+    # untimed execution at the TARGET sf_dir): the small-SF pass engages only
+    # 1-2 partitions, so at the target scale rep 1 used to pay ~30 Python
+    # worker spawns (fork + numpy/pandas import) plus first-touch page cache
+    # — r15's sf1 A/B measured rep-1 as the max sample in 5 of 6 runs
+    # (BENCH_NOTES.md round 15). Worker spawn is a session constant at
+    # cluster scale, not a per-query cost, so it does not belong in the
+    # per-query sample.
     for query in headline.values():
         materialize(query.fn(spark, "/root/testdata/sf0.001"))
+    for name, query in sorted(headline.items()):
+        materialize(query.fn(spark, sf_dir))
 
     # Interleave repetitions (rep-major, not query-major) so a transient
     # machine-wide slowdown lands on ONE sample of many queries instead of

@@ -262,10 +262,18 @@ def read_files_minus_dv(
     )
     if total_card <= DV_BROADCAST_MAX_ROWS:
         pos = F.broadcast(pos)
-    out = df.join(pos, ["_dv_f", "_dv_i"], "left_anti").drop("_dv_i")
+    # A key-list join MOVES the join keys to the FRONT of the output
+    # ([_dv_f, _dv_i, data...]), so the data-column ORDER must be
+    # restored explicitly: column-mapped callers rename this frame
+    # POSITIONALLY (deltalite_dml._read_files toDF), and the rotated
+    # order bound logical columns to the file-path column — the
+    # CM × DV × touched-file-scan composition the r15 schema-feature
+    # lifecycle fuzz caught (tests/test_deltalite_model_fuzz.py).
+    data_cols = [c for c in df.columns if c not in ("_dv_f", "_dv_i")]
+    out = df.join(pos, ["_dv_f", "_dv_i"], "left_anti")
     if file_col:
-        return out.withColumnRenamed("_dv_f", file_col)
-    return out.drop("_dv_f")
+        return out.select(*data_cols, F.col("_dv_f").alias(file_col))
+    return out.select(*data_cols)
 
 
 def dv_diff_rows(

@@ -77,6 +77,25 @@ def get_spark_session(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
         )
     )
+    # Pin BLAS/OpenMP pools inside Python workers to 1 thread (override
+    # with $SPARK_GRAFT_BLAS_THREADS; "0" disables pinning).  Parallelism
+    # in the vectorized lanes (similarity/ann.py, similarity/pca.py) comes
+    # from Spark TASKS — local[32] already runs 32 Python workers, so any
+    # per-worker BLAS pool multiplies thread count past the core count and
+    # turns the matmul lanes into stragglers under load (r14's sf1 sweep
+    # recorded a 6× q116 rep spike, BENCH_SCALE_sf1.json).  Same rationale
+    # on a real cluster: executor cores × BLAS threads oversubscribes the
+    # host.  Propagates via executorEnv, which local-mode Python workers
+    # inherit (verified empirically — see BENCH_NOTES.md round 15).
+    blas_threads = os.environ.get("SPARK_GRAFT_BLAS_THREADS", "1")
+    if blas_threads != "0":
+        for var in (
+            "OPENBLAS_NUM_THREADS",
+            "OMP_NUM_THREADS",
+            "MKL_NUM_THREADS",
+            "NUMEXPR_NUM_THREADS",
+        ):
+            builder = builder.config(f"spark.executorEnv.{var}", blas_threads)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()

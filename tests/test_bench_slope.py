@@ -108,3 +108,9 @@ def test_scale_point_slope_passes():
     )
     problems = bench_slope.check_scale()
     assert not problems, "\n".join(problems)
+    # per-query variance bound (VERDICT r15 item 7): the slope bound
+    # constrains the mean; this constrains the SPREAD, so one 6×-slow
+    # rep (the r14 q116 spike class) fails loudly instead of hiding
+    # inside a passing trimmed mean
+    problems = bench_slope.check_scale_dispersion()
+    assert not problems, "\n".join(problems)

@@ -56,6 +56,38 @@ SCALE_EXTRA_QUERIES = [
 ]
 SCALE_ABS_BOUND = 60.0  # sf1 ceiling for queries under the noise floor
 
+# Per-query variance bound at the scale point (VERDICT r15 item 7): the
+# slope test bounds the MEAN, so a straggler class could hide inside a
+# passing mean — r14's sf1 sweep recorded a 6× q116 rep spike that the
+# trimmed mean absorbed.  Root cause was warmup methodology (the sf0.001
+# warmup spawns 1-2 Python workers; rep 1 at sf1 paid ~30 worker forks +
+# first-touch page cache — fixed by bench.py's target-SF warmup pass,
+# BENCH_NOTES.md round 15); post-fix the observed worst max/min is 1.7,
+# so 3.0 is a true straggler alarm, not a noise trip.  Sub-second
+# spreads are exempt (DISPERSION_ABS_SLACK): at that scale JIT/GC noise
+# dominates and a ratio has no signal.
+DISPERSION_RATIO_BOUND = 3.0
+DISPERSION_ABS_SLACK = 1.0  # seconds of max-min below which ratios are noise
+
+
+def check_scale_dispersion(scale_art: str = SCALE_ART) -> list[str]:
+    """Per-query rep-spread bound on the committed sf1 sweep."""
+    with open(scale_art) as f:
+        scale = json.load(f)
+    problems = []
+    for name, disp in sorted((scale.get("dispersion") or {}).items()):
+        lo, hi = disp.get("min", 0.0), disp.get("max", 0.0)
+        if hi - lo <= DISPERSION_ABS_SLACK or lo <= 0:
+            continue
+        ratio = hi / lo
+        if ratio > DISPERSION_RATIO_BOUND:
+            problems.append(
+                f"{name}: sf1 rep spread {lo:.2f}s → {hi:.2f}s = "
+                f"{ratio:.1f}× (bound {DISPERSION_RATIO_BOUND}×) — a "
+                "straggler class is hiding inside the mean"
+            )
+    return problems
+
 
 def run_sweep(
     sf_dir: str, artifact: str, only: "list[str] | None" = None, reps: int = 0
@@ -176,7 +208,7 @@ def main() -> None:
         # dispersion discipline as the headline suite — two samples are
         # not a spread, and the 15× bound can trip on noise without it
         run_sweep(scale_dir, SCALE_ART, only=scale_queries, reps=5)
-    problems = check() + check_scale()
+    problems = check() + check_scale() + check_scale_dispersion()
     if problems:
         print("SLOPE CHECK FAILED:")
         for p in problems:

@@ -45,6 +45,68 @@ from pyspark_anomaly_detection_spark.session import get_spark_session
 #: sync with tests/test_oracle_parity.py::ADAPTIVE_SUBSET_CASES.
 ADAPTIVE_SUBSET_CASES = {"q52_embedding_neardup", "q183_semantic_dedup_keep"}
 
+#: sf1 audit set beyond the slope lane (VERDICT r15 item 1): the q01
+#: 2^53 decimal divergence (commit 79246e5) proved a bug class exists
+#: that ONLY manifests at the 10× scale point, so the families where
+#: that class lives get hash-checked there too — decimal aggregation,
+#: exact rank/percentile selection, window arithmetic, span-dedup token
+#: hashing, drift/profile exact rationals — plus one-per-family breadth
+#: cover of the join/window/text/split/lakehouse surfaces.  Everything
+#: here runs the IDENTICAL exact comparison as the committed-SF matrix;
+#: inclusion is bounded only by oracle cost at 6M rows (exclusions are
+#: documented at the list tail).
+SCALE_POINT_EXTRA = [
+    # decimal aggregation past 2^53 (the q01 bug class)
+    "q108_brand_revenue_share", "q157_nation_trade_flows",
+    "q158_product_line_profit", "q159_ship_delay_service_classes",
+    "q160_promo_revenue_share", "q161_disjunctive_basket_revenue",
+    "q162_min_cost_supplier", "q186_forecast_revenue_change",
+    # exact rank / percentile selection (position-sensitive at 10× rows)
+    "q43_percentiles_exact", "q104_iqr_outliers", "q151_winsorized_stats",
+    # window arithmetic (frame boundaries, µs timestamps, lag chains)
+    "q22_time_since_last", "q23_rank_lead_lag",
+    "q78_interval_range_frame", "q80_value_picking_windows",
+    # span-dedup token hashing (rolling-hash collision surface grows 10×)
+    "q182_rolling_dup_spans", "q184_strip_dup_spans",
+    "q195_keep_one_dup_spans",
+    # drift / profile exact rationals
+    "q163_psi_value_drift", "q164_categorical_drift",
+    "q223_lm_quality_filter",
+    # join/agg breadth (TPC-H shapes whose plans re-shape under AQE at 10×)
+    "q09_semi_join", "q11_broadcast_dim_join", "q12_range_join",
+    "q14_rollup_region_nation", "q16_topk_per_group", "q42_grouping_sets",
+    "q47_maxby_per_segment", "q49_correlated_subquery",
+    "q105_priority_late_shipping", "q106_dormant_rich_customers",
+    "q126_top_supplier", "q141_dominant_part_suppliers",
+    "q148_top_quarter_supplier", "q150_pareto_skyline",
+    # windows / events
+    "q25_sliding_1h_15m", "q26_session_windows", "q51_asof_join",
+    "q59_ntile_buckets", "q64_funnel", "q65_retention_cohorts",
+    "q74_peak_concurrency", "q98_time_weighted_avg", "q152_windowed_dedup",
+    # text / dedup
+    "q29_lang_quality_agg", "q31_doc_fingerprint", "q32_exact_dedup_stats",
+    "q75_dedup_clusters", "q96_repetition_stats", "q124_bpe_regex_tokens",
+    "q144_bpe_vocab", "q165_bpe_encode", "q167_bm25_ranking",
+    "q169_incremental_dedup", "q197_lang_quality_quantile_gate",
+    "q204_lsh_keep_first", "q211_url_canonical_dedup",
+    "q222_benchmark_decontamination",
+    # splits / sampling / sharding (hash-partition determinism at 10×)
+    "q88_stratified_sample", "q91_deterministic_split",
+    "q93_sequence_packing", "q122_temporal_embargo_split",
+    "q129_class_rebalance", "q137_training_mix",
+    "q173_deterministic_stratified_sample", "q175_curriculum_deciles",
+    "q181_quality_budget_selection", "q194_epoch_shuffle_manifest",
+    # profiles / sketches / integrity
+    "q50_salted_aggregation", "q113_key_skew_profile",
+    "q123_benford_profile", "q142_cms_heavy_hitters",
+    "q156_referential_integrity_audit", "q176_seasonal_residuals",
+    # lakehouse DML at the 10× point (file census / CDF / merge / DV)
+    "q213_deltalite_time_travel", "q224_deltalite_dv_census",
+    "q233_deltalite_merge_clauses", "q239_deltalite_cdf_dml_census",
+    # exact third-engine oracles at sf1 (chunked-numpy lane below):
+    "q52_embedding_neardup", "q183_semantic_dedup_keep",
+]
+
 
 def _cell(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
@@ -64,6 +126,122 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
         drop=True
     )
+
+
+def _fold_dot(a, b):
+    """Dot products vectorized over PAIRS but sequential over DIMENSIONS —
+    the exact IEEE operation order of the engine's fold
+    (``similarity.ann._dot``: aggregate(zip_with(a,b,*), 0.0, +)) and of
+    DuckDB's ``list_dot_product``: each per-element product rounds to
+    double, then accumulates left-to-right.  numpy's elementwise ops use
+    the same IEEE doubles, so the result is BITWISE-identical per pair."""
+    import numpy as np
+
+    acc = np.zeros(a.shape[0])
+    for i in range(a.shape[1]):
+        acc = acc + a[:, i] * b[:, i]
+    return acc
+
+
+def _load_embeddings_numpy(sf_dir: str):
+    """(ids ascending, float64 matrix) straight off the parquet."""
+    import numpy as np
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    con = duckdb.connect()
+    t = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{path}') ORDER BY vec_id"
+    ).df()
+    con.close()
+    ids = t["vec_id"].to_numpy()
+    mat = np.vstack(t["embedding"].to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def _exact_neardup_pairs_numpy(sf_dir: str) -> pd.DataFrame:
+    """Exact all-pairs cosine oracle as a THIRD engine (VERDICT r15
+    item 5).  DuckDB's all-pairs join at the 20k-vector scale point is
+    hour-scale (interpreted list_dot_product over 200M pairs), but the
+    same mathematical result is seconds in numpy: candidate discovery
+    via chunked float32 matmul with a 1e-3 threshold margin, then
+    ``cos_sim`` recomputed ONLY for candidates in the engine's exact
+    fold order (``_fold_dot``) so the final values — and the >= filter
+    at the threshold boundary — are bitwise what the SQL oracle would
+    produce.  The sf1 lane's q52/q183 entries are therefore full exact
+    oracles, not weakened bounds."""
+    import numpy as np
+
+    from pyspark_anomaly_detection_spark.similarity.neardup import (
+        NEARDUP_THRESHOLD,
+    )
+
+    ids, mat = _load_embeddings_numpy(sf_dir)
+    nrm = np.sqrt(_fold_dot(mat, mat))
+    unit = (mat / nrm[:, None]).astype(np.float32)
+    n = unit.shape[0]
+    cand_a, cand_b = [], []
+    margin = NEARDUP_THRESHOLD - 1e-3
+    chunk = 4096
+    for s in range(0, n, chunk):
+        gram = unit[s : s + chunk] @ unit.T  # float32 discovery only
+        ai, bi = np.nonzero(gram >= margin)
+        ai = ai + s
+        keep = ai < bi
+        cand_a.append(ai[keep])
+        cand_b.append(bi[keep])
+    ai = np.concatenate(cand_a)
+    bi = np.concatenate(cand_b)
+    cos = _fold_dot(mat[ai], mat[bi]) / (nrm[ai] * nrm[bi])
+    hit = cos >= NEARDUP_THRESHOLD
+    return (
+        pd.DataFrame(
+            {"a_id": ids[ai[hit]], "b_id": ids[bi[hit]], "cos_sim": cos[hit]}
+        )
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+
+def _exact_semantic_keep_numpy(sf_dir: str) -> pd.DataFrame:
+    """q183's exact oracle at the scale point: exact near-dup edges from
+    ``_exact_neardup_pairs_numpy`` → union-find → min-id component labels
+    — integer-exact, same result as the SQL oracle's recursive reach."""
+    ids, _ = _load_embeddings_numpy(sf_dir)
+    pairs = _exact_neardup_pairs_numpy(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["a_id"].tolist(), pairs["b_id"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    comp = [find(int(v)) for v in ids]
+    df = pd.DataFrame({"vec_id": ids, "component": comp})
+    df["cluster_size"] = df.groupby("component")["component"].transform(
+        "size"
+    ).astype("int64")
+    df["keep"] = df["vec_id"] == df["component"]
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+#: Scale-point oracle overrides: same comparison rules, third engine.
+#: Used ONLY by --scale-point (the committed-SF matrix keeps the SQL
+#: oracles — at those sizes DuckDB recomputes them directly).
+SCALE_NUMPY_ORACLES = {
+    "q52_embedding_neardup": _exact_neardup_pairs_numpy,
+    "q183_semantic_dedup_keep": _exact_semantic_keep_numpy,
+}
 
 
 def _semantic_keep_containment(
@@ -110,7 +288,11 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> str |
     return None
 
 
-def run_sf(sf_dir: str, only: "set[str] | None" = None) -> dict:
+def run_sf(
+    sf_dir: str,
+    only: "set[str] | None" = None,
+    numpy_oracles: "dict | None" = None,
+) -> dict:
     spark = get_spark_session("parity", master="local[16]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -136,9 +318,12 @@ def run_sf(sf_dir: str, only: "set[str] | None" = None) -> dict:
         try:
             spark_pdf = query.fn(spark, sf_dir).toPandas()
             t_spark = time.perf_counter() - t0
-            duck_pdf = con.execute(
-                resolve_oracle(query.oracle, sf_dir)
-            ).df()
+            if numpy_oracles and name in numpy_oracles:
+                duck_pdf = numpy_oracles[name](sf_dir)
+            else:
+                duck_pdf = con.execute(
+                    resolve_oracle(query.oracle, sf_dir)
+                ).df()
             t_duck = time.perf_counter() - t0 - t_spark
             err = compare(spark_pdf, duck_pdf, name)
         except Exception as e:  # noqa: BLE001 - sweep robustness
@@ -175,18 +360,17 @@ def run_sf(sf_dir: str, only: "set[str] | None" = None) -> dict:
 
 
 def scale_point_queries() -> set[str]:
-    """The sf1 audit set (VERDICT r13 item 8): the slope-lane queries —
-    the q37/q116 BLAS lane and the size-adaptive dispatches all engage
-    at the 10× dir.  The q52/q183 adaptive pair is deliberately NOT
-    here: their DuckDB oracles are exact ALL-PAIRS recomputations
-    (20k×20k at sf1), which is an hour-scale oracle cost for no extra
-    engine coverage — their blocking lanes are already containment-
-    checked at sf0.1 where the caps engage (ADAPTIVE_SUBSET_CASES)."""
+    """The sf1 audit set: the slope lane (headline + driver-state
+    queries, VERDICT r13 item 8) plus the ``SCALE_POINT_EXTRA`` families
+    (r15 item 1).  q52/q183 run against exact chunked-numpy oracles
+    (``SCALE_NUMPY_ORACLES``) because their SQL form is an hour-scale
+    all-pairs join at 20k vectors — the comparison rules are unchanged."""
     from tools.bench_slope import SCALE_EXTRA_QUERIES
 
     return (
         {n for n, q in all_queries().items() if q.headline}
         | set(SCALE_EXTRA_QUERIES)
+        | set(SCALE_POINT_EXTRA)
     )
 
 
@@ -196,7 +380,11 @@ def main() -> None:
         from tools.make_scale_data import ensure
 
         sf_dir = ensure()
-        result = run_sf(sf_dir, only=scale_point_queries())
+        result = run_sf(
+            sf_dir,
+            only=scale_point_queries(),
+            numpy_oracles=SCALE_NUMPY_ORACLES,
+        )
         out = os.path.join(REPO, "PARITY_sf1.json")
         with open(out, "w") as f:
             json.dump(result, f, indent=1, sort_keys=False)
