@@ -51,6 +51,29 @@ IVF_NPROBE = 4  # 4/16 cells scanned → recall@5 ≈ 0.62 on the (structureless
 #: anything bigger must go through the LSH-blocked path.
 MAX_EXACT_ROWS = 1000
 
+#: Blocking degree target: expected rows per sign-LSH bucket.  A FIXED
+#: plane count leaves the blocked lane at N²/2^planes — still quadratic
+#: (r15: 20k vectors × 4 planes = ~12M in-bucket pairs through the
+#: interpreted fold, minutes of serial work).  Scaling planes with
+#: log2(N / target) holds expected bucket size constant, so in-bucket
+#: pair work stays ~N·target — the linear 100 TB shape.  125 reproduces
+#: the historical 4-plane blocking exactly at sf0.1's 2000 vectors, so
+#: committed-SF outputs are unchanged.  Correctness is blocking-degree
+#: independent: the lane's contract is containment in the exact pair
+#: set (parity ADAPTIVE_SUBSET_CASES), and exact duplicates always
+#: share every bucket regardless of plane count.
+TARGET_BUCKET_ROWS = 125
+
+
+def _planes_for(n: int, floor: int = 4) -> int:
+    """Plane count holding expected bucket occupancy near
+    ``TARGET_BUCKET_ROWS`` (never below ``floor``)."""
+    import math
+
+    if n <= TARGET_BUCKET_ROWS:
+        return floor
+    return max(floor, math.ceil(math.log2(n / TARGET_BUCKET_ROWS)))
+
 
 def _normed(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
     """Project to (id, vec, norm) with the norm computed once per vector."""
@@ -145,19 +168,22 @@ def adaptive_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_exact_rows: int = MAX_EXACT_ROWS,
-    n_planes: int = 4,
+    n_planes: "int | None" = None,
 ) -> DataFrame:
     """Size-dispatching near-dup: exact all-pairs while the input fits the
     oracle-verification budget (≤ ``max_exact_rows``), LSH-blocked above it.
     One cheap count() job decides; same output columns either way.  This is
     the registry default — the exact form stays reachable for verification,
-    the N² plan can never run on production-size input by accident."""
+    the N² plan can never run on production-size input by accident.
+    The blocking degree scales with the corpus (``_planes_for``) unless
+    pinned explicitly, keeping in-bucket pair work linear in N."""
     n = df.count()
     if n <= max_exact_rows:
         return cosine_neardup_pairs(
             df, threshold, id_col, vec_col, max_exact_rows=None
         )
-    return lsh_blocked_neardup(df, threshold, n_planes, id_col, vec_col)
+    planes = _planes_for(n) if n_planes is None else n_planes
+    return lsh_blocked_neardup(df, threshold, planes, id_col, vec_col)
 
 
 @register(
