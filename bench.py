@@ -123,6 +123,15 @@ def main() -> None:
     # all samples of one query — the trimmed mean then drops it.
     samples: dict[str, list[float]] = {n: [] for n in headline}
     for _ in range(reps):
+        # Session hygiene at rep boundaries — the same rule the --all
+        # sweep applies every 20 queries, for the same measured reason:
+        # a multi-query session accumulates JVM debris (broadcast refs,
+        # ContextCleaner backlog) that lands selectively on the Python
+        # mapInPandas lanes (r15: q37 12.2s mid-suite at sf1 vs 3.7s
+        # isolated — the exact r11 q37 signature; the sweep should
+        # measure queries, not session debris).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
         for name, query in sorted(headline.items()):
             start = time.perf_counter()
             materialize(query.fn(spark, sf_dir))
