@@ -257,19 +257,27 @@ def q102_decay_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     sums AS (
+      -- int128 sums and closed-form products: n·Σxy overflows INT64 at
+      -- the sf1 scale point (2.5e19 > 2^63; r15 — DuckDB refused, Spark
+      -- ANSI raised).  Per-row x/x²/x·y stay INT64-safe (x is bounded by
+      -- the TIME RANGE, not row count); everything downstream of the
+      -- SUM is exact int128 / DECIMAL(38,0), then ONE correctly-rounded
+      -- double conversion per factor in both engines.
       SELECT event_type,
         COUNT(*) AS n,
-        CAST(SUM(x) AS BIGINT) AS sx,
-        CAST(SUM(y100) AS BIGINT) AS sy,
-        CAST(SUM(x * x) AS BIGINT) AS sxx,
-        CAST(SUM(x * y100) AS BIGINT) AS sxy
+        CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        CAST(SUM(CAST(y100 AS HUGEINT)) AS HUGEINT) AS sy,
+        CAST(SUM(CAST(x * x AS HUGEINT)) AS HUGEINT) AS sxx,
+        CAST(SUM(CAST(x * y100 AS HUGEINT)) AS HUGEINT) AS sxy
       FROM pts GROUP BY event_type
     )
     SELECT event_type, n,
-      (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+      (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+       / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
         / 100.0 AS slope_per_min,
       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0
-        - ((CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        - ((CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
            / 100.0)
           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept
     FROM sums
@@ -279,10 +287,16 @@ def q102_decay_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q103_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series linear trend (drift detection): least-squares slope of
     value vs minutes-since-anchor, computed from five exact integer sums
-    (n, Σx, Σy, Σx², Σxy — all BIGINT, no overflow at any SF: x ≤ minutes
-    per year, y ≤ cents) so both engines evaluate the identical closed-form
-    expression.  The aggregation is fully map-side combinable — at 100 TB
-    it is one partial-agg pass plus a five-number shuffle per series."""
+    (n, Σx, Σy, Σx², Σxy) so both engines evaluate the identical
+    closed-form expression.  Per-row x/x²/x·y stay INT64-safe (x is
+    bounded by the TIME RANGE, not row count), but the sums and the
+    closed-form products grow with rows — n·Σxy overflowed INT64 at the
+    sf1 scale point (2.5e19 > 2^63; r15 — DuckDB refused, Spark ANSI
+    raised), so they carry DECIMAL(38,0) here and int128 in the oracle:
+    exact to 38 digits, overflow-free past 10¹² rows, one
+    correctly-rounded double conversion per factor in both engines.
+    The aggregation is fully map-side combinable — at 100 TB it is one
+    partial-agg pass plus a five-number shuffle per series."""
     ev = load_table(spark, sf_dir, "events")
     x = F.floor(
         (F.unix_micros(F.col("ts")) - F.lit(ANCHOR_US)).cast("double")
@@ -291,14 +305,15 @@ def q103_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = ev.select(
         "event_type", x.alias("x"), _cents(F.col("value")).alias("y100")
     )
+    dec = "decimal(38,0)"
     sums = pts.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y100").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y100")).alias("sxy"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y100").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y100")).cast(dec)).alias("sxy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    n, sx, sy = F.col("n").cast(dec), F.col("sx"), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")
     slope = (
         (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
