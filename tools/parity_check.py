@@ -133,6 +133,20 @@ SCALE_POINT_EXCLUDED = {
         "layout; the sf1 dir is a Spark-written directory per table, a "
         "genuinely different physical layout"
     ),
+    "q192_footer_row_counts": (
+        "same footer-census layout dependence as q193: the pyarrow "
+        "walk expects {table}.parquet FILES, the sf1 dir has "
+        "directories (errored at sf1, r15 full-matrix run)"
+    ),
+    "q207_zorder_pruning_stats": (
+        "the sf1 explode key-SHIFTS copies, which CORRELATES "
+        "l_partkey and l_suppkey block-wise — the "
+        "'linear layout full-scans its off-dimension' verdict is only "
+        "meaningful for independent dimensions, and at sf1 the "
+        "off-dim range genuinely prunes (a property of the synthetic "
+        "data construction, not of the engine; value mismatch, r15 "
+        "full-matrix run)"
+    ),
 }
 
 
