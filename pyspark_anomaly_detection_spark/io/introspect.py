@@ -36,15 +36,43 @@ _LAYOUT_SCHEMA = (
 )
 
 
+def _leaf_parquet_files(root: str) -> list[str]:
+    """Leaf parquet data files under a table path.
+
+    A lake table is rarely a single ``{table}.parquet`` FILE — Spark
+    writes a DIRECTORY of part files (possibly hive-partitioned into
+    ``key=value`` subdirs), which is what every real 100 TB table looks
+    like (VERDICT r15 item 1: the single-file assumption was the reason
+    q192/q193 could not run at the sf1 scale point).  Walks recursively,
+    keeps ``*.parquet`` data files, skips hidden/marker entries
+    (``_SUCCESS``, ``.crc`` sidecars, ``_delta_log``...)."""
+    if os.path.isfile(root):
+        return [root]
+    out = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = sorted(
+            d for d in dirnames if not d.startswith((".", "_"))
+        )
+        out.extend(
+            os.path.join(dirpath, fn)
+            for fn in filenames
+            if fn.endswith(".parquet") and not fn.startswith((".", "_"))
+        )
+    return sorted(out)
+
+
 def parquet_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per (file, row group) across every lake table: row counts
     and byte sizes straight from the parquet footers.  The file listing
     is a bounded driver-side artifact (the catalog's job at scale); the
-    footer parsing is distributed."""
+    footer parsing is distributed.  Handles both physical layouts: the
+    testdata's single ``{table}.parquet`` files and Spark-written
+    directories of part files (hive-partitioned or flat)."""
     files = [
-        (t, os.path.join(sf_dir, f"{t}.parquet"))
+        (t, leaf)
         for t in TABLE_NAMES
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+        for leaf in _leaf_parquet_files(os.path.join(sf_dir, f"{t}.parquet"))
     ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -71,7 +99,12 @@ def parquet_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append(
                         (
                             table,
-                            os.path.basename(path),
+                            # sf_dir-relative path: hive part files share
+                            # BASENAMES across partition dirs (same task
+                            # UUID), so the basename is not a file key;
+                            # for single-file layouts relpath == basename
+                            # (committed-SF output unchanged)
+                            os.path.relpath(path, sf_dir),
                             rg,
                             g.num_rows,
                             g.num_columns,
@@ -81,8 +114,9 @@ def parquet_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=cols)
 
+    n_part = max(1, min(len(files), spark.sparkContext.defaultParallelism))
     paths = spark.createDataFrame(files, ["table_name", "path"]).repartition(
-        max(1, len(files))
+        n_part
     )
     return paths.mapInPandas(run, schema=_LAYOUT_SCHEMA)
 
@@ -120,7 +154,11 @@ def _meta_union(sf_dir: str) -> str:
     """parquet_metadata() UNION over only the table files PRESENT at
     ``sf_dir`` — mirroring the Spark side's missing-file skip, so the
     oracle stays comparable on partial dirs (ADVICE r8 item 3; the old
-    import-time constant union raised a DuckDB IO error instead)."""
+    import-time constant union raised a DuckDB IO error instead).
+    Directory-per-table layouts bind through a recursive ``**/*.parquet``
+    glob — DuckDB's glob matches both flat part files and
+    hive-partitioned subdirs, exactly the set ``_leaf_parquet_files``
+    walks (hidden/marker files excluded by the ``*.parquet`` suffix)."""
     present = [
         t
         for t in TABLE_NAMES
@@ -136,11 +174,16 @@ def _meta_union(sf_dir: str) -> str:
             "CAST(NULL AS BIGINT) AS total_uncompressed_size "
             "WHERE 1 = 0"
         )
+    def _src(t: str) -> str:
+        if os.path.isdir(os.path.join(sf_dir, f"{t}.parquet")):
+            return f"{{SF_DIR}}/{t}.parquet/**/*.parquet"
+        return f"{{SF_DIR}}/{t}.parquet"
+
     return "\n      UNION ALL\n".join(
         f"""      SELECT '{t}' AS table_name, file_name, row_group_id,
              row_group_num_rows, total_compressed_size,
              total_uncompressed_size
-      FROM parquet_metadata('{{SF_DIR}}/{t}.parquet')"""
+      FROM parquet_metadata('{_src(t)}')"""
         for t in present
     )
 
@@ -161,7 +204,7 @@ def _meta_union(sf_dir: str) -> str:
     ),
     g AS (
       SELECT table_name,
-             regexp_extract(file_name, '[^/\\\\]+$') AS file_name,
+             substr(file_name, length('{{SF_DIR}}/') + 1) AS file_name,
              row_group_id,
              CAST(MIN(row_group_num_rows) AS BIGINT) AS n_rows,
              CAST(COUNT(*) AS BIGINT) AS n_columns,

@@ -128,16 +128,6 @@ SCALE_POINT_EXCLUDED = {
     "q196_keep_longest_rep": (
         "keep-longest dup-graph oracle, interrupted at 90s at sf1"
     ),
-    "q193_parquet_layout_census": (
-        "oracle reads parquet FOOTERS of the single-file testdata "
-        "layout; the sf1 dir is a Spark-written directory per table, a "
-        "genuinely different physical layout"
-    ),
-    "q192_footer_row_counts": (
-        "same footer-census layout dependence as q193: the pyarrow "
-        "walk expects {table}.parquet FILES, the sf1 dir has "
-        "directories (errored at sf1, r15 full-matrix run)"
-    ),
     "q207_zorder_pruning_stats": (
         "the sf1 explode key-SHIFTS copies, which CORRELATES "
         "l_partkey and l_suppkey block-wise — the "
