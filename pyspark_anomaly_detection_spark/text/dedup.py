@@ -389,7 +389,7 @@ def q35_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs)
 
 
-def ngram_jaccard_pairs(docs: DataFrame, max_rows: int = 1000) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, max_rows: int = 10_000) -> DataFrame:
     """Exact Jaccard for every pair sharing ≥ 1 shingle — the
     VERIFICATION operator auditing the banded LSH pipeline's recall on
     keyed samples.
@@ -402,7 +402,9 @@ def ngram_jaccard_pairs(docs: DataFrame, max_rows: int = 1000) -> DataFrame:
     the shuffle carries (element, doc_id) pairs.  Still guarded: the
     OUTPUT is quadratic in co-occurring docs per shingle, so unsampled
     corpora are refused — the production dedup path remains
-    ``minhash_lsh_pairs``."""
+    ``minhash_lsh_pairs``.  The 10k cap admits keyed samples up to the
+    sf1 scale point (5k sampled docs) while still refusing full corpora
+    an order of magnitude above it."""
     n = docs.count()
     if n > max_rows:
         raise ValueError(

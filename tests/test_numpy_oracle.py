@@ -20,8 +20,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from tools.parity_check import (  # noqa: E402
+    _LSH_PAIRS_CACHE,
     _exact_neardup_pairs_numpy,
     _exact_semantic_keep_numpy,
+    _interval_join_numpy,
+    _keep_longest_numpy,
+    _ngram_jaccard_numpy,
+    _normalize,
+    _recursive_reach_numpy,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -30,10 +36,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW embeddings AS SELECT * FROM "
-        f"read_parquet('{SF_DIR}/embeddings.parquet')"
-    )
+    for t in ("embeddings", "documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
     yield con
     con.close()
 
@@ -71,3 +78,28 @@ def test_semantic_keep_bitwise_matches_duckdb(duck):
         drop=True
     )
     assert sql_n.astype(str).equals(np_n.astype(str))
+
+
+@pytest.mark.parametrize(
+    "qname,np_oracle",
+    [
+        ("q35_ngram_jaccard_pairs", _ngram_jaccard_numpy),
+        ("q76_recursive_reachability", _recursive_reach_numpy),
+        ("q127_bucketized_interval_join", _interval_join_numpy),
+        ("q196_keep_longest_rep", _keep_longest_numpy),
+    ],
+)
+def test_numpy_oracle_bitwise_matches_duckdb(qname, np_oracle, duck):
+    """VERDICT r15 item 2: the four sf1 exclusions whose SQL oracles are
+    quadratic/recursive (hour-scale at 6M rows) close through chunked-
+    numpy third engines — valid evidence only if each is BITWISE what
+    DuckDB computes, pinned here at an SF DuckDB can recompute directly.
+    Comparison = the parity sweep's own normalization (stringified
+    cells, repr'd floats), so float bit patterns count."""
+    _LSH_PAIRS_CACHE.clear()
+    sql = _sql_oracle(qname, duck)
+    np_df = np_oracle(SF_DIR)
+    assert sql.shape == np_df.shape, (sql.shape, np_df.shape)
+    assert sorted(sql.columns) == sorted(np_df.columns)
+    a, b = _normalize(sql), _normalize(np_df)
+    assert a.equals(b), a.compare(b, align_axis=0)
