@@ -38,7 +38,6 @@ from pyspark_anomaly_detection_spark.similarity.ann import (
     _as_double,
     _dot,
     _hyperplanes,
-    sign_lsh_bucket,
 )
 
 NEARDUP_THRESHOLD = 0.38
@@ -60,8 +59,9 @@ MAX_EXACT_ROWS = 1000
 #: the historical 4-plane blocking exactly at sf0.1's 2000 vectors, so
 #: committed-SF outputs are unchanged.  Correctness is blocking-degree
 #: independent: the lane's contract is containment in the exact pair
-#: set (parity ADAPTIVE_SUBSET_CASES), and exact duplicates always
-#: share every bucket regardless of plane count.
+#: set (parity ADAPTIVE_SUBSET_CASES) PLUS recall floors vs the exact
+#: oracle (r16, tools/parity_check.py::NEARDUP_RECALL_FLOOR) — exact
+#: duplicates always share every bucket regardless of plane count.
 TARGET_BUCKET_ROWS = 125
 
 
@@ -133,33 +133,107 @@ def lsh_blocked_neardup(
     n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Scale path: same output columns as ``cosine_neardup_pairs`` but the
     self-join is blocked on the sign-LSH bucket — shuffle key = bucket, so
-    pair generation is sum over buckets of |bucket|² instead of N²."""
-    planes = _hyperplanes(n_planes)
-    vec = _as_double(F.col(vec_col))
-    bucketed = df.select(
-        F.col(id_col).alias("id"),
-        vec.alias("vec"),
-        sign_lsh_bucket(vec, planes).alias("bucket"),
-    ).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            (
-                _dot(F.col("a.vec"), F.col("b.vec"))
-                / (F.col("a.norm") * F.col("b.norm"))
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    pair generation is sum over buckets of |bucket|² instead of N².
+
+    ``n_tables`` > 1 is OR-amplification (ADVICE r15): L INDEPENDENT
+    bucket tables (disjoint hyperplane sets), a pair is a candidate if it
+    collides in ANY table — recall rises from p^r to 1-(1-p^r)^L while
+    in-bucket pair work stays linear (L·N·bucket_target).  Growing a
+    SINGLE band instead (r15's fix) silently collapsed near-threshold
+    recall ~0.62^r; the multi-table form is the standard LSH recall/cost
+    dial.  Table 0's planes are the historical single-band planes, so
+    n_tables=1 reproduces prior candidate sets exactly.
+
+    Execution shape (r16): both the bucket hashing and the in-bucket
+    scoring run as Arrow-batched numpy stages that accumulate dot
+    products SEQUENTIALLY OVER DIMENSIONS, vectorized over rows — the
+    exact IEEE order of the JVM fold (``ann._dot``) and of DuckDB's
+    ``list_dot_product``, so cos_sim is bitwise what the exact lane and
+    the SQL/numpy oracles produce, at ~100× the interpreted fold's
+    throughput (the q37 cliff class: 134 s → ~4 s for the sf1 audit).
+    Shuffle = L·N (id, vec) rows grouped by (table, bucket); per-bucket
+    pair scoring is a ~bucket_target² numpy triangle, never a join;
+    duplicate cross-table candidates collapse in the final distinct.
+    Skew bound: a B-row hot bucket costs one B² in-memory triangle —
+    same bound as the bucketed join it replaces."""
+    all_planes = np.asarray(_hyperplanes(n_tables * n_planes), dtype=np.float64)
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
     )
+    id_type = dict(base.dtypes)["id"]
+    n_bits = n_planes
+
+    def _fold_rows(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        # per-pair dot, sequential over dims (IEEE order of the engines'
+        # fold), vectorized over the pair axis
+        acc = np.zeros(a.shape[0])
+        for i in range(a.shape[1]):
+            acc = acc + a[:, i] * b[:, i]
+        return acc
+
+    def bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["vec"].to_numpy())
+            # plane dots in the same sequential-over-dims order
+            dots = np.zeros((mat.shape[0], all_planes.shape[0]))
+            for i in range(mat.shape[1]):
+                dots = dots + mat[:, i : i + 1] * all_planes[None, :, i]
+            bits = dots >= 0.0
+            for t in range(n_tables):
+                bucket = np.zeros(mat.shape[0], dtype=np.int64)
+                for j in range(n_bits):
+                    bucket |= bits[:, t * n_bits + j].astype(np.int64) << j
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(),
+                        "vec": pdf["vec"].to_numpy(),
+                        "tbl": np.full(mat.shape[0], t, dtype=np.int32),
+                        "bucket": bucket,
+                    }
+                )
+
+    out_schema = f"a_id {id_type}, b_id {id_type}, cos_sim double"
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
+        pdf = pdf.sort_values("id")
+        mat = np.vstack(pdf["vec"].to_numpy())
+        ids = pdf["id"].to_numpy()
+        nrm = np.sqrt(_fold_rows(mat, mat))
+        ia, ib = np.triu_indices(len(ids), k=1)
+        cos = _fold_rows(mat[ia], mat[ib]) / (nrm[ia] * nrm[ib])
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"a_id": ids[ia[keep]], "b_id": ids[ib[keep]], "cos_sim": cos[keep]}
+        )
+
+    bucketed = base.mapInPandas(
+        bucketize,
+        schema=f"id {id_type}, vec array<double>, tbl int, bucket long",
+    )
+    return (
+        bucketed.groupBy("tbl", "bucket")
+        .applyInPandas(score, schema=out_schema)
+        .distinct()
+    )
+
+
+#: OR-amplification degree for the adaptive lane above the exact cap:
+#: 8 independent tables at ``_planes_for(n)`` planes each keeps total
+#: in-bucket pair work ≤ 8·N·TARGET_BUCKET_ROWS (linear) while lifting
+#: near-threshold recall from p^r to 1-(1-p^r)^8.  The recall floor is
+#: enforced against the exact numpy oracle at the sf1 scale point
+#: (tools/parity_check.py::NEARDUP_RECALL_FLOOR) — exact-duplicate
+#: pairs (cos≈1) collide in every table, so their recall is 1.0 by
+#: construction regardless of this dial.
+N_OR_TABLES = 8
 
 
 def adaptive_neardup_pairs(
@@ -169,6 +243,7 @@ def adaptive_neardup_pairs(
     vec_col: str = "embedding",
     max_exact_rows: int = MAX_EXACT_ROWS,
     n_planes: "int | None" = None,
+    n_tables: int = N_OR_TABLES,
 ) -> DataFrame:
     """Size-dispatching near-dup: exact all-pairs while the input fits the
     oracle-verification budget (≤ ``max_exact_rows``), LSH-blocked above it.
@@ -176,14 +251,18 @@ def adaptive_neardup_pairs(
     the registry default — the exact form stays reachable for verification,
     the N² plan can never run on production-size input by accident.
     The blocking degree scales with the corpus (``_planes_for``) unless
-    pinned explicitly, keeping in-bucket pair work linear in N."""
+    pinned explicitly, keeping in-bucket pair work linear in N; recall
+    is held up by ``n_tables``-way OR-amplification (see
+    ``lsh_blocked_neardup``)."""
     n = df.count()
     if n <= max_exact_rows:
         return cosine_neardup_pairs(
             df, threshold, id_col, vec_col, max_exact_rows=None
         )
     planes = _planes_for(n) if n_planes is None else n_planes
-    return lsh_blocked_neardup(df, threshold, planes, id_col, vec_col)
+    return lsh_blocked_neardup(
+        df, threshold, planes, id_col, vec_col, n_tables=n_tables
+    )
 
 
 @register(

@@ -75,10 +75,22 @@ def test_oracle_parity(spark, duck, sf_dir, name):
 
     if name == "q52_embedding_neardup" and len(spark_pdf) < len(duck_pdf):
         # above the exact-dispatch cap: assert threshold-respecting subset
+        # + the recall floors (ADVICE r15; mirrors tools/parity_check.py)
+        from tools.parity_check import NEARDUP_RECALL_FLOOR
+
         key = ["a_id", "b_id"]
         merged = spark_pdf.merge(duck_pdf, on=key, suffixes=("_s", "_d"))
         assert len(merged) == len(spark_pdf), f"{name}: blocked pair not in exact set"
         assert (merged["cos_sim_s"] - merged["cos_sim_d"]).abs().max() == 0.0
+        exact_dup = duck_pdf[duck_pdf["cos_sim"] >= 0.999]
+        found_dup = spark_pdf.merge(exact_dup, on=key)
+        assert len(found_dup) == len(exact_dup), (
+            f"{name}: exact-duplicate recall {len(found_dup)}/{len(exact_dup)}"
+        )
+        recall = len(spark_pdf) / len(duck_pdf)
+        assert recall >= NEARDUP_RECALL_FLOOR, (
+            f"{name}: recall {recall:.3f} below {NEARDUP_RECALL_FLOOR}"
+        )
         return
     if name == "q183_semantic_dedup_keep" and len(spark_pdf) > 1000:
         # above MAX_EXACT_ROWS: keep-set containment instead of equality

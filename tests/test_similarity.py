@@ -121,7 +121,8 @@ def test_ngram_jaccard_refuses_unsampled_input(spark):
 
     from pyspark_anomaly_detection_spark.text.dedup import ngram_jaccard_pairs
 
-    big = spark.range(1001).select(
+    cap = ngram_jaccard_pairs.__defaults__[0]  # refusal cap (10k as of r16)
+    big = spark.range(cap + 1).select(
         F.col("id").alias("doc_id"), F.lit("some words here repeated").alias("text")
     )
     with pytest.raises(ValueError, match="Jaccard all-pairs refused"):
@@ -221,3 +222,25 @@ def test_pq_and_ivf_tiny_inputs(spark):
     empty = tiny.filter(F.col("vec_id") < 0)
     with _pytest.raises(Exception, match="empty candidate"):
         pq_train_codebook(empty)
+
+
+def test_or_amplified_blocking_recall(spark, sf_dir):
+    """ADVICE r15: containment-only checks let blocking recall collapse
+    invisibly (growing a single band to 8 planes left near-threshold
+    recall at ~0.62^8).  The OR-amplified lane must clear the same
+    floors the parity sweep enforces: every exact-duplicate pair found,
+    overall recall ≥ NEARDUP_RECALL_FLOOR, and more tables ⇒ recall
+    monotonically non-decreasing (superset candidate exposure)."""
+    from tools.parity_check import NEARDUP_RECALL_FLOOR
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_neardup_pairs(emb).toPandas()
+    amped = lsh_blocked_neardup(emb, n_tables=8).toPandas()
+    single = lsh_blocked_neardup(emb, n_tables=1).toPandas()
+    key = ["a_id", "b_id"]
+    assert len(amped.merge(exact, on=key)) == len(amped), "containment"
+    assert len(amped) / len(exact) >= NEARDUP_RECALL_FLOOR
+    # OR-amplification only ADDS tables: single-table pairs ⊆ amped pairs
+    assert len(single.merge(amped, on=key)) == len(single)
+    dup = exact[exact["cos_sim"] >= 0.999]
+    assert len(amped.merge(dup, on=key)) == len(dup), "exact-dup recall"

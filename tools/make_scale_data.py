@@ -42,6 +42,9 @@ SOURCE = "/root/testdata/sf0.1"
 SCALE_DIR = os.path.join(REPO, ".scaledata", "sf1.0")
 COPIES = 10
 MARKER = "_SCALE_MANIFEST.json"
+#: bump to invalidate previously built scale dirs when the construction
+#: changes (2 = r16 l_suppkey decorrelation)
+CONSTRUCTION_VERSION = 2
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -97,7 +100,12 @@ def build(spark, source: str = SOURCE, out_dir: str = SCALE_DIR) -> dict:
         ) + 1
 
     os.makedirs(out_dir, exist_ok=True)
-    manifest: dict = {"source": source, "copies": COPIES, "tables": {}}
+    manifest: dict = {
+        "source": source,
+        "copies": COPIES,
+        "construction": CONSTRUCTION_VERSION,
+        "tables": {},
+    }
     for table in TABLES:
         src = load_table(spark, source, table)
         dtypes = dict(src.dtypes)
@@ -111,7 +119,32 @@ def build(spark, source: str = SOURCE, out_dir: str = SCALE_DIR) -> dict:
             for name in src.columns:
                 c = F.col(name)
                 unit_ref = SHIFTS.get(table, {}).get(name)
-                if unit_ref is not None:
+                if table == "lineitem" and name == "l_suppkey":
+                    # Decorrelate the z-order dimensions (VERDICT r15
+                    # item 5): shifting l_suppkey by the SAME copy index
+                    # as l_partkey correlates the two block-wise, so a
+                    # linear sort on l_partkey incidentally prunes
+                    # l_suppkey ranges and q207's layout verdict is
+                    # meaningless at sf1.  A deterministic per-row
+                    # pseudo-copy (xxhash64) spreads each copy's
+                    # lineitems uniformly over ALL copies' suppliers —
+                    # every shifted suppkey still exists in the exploded
+                    # supplier table (FK valid), per-supplier group
+                    # sizes stay ~constant, and the rewrite is
+                    # deterministic.  Only the lineitem→supplier edge
+                    # crosses copies; every other FK stays within-copy.
+                    pseudo = F.pmod(
+                        F.xxhash64(
+                            F.col("l_orderkey"),
+                            F.col("l_linenumber"),
+                            F.col("_copy"),
+                        ),
+                        F.lit(COPIES),
+                    )
+                    c = (c + pseudo * F.lit(units[unit_ref])).cast(
+                        dtypes[name]
+                    )
+                elif unit_ref is not None:
                     c = (
                         c + F.col("_copy") * F.lit(units[unit_ref])
                     ).cast(dtypes[name])
@@ -148,6 +181,7 @@ def is_fresh(out_dir: str = SCALE_DIR) -> bool:
         return False
     return (
         m.get("copies") == COPIES
+        and m.get("construction") == CONSTRUCTION_VERSION
         and set(m.get("tables", {})) == set(TABLES)
         and all(
             os.path.exists(os.path.join(out_dir, f"{t}.parquet"))

@@ -45,86 +45,26 @@ from pyspark_anomaly_detection_spark.session import get_spark_session
 #: sync with tests/test_oracle_parity.py::ADAPTIVE_SUBSET_CASES.
 ADAPTIVE_SUBSET_CASES = {"q52_embedding_neardup", "q183_semantic_dedup_keep"}
 
-#: sf1 audit set beyond the slope lane (VERDICT r15 item 1): the q01
-#: 2^53 decimal divergence (commit 79246e5) proved a bug class exists
-#: that ONLY manifests at the 10× scale point, so the families where
-#: that class lives get hash-checked there too — decimal aggregation,
-#: exact rank/percentile selection, window arithmetic, span-dedup token
-#: hashing, drift/profile exact rationals — plus one-per-family breadth
-#: cover of the join/window/text/split/lakehouse surfaces.  Everything
-#: here runs the IDENTICAL exact comparison as the committed-SF matrix;
-#: inclusion is bounded only by oracle cost at 6M rows (exclusions are
-#: documented at the list tail).
-SCALE_POINT_EXTRA = [
-    # decimal aggregation past 2^53 (the q01 bug class)
-    "q108_brand_revenue_share", "q157_nation_trade_flows",
-    "q158_product_line_profit", "q159_ship_delay_service_classes",
-    "q160_promo_revenue_share", "q161_disjunctive_basket_revenue",
-    "q162_min_cost_supplier", "q186_forecast_revenue_change",
-    # exact rank / percentile selection (position-sensitive at 10× rows)
-    "q43_percentiles_exact", "q104_iqr_outliers", "q151_winsorized_stats",
-    # window arithmetic (frame boundaries, µs timestamps, lag chains)
-    "q22_time_since_last", "q23_rank_lead_lag",
-    "q78_interval_range_frame", "q80_value_picking_windows",
-    # span-dedup token hashing (rolling-hash collision surface grows 10×)
-    "q182_rolling_dup_spans", "q184_strip_dup_spans",
-    "q195_keep_one_dup_spans",
-    # drift / profile exact rationals
-    "q163_psi_value_drift", "q164_categorical_drift",
-    "q223_lm_quality_filter",
-    # join/agg breadth (TPC-H shapes whose plans re-shape under AQE at 10×)
-    "q09_semi_join", "q11_broadcast_dim_join", "q12_range_join",
-    "q14_rollup_region_nation", "q16_topk_per_group", "q42_grouping_sets",
-    "q47_maxby_per_segment", "q49_correlated_subquery",
-    "q105_priority_late_shipping", "q106_dormant_rich_customers",
-    "q126_top_supplier", "q141_dominant_part_suppliers",
-    "q148_top_quarter_supplier", "q150_pareto_skyline",
-    # windows / events
-    "q25_sliding_1h_15m", "q26_session_windows", "q51_asof_join",
-    "q59_ntile_buckets", "q64_funnel", "q65_retention_cohorts",
-    "q74_peak_concurrency", "q98_time_weighted_avg", "q152_windowed_dedup",
-    # text / dedup
-    "q29_lang_quality_agg", "q31_doc_fingerprint", "q32_exact_dedup_stats",
-    "q75_dedup_clusters", "q96_repetition_stats", "q124_bpe_regex_tokens",
-    "q144_bpe_vocab", "q165_bpe_encode", "q167_bm25_ranking",
-    "q169_incremental_dedup", "q197_lang_quality_quantile_gate",
-    "q204_lsh_keep_first", "q211_url_canonical_dedup",
-    "q222_benchmark_decontamination",
-    # splits / sampling / sharding (hash-partition determinism at 10×)
-    "q88_stratified_sample", "q91_deterministic_split",
-    "q93_sequence_packing", "q122_temporal_embargo_split",
-    "q129_class_rebalance", "q137_training_mix",
-    "q173_deterministic_stratified_sample", "q175_curriculum_deciles",
-    "q181_quality_budget_selection", "q194_epoch_shuffle_manifest",
-    # profiles / sketches / integrity
-    "q50_salted_aggregation", "q113_key_skew_profile",
-    "q123_benford_profile", "q142_cms_heavy_hitters",
-    "q156_referential_integrity_audit", "q176_seasonal_residuals",
-    # lakehouse DML at the 10× point (file census / CDF / merge / DV)
-    "q213_deltalite_time_travel", "q224_deltalite_dv_census",
-    "q233_deltalite_merge_clauses", "q239_deltalite_cdf_dml_census",
-    # exact third-engine oracles at sf1 (chunked-numpy lane below):
-    "q52_embedding_neardup", "q183_semantic_dedup_keep",
-]
+#: Minimum overall recall of the LSH-blocked near-dup lane vs the exact
+#: pair set (ADVICE r15: containment-only checks made recall regressions
+#: invisible).  Deterministic given the seeded hyperplanes + fixed data;
+#: measured 0.476 at sf1 (20k vectors, 8 planes × 8 OR-tables, dominated
+#: by near-threshold pairs of the synthetic near-orthogonal corpus) and
+#: 0.759 at sf0.1.  Exact-duplicate pairs are additionally required at
+#: recall 1.0 — identical vectors collide in every table.
+NEARDUP_RECALL_FLOOR = 0.40
 
 #: Queries EXCLUDED from the sf1 audit, each with the measured reason.
-#: r15 triage timed every oracle standalone at the sf1 dir under a 90 s
-#: DuckDB watchdog; r16 closed the four oracle-infeasible rows with
-#: chunked-numpy third-engine oracles (``SCALE_NUMPY_ORACLES``) and the
-#: two footer-census rows with directory-layout support in
-#: io/introspect.py.  Everything here stays fully hash-checked at the
-#: three committed SFs.
-SCALE_POINT_EXCLUDED = {
-    "q207_zorder_pruning_stats": (
-        "the sf1 explode key-SHIFTS copies, which CORRELATES "
-        "l_partkey and l_suppkey block-wise — the "
-        "'linear layout full-scans its off-dimension' verdict is only "
-        "meaningful for independent dimensions, and at sf1 the "
-        "off-dim range genuinely prunes (a property of the synthetic "
-        "data construction, not of the engine; value mismatch, r15 "
-        "full-matrix run)"
-    ),
-}
+#: EMPTY as of r16: r15 triage had seven exclusions; r16 closed the four
+#: oracle-infeasible rows with chunked-numpy third-engine oracles
+#: (``SCALE_NUMPY_ORACLES``), the two footer-census rows with
+#: directory-layout support in io/introspect.py, and the q207 z-order
+#: verdict row by decorrelating l_suppkey from l_partkey in the sf1
+#: explode (tools/make_scale_data.py CONSTRUCTION_VERSION 2 — the old
+#: copy-aligned shift made the two dimensions block-correlated, so the
+#: 'linear layout full-scans its off-dimension' band was a property of
+#: the synthetic data, not the engine).
+SCALE_POINT_EXCLUDED: dict[str, str] = {}
 
 
 def _cell(v) -> str:
@@ -569,6 +509,26 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> str |
             return "blocked pair not in exact set"
         if (merged["cos_sim_s"] - merged["cos_sim_d"]).abs().max() != 0.0:
             return "cos_sim mismatch in subset"
+        # Recall gates (ADVICE r15): containment alone lets a blocking
+        # regression silently drop recall to ~0.  Floors: every exact-
+        # duplicate pair (cos ≥ 0.999 — identical vectors collide in
+        # every LSH table by construction) must be found, and overall
+        # recall vs the exact pair set must clear NEARDUP_RECALL_FLOOR
+        # (deterministic: seeded hyperplanes, fixed data; measured
+        # 0.476 at sf1 / 0.759 at sf0.1 with 8-way OR-amplification).
+        exact_dup = duck_pdf[duck_pdf["cos_sim"] >= 0.999]
+        found_dup = spark_pdf.merge(exact_dup, on=key)
+        if len(found_dup) != len(exact_dup):
+            return (
+                f"exact-duplicate recall {len(found_dup)}/{len(exact_dup)}"
+                " — identical vectors must always collide"
+            )
+        recall = len(spark_pdf) / len(duck_pdf)
+        if recall < NEARDUP_RECALL_FLOOR:
+            return (
+                f"recall {recall:.3f} below floor {NEARDUP_RECALL_FLOOR}"
+                " — blocking dropped near-threshold pairs"
+            )
         return None
     if len(spark_pdf) != len(duck_pdf):
         return f"rows {len(spark_pdf)} != {len(duck_pdf)}"
@@ -651,14 +611,17 @@ def run_sf(
 
 
 def scale_point_queries() -> set[str]:
-    """The sf1 audit set: EVERY oracle-checked query except the five
-    measured-infeasible oracles in ``SCALE_POINT_EXCLUDED`` — the full
-    four-scale-point matrix (r15; grew from the 19-query slope lane via
-    the ``SCALE_POINT_EXTRA`` families to full registry once the q103
-    INT64-overflow catch proved the whole-registry audit earns its
-    cost).  q52/q183 run against exact chunked-numpy oracles
-    (``SCALE_NUMPY_ORACLES``) because their SQL form is an hour-scale
-    all-pairs join at 20k vectors — the comparison rules are unchanged."""
+    """The sf1 audit set: EVERY oracle-checked query except the
+    measured-infeasible oracles in ``SCALE_POINT_EXCLUDED`` (empty as
+    of r16) — the full four-scale-point matrix.  r15 grew this from the
+    19-query slope lane to full registry once the q103 INT64-overflow
+    catch proved the whole-registry audit earns its cost; r16 replaced
+    the curated extra-families list with this derivation outright
+    (ADVICE r15: a hand-curated list silently drifts from the live
+    registry).  Queries whose SQL oracle is quadratic/recursive at 6M
+    rows run against exact numpy third engines instead
+    (``SCALE_NUMPY_ORACLES``) — comparison rules unchanged, each pinned
+    bitwise vs DuckDB at committed SFs in tests/test_numpy_oracle.py."""
     return {
         n for n, q in all_queries().items() if q.oracle
     } - set(SCALE_POINT_EXCLUDED)
