@@ -159,6 +159,25 @@ def registry_fingerprint() -> dict:
             f"{src_digest}:{hashlib.md5(oracle.encode()).hexdigest()}"
         )
     registry_hash = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    # package_hash (ADVICE r15): registry_hash covers only registered
+    # query functions + oracle SQL, so a LIBRARY-only change (deltalite
+    # internals, neardup blocking, io paths...) leaves it unchanged and
+    # the round-close sweep-skip gates would accept a stale green
+    # artifact.  Hashing every package source file closes that hole:
+    # skip gates require BOTH hashes to match (tools/round_close.py,
+    # tools/bench_slope.py); freshness tests keep enforcing
+    # registry_hash, which any query edit moves.
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    pkg = hashlib.md5()
+    for dirpath, dirnames, filenames in os.walk(pkg_root):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                rel = os.path.relpath(os.path.join(dirpath, fn), pkg_root)
+                pkg.update(rel.encode())
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    pkg.update(f.read())
+    package_hash = pkg.hexdigest()
     try:
         head = subprocess.run(
             ["git", "rev-parse", "HEAD"],
@@ -171,6 +190,7 @@ def registry_fingerprint() -> dict:
         head = "unknown"
     return {
         "registry_hash": registry_hash,
+        "package_hash": package_hash,
         "git_head": head,
         "n_queries": len(qs),
         "n_oracle": sum(1 for q in qs.values() if q.oracle is not None),

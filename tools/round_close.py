@@ -64,9 +64,14 @@ def _scale_point_fresh() -> bool:
         )
         from tools.parity_check import scale_point_queries
 
+        live = registry_fingerprint()
+        stamped = art.get("registry_fingerprint", {})
         return (
-            art.get("registry_fingerprint", {}).get("registry_hash")
-            == registry_fingerprint()["registry_hash"]
+            stamped.get("registry_hash") == live["registry_hash"]
+            # package_hash too (ADVICE r15): registry_hash only covers
+            # query/oracle source — a library-only change (deltalite,
+            # neardup, io...) must also invalidate the skip
+            and stamped.get("package_hash") == live["package_hash"]
             and art.get("n_fail") == 0
             and scale_point_queries() <= set(art.get("queries", {}))
         )
