@@ -1774,16 +1774,32 @@ def set_table_properties(
     return _commit_with_retry(table_path, snap.version + 1, actions)
 
 
-def vacuum_delta(table_path: str, retain_versions: int = 1) -> dict[str, int]:
+def vacuum_delta(
+    table_path: str,
+    retain_versions: int = 1,
+    min_file_age_seconds: float = 0.0,
+) -> dict[str, int]:
     """Delete data files referenced by NO retained version — the
     storage-reclaim step after OPTIMIZE/overwrite rewrites.  Retains the
     active sets of the newest ``retain_versions`` commits; older
     versions' exclusive files are removed, so time travel BEFORE the
     retention horizon stops working (exactly Delta's VACUUM semantics —
     the log stays, the data goes).  Uncommitted orphan files (crashed
-    writers) are also swept.  Returns counts."""
+    writers) are also swept.  Returns counts.
+
+    ``min_file_age_seconds`` is Delta's ``deletedFileRetentionDuration``
+    (real default: 7 days): only files whose mtime is older than the
+    horizon are eligible.  This is what makes VACUUM safe to run WHILE
+    writers are active — an in-flight writer stages its data file
+    BEFORE its commit JSON lands, so a 0-horizon concurrent sweep could
+    eat a just-staged file as an \"orphan\"; an age horizon longer than
+    any transaction protects it, exactly as in the real protocol.  The
+    0.0 default keeps offline/test reclamation immediate."""
+    import time as _time
+
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
+    age_cutoff = _time.time() - min_file_age_seconds
     versions = _list_versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no deltalite log at {table_path}")
@@ -1810,6 +1826,8 @@ def vacuum_delta(table_path: str, retain_versions: int = 1) -> dict[str, int]:
             rel = os.path.relpath(full, table_path)
             if rel in retained:
                 n_kept += 1
+            elif os.path.getmtime(full) > age_cutoff:
+                n_kept += 1  # younger than the retention horizon
             else:
                 os.remove(full)
                 n_deleted += 1
@@ -1827,16 +1845,22 @@ def vacuum_delta(table_path: str, retain_versions: int = 1) -> dict[str, int]:
             m = _re.match(r"part-(\d+)-", name)
             if m and int(m.group(1)) not in live_versions:
                 full = os.path.join(cdc_root, name)
+                if os.path.getmtime(full) > age_cutoff:
+                    continue  # younger than the retention horizon
                 n_deleted += sum(
                     len(fs) for _r, _d, fs in os.walk(full)
                 )
                 _shutil.rmtree(full)
 
-    # sweep now-empty commit directories
+    # sweep now-empty commit directories — age-guarded like the files:
+    # an in-flight writer's committer scaffolding (_temporary/...) is a
+    # chain of just-created EMPTY dirs, and rmdir'ing one mid-stage
+    # crashes the writer's task commit (caught by the r16 concurrent
+    # maintenance fuzz on its first run)
     for root, dirs, files in os.walk(table_path, topdown=False):
         if root == table_path or _LOG_DIR in root:
             continue
-        if not os.listdir(root):
+        if not os.listdir(root) and os.path.getmtime(root) <= age_cutoff:
             os.rmdir(root)
     return {"files_deleted": n_deleted, "files_kept": n_kept}
 
