@@ -51,7 +51,7 @@ def _cents(value: Column) -> Column:
     oracle="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS hour,
-        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
           / CAST(COUNT(*) AS DOUBLE) AS avg_value
       FROM events GROUP BY event_type, date_trunc('hour', ts)
     ),
@@ -158,8 +158,10 @@ def q101_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q102_oracle() -> str:
+    # HUGEINT weights (engine: decimal(38,0)): cents × 2^(taps-1)
+    # overflows INT64 once |value| passes ~7e14 (extremes fuzz variant)
     num = " + ".join(
-        f"COALESCE(lag_{k}, 0) * {1 << (SMOOTHER_TAPS - 1 - k)}"
+        f"COALESCE(CAST(lag_{k} AS HUGEINT), 0) * {1 << (SMOOTHER_TAPS - 1 - k)}"
         for k in range(SMOOTHER_TAPS)
     )
     den = " + ".join(
@@ -219,7 +221,8 @@ def q102_decay_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("lag_0", F.col("cents"))
     num = sum(
         (
-            F.coalesce(F.col(f"lag_{k}"), F.lit(0))
+            # decimal(38,0) weight space — see _q102_oracle's HUGEINT
+            F.coalesce(F.col(f"lag_{k}"), F.lit(0)).cast("decimal(38,0)")
             * F.lit(1 << (SMOOTHER_TAPS - 1 - k))
             for k in range(SMOOTHER_TAPS)
         ),
@@ -337,6 +340,7 @@ def q103_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
         COUNT(*) OVER (PARTITION BY event_type) AS cnt
       FROM events
+      WHERE value IS NOT NULL
     ),
     fenced AS (
       SELECT event_type, value, cnt,
@@ -372,8 +376,13 @@ def q104_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_anomaly_detection_spark.text.shards import grouped_row_ids
 
     ev = load_table(spark, sf_dir, "events")
+    # quantiles are over OBSERVED values: NULLs are excluded up front in
+    # both engines — ranking them is engine-dependent (Spark orders
+    # nulls first, DuckDB last; nulls fuzz variant)
     ranked = grouped_row_ids(
-        ev.select("event_type", "value", "event_id"),
+        ev.filter(F.col("value").isNotNull()).select(
+            "event_type", "value", "event_id"
+        ),
         "event_type",
         ["value", "event_id"],
         ordinal_col="rn",
@@ -389,7 +398,11 @@ def q104_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.25).alias("q1"),
         pick(0.75).alias("q3"),
     )
-    fenced = ranked.join(F.broadcast(quart), "event_type")
+    # null-SAFE join: a plain equi-join would drop a NULL series key
+    fenced = ranked.join(
+        F.broadcast(quart.withColumnRenamed("event_type", "_g")),
+        F.col("event_type").eqNullSafe(F.col("_g")),
+    ).drop("_g")
     iqr = F.col("q3") - F.col("q1")
     return (
         fenced.groupBy("event_type")
@@ -477,8 +490,11 @@ def q123_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q130_oracle() -> str:
     taps = SMOOTHER_TAPS
+    # HUGEINT weights (engine: decimal(38,0)) — day_cents × 2^(taps-1)
+    # overflows INT64 at extreme values (extremes fuzz variant)
     num = " + ".join(
-        f"COALESCE(lag_{k}, 0) * {1 << (taps - 1 - k)}" for k in range(taps)
+        f"COALESCE(CAST(lag_{k} AS HUGEINT), 0) * {1 << (taps - 1 - k)}"
+        for k in range(taps)
     )
     den = " + ".join(
         f"(CASE WHEN lag_{k} IS NOT NULL THEN {1 << (taps - 1 - k)} ELSE 0 END)"
@@ -559,9 +575,14 @@ def q130_daily_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(taps)
     ]
     lagged = daily.select("event_type", "day", "day_cents", "n_events", *lag_cols)
+    # int128 weight space (decimal(38,0) / oracle HUGEINT): day_cents ×
+    # 2^(taps-1) overflows INT64 once a day's cents pass ~7e16 — the
+    # extremes fuzz variant hit it at ±1e15 values; int→double casts
+    # stay correctly rounded in both engines
     num = sum(
         (
-            F.coalesce(F.col(f"lag_{k}"), F.lit(0)) * F.lit(1 << (taps - 1 - k))
+            F.coalesce(F.col(f"lag_{k}"), F.lit(0)).cast("decimal(38,0)")
+            * F.lit(1 << (taps - 1 - k))
             for k in range(taps)
         ),
         start=F.lit(0),

@@ -59,10 +59,10 @@ def minute_partials(events: DataFrame) -> DataFrame:
       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S.%f') AS day,
       event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value,
       MIN(value) AS value_min,
       MAX(value) AS value_max,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_value
     FROM events
     GROUP BY day, event_type
     ORDER BY day, event_type

@@ -174,7 +174,7 @@ def distributed_running_sum(
     )
     SELECT
       user_id,
-      (CAST(SUM(CAST(round(value * 100) AS BIGINT) * (next_us - t_us)) AS DOUBLE)
+      (CAST(SUM(CAST(round(value * 100) AS HUGEINT) * (next_us - t_us)) AS DOUBLE)
         / CAST(SUM(next_us - t_us) AS DOUBLE)) / 100.0 AS time_weighted_avg,
       CAST(COUNT(next_us) AS BIGINT) AS n_spans
     FROM spans
@@ -200,7 +200,13 @@ def q98_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
     ).filter(F.col("next_us").isNotNull())
     dt = F.col("next_us") - F.col("t_us")
-    cents = F.round(F.col("value") * 100).cast("long")
+    # int128 product space (decimal(38,0) here, HUGEINT in the oracle):
+    # cents × microseconds overflows INT64 once |value|·Δt passes
+    # ~9e16·1e2 — the extremes fuzz variant hit it at ±1e15 values, and
+    # real money at 1e5 with day-scale gaps sits within 10× of the
+    # boundary.  int→double casts stay correctly rounded in both
+    # engines (unlike scaled-decimal→double).
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
     return (
         spans.groupBy("user_id")
         .agg(

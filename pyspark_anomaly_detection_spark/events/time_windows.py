@@ -42,7 +42,7 @@ def tumbling(df: DataFrame, ts_col: str, width: str, *keys: str) -> DataFrame:
       strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
       event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -77,7 +77,7 @@ def q24_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         '%Y-%m-%d %H:%M:%S.%f'
       ) AS window_start,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     CROSS JOIN (SELECT unnest(range(4)) AS k)
     GROUP BY 1
@@ -129,7 +129,7 @@ def q25_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
       strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     ORDER BY user_id, session_start
@@ -166,7 +166,7 @@ def q26_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       hour(ts) AS txn_hour,
       COUNT(*) AS txn_count,
       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(value) AS avg_value
     FROM events
     GROUP BY txn_hour
     ORDER BY txn_hour

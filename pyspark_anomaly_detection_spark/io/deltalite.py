@@ -1255,7 +1255,7 @@ def delta_history(table_path: str) -> list[dict[str, Any]]:
     WITH base AS (
       SELECT o_orderpriority,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                AS total
       FROM orders WHERE o_orderkey % 3 = 0
       GROUP BY o_orderpriority
@@ -1263,7 +1263,7 @@ def delta_history(table_path: str) -> list[dict[str, Any]]:
     appended AS (
       SELECT o_orderpriority,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                AS total
       FROM orders WHERE o_orderkey % 3 <= 1
       GROUP BY o_orderpriority
@@ -1271,7 +1271,7 @@ def delta_history(table_path: str) -> list[dict[str, Any]]:
     final AS (
       SELECT o_orderpriority,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                AS total
       FROM orders WHERE o_orderkey % 3 = 2
       GROUP BY o_orderpriority
@@ -2150,7 +2150,7 @@ def read_delta_changes(
     WITH thirds AS (
       SELECT o_orderkey % 3 AS third,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                AS total
       FROM orders GROUP BY o_orderkey % 3
     )

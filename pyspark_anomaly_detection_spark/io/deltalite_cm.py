@@ -530,7 +530,7 @@ def q226_deltalite_cm_dml_census(
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(COUNT(price) AS BIGINT) AS n_priced,
-           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )

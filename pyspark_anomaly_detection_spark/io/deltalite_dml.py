@@ -1519,7 +1519,7 @@ def q220_deltalite_dml_census(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 2 = 1)
     )
     SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM f GROUP BY pr ORDER BY pr
     """,
 )
@@ -1613,7 +1613,7 @@ def q233_deltalite_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     # match proves every clause fired on exactly the right rows.
     oracle="""
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
              AS total
     FROM orders
     WHERE o_orderkey % 7 <> 0
@@ -1692,11 +1692,11 @@ def q234_deltalite_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
     SELECT 2 AS commit_version, 'delete' AS change_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(p AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM t WHERE k % 7 = 0
     UNION ALL
     SELECT 3, 'update_preimage', CAST(COUNT(*) AS BIGINT),
-           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(p AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
     FROM t WHERE k % 5 = 0 AND k % 7 <> 0
     UNION ALL
     SELECT 3, 'update_postimage', CAST(COUNT(*) AS BIGINT),

@@ -646,7 +646,7 @@ from pyspark_anomaly_detection_spark.registry import register  # noqa: E402
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders
     WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 3
     GROUP BY o_orderpriority
@@ -713,12 +713,12 @@ def q224_deltalite_dv_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 2 AS commit_version, 'delete' AS change_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders WHERE o_orderkey % 7 = 0
     UNION ALL
     SELECT 3, 'delete',
            CAST(COUNT(*) AS BIGINT),
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
     FROM orders WHERE o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0
     ORDER BY commit_version
     """,
@@ -786,7 +786,7 @@ def q227_deltalite_dv_cdf_census(
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders
     WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 3
           AND o_orderpriority >= '3'
@@ -858,7 +858,7 @@ def q236_deltalite_dv_partitioned(
       WHERE o_orderkey % 7 <> 0 OR o_orderkey % 11 = 0
     )
     SELECT pr AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM f GROUP BY pr ORDER BY pr
     """,
 )

@@ -122,9 +122,12 @@ def allocate_identity(
     for p, c in counts:
         offsets[p] = total
         total += c
+    # zero-row append: argless F.create_map() is VOID-typed and fails
+    # analysis on the lookup — a typed null map typechecks (the ordinal
+    # is never evaluated over zero rows; the HWM stays unmoved)
     offset_map = F.create_map(
         *[F.lit(x) for pc in offsets.items() for x in pc]
-    ) if offsets else F.create_map()
+    ) if offsets else F.lit(None).cast("map<bigint,bigint>")
 
     schema = json.loads(schema_json)
     out = with_mid
@@ -166,10 +169,14 @@ from pyspark_anomaly_detection_spark.registry import register  # noqa: E402
                                THEN 1 ELSE 0 END) AS BIGINT) AS nm
                FROM documents)
     SELECT n AS n_rows,
-           CAST(1000 AS BIGINT) AS min_id,
-           CAST(1000 + 2 * (n - 1) AS BIGINT) AS max_id,
+           CAST(CASE WHEN n = 0 THEN NULL ELSE 1000 END
+                AS BIGINT) AS min_id,
+           CAST(CASE WHEN n = 0 THEN NULL ELSE 1000 + 2 * (n - 1) END
+                AS BIGINT) AS max_id,
            n AS distinct_ids,
-           CAST(n * 1000 + 2 * (n * (n - 1) // 2) AS BIGINT) AS id_sum,
+           CAST(CASE WHEN n = 0 THEN NULL
+                ELSE n * 1000 + 2 * (n * (n - 1) // 2) END
+                AS BIGINT) AS id_sum,
            nm AS n_merged
     FROM c
     """,

@@ -401,7 +401,7 @@ from pyspark_anomaly_detection_spark.registry import register  # noqa: E402
     oracle="""
     SELECT CAST(o_orderkey % 3 AS BIGINT) AS commit_version,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders
     GROUP BY o_orderkey % 3
     ORDER BY commit_version
@@ -471,15 +471,15 @@ def q218_deltalite_stream_census(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(o_orderkey % 3 AS BIGINT) AS commit_version,
              'insert' AS change_type,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderkey % 3
       UNION ALL
       SELECT 3, 'delete', CAST(COUNT(*) AS BIGINT),
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
       FROM orders
       UNION ALL
       SELECT 3, 'insert', CAST(COUNT(*) AS BIGINT),
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
       FROM orders WHERE o_orderkey % 7 <> 0
     )
     ORDER BY commit_version, change_type

@@ -122,7 +122,11 @@ def webdataset_shards_from_documents(docs: DataFrame) -> DataFrame:
             xy = np.arange(_PHASH_WH, dtype=np.int64)
             gray = ((np.outer(xy, xy) * k) % 200 + s).astype(np.uint8)
             img = np.repeat(gray[:, :, None], 3, axis=2)
-            members.append((f"{did:09d}.txt", str(t).encode("utf-8")))
+            # NULL text → empty .txt member, never the literal "None"
+            # (nulls fuzz variant caught str(None) leaking 4 bytes)
+            members.append(
+                (f"{did:09d}.txt", ("" if t is None else str(t)).encode("utf-8"))
+            )
             # level=0 (stored deflate): member size closed-form for the oracle
             members.append(
                 (f"{did:09d}.png", encode_png(img, filter_type=0, level=0))

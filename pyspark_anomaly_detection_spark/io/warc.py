@@ -118,7 +118,10 @@ def warc_blobs_from_documents(docs: DataFrame) -> DataFrame:
             (
                 "response",
                 f"http://corpus.example/doc/{int(d)}",
-                str(t).encode("utf-8"),
+                # NULL text → EMPTY payload (Content-Length 0), never
+                # the literal string "None" (nulls fuzz variant caught
+                # str(None) leaking 4 bytes into the archive)
+                ("" if t is None else str(t)).encode("utf-8"),
             )
             for d, t in zip(pdf["doc_id"], pdf["text"])
         ]

@@ -179,9 +179,9 @@ def lda_topic_profile(
     from pyspark.ml.clustering import LDA
     from pyspark.ml.feature import CountVectorizer
 
-    tokens = docs.select(
+    tokens = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.split(F.col("text"), r"\s+").alias("toks")
-    )
+    )  # NULL text has no terms; CountVectorizer rejects null arrays
     cvm = CountVectorizer(
         inputCol="toks", outputCol="tf", vocabSize=vocab_size, minDF=2.0
     ).fit(tokens)
@@ -273,6 +273,7 @@ def lda_topic_profile(
            TRUE AS concentrations_valid,
            TRUE AS top_terms_nonempty
     FROM documents
+    WHERE text IS NOT NULL
     """,
 )
 def q219_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:

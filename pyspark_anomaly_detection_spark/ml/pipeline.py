@@ -278,7 +278,10 @@ def q71_ml_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         rawPredictionCol="fraud_probability",
         metricName="areaUnderROC",
     )
-    auc = float(evaluator.evaluate(scored))
+    # AUC is defined over LABELED rows only: an event whose value is
+    # NULL has no label (the evaluator MatchErrors on it — nulls fuzz
+    # variant); it is still scored and still counts in n_scored
+    auc = float(evaluator.evaluate(scored.filter(F.col("label").isNotNull())))
     from pyspark_anomaly_detection_spark.plans import audit_row
 
     return audit_row(
@@ -362,6 +365,7 @@ def threshold_sweep(
       SELECT value / 400.0 AS s,
         CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS y
       FROM events
+      WHERE value IS NOT NULL
     ),
     thresholds AS (
       SELECT unnest(range(10)) / 10.0 AS threshold
@@ -394,7 +398,12 @@ def q134_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score = value/400 vs label value>100 — a monotone scorer with known
     confusion structure, so the oracle is exact; plug a real model's
     probability column in production).  One scan for all thresholds."""
-    ev = load_table(spark, sf_dir, "events")
+    # a sweep grades PREDICTIONS: rows with no score (NULL value) are
+    # excluded explicitly in both engines — counting them as implicit
+    # negatives would inflate tn (nulls fuzz variant)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     scored = ev.select(
         (F.col("value") / 400.0).alias("score"),
         F.when(F.col("value") > 100.0, 1).otherwise(0).alias("label"),
@@ -414,7 +423,7 @@ def q134_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bin,
       COUNT(*) AS n,
-      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 400.0 / COUNT(*) AS DOUBLE)
+      CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 400.0 / COUNT(*) AS DOUBLE)
         AS mean_score,
       CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) / COUNT(*) AS outcome_rate
     FROM scored GROUP BY bin ORDER BY bin

@@ -481,17 +481,20 @@ def q178_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.element_at("feature", 3)).alias("_cmin"),
         F.max(F.element_at("feature", 3)).alias("_cmax"),
     )
+    # empty-corpus coalesces: SUM/AVG over zero media are NULL and the
+    # band verdicts must certify vacuously (empty-table fuzz variant)
     return agg.select(
         "n_media",
-        "n_ok",
-        "width_sum",
-        "height_sum",
-        ((F.col("_luma") >= 110.0) & (F.col("_luma") <= 145.0)).alias(
-            "luma_in_band"
-        ),
-        ((F.col("_cmin") == 3.0) & (F.col("_cmax") == 3.0)).alias(
-            "rgb_channels"
-        ),
+        F.coalesce("n_ok", F.lit(0)).alias("n_ok"),
+        F.coalesce("width_sum", F.lit(0.0)).alias("width_sum"),
+        F.coalesce("height_sum", F.lit(0.0)).alias("height_sum"),
+        F.coalesce(
+            (F.col("_luma") >= 110.0) & (F.col("_luma") <= 145.0),
+            F.lit(True),
+        ).alias("luma_in_band"),
+        F.coalesce(
+            (F.col("_cmin") == 3.0) & (F.col("_cmax") == 3.0), F.lit(True)
+        ).alias("rgb_channels"),
     )
 
 

@@ -126,3 +126,11 @@ def audit_row(spark, **cols) -> DataFrame:
             lit = lit.cast("double")
         exprs.append(lit.alias(name))
     return spark.range(1).select(*exprs)
+
+
+def audit_row_empty_like(spark, **cols) -> DataFrame:
+    """Zero-row frame with :func:`audit_row`'s schema — for audits whose
+    oracle legitimately returns NO rows (e.g. a ``LIMIT 1`` over an
+    empty census; found by the empty-table fuzz variant).  The keyword
+    values only fix the column types."""
+    return audit_row(spark, **cols).limit(0)

@@ -107,7 +107,7 @@ def q41_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       COALESCE(l_returnflag, 'ALL') AS returnflag,
       COALESCE(l_linestatus, 'ALL') AS linestatus,
       COUNT(*) AS n_items,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     ORDER BY returnflag, linestatus
@@ -121,7 +121,7 @@ def q42_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           COALESCE(l_returnflag, 'ALL') AS returnflag,
           COALESCE(l_linestatus, 'ALL') AS linestatus,
           COUNT(*) AS n_items,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         FROM _gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY returnflag, linestatus
@@ -212,12 +212,12 @@ def percentile_cont(df: DataFrame, col: str, p: float) -> DataFrame:
     SELECT
       l_returnflag,
       COUNT(*) AS n,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_x,
       (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-       - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+       - CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE))
       / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS var_qty,
       (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-       - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE))
+       - CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE))
       / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS cov_qty_disc
     FROM lineitem
     GROUP BY l_returnflag
@@ -404,7 +404,7 @@ def q48_conditional_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name, c_acctbal
     FROM customer c
     WHERE c_acctbal > (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
       FROM customer i WHERE i.c_nationkey = c.c_nationkey
     )
     ORDER BY c_custkey
@@ -421,7 +421,7 @@ def q49_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_name, c_acctbal
         FROM _cs_customer c
         WHERE c_acctbal > (
-          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
           FROM _cs_customer i WHERE i.c_nationkey = c.c_nationkey
         )
         ORDER BY c_custkey
@@ -466,7 +466,7 @@ def salted_aggregate(
     SELECT
       event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -549,7 +549,12 @@ def q151_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.01).alias("lo"),
         pick(0.99).alias("hi"),
     )
-    cut = ranked.join(F.broadcast(cuts), "l_returnflag")
+    # null-SAFE join: a plain equi-join on the group key silently drops
+    # the NULL l_returnflag group (nulls fuzz variant)
+    cut = ranked.join(
+        F.broadcast(cuts.withColumnRenamed("l_returnflag", "_g")),
+        F.col("l_returnflag").eqNullSafe(F.col("_g")),
+    ).drop("_g")
     clipped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
     return (
         cut.groupBy("l_returnflag")

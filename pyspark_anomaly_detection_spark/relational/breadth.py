@@ -33,8 +33,8 @@ from pyspark_anomaly_detection_spark.registry import register
     WITH wide AS (
       SELECT
         l_returnflag,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
         CAST(COUNT(*) AS DOUBLE) AS n_items
       FROM lineitem GROUP BY l_returnflag
     )
@@ -159,7 +159,7 @@ def q56_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual AS (
       SELECT date_trunc('month', o_orderdate) AS month,
              COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS volume
       FROM orders GROUP BY month
     )
     SELECT

@@ -60,7 +60,7 @@ def q109_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
       COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders
     WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority
@@ -79,7 +79,7 @@ def q110_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE o_orderstatus = 'F'
         |> AGGREGATE
              COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                AS total_price
            GROUP BY o_orderpriority
         |> ORDER BY o_orderpriority
@@ -169,7 +169,7 @@ def q120_error_safe_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q136_distribute_sort_by",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders
     GROUP BY o_orderstatus, o_orderpriority
     ORDER BY o_orderstatus, o_orderpriority
@@ -190,7 +190,7 @@ def q136_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
           DISTRIBUTE BY o_orderstatus SORT BY o_orderstatus, o_orderdate
         )
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
         FROM laid_out
         GROUP BY o_orderstatus, o_orderpriority
         ORDER BY o_orderstatus, o_orderpriority

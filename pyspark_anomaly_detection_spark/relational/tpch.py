@@ -154,7 +154,7 @@ def q67_returned_items_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderkey,
       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -294,13 +294,13 @@ def q105_priority_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q106_dormant_rich_customers",
     oracle="""
     WITH avg_bal AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS a
       FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c_nationkey,
       COUNT(*) AS n_custs,
-      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_bal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (
@@ -468,13 +468,13 @@ def q108_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH part_avg AS (
       SELECT l_partkey AS pk,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
           / CAST(COUNT(*) AS DOUBLE) AS avg_qty
       FROM lineitem GROUP BY l_partkey
     )
     SELECT p_brand,
       COUNT(*) AS n_small_orders,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     JOIN part_avg ON l_partkey = pk
@@ -624,7 +624,7 @@ def q141_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey
     )
     SELECT
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0
         AS avg_yearly,
       COUNT(*) AS n_lines
     FROM lineitem
@@ -671,14 +671,14 @@ def q145_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q146_dormant_customers",
     oracle="""
     WITH pos AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS avg_bal
       FROM customer WHERE c_acctbal > 0.0
     )
     SELECT
       c_nationkey,
       COUNT(*) AS numcust,
-      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
     FROM customer, pos
     WHERE c_acctbal > avg_bal
       AND NOT EXISTS (

@@ -414,11 +414,15 @@ def q114_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rank").alias("lo"),
     ).first()
     n = int(stats.n)
+    # empty dup graph (empty-table fuzz variant): SUM/MIN are None —
+    # zero mass is conserved and positivity holds vacuously
     return audit_row(
         spark,
         n_nodes=n,
-        mass_conserved=bool(abs(float(stats.mass) - n) <= 1e-6 * max(n, 1)),
-        all_ranks_positive=bool(float(stats.lo) > 0.0),
+        mass_conserved=bool(
+            abs(float(stats.mass or 0.0) - n) <= 1e-6 * max(n, 1)
+        ),
+        all_ranks_positive=bool(n == 0 or float(stats.lo) > 0.0),
     )
 
 

@@ -522,7 +522,14 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("simhash") == F.col("_simhash_rev")).cast("int")
             ).alias("_inv"),
         )
-        .select("n_docs", (F.col("_inv") == 1).alias("order_invariant"))
+        # coalesce: MIN over zero docs is NULL — invariance holds
+        # vacuously on an empty corpus (empty-table fuzz variant)
+        .select(
+            "n_docs",
+            F.coalesce(F.col("_inv") == 1, F.lit(True)).alias(
+                "order_invariant"
+            ),
+        )
     )
 
 
@@ -718,13 +725,21 @@ def q132_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited = (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
-        .select((inter.cast("double") / union).alias("jaccard"))
+        # try_divide: two empty shingle sets give union 0 — the pair's
+        # jaccard is undefined (NULL), never an ANSI error (fuzz: docs
+        # shorter than the shingle width)
+        .select(F.try_divide(inter.cast("double"), union).alias("jaccard"))
     )
     hits = F.count(F.when(F.col("jaccard") >= LSH_AUDIT_THRESHOLD, 1))
     return audited.agg(
         F.count("*").alias("n_candidates"),
         hits.alias("n_true_dups"),
-        (hits.cast("double") / F.count("*").cast("double")).alias("precision"),
+        # try_divide: zero candidates (empty corpus) must yield NULL,
+        # not an ANSI DIVIDE_BY_ZERO — matches the oracle's IEEE 0/0
+        # NaN, which normalizes to <null> (empty-table fuzz variant)
+        F.try_divide(
+            hits.cast("double"), F.count("*").cast("double")
+        ).alias("precision"),
     )
 
 

@@ -41,6 +41,14 @@ N_SHARDS = 16
 #: halves are deterministic on any engine.
 HISTORY_BUCKET_PCT = 50
 
+#: Reserved sentinel standing in for a NULL group key inside the
+#: grouped-window machinery's broadcast offset maps (Python renders
+#: None as 'None' while Spark's concat_ws SKIPS nulls — without one
+#: canonical rendering a null group's ranks come back NULL; nulls fuzz
+#: variant, round 16).  A real group value equal to this string is not
+#: supported.
+NULL_GROUP_KEY = "\x00<null>"
+
 _DIGEST_SQL = "sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 
 
@@ -149,6 +157,7 @@ def q173_deterministic_stratified_sample(
              ({MD5_LONG60_SQL.format(x="CAST(doc_id AS VARCHAR)")}) % 100
                < {HISTORY_BUCKET_PCT} AS is_history
       FROM documents
+      WHERE text IS NOT NULL
     ),
     hist AS (SELECT DISTINCT digest FROM tagged WHERE is_history),
     inc AS (
@@ -184,7 +193,13 @@ def q169_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one aggregation.  Only digests shuffle."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text is not dedupable content — excluded EXPLICITLY in both
+    # engines (nulls fuzz variant: a null digest in the history set
+    # poisons the oracle's IN-set for every row, while the engine's
+    # anti-join silently keeps null keys — neither is a semantics)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     bucket = md5_long60(F.col("doc_id").cast("string")) % 100
     tagged = docs.select(
         "source",
@@ -269,15 +284,16 @@ def global_row_ids(
     for row in sorted(counts, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = total
         total += row["count"]
-    omap = F.create_map(
-        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
-    )
-    return (
-        with_mid.withColumn(
-            "row_id", (omap[pid] + local + 1).cast("long")
+    if offsets:
+        omap = F.create_map(
+            *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
         )
-        .drop("_mid")
-    )
+        rid = (omap[pid] + local + 1).cast("long")
+    else:
+        # zero-row input: F.create_map() with no args is VOID-typed and
+        # fails analysis — the ids are never evaluated, only typechecked
+        rid = F.lit(None).cast("long")
+    return with_mid.withColumn("row_id", rid).drop("_mid")
 
 
 @register(
@@ -366,11 +382,14 @@ def grouped_row_ids(
        ``group → n`` map (``total_col``) for quantile denominators.
 
     Requires (group, order…) to be a total order (pass a unique id as
-    the last order col) and a non-null STRING group key: the broadcast
-    offset map is keyed by Spark's string rendering of the group, and
-    for non-string types Python's repr can differ from Spark's cast
-    (True vs 'true', float/timestamp formatting), which would silently
-    yield NULL ranks — so a non-string group column raises instead.
+    the last order col) and a STRING group key: the broadcast offset
+    map is keyed by Spark's string rendering of the group, and for
+    non-string types Python's repr can differ from Spark's cast (True
+    vs 'true', float/timestamp formatting), which would silently yield
+    NULL ranks — so a non-string group column raises instead.  NULL
+    group keys are supported via the reserved :data:`NULL_GROUP_KEY`
+    sentinel (they form their own ranked group, like a window's
+    PARTITION BY does).
     Adds ``ordinal_col`` (1-based rank within group) and ``total_col``
     (group size).
 
@@ -414,10 +433,13 @@ def grouped_row_ids(
     pid = F.shiftrightunsigned(F.col("_mid"), 33)
     local = F.col("_mid").bitwiseAND((1 << 33) - 1)
     with_mid = part.withColumn("_mid", F.monotonically_increasing_id())
+    # NULL group keys take a sentinel on BOTH the collect and lookup
+    # sides: Python renders None as 'None' while concat_ws SKIPS nulls,
+    # so without it a null group's ranks silently come back NULL (nulls
+    # fuzz variant).  The sentinel string is reserved (documented).
+    gexpr = F.coalesce(F.col(group_col), F.lit(NULL_GROUP_KEY))
     stats = (
-        with_mid.groupBy(
-            pid.alias("_pid"), F.col(group_col).alias("_grp")
-        )
+        with_mid.groupBy(pid.alias("_pid"), gexpr.alias("_grp"))
         .agg(F.count("*").alias("_cnt"), F.min(local).alias("_lo"))
         .collect()
     )  # bounded: contiguous group ranges -> <= n_parts + n_groups - 1 rows
@@ -427,22 +449,30 @@ def grouped_row_ids(
         g = row["_grp"]
         adjust[f"{row['_pid']}:{g}"] = totals.get(g, 0) - row["_lo"]
         totals[g] = totals.get(g, 0) + row["_cnt"]
-    amap = F.create_map(
-        *[F.lit(v) for kv in adjust.items() for v in kv]
+    # zero-row input: argless create_map is VOID-typed and fails
+    # analysis; a typed null map typechecks and is never evaluated
+    amap = (
+        F.create_map(*[F.lit(v) for kv in adjust.items() for v in kv])
+        if adjust
+        else F.lit(None).cast("map<string,bigint>")
     )
-    tmap = F.create_map(
-        *[F.lit(v) for g_n in totals.items() for v in (str(g_n[0]), g_n[1])]
+    tmap = (
+        F.create_map(
+            *[
+                F.lit(v)
+                for g_n in totals.items()
+                for v in (str(g_n[0]), g_n[1])
+            ]
+        )
+        if totals
+        else F.lit(None).cast("map<string,bigint>")
     )
-    key = F.concat_ws(
-        ":", pid.cast("string"), F.col(group_col).cast("string")
-    )
+    key = F.concat_ws(":", pid.cast("string"), gexpr)
     return (
         with_mid.withColumn(
             ordinal_col, (amap[key] + local + 1).cast("long")
         )
-        .withColumn(
-            total_col, tmap[F.col(group_col).cast("string")].cast("long")
-        )
+        .withColumn(total_col, tmap[gexpr].cast("long"))
         .drop("_mid")
     )
 
@@ -598,8 +628,9 @@ def grouped_running_sum(
     Exactness: ``value_col`` must be integral (token counts, cents) —
     sums stay in BIGINT, so the result is bitwise equal to the
     single-exchange window form.  Same contracts as
-    :func:`grouped_row_ids`: non-null STRING group key (raises
-    otherwise), (group, order…) a total order.  ``order_cols`` may mix
+    :func:`grouped_row_ids`: STRING group key (raises otherwise; NULL
+    keys supported via :data:`NULL_GROUP_KEY`), (group, order…) a
+    total order.  ``order_cols`` may mix
     names and sort expressions (``F.desc("score")``).
 
     Size-adaptive like :func:`grouped_row_ids`: plan estimates within
@@ -638,8 +669,10 @@ def grouped_running_sum(
     part = tracked_persist(df.repartitionByRange(n_parts, *keys))
     pid = F.spark_partition_id()
     with_pid = part.withColumn("_pid", pid)
+    # NULL group keys: same sentinel rule as grouped_row_ids
+    gexpr = F.coalesce(F.col(group_col), F.lit(NULL_GROUP_KEY))
     stats = (
-        with_pid.groupBy("_pid", F.col(group_col).alias("_grp"))
+        with_pid.groupBy("_pid", gexpr.alias("_grp"))
         .agg(F.sum(F.col(value_col).cast("long")).alias("_sum"))
         .collect()
     )  # bounded: contiguous group ranges -> <= n_parts + n_groups - 1 rows
@@ -649,8 +682,12 @@ def grouped_running_sum(
         g = row["_grp"]
         offsets[f"{row['_pid']}:{g}"] = prior.get(g, 0)
         prior[g] = prior.get(g, 0) + (row["_sum"] or 0)
-    omap = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
-    key = F.concat_ws(":", F.col("_pid").cast("string"), F.col(group_col))
+    omap = (
+        F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+        if offsets
+        else F.lit(None).cast("map<string,bigint>")
+    )  # zero-row input: argless create_map is VOID-typed (fails analysis)
+    key = F.concat_ws(":", F.col("_pid").cast("string"), gexpr)
     w_local = Window.partitionBy("_pid", group_col).orderBy(
         *ocols
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -435,12 +435,13 @@ def q100_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         event_type,
         COUNT(*) AS n,
-        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mu,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mu,
         sqrt(
           (CAST(COUNT(*) AS DOUBLE)
-             * CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-           - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-             * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+             * CAST(CAST(SUM(CAST(value AS DECIMAL(19,2))
+                              * CAST(value AS DECIMAL(19,2))) AS VARCHAR) AS DOUBLE)
+           - CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             * CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE))
           / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))
         ) AS sigma
       FROM events GROUP BY event_type
@@ -814,6 +815,7 @@ def q137_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(str_split(text, ' ')) AS n_tokens,
         len(list_distinct(str_split(text, ' '))) AS difficulty
       FROM documents
+      WHERE text IS NOT NULL
     ),
     staged AS (
       SELECT source, doc_id, n_tokens, difficulty,
@@ -847,7 +849,11 @@ def q175_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     form (the DuckDB oracle keeps NTILE as the exact twin)."""
     from pyspark_anomaly_detection_spark.text.shards import grouped_ntile
 
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text has no difficulty — excluded EXPLICITLY in both engines
+    # (ranking nulls is engine-dependent; nulls fuzz variant)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     tok = tokens(F.col("text"))
     scored = docs.select(
         "source",

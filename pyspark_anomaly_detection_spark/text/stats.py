@@ -800,10 +800,24 @@ def bpe_train(
 def q144_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract audit of BPE vocabulary induction: the round-0 merge
     hash-checked cross-engine, plus count and well-formedness verdicts."""
-    from pyspark_anomaly_detection_spark.plans import audit_row
+    from pyspark_anomaly_detection_spark.plans import (
+        audit_row,
+        audit_row_empty_like,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs).orderBy("rank").collect()  # 8 rows
+    if not merges:
+        # empty corpus (empty-table fuzz variant): no pairs, no merges —
+        # the oracle's `LIMIT 1` over an empty census returns zero rows
+        return audit_row_empty_like(
+            spark,
+            n_merges=0,
+            first_left="",
+            first_right="",
+            first_pair_freq=0,
+            merges_well_formed=True,
+        )
     first = merges[0]
     # every merge token must decompose into single chars / EOW / earlier
     # merge outputs — the structural invariant of a valid merge table
@@ -955,8 +969,14 @@ def q165_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_docs",
             "total_words",
-            (F.col("_lb") == 1).alias("tokens_lower_bound_ok"),
-            (F.col("_ub") == 1).alias("tokens_upper_bound_ok"),
+            # coalesce: MIN over zero docs is NULL — the bounds hold
+            # vacuously on an empty corpus (empty-table fuzz variant)
+            F.coalesce(F.col("_lb") == 1, F.lit(True)).alias(
+                "tokens_lower_bound_ok"
+            ),
+            F.coalesce(F.col("_ub") == 1, F.lit(True)).alias(
+                "tokens_upper_bound_ok"
+            ),
         )
     )
 
@@ -1082,6 +1102,7 @@ QUANTILE_CUT = 0.2
         CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
           / len(str_split(text, ' ')) AS lexical_diversity
       FROM documents
+      WHERE text IS NOT NULL
     ),
     ranked AS (
       SELECT doc_id, lang, lexical_diversity,
@@ -1120,7 +1141,12 @@ def q197_lang_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFra
     The approximate alternative (percentile_approx per lang, broadcast
     back) is one aggregate, no sort; this operator is the exact-gate
     leg."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text has no diversity score — excluded EXPLICITLY in both
+    # engines (nulls fuzz variant: the engine's rank machinery and the
+    # oracle's PERCENT_RANK place nulls differently)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return lang_quantile_gate(docs).orderBy("doc_id")
 
 

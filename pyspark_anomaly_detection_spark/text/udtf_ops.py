@@ -35,7 +35,11 @@ class SplitSentences:
             return
         idx = 0
         for m in _SENTENCE_RE.finditer(text):
-            sent = m.group(0).strip()
+            # explicit ASCII whitespace set: Python's bare strip() also
+            # removes \t\n (and unicode spaces) while SQL trim() removes
+            # only ' ' — the unicode fuzz variant caught a "\n\t"
+            # sentence surviving one engine and not the other
+            sent = m.group(0).strip(" \t\n\r\f\v")
             if not sent:
                 continue
             yield idx, sent, len(sent), m.start()
@@ -64,10 +68,17 @@ def split_sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # in both engines).
     oracle="""
     WITH sents AS (
-      SELECT d.doc_id, trim(s.sent) AS sent
+      -- trim the same explicit ASCII-whitespace set the UDTF strips
+      -- (SQL trim() alone removes only ' ')
+      SELECT d.doc_id,
+             trim(s.sent,
+                  ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))
+               AS sent
       FROM documents d,
            unnest(regexp_extract_all(d.text, '[^.!?]+[.!?]?')) AS s(sent)
-      WHERE trim(s.sent) <> ''
+      WHERE trim(s.sent,
+                 ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))
+              <> ''
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_sentences,
@@ -145,8 +156,23 @@ def q88_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_total",
+            # N-AWARE band: ±max(0.06, 5σ of Bernoulli noise at the
+            # stratum's actual size) — the fixed 0.06 is ≥5σ only at the
+            # committed SFs' stratum sizes; a 12-row stratum (tiny fuzz
+            # variant) legitimately deviates by ~0.3 without sampleBy
+            # being broken
             F.when(frac_expr >= 1.0, F.col("_n_sampled") == F.col("n_total"))
-            .otherwise(F.abs(kept_frac - frac_expr) <= 0.06)
+            .otherwise(
+                F.abs(kept_frac - frac_expr)
+                <= F.greatest(
+                    F.lit(0.06),
+                    F.lit(5.0)
+                    * F.sqrt(
+                        frac_expr * (1.0 - frac_expr)
+                        / F.col("n_total")
+                    ),
+                )
+            )
             .alias("within_tolerance"),
         )
         .orderBy("event_type")

@@ -256,7 +256,7 @@ def _purchase_counts(ev: DataFrame) -> DataFrame:
         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
       ) AS velocity_1h,
       value - (
-        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w24 AS DOUBLE)
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w24 AS VARCHAR) AS DOUBLE)
         / COUNT(value) OVER w24
       ) AS avg_diff_24h,
       CAST(COUNT(DISTINCT event_type) OVER (

@@ -81,7 +81,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     out = df.copy()
     for col in out.columns:
-        out[col] = out[col].map(_cell)
+        # astype(object): .map on a ZERO-row column keeps the source
+        # dtype (float64 vs object), so two empty but identical frames
+        # would fail .equals on dtype alone (found by the empty-table
+        # fuzz variant — every populated frame maps to object anyway)
+        out[col] = out[col].map(_cell).astype(object)
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
         drop=True
     )

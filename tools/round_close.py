@@ -79,6 +79,35 @@ def _scale_point_fresh() -> bool:
         return False
 
 
+def _fuzz_fresh() -> bool:
+    import json
+
+    path = os.path.join(REPO, "FUZZ_PARITY.json")
+    if not os.path.exists(path):
+        return False
+    sys.path.insert(0, REPO)
+    try:
+        with open(path) as f:
+            art = json.load(f)
+        from pyspark_anomaly_detection_spark.registry import (
+            registry_fingerprint,
+        )
+        from tools.data_fuzz import VARIANTS
+
+        live = registry_fingerprint()
+        stamped = art.get("registry_fingerprint", {})
+        return (
+            stamped.get("registry_hash") == live["registry_hash"]
+            and stamped.get("package_hash") == live["package_hash"]
+            and set(art.get("variants", {})) == set(VARIANTS)
+            and all(
+                v.get("n_fail") == 0 for v in art["variants"].values()
+            )
+        )
+    except Exception:
+        return False
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     py = sys.executable
@@ -110,6 +139,17 @@ def main() -> None:
                 "parity scale point (sf1)",
                 [py, "tools/parity_check.py", "--scale-point"],
             )
+    if not quick:
+        # mutated-data differential fuzz (round 16): same skip rule as
+        # the sf1 sweep — the committed artifact stands only while both
+        # fingerprints match and every variant is green
+        if _fuzz_fresh():
+            print(
+                "round_close: FUZZ_PARITY.json is fingerprint-current and "
+                "green — skipping the fuzz re-sweep"
+            )
+        else:
+            run("data fuzz", [py, "tools/data_fuzz.py"])
     run("bench history", [py, "tools/bench_history.py"])
     run("coverage oracle-status", [py, "tools/coverage_status.py"])
     run("readme counts", [py, "tools/readme_counts.py"])
