@@ -121,7 +121,7 @@ def q42_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           COALESCE(l_returnflag, 'ALL') AS returnflag,
           COALESCE(l_linestatus, 'ALL') AS linestatus,
           COUNT(*) AS n_items,
-          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM _gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY returnflag, linestatus
@@ -421,7 +421,7 @@ def q49_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_name, c_acctbal
         FROM _cs_customer c
         WHERE c_acctbal > (
-          SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
           FROM _cs_customer i WHERE i.c_nationkey = c.c_nationkey
         )
         ORDER BY c_custkey

@@ -79,7 +79,7 @@ def q110_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE o_orderstatus = 'F'
         |> AGGREGATE
              COUNT(*) AS n_orders,
-             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS total_price
            GROUP BY o_orderpriority
         |> ORDER BY o_orderpriority
@@ -190,7 +190,7 @@ def q136_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
           DISTRIBUTE BY o_orderstatus SORT BY o_orderstatus, o_orderdate
         )
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM laid_out
         GROUP BY o_orderstatus, o_orderpriority
         ORDER BY o_orderstatus, o_orderpriority

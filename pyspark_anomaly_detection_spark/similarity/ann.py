@@ -521,24 +521,38 @@ def pq_train_codebook(
     d_sub = dim // m
     vec = _as_double(F.col(vec_col))
     norm = F.sqrt(_dot(vec, vec))
+    # r16 optimization (guide §1.2 per-task work): the old shape
+    # normalized via ``transform(vec, x -> x / norm)`` with ``norm`` an
+    # inline expression — lambda bodies are interpreted and re-evaluated
+    # per element, so the O(dim) dot-product fold ran once per vector
+    # COMPONENT (O(dim²) per vector), and Catalyst's CollapseProject
+    # re-inlines any single-use norm alias straight back into the
+    # lambda.  Instead the RAW subvectors are exploded with the norm
+    # carried as a plain column (fold per row, not per element) and the
+    # division happens vectorized in the numpy fit — the same IEEE
+    # double division, bitwise-identical normalized points, identical
+    # codebook.
     sampled = (
         candidates.filter(F.col(id_col) % sample_mod == 0)
         .filter(norm > 0)  # zero vectors carry no direction to quantize
         .select(
             F.col(id_col).alias("vid"),
-            F.transform(vec, lambda x: x / norm).alias("nvec"),
+            vec.alias("_vec"),
+            norm.alias("_norm"),
         )
     )
     parts = sampled.select(
         "vid",
+        "_norm",
         F.posexplode(
-            F.array(*[F.slice(F.col("nvec"), s * d_sub + 1, d_sub) for s in range(m)])
+            F.array(*[F.slice(F.col("_vec"), s * d_sub + 1, d_sub) for s in range(m)])
         ).alias("s", "subvec"),
     )
 
     def fit_subspace(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vid")
-        pts = np.vstack(pdf["subvec"].to_numpy())  # n × d_sub
+        pts = np.vstack(pdf["subvec"].to_numpy())  # n × d_sub (raw)
+        pts = pts / pdf["_norm"].to_numpy()[:, None]  # normalize here
         if pts.shape[0] < kc:  # tiny sample: tile so every centroid exists
             pts = np.tile(pts, (kc // pts.shape[0] + 1, 1))
         cents = pts[:kc].copy()

@@ -69,36 +69,47 @@ def benchmark_decontamination(
     drop_doc).  Documents shorter than ``n`` tokens have no n-grams and
     are clean by definition."""
     is_bench = F.col("doc_id") % bench_mod == 0
-    sh = F.array_distinct(shingles(tokens(F.col("text")), n))
+    # tokenize once (r16, see dedup.minhash_signatures_df): an inline
+    # tokens() inside the shingle lambda re-splits the text per shingle
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_tok"))
+    sh = F.array_distinct(shingles(F.col("_tok"), n))
     bench = (
-        docs.filter(is_bench)
+        toked.filter(is_bench)
         .select(F.explode(sh).alias("sh"))
         .select(md5_long60(F.col("sh")).alias("h"))
         .distinct()
     )
-    corpus = docs.filter(~is_bench).select("doc_id", sh.alias("shs"))
-    sizes = corpus.select("doc_id", F.size("shs").alias("n_shingles"))
-    hits = (
-        corpus.select("doc_id", F.explode("shs").alias("sh"))
+    # SINGLE corpus pass (r16 optimization, guide §2.3/§2.4): the old
+    # shape computed the shingle arrays twice — once for a per-doc size
+    # projection, once for the hit census — and re-joined the two legs
+    # by doc_id (3 documents scans, 2 corpus-keyed shuffles).
+    # explode_outer keeps zero-shingle docs (NULL element → n_shingles
+    # 0), a broadcast LEFT join marks benchmark hits, and ONE doc_id
+    # aggregation counts both totals — 2 scans, 1 shuffle.  With the
+    # tokenize-once fix this took q222 from 7.49 s to 1.26 s at sf0.1
+    # (bench --only, 3-rep trimmed mean).  Output bitwise-identical
+    # (oracle-verified at sf0.001/0.01/0.1).
+    corpus = (
+        toked.filter(~is_bench)
+        .select("doc_id", F.explode_outer(sh).alias("sh"))
         .select("doc_id", md5_long60(F.col("sh")).alias("h"))
-        .join(F.broadcast(bench), "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
+    )
+    marked = corpus.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "h", "left"
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("h").alias("n_shingles"),
+        F.count("_hit").alias("n_contaminated"),
     )
     frac = F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
         F.col("n_contaminated").cast("double") / F.col("n_shingles")
     )
-    return (
-        sizes.join(hits, "doc_id", "left")
-        .fillna({"n_contaminated": 0})
-        .select(
-            "doc_id",
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.col("n_contaminated").cast("long").alias("n_contaminated"),
-            frac.alias("contam_frac"),
-        )
-        .withColumn("drop_doc", F.col("contam_frac") >= F.lit(drop_frac))
-    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        frac.alias("contam_frac"),
+    ).withColumn("drop_doc", F.col("contam_frac") >= F.lit(drop_frac))
 
 
 _SH_SQL = shingles_sql("str_split(text, chr(32))", CONTAM_N)

@@ -140,9 +140,18 @@ def minhash_signatures_df(
     target = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < max(2, target // 2):
         docs = docs.repartition(target)
+    # Tokenize ONCE into a materialized array column before shingling:
+    # expressions inside higher-order-function lambdas are interpreted
+    # and re-evaluated per element, so an inline tokens() inside the
+    # shingle slice lambda re-splits the text once per shingle —
+    # O(tokens²) character work per document (r16 optimization, guide
+    # §1.2 per-task work; measured ~10% off the signature stage at
+    # sf0.1).  Same pattern applied at every shingles() call site.
     exploded = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+    ).select(
         F.col(id_col),
-        F.explode_outer(shingles(tokens(F.col(text_col)), SHINGLE_N)).alias("_sh"),
+        F.explode_outer(shingles(F.col("_tok"), SHINGLE_N)).alias("_sh"),
     ).withColumn("_base", md5_long60(F.col("_sh")))
     agg = exploded.groupBy(id_col).agg(
         *[
@@ -413,9 +422,9 @@ def ngram_jaccard_pairs(docs: DataFrame, max_rows: int = 10_000) -> DataFrame:
             "banded LSH pipeline for production dedup"
         )
     sh = tracked_persist(
-        docs.select(
+        docs.select("doc_id", tokens(F.col("text")).alias("_tok")).select(
             "doc_id",
-            F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_N)).alias(
+            F.array_distinct(shingles(F.col("_tok"), SHINGLE_N)).alias(
                 "sset"
             ),
         )
@@ -714,9 +723,9 @@ def q132_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     never quadratic."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs)
-    sh = docs.select(
+    sh = docs.select("doc_id", tokens(F.col("text")).alias("_tok")).select(
         "doc_id",
-        F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_N)).alias("sset"),
+        F.array_distinct(shingles(F.col("_tok"), SHINGLE_N)).alias("sset"),
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("aset"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("bset"))
@@ -830,11 +839,14 @@ def _rolling_window_hashes(
     """One row per rolling-window position: (id, n_tokens, pos, wh) —
     the shared explode+hash stage of the span-dedup family.  Every
     shuffled row is (60-bit hash, doc_id, pos) longs, never text."""
-    tok = tokens(text_col)
+    # tokenize once (see minhash_signatures_df): an inline tokens()
+    # inside the shingle lambda re-splits the text per window position
     return docs.select(
+        F.col(id_col), tokens(text_col).alias("_tok")
+    ).select(
         F.col(id_col),
-        F.size(tok).alias("n_tokens"),
-        F.posexplode(shingles(tok, window_tokens)).alias("pos", "win"),
+        F.size("_tok").alias("n_tokens"),
+        F.posexplode(shingles(F.col("_tok"), window_tokens)).alias("pos", "win"),
     ).select(id_col, "n_tokens", "pos", md5_long60(F.col("win")).alias("wh"))
 
 
@@ -1152,12 +1164,21 @@ def _strip_by_spans(
             ),
         )
     )
+    # Materialize the kept-token array ONCE: higher-order-function
+    # expressions are interpreted (no codegen CSE), so referencing
+    # ``kept`` twice in one projection evaluates the whole gap-slicing
+    # pipeline twice per row (r16 optimization, guide §1.2).
     return (
         joined.select(
             id_col,
             F.size("_toks").cast("long").alias("n_tokens"),
-            F.size(kept).cast("long").alias("kept_tokens"),
-            F.concat_ws(" ", kept).alias("cleaned_text"),
+            kept.alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.size("_kept").cast("long").alias("kept_tokens"),
+            F.concat_ws(" ", "_kept").alias("cleaned_text"),
         )
         .orderBy(id_col)
     )
@@ -1348,8 +1369,16 @@ def dup_run_profile(
     and shuffles (hash, doc, pos) longs only, never text), one
     doc-keyed containment join between span sets (a handful of rows per
     doc), and a final broadcast-sized per-doc aggregate join."""
-    fine = dup_span_intervals(docs, w_fine, text_col, id_col)
-    coarse = dup_span_intervals(docs, w_coarse, text_col, id_col)
+    # Persist both span frames (r16, the q149 edge-list lesson): each
+    # feeds TWO legs (its aggregate + the containment join), so without
+    # the persist the whole explode+hash+window span pipeline ran twice
+    # per granularity — PLAN_AUDIT showed documents×5.  Together with
+    # the tokenize-once fix: 3.95 s → 2.74 s at sf0.1 (bench --only,
+    # 3-rep trimmed mean).
+    fine = tracked_persist(dup_span_intervals(docs, w_fine, text_col, id_col))
+    coarse = tracked_persist(
+        dup_span_intervals(docs, w_coarse, text_col, id_col)
+    )
     run = (F.col("e") - F.col("s") + 1).cast("long")
     fine_agg = fine.groupBy(id_col).agg(
         F.max(run).alias("max_run_fine"),

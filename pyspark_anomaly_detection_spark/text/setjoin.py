@@ -66,10 +66,13 @@ TOKEN_SPLIT = "[^a-z0-9]+"
 
 def shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, elem) distinct pairs — sets of 60-bit md5 shingle hashes."""
+    # tokenize once (r16, see dedup.minhash_signatures_df): an inline
+    # tokens() inside the shingle lambda re-splits the text per shingle
     return (
-        docs.select(
+        docs.select("doc_id", tokens("text").alias("_tok"))
+        .select(
             "doc_id",
-            F.explode(shingles(tokens("text"), SHINGLE_N)).alias("shingle"),
+            F.explode(shingles(F.col("_tok"), SHINGLE_N)).alias("shingle"),
         )
         .filter(F.col("shingle") != "")
         .select("doc_id", md5_long60(F.col("shingle")).alias("elem"))

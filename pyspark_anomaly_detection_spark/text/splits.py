@@ -518,11 +518,18 @@ def q121_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion is a narrow explode."""
     from pyspark.sql.window import Window
 
+    from pyspark_anomaly_detection_spark.cachepool import tracked_persist
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    numbered = docs.select(
-        "doc_id",
-        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("rn"),
-    ).crossJoin(F.broadcast(docs.agg(F.count("*").alias("n"))))
+    # Persist the numbered frame (r16): it feeds BOTH the anchor side
+    # and the partner lookup, so unpersisted the global row_number sort
+    # ran twice (PLAN_AUDIT documents×4 → ×2).
+    numbered = tracked_persist(
+        docs.select(
+            "doc_id",
+            (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("rn"),
+        ).crossJoin(F.broadcast(docs.agg(F.count("*").alias("n"))))
+    )
     ks = spark.range(1, N_NEGATIVES + 1).select(F.col("id").alias("k"))
     cand = numbered.crossJoin(F.broadcast(ks)).select(
         F.col("doc_id").alias("anchor_id"),

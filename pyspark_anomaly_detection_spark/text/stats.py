@@ -276,12 +276,17 @@ def q86_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     eval_sh = (
         docs.filter(F.col("doc_id") < 5)
-        .select(F.explode(shingles(tokens(F.col("text")), 3)).alias("sh"))
+        .select(tokens(F.col("text")).alias("_tok"))
+        .select(F.explode(shingles(F.col("_tok"), 3)).alias("sh"))
         .distinct()
     )
-    corpus = docs.filter(F.col("doc_id") >= 5).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(tokens(F.col("text")), 3))).alias("sh"),
+    corpus = (
+        docs.filter(F.col("doc_id") >= 5)
+        .select("doc_id", tokens(F.col("text")).alias("_tok"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("_tok"), 3))).alias("sh"),
+        )
     )
     return (
         corpus.join(F.broadcast(eval_sh), "sh")
@@ -364,10 +369,13 @@ def q31_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: min 60-bit hash over 5-gram
     shingles — deterministic and engine-independent (md5-based)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
-    sh = shingles(tokens(F.col("text")), 5)
-    return docs.select(
+    # tokenize once (r16): inline tokens() inside the shingle lambda
+    # re-splits the text per window position
+    return docs.select("doc_id", tokens(F.col("text")).alias("_tok")).select(
         "doc_id",
-        F.array_min(F.transform(sh, md5_long60)).alias("fingerprint"),
+        F.array_min(
+            F.transform(shingles(F.col("_tok"), 5), md5_long60)
+        ).alias("fingerprint"),
     ).orderBy("doc_id")
 
 

@@ -47,7 +47,7 @@ def q78_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
           event_id,
           date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts,
           COUNT(*) OVER w AS n_prev_1h,
-          CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS sum_prev_1h
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_prev_1h
         FROM _irf_events
         WINDOW w AS (
           PARTITION BY user_id ORDER BY ts
