@@ -282,6 +282,10 @@ def keep_longest_manifest(
     rep_id, keep) where rep = argmax(len_col, tie-break min id) per
     component; ids absent from ``comp`` (no near-dup) are singleton
     components keeping themselves."""
+    # NB deliberately NOT persisted (r16 A/B): ``lab`` feeds two legs,
+    # but its recompute (a cheap join off the already-persisted
+    # component frame) measured FASTER than materializing it —
+    # 3.65 s vs 4.05 s at sf0.1.
     lab = (
         docs.join(comp, docs[id_col] == comp["node"], "left")
         .select(
