@@ -271,7 +271,9 @@ def q102_decay_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
         CAST(SUM(CAST(y100 AS HUGEINT)) AS HUGEINT) AS sy,
         CAST(SUM(CAST(x * x AS HUGEINT)) AS HUGEINT) AS sxx,
-        CAST(SUM(CAST(x * y100 AS HUGEINT)) AS HUGEINT) AS sxy
+        -- x·y100 in int128: y100 scales with VALUE magnitude, and the
+        -- per-row BIGINT product overflows at extreme values (r16 fuzz)
+        CAST(SUM(CAST(x AS HUGEINT) * CAST(y100 AS HUGEINT)) AS HUGEINT) AS sxy
       FROM pts GROUP BY event_type
     )
     SELECT event_type, n,
@@ -314,7 +316,12 @@ def q103_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast(dec)).alias("sx"),
         F.sum(F.col("y100").cast(dec)).alias("sy"),
         F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("x") * F.col("y100")).cast(dec)).alias("sxy"),
+        # x·y100 multiplies in DECIMAL(38,0): y100 scales with the VALUE
+        # magnitude (±1e15 values → y100 ±1e17; × x ~4e21 > 2^63), so a
+        # per-row LONG product overflows under ANSI — the extremes fuzz
+        # variant caught it (r16).  x·x stays LONG-safe (x is bounded by
+        # the time range, ≤ ~5e5 minutes).
+        F.sum(F.col("x").cast(dec) * F.col("y100").cast(dec)).alias("sxy"),
     )
     n, sx, sy = F.col("n").cast(dec), F.col("sx"), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")
@@ -701,9 +708,9 @@ def q135_pandas_udaf_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       c.event_type, c.dow, c.hod, c.n_events,
-      CAST(c.dec_sum AS DOUBLE) / c.n_events AS cell_mean,
-      (CAST(c.dec_sum AS DOUBLE) / c.n_events)
-        / (CAST(t.t_sum AS DOUBLE) / t.t_n) AS seasonal_index
+      CAST(CAST(c.dec_sum AS VARCHAR) AS DOUBLE) / c.n_events AS cell_mean,
+      (CAST(CAST(c.dec_sum AS VARCHAR) AS DOUBLE) / c.n_events)
+        / (CAST(CAST(t.t_sum AS VARCHAR) AS DOUBLE) / t.t_n) AS seasonal_index
     FROM cells c JOIN typ t USING (event_type)
     ORDER BY event_type, dow, hod
     """,

@@ -369,7 +369,7 @@ def q47_maxby_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
       bit_and(CAST(json_extract_string(props, '$.k') AS INT)) AS k_and,
       bit_or(CAST(json_extract_string(props, '$.k') AS INT)) AS k_or,
       bit_xor(CAST(json_extract_string(props, '$.k') AS INT)) AS k_xor,
-      CAST(SUM(DISTINCT CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS distinct_value_sum
+      CAST(CAST(SUM(DISTINCT CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS distinct_value_sum
     FROM events
     GROUP BY event_type
     ORDER BY event_type

@@ -94,8 +94,8 @@ def q110_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n,
       COUNT(*) FILTER (WHERE value > 50.0) AS n_high,
       COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_even_user,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 50.0)
-           AS DOUBLE) AS sum_high
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 50.0)
+           AS VARCHAR) AS DOUBLE) AS sum_high
     FROM events
     GROUP BY event_type
     ORDER BY event_type

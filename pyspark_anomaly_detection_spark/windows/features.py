@@ -316,10 +316,10 @@ def q22_time_since_last(spark: SparkSession, sf_dir: str) -> DataFrame:
       DENSE_RANK() OVER w AS drk,
       LEAD(event_type) OVER w AS next_type,
       LAG(event_type)  OVER w AS prev_type,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      ) AS DOUBLE) AS running_value
+      ) AS VARCHAR) AS DOUBLE) AS running_value
     FROM events
     WHERE user_id < 5
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)

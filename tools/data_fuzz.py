@@ -83,6 +83,15 @@ FUZZ_EXEMPT: dict[tuple[str, str], str] = {
         "so RESTORE to v1 CORRECTLY raises version-not-in-log — the "
         "error is the contract"
     ),
+    ("tiny", "q172_mllib_brp_ann"): (
+        "the BRP set-join leg is RADIUS-bounded (cos >= 0.2) by its API "
+        "contract; 30 random 64-dim unit vectors have pairwise cos "
+        "~N(0, 0.125), so essentially no pair clears the radius and the "
+        ">=0.8 recall band is unmeetable at this N — the hash-checked "
+        "exact-top-1 half still matches bitwise (verified), and the "
+        "band holds from the committed SFs' corpus sizes upward where "
+        "top-5 neighbors sit inside the radius regime"
+    ),
     ("extremes", "q71_ml_scoring"): (
         "auc_within_band verdict: ±1e15 value injections make the "
         "type-mean label rule adversarial (a handful of extreme rows "
