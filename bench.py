@@ -87,6 +87,8 @@ def main() -> None:
                     "errors": errors,
                     "n_queries": len(registry),
                     "sf": sf,
+                    "parallelism": spark.sparkContext.defaultParallelism,
+                    "master": spark.sparkContext.master,
                 }
             )
         )
@@ -175,6 +177,13 @@ def main() -> None:
                 "queries": dict(sorted(timings.items())),
                 "sf": sf,
                 "reps": reps,
+                # Scaling verifiability (VERDICT r16 item 2): the driver's
+                # low-core probe could not distinguish "CPUs ignored" from
+                # "suite overhead-bound" — record the parallelism the
+                # session ACTUALLY ran with so $SPARK_GRAFT_CPUS plumbing
+                # is provable from the bench line itself.
+                "parallelism": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
                 "dispersion": dict(sorted(dispersion.items())),
             },
             separators=(",", ":"),

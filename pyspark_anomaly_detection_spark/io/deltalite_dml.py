@@ -248,26 +248,34 @@ def _touched_files(
     predicate: str,
     cmio=None,
     snap=None,
-) -> list[str]:
-    """Relative paths of active files containing at least one LIVE row
-    matching ``predicate`` (deletion-vector rows excluded) — one
-    distributed scan, driver result bounded by file count."""
+) -> tuple[list[str], int]:
+    """(relative paths of active files containing at least one LIVE row
+    matching ``predicate``, total matching live rows) — deletion-vector
+    rows excluded.  ONE distributed scan serves both the touched-file
+    set and the match count (VERDICT r16 item 4: DELETE/UPDATE used to
+    pay a second scan of the touched files just to count matches — a
+    per-file COUNT groupBy gets both answers from the same pass; files
+    outside the touched set contribute zero matches by definition, so
+    the sum over touched files IS the global match count).  Driver
+    result stays bounded by file count."""
     if not files:
-        return []
+        return [], 0
     scan = (
         _read_files(
             spark, table_path, files, cmio, snap=snap, file_col="_dml_file"
         )
         .filter(F.expr(predicate))
-        .select("_dml_file")
-        .distinct()
+        .groupBy("_dml_file")
+        .count()
     )
     resolved = _resolved_add_keys(table_path, files)
     out = []
+    n_match = 0
     for r in scan.collect():
         path = _scan_file_to_local(r._dml_file)
         out.append(resolved[os.path.abspath(path)])
-    return sorted(out)
+        n_match += r["count"]
+    return sorted(out), int(n_match)
 
 
 def _cdf_enabled(snap) -> bool:
@@ -585,7 +593,7 @@ def delete_delta(
     if snap.part_cols:
         _guard_partition_columns(predicate, snap.part_cols)
     active = sorted(snap.adds)
-    touched = _touched_files(
+    touched, n_match = _touched_files(
         spark, table_path, active, predicate, cmio, snap=snap
     )
     if not touched:
@@ -596,11 +604,6 @@ def delete_delta(
             "files_untouched": len(active),
             "rows_deleted": 0,
         }
-    n_match = (
-        _read_files(spark, table_path, touched, cmio, snap=snap)
-        .filter(F.expr(predicate))
-        .count()
-    )
     cdc_df = None
     if _cdf_enabled(snap):
         # full logical rows (partition columns reinjected) of exactly
@@ -689,7 +692,7 @@ def update_delta(
                         "partition-move path handles this) instead"
                     )
     active = sorted(snap.adds)
-    touched = _touched_files(
+    touched, n_match = _touched_files(
         spark, table_path, active, predicate, cmio, snap=snap
     )
     if not touched:
@@ -699,11 +702,6 @@ def update_delta(
             "files_added": 0,
             "rows_updated": 0,
         }
-    n_match = (
-        _read_files(spark, table_path, touched, cmio, snap=snap)
-        .filter(F.expr(predicate))
-        .count()
-    )
 
     def apply_set(df: DataFrame) -> DataFrame:
         cond = F.expr(predicate)
@@ -846,12 +844,6 @@ def merge_delta(
             )
     if matched is None and not insert and not_matched_by_source is None:
         raise ValueError("merge_delta: no clauses — nothing to do")
-    dupes = source.groupBy(key).count().filter("count > 1").limit(1).count()
-    if dupes:
-        raise ValueError(
-            "merge_delta: multiple source rows share a key — ambiguous "
-            "MERGE (Delta rejects this too)"
-        )
     snap = _snapshot_state(table_path)
     from pyspark_anomaly_detection_spark.io.deltalite_identity import (
         identity_columns_of,
@@ -899,7 +891,23 @@ def merge_delta(
     active = sorted(snap.adds)
     src = source.cache()
     try:
-        n_src = src.count()  # == distinct keys (dupes rejected above)
+        # ONE job over the (now cached) source serves both the ambiguity
+        # check and the source count (VERDICT r16 item 4: these were two
+        # separate jobs, the dupe check not even cache-backed): max
+        # per-key cardinality > 1 ⇔ duplicate keys, Σ = n_src.  groupBy
+        # buckets NULL keys together, so duplicate NULL keys reject too.
+        stats = (
+            src.groupBy(key)
+            .agg(F.count("*").alias("_c"))
+            .agg(F.sum("_c").alias("n"), F.max("_c").alias("mx"))
+            .first()
+        )
+        if int(stats.mx or 0) > 1:
+            raise ValueError(
+                "merge_delta: multiple source rows share a key — "
+                "ambiguous MERGE (Delta rejects this too)"
+            )
+        n_src = int(stats.n or 0)  # == distinct keys (dupes rejected)
         # 100 TB shape: the source side of every MERGE join is broadcast
         # only while it is broadcast-sized (the common CDC-batch case);
         # a big source falls back to plain joins and lets AQE pick the
@@ -927,15 +935,31 @@ def merge_delta(
                 )
                 .join(_bcast(src.select(key)), key, "left_semi")
             )
-            agg = scan.agg(
-                F.count("*").alias("nr"),
-                F.countDistinct(key).alias("nk"),
-            ).first()
-            n_matched = agg.nr
-            n_matched_keys = agg.nk
-            for r in scan.select("_dml_file").distinct().collect():
-                p = _scan_file_to_local(r._dml_file)
-                touched.append(resolved[os.path.abspath(p)])
+            # ONE pass serves both the match totals and the touched-file
+            # set (VERDICT r16 item 4: this used to be two jobs over the
+            # same scan+semi-join — a global agg, then a distinct file
+            # collect).  rollup(_dml_file) yields the per-file rows (the
+            # touched set) PLUS the grand-total row (file IS NULL) with
+            # the global row count and global distinct-key count — the
+            # per-file nk values cannot be summed (a key may span files),
+            # which is exactly what the rollup's total row avoids.
+            # input_file_name() is never NULL, so the NULL row is
+            # unambiguously the total.  Driver result stays bounded by
+            # file count + 1.
+            for r in (
+                scan.rollup("_dml_file")
+                .agg(
+                    F.count("*").alias("nr"),
+                    F.countDistinct(key).alias("nk"),
+                )
+                .collect()
+            ):
+                if r._dml_file is None:
+                    n_matched = r.nr
+                    n_matched_keys = r.nk
+                else:
+                    p = _scan_file_to_local(r._dml_file)
+                    touched.append(resolved[os.path.abspath(p)])
             touched.sort()
         target_cols = [
             f.name
@@ -1062,12 +1086,13 @@ def merge_delta(
                     nscan = nscan.filter(
                         F.expr(not_matched_by_source_condition)
                     )
-                n_nmbs = nscan.count()
-                if n_nmbs:
-                    for r in nscan.select("_dml_file").distinct().collect():
-                        p = _scan_file_to_local(r._dml_file)
-                        nmbs_touched.append(resolved[os.path.abspath(p)])
-                    nmbs_touched.sort()
+                # one pass for both the row count and the file set (the
+                # same scan+count fusion as _touched_files)
+                for r in nscan.groupBy("_dml_file").count().collect():
+                    n_nmbs += int(r["count"])
+                    p = _scan_file_to_local(r._dml_file)
+                    nmbs_touched.append(resolved[os.path.abspath(p)])
+                nmbs_touched.sort()
 
         part_types: dict[str, Any] = {}
         if part_cols:

@@ -218,7 +218,9 @@ def dv_positions_df(
         (_file_uri(table_path, rel), json.dumps(a["deletionVector"]))
         for rel, a in sorted(dv_adds.items())
     ]
-    src = spark.createDataFrame(rows, "_dv_f string, _desc string")
+    from pyspark_anomaly_detection_spark.io.detach import local_rows_df
+
+    src = local_rows_df(spark, rows, "_dv_f string, _desc string")
 
     def gen(batches):
         import json as _json
@@ -298,8 +300,10 @@ def dv_diff_rows(
         )
         for rel, new_add, old_dv in pairs
     ]
-    src = spark.createDataFrame(
-        rows, "_dv_f string, _new string, _old string"
+    from pyspark_anomaly_detection_spark.io.detach import local_rows_df
+
+    src = local_rows_df(
+        spark, rows, "_dv_f string, _new string, _old string"
     )
 
     def gen(batches):

@@ -23,6 +23,8 @@ preserves NULLs of every type exactly.
 
 from __future__ import annotations
 
+from typing import Any, Sequence
+
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
@@ -43,3 +45,40 @@ def detach_local(result: DataFrame) -> DataFrame:
 
         table = to_arrow_schema(result.schema).empty_table()
     return spark.createDataFrame(table, result.schema)
+
+
+def local_rows_df(spark, rows: Sequence[tuple], schema) -> DataFrame:
+    """Build a small DataFrame from driver-local row tuples as a JVM
+    ``LocalTableScan`` — never a Python-RDD scan.
+
+    ``spark.createDataFrame(list_of_tuples, ...)`` plans as
+    ``applySchemaToPythonRDD``: EVERY downstream action pays a Python
+    worker round trip to re-evaluate the 3-row relation (measured 4-6 s
+    per action under load — r17: this dominated the q205/q206 streaming
+    replays, whose per-batch fixture write cost ~5 s against a ~1 s
+    streaming run).  Routing the same tuples through a pyarrow Table
+    (exactly ``detach_local``'s rebuild path) plans a JVM local relation
+    in Arrow and non-Arrow sessions alike, NULL-exact, no Python eval.
+
+    ``schema`` is a DDL string or StructType.  Values must already match
+    the declared types (the same contract the tuple form enforced).
+    """
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    st = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    )
+    arrow_schema = to_arrow_schema(st)
+    if rows:
+        cols: list[Sequence[Any]] = list(zip(*rows))
+        table = pa.Table.from_arrays(
+            [
+                pa.array(col, type=field.type)
+                for col, field in zip(cols, arrow_schema)
+            ],
+            schema=arrow_schema,
+        )
+    else:
+        table = arrow_schema.empty_table()
+    return spark.createDataFrame(table, st)

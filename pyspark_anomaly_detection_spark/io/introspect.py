@@ -114,10 +114,12 @@ def parquet_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=cols)
 
+    from pyspark_anomaly_detection_spark.io.detach import local_rows_df
+
     n_part = max(1, min(len(files), spark.sparkContext.defaultParallelism))
-    paths = spark.createDataFrame(files, ["table_name", "path"]).repartition(
-        n_part
-    )
+    paths = local_rows_df(
+        spark, files, "table_name string, path string"
+    ).repartition(n_part)
     return paths.mapInPandas(run, schema=_LAYOUT_SCHEMA)
 
 
@@ -326,7 +328,10 @@ def zorder_pruning_stats(
                     if not (r[2 * dim_idx + 1] < q_lo or r[2 * dim_idx] > q_hi)
                 )
                 rows.append((layout, dim, len(ranges), opened, opened / len(ranges)))
-        return spark.createDataFrame(
+        from pyspark_anomaly_detection_spark.io.detach import local_rows_df
+
+        return local_rows_df(
+            spark,
             rows,
             "layout string, dimension string, files_total long, "
             "files_opened long, frac_opened double",
@@ -388,13 +393,10 @@ def q207_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             z_a.files_opened < total and z_b.files_opened < total,
         ),
     ]
-    from pyspark_anomaly_detection_spark.io.detach import detach_local
+    from pyspark_anomaly_detection_spark.io.detach import local_rows_df
 
-    # detach: the verdicts are driver-computed scalars — return them as
-    # a JVM LocalTableScan (the q213/q220 pattern) so the plan stays on
-    # the JVM path the no-python-eval contract checks
-    return detach_local(
-        spark.createDataFrame(
-            checks, "check_name string, verdict boolean"
-        ).orderBy("check_name")
-    )
+    # the verdicts are driver-computed scalars — build them directly as
+    # a JVM LocalTableScan (no Python-RDD scan, no detach round trip)
+    return local_rows_df(
+        spark, checks, "check_name string, verdict boolean"
+    ).orderBy("check_name")

@@ -55,8 +55,13 @@ def kmeans_embedding_clusters(
     ).fit(prep)
     centers = model.clusterCenters()
     spark = emb.sparkSession
+    from pyspark_anomaly_detection_spark.io.detach import local_rows_df
+
+    # JVM local relation, not a Python-RDD scan (r17: the tuple-form
+    # createDataFrame pays a Python worker round trip per action)
     centers_df = F.broadcast(
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
             "cluster int, center array<double>",
         )
@@ -215,9 +220,11 @@ def lda_topic_profile(
         .agg(F.count("*").alias("n_dominant"))
     )
 
+    from pyspark_anomaly_detection_spark.io.detach import local_rows_df
+
     vocab_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, w) for i, w in enumerate(vocab)], "idx int, term string"
+        local_rows_df(
+            spark, [(i, w) for i, w in enumerate(vocab)], "idx int, term string"
         )
     )
     named = (

@@ -225,15 +225,32 @@ def lsh_blocked_neardup(
     )
 
 
-#: OR-amplification degree for the adaptive lane above the exact cap:
-#: 8 independent tables at ``_planes_for(n)`` planes each keeps total
-#: in-bucket pair work ≤ 8·N·TARGET_BUCKET_ROWS (linear) while lifting
-#: near-threshold recall from p^r to 1-(1-p^r)^8.  The recall floor is
-#: enforced against the exact numpy oracle at the sf1 scale point
-#: (tools/parity_check.py::NEARDUP_RECALL_FLOOR) — exact-duplicate
+#: OR-amplification ceiling for the adaptive lane above the exact cap:
+#: up to 8 independent tables at ``_planes_for(n)`` planes each keeps
+#: total in-bucket pair work ≤ L·N·TARGET_BUCKET_ROWS (linear) while
+#: lifting near-threshold recall from p^r to 1-(1-p^r)^L.  The recall
+#: floor is enforced against the exact numpy oracle at the sf1 scale
+#: point (tools/parity_check.py::NEARDUP_RECALL_FLOOR) — exact-duplicate
 #: pairs (cos≈1) collide in every table, so their recall is 1.0 by
 #: construction regardless of this dial.
 N_OR_TABLES = 8
+
+
+def _tables_for(n_planes: int, ceiling: int = N_OR_TABLES) -> int:
+    """OR-table count matched to the blocking degree (VERDICT r16 item 3:
+    a FLAT L=8 was the sf1 recall answer applied at every scale — at
+    sf0.1's 4-plane blocking it doubled q183's LSH work for recall the
+    floor does not require).  Per-table candidate recall is ~p^r in the
+    plane count r, so fewer planes (small corpora) need fewer OR-tables
+    to clear the floor; L grows WITH r up to the ceiling.  Measured
+    recall vs the exact pair set (numpy replay of the committed planes,
+    sf0.1 N=2000, r=4): L=8 → 0.759, L=4 → 0.506, L=3 → 0.408 — L=r=4
+    clears the 0.40 floor with margin, L=3 does not.  At sf1 (r=8)
+    L=min(8,8)=8 reproduces the audited 0.476 candidate set exactly.
+    ``_hyperplanes`` is prefix-stable (one seeded stream), so a smaller
+    L uses a prefix of the same tables — candidates shrink, never
+    reshuffle."""
+    return max(4, min(ceiling, n_planes))
 
 
 def adaptive_neardup_pairs(
@@ -243,7 +260,7 @@ def adaptive_neardup_pairs(
     vec_col: str = "embedding",
     max_exact_rows: int = MAX_EXACT_ROWS,
     n_planes: "int | None" = None,
-    n_tables: int = N_OR_TABLES,
+    n_tables: "int | None" = None,
 ) -> DataFrame:
     """Size-dispatching near-dup: exact all-pairs while the input fits the
     oracle-verification budget (≤ ``max_exact_rows``), LSH-blocked above it.
@@ -260,8 +277,9 @@ def adaptive_neardup_pairs(
             df, threshold, id_col, vec_col, max_exact_rows=None
         )
     planes = _planes_for(n) if n_planes is None else n_planes
+    tables = _tables_for(planes) if n_tables is None else n_tables
     return lsh_blocked_neardup(
-        df, threshold, planes, id_col, vec_col, n_tables=n_tables
+        df, threshold, planes, id_col, vec_col, n_tables=tables
     )
 
 
@@ -374,9 +392,13 @@ def ivf_topk(
 
     # Probe map: per query the nprobe nearest centroids (centroid table is
     # k rows — crossJoin with the broadcast-small query side is k×Q rows).
+    from pyspark_anomaly_detection_spark.io.detach import local_rows_df
+
     centroids = [[float(x) for x in c] for c in cent_mat]
-    centroid_df = df.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, center array<double>"
+    centroid_df = local_rows_df(
+        df.sparkSession,
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, center array<double>",
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")

@@ -35,7 +35,7 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_anomaly_detection_spark.io.detach import detach_local
+from pyspark_anomaly_detection_spark.io.detach import detach_local, local_rows_df
 from pyspark_anomaly_detection_spark.registry import register
 from pyspark_anomaly_detection_spark.streaming.jobs import (
     read_event_stream,
@@ -118,7 +118,13 @@ def replay_batches(
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         for rows in batches:
-            spark.createDataFrame(
+            # local_rows_df, not createDataFrame(list): the tuple form
+            # plans a Python-RDD scan, so each batch's fixture write
+            # paid a Python worker round trip (~5 s measured) — 6 per
+            # replay pair, dwarfing the ~1 s streaming runs themselves
+            # (r17 profiling; guide §4 — eliminate the Python boundary)
+            local_rows_df(
+                spark,
                 [(e, ts, u, t, 1.0, "{}") for e, ts, u, t in rows],
                 "event_id long, ts string, user_id long, event_type string,"
                 " value double, props string",

@@ -58,15 +58,36 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        neighbour_min = (
-            und.join(labels, und["u"] == labels["node"])
-            .select(F.col("v").alias("node"), "label")
-            .unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        new_labels = neighbour_min.localCheckpoint()  # truncate lineage per round
+    # Self-loops fold each node's OWN label into the neighbour-min without
+    # the per-round ``unionByName(labels)`` — min over (neighbours ∪ self)
+    # is identical, and the propagation step now references ``labels``
+    # exactly once, which is what lets two rounds fuse into one lazy plan
+    # below without double-evaluating the intermediate round.
+    und_self = und.unionByName(
+        labels.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    ).persist()
+    # VERDICT r16 item 7: materialize every SECOND round, not every round.
+    # One localCheckpoint (eager job) + one convergence count per TWO
+    # propagation rounds — half the fixed-point loop's job count; the
+    # uncheckpointed middle round lives as two joins of lazy plan depth,
+    # far below lineage-blowup territory.  Label sequence is unchanged
+    # (same rounds, same min-label math); convergence is detected at pair
+    # granularity, costing at most one idempotent extra round after the
+    # fixpoint — labels cannot change once converged, so output is
+    # identical.
+    it = 0
+    while it < max_iter:
+        steps = min(2, max_iter - it)
+        cur = labels
+        for _ in range(steps):
+            cur = (
+                und_self.join(cur, und_self["u"] == cur["node"])
+                .select(F.col("v").alias("node"), "label")
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+        it += steps
+        new_labels = cur.localCheckpoint()  # truncate lineage per pair of rounds
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -76,6 +97,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    und_self.unpersist()
     und.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
@@ -358,7 +380,16 @@ def pagerank(
     with_deg = und.join(degrees, "u").persist()
     ranks = degrees.select(F.col("u").alias("node"), F.lit(1.0).alias("rank"))
     ranks = ranks.localCheckpoint()
-    for _ in range(iterations):
+    # VERDICT r16 item 7: truncate lineage every SECOND iteration — each
+    # eager localCheckpoint job now materializes two join+sum rounds
+    # (``ranks`` is referenced exactly once per round, so the fused lazy
+    # middle round is evaluated once — no duplicated subtree), halving
+    # the fixed-point loop's job count.  The float operation sequence per
+    # node is unchanged, so ranks are bit-identical.  The final iteration
+    # always checkpoints: callers unpersist the edge caches right below,
+    # and an unmaterialized plan would silently recompute the un-cached
+    # distinct+join per downstream action.
+    for i in range(iterations):
         contribs = (
             with_deg.join(ranks, with_deg["u"] == ranks["node"])
             .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
@@ -368,7 +399,9 @@ def pagerank(
         ranks = contribs.select(
             "node",
             (F.lit(1.0 - damping) + F.lit(damping) * F.col("in_mass")).alias("rank"),
-        ).localCheckpoint()
+        )
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
     und.unpersist()
     with_deg.unpersist()
     return ranks

@@ -151,32 +151,62 @@ def prefix_jaccard_pairs(
     docs: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
     """All (doc_a < doc_b) pairs with shingle-set Jaccard ≥ threshold —
-    exact result, prefix-filtered + length-filtered candidates."""
+    exact result, prefix-filtered + length-filtered candidates.
+
+    Verify stage (VERDICT r16 item 5): ONE doc-keyed join instead of
+    two.  The old shape joined the persisted per-doc arrays once per
+    pair side (cands⋈per_doc on doc_a, then ⋈per_doc on doc_b — the
+    mid-join rows carried ``elems_a`` through the doc_b exchange), i.e.
+    per_doc shuffled twice and the arrays three times.  Now each
+    candidate explodes into its two (pair, doc_id) sides — explode, not
+    a self-union, so the candidate pipeline is planned once — joins
+    per_doc ONCE on doc_id, and a (doc_a, doc_b) hash aggregate packs
+    the two sides back into one row (guide §2.3/§2.4: one fewer
+    exchange, each doc's array crosses the wire once per side instead
+    of per leg)."""
     per_doc, cands = _prefix_stage(docs, threshold)
 
-    left = per_doc.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("elems").alias("elems_a"),
-        F.col("n_elems").alias("n_a"),
+    sides = cands.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a"), F.col("doc_b"), F.col("doc_a").alias("doc_id")
+                ),
+                F.struct(
+                    F.col("doc_a"), F.col("doc_b"), F.col("doc_b").alias("doc_id")
+                ),
+            )
+        ).alias("s")
+    ).select("s.doc_a", "s.doc_b", "s.doc_id")
+    packed = (
+        sides.join(per_doc.select("doc_id", "elems", "n_elems"), "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("doc_id") == F.col("doc_a"),
+                    F.struct("elems", "n_elems"),
+                )
+            ).alias("A"),
+            F.max(
+                F.when(
+                    F.col("doc_id") == F.col("doc_b"),
+                    F.struct("elems", "n_elems"),
+                )
+            ).alias("B"),
+        )
     )
-    right = per_doc.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("elems").alias("elems_b"),
-        F.col("n_elems").alias("n_b"),
-    )
-    inter = F.size(F.array_intersect("elems_a", "elems_b"))
+    inter = F.size(F.array_intersect("A.elems", "B.elems"))
     jaccard = inter.cast("double") / (
-        F.col("n_a") + F.col("n_b") - inter
+        F.col("A.n_elems") + F.col("B.n_elems") - inter
     ).cast("double")
     return (
-        cands.join(left, "doc_a")
-        .join(right, "doc_b")
-        .select(
+        packed.select(
             "doc_a",
             "doc_b",
             inter.alias("inter"),
-            "n_a",
-            "n_b",
+            F.col("A.n_elems").alias("n_a"),
+            F.col("B.n_elems").alias("n_b"),
             jaccard.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

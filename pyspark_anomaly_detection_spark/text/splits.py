@@ -512,23 +512,22 @@ def q121_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     universal hash of (position, k) — reproducible across runs and
     engines, no rand() seed drift.  Self-pairs are dropped (a hash may
     land on the anchor itself, so k is an attempt index, not a dense
-    rank).  Plan shape: one global row-numbering (the only total-order
-    step — at 100 TB swap for zipWithIndex-style per-partition offsets or
-    an existing dense key), then an equi-join back on position; the k
-    expansion is a narrow explode."""
-    from pyspark.sql.window import Window
-
-    from pyspark_anomaly_detection_spark.cachepool import tracked_persist
+    rank).  Plan shape: distributed global row-numbering via the
+    range-exchange + partition-offset machinery (shards.global_row_ids —
+    VERDICT r16 item 6: the previous ``ROW_NUMBER() OVER (ORDER BY
+    doc_id)`` planned as a SINGLE-partition window sort, a serial
+    chokepoint at 100 TB; same total order, no 1-partition Sort), then
+    an equi-join back on position; the k expansion is a narrow explode.
+    global_row_ids persists its ranged frame internally, so both the
+    anchor side and the partner lookup read one cached partitioning
+    (the r16 persist's job, now inside the machinery)."""
+    from pyspark_anomaly_detection_spark.text.shards import global_row_ids
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # Persist the numbered frame (r16): it feeds BOTH the anchor side
-    # and the partner lookup, so unpersisted the global row_number sort
-    # ran twice (PLAN_AUDIT documents×4 → ×2).
-    numbered = tracked_persist(
-        docs.select(
-            "doc_id",
-            (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("rn"),
-        ).crossJoin(F.broadcast(docs.agg(F.count("*").alias("n"))))
+    numbered = (
+        global_row_ids(docs, "doc_id")
+        .select("doc_id", (F.col("row_id") - 1).alias("rn"))
+        .crossJoin(F.broadcast(docs.agg(F.count("*").alias("n"))))
     )
     ks = spark.range(1, N_NEGATIVES + 1).select(F.col("id").alias("k"))
     cand = numbered.crossJoin(F.broadcast(ks)).select(

@@ -701,7 +701,10 @@ def bpe_train(
         # rows), where per-round Spark job overhead would dominate by 100×.
         pairs = [(r.w, int(r.freq)) for r in words.collect()]
         words.unpersist()
-        return spark.createDataFrame(
+        from pyspark_anomaly_detection_spark.io.detach import local_rows_df
+
+        return local_rows_df(
+            spark,
             _bpe_merge_rounds_local(pairs, n_merges),
             "rank int, left string, right string, pair_freq long",
         )
@@ -760,8 +763,10 @@ def bpe_train(
         cur = cur.select("freq", merged.alias("syms"))
     words.unpersist()
     base.unpersist()
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_freq long"
+    from pyspark_anomaly_detection_spark.io.detach import local_rows_df
+
+    return local_rows_df(
+        spark, merges, "rank int, left string, right string, pair_freq long"
     )
 
 

@@ -160,6 +160,32 @@ def main() -> None:
     sys.path.insert(0, REPO)
     from pyspark_anomaly_detection_spark.registry import registry_fingerprint
 
+    # End-of-close staleness self-check (VERDICT r16 item 1): r16's close
+    # ran green, then commit d781ba1 edited four registered query files
+    # and the snapshot commit shipped the four PARITY matrices stamped at
+    # the pre-edit hash.  pytest above already compares stamped vs live,
+    # but it runs mid-close — this FINAL re-read catches a registry that
+    # moved while the close itself was running, the exact r16 hole.
+    from tests.test_artifact_freshness import (
+        JSON_ARTIFACTS,
+        embedded_hash_of,
+    )
+
+    live_now = registry_fingerprint()["registry_hash"]
+    stale = [
+        name
+        for name in [*JSON_ARTIFACTS, "PLAN_AUDIT.md"]
+        if embedded_hash_of(os.path.join(REPO, name)) != live_now
+    ]
+    if stale:
+        print(
+            "round_close: REFUSED at final self-check — artifacts stamped "
+            f"behind live registry {live_now[:12]}: {stale}. A registered "
+            "query changed while the close ran; rerun tools/round_close.py.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     fp = registry_fingerprint()
     print("\nround_close: ALL GREEN — safe to commit the round snapshot.")
     print(
