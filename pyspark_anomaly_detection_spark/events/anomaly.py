@@ -582,40 +582,17 @@ def q130_daily_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(taps)
     ]
     lagged = daily.select("event_type", "day", "day_cents", "n_events", *lag_cols)
-    # Two-lane weighted sum (VERDICT r16: the r16 decimal(38,0) overflow
-    # fix cost q130 ~16% — decimal math per row is real work).  Rows
-    # whose every |lag| sits below 2^(63-taps) provably cannot overflow
-    # the INT64 weighted sum (Σ |lag_k|·2^(taps-1-k) < max|lag|·2^taps
-    # < 2^63), so they take the long lane; only rows near the extremes-
-    # fuzz magnitudes (±1e15 values → day_cents ~1e17 > 2^55) pay the
-    # decimal(38,0) / oracle-HUGEINT lane.  Both lanes produce the SAME
-    # mathematical integer, and int→double / decimal→double casts of an
-    # integer round identically in both engines, so smoothed_cents is
-    # bitwise unchanged on every input — the oracle stays HUGEINT
-    # (always exact) on the DuckDB side.
-    int64_safe_abs = 1 << (63 - taps)
-    from functools import reduce as _reduce
-    from operator import and_ as _and
-
-    safe = _reduce(
-        _and,
-        (
-            # two-sided compare, not abs(): abs(Long.MIN) would raise
-            # under ANSI before the decimal lane could catch the row
-            (F.coalesce(F.col(f"lag_{k}"), F.lit(0)) < int64_safe_abs)
-            & (F.coalesce(F.col(f"lag_{k}"), F.lit(0)) > -int64_safe_abs)
-            for k in range(taps)
-        ),
-    )
-    num64 = sum(
-        (
-            F.coalesce(F.col(f"lag_{k}"), F.lit(0)).cast("long")
-            * F.lit(1 << (taps - 1 - k))
-            for k in range(taps)
-        ),
-        start=F.lit(0),
-    )
-    numdec = sum(
+    # int128 weight space (decimal(38,0) / oracle HUGEINT): day_cents ×
+    # 2^(taps-1) overflows INT64 once a day's cents pass ~7e16 — the
+    # extremes fuzz variant hit it at ±1e15 values; int→double casts
+    # stay correctly rounded in both engines.
+    # r17 A/B'd and REJECTED a two-lane int64/decimal split (rows whose
+    # lags provably fit INT64 taking a long-sum lane): 7-rep isolated
+    # bench measured the split SLOWER — 0.934 s vs 0.780 s at sf0.1 —
+    # the 16 guard comparisons plus the duplicated weighted-sum tree
+    # cost more than the decimal math they skip (q196-persist lesson:
+    # measure, keep the loser out).
+    num = sum(
         (
             F.coalesce(F.col(f"lag_{k}"), F.lit(0)).cast("decimal(38,0)")
             * F.lit(1 << (taps - 1 - k))
@@ -623,7 +600,6 @@ def q130_daily_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         start=F.lit(0),
     )
-    num = F.when(safe, num64.cast("double")).otherwise(numdec.cast("double"))
     den = sum(
         (
             F.when(F.col(f"lag_{k}").isNotNull(), F.lit(1 << (taps - 1 - k))).otherwise(
@@ -634,7 +610,7 @@ def q130_daily_anomaly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         start=F.lit(0),
     )
     smoothed = lagged.withColumn(
-        "smoothed_cents", num / den.cast("double")
+        "smoothed_cents", num.cast("double") / den.cast("double")
     )
     wr = Window.partitionBy("event_type").orderBy("day_cents", "day")
     wall = Window.partitionBy("event_type")

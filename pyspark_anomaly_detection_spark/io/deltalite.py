@@ -1497,7 +1497,7 @@ def optimize_delta(
     actions: list[dict[str, Any]] = []
     for rel in sorted(active):
         actions.append({"remove": {"path": rel, "dataChange": False}})
-    for i, (pv_items, rels) in enumerate(sorted(groups.items())):
+    def _optimize_group(i: int, pv_items, rels) -> list[dict[str, Any]]:
         dv_rels = {
             r: active[r] for r in rels if active[r].get("deletionVector")
         }
@@ -1535,6 +1535,7 @@ def optimize_delta(
             write_zordered(df, out_dir, zcols[0], zcols[1], n_files)
         else:
             df.repartition(n_files).write.mode("error").parquet(out_dir)
+        adds: list[dict[str, Any]] = []
         for name in sorted(os.listdir(out_dir)):
             if name.endswith(".parquet"):
                 rel = (
@@ -1556,7 +1557,31 @@ def optimize_delta(
                         ),
                         separators=(",", ":"),
                     )
-                actions.append({"add": add})
+                adds.append({"add": add})
+        return adds
+
+    # independent per-partition compaction jobs — overlapped via a small
+    # driver thread pool (guide §2.6), action order preserved by map()
+    ordered_groups = sorted(groups.items())
+    if len(ordered_groups) <= 1:
+        group_adds = [
+            _optimize_group(i, pv, rels)
+            for i, (pv, rels) in enumerate(ordered_groups)
+        ]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(4, len(ordered_groups))
+        ) as pool:
+            group_adds = list(
+                pool.map(
+                    lambda t: _optimize_group(t[0], *t[1]),
+                    enumerate(ordered_groups),
+                )
+            )
+    for adds in group_adds:
+        actions.extend(adds)
     actions.append(
         {"commitInfo": {"operation": "OPTIMIZE", "engineInfo": "deltalite"}}
     )

@@ -372,10 +372,15 @@ def _rewrite_commit(
     actions: list[dict[str, Any]] = []
     n_new_files = 0
 
-    def _write_piece(df: DataFrame, subdir: str, pv: dict[str, str]) -> int:
+    def _write_piece(
+        df: DataFrame, subdir: str, pv: dict[str, str]
+    ) -> list[dict[str, Any]]:
+        """Write one group's rewrite and RETURN its add actions (the
+        caller extends ``actions`` in group order — keeps the commit
+        JSON byte-stable when groups write concurrently)."""
         out_dir = os.path.join(data_dir, subdir) if subdir else data_dir
         _to_physical(df, cmio).write.mode("error").parquet(out_dir)
-        written = 0
+        adds: list[dict[str, Any]] = []
         for name in sorted(os.listdir(out_dir)):
             if not name.endswith(".parquet"):
                 continue
@@ -384,7 +389,7 @@ def _rewrite_commit(
                 if subdir
                 else f"{commit_dir}/{name}"
             )
-            actions.append(
+            adds.append(
                 {
                     "add": {
                         "path": rel,
@@ -395,8 +400,7 @@ def _rewrite_commit(
                     }
                 }
             )
-            written += 1
-        return written
+        return adds
 
     # a mapped table's partitionValues are keyed by PHYSICAL names; the
     # transform (merge's partition-move check) works in logical space
@@ -408,9 +412,11 @@ def _rewrite_commit(
             phys_to_logical.get(k, k): v for k, v in dict(pv_items).items()
         }
 
-    for i, (pv_items, rels) in enumerate(
-        sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0])))
-    ):
+    ordered_groups = sorted(
+        groups.items(), key=lambda kv: tuple(map(str, kv[0]))
+    )
+
+    def _rewrite_group(i: int, pv_items, rels) -> list[dict[str, Any]]:
         # DV-carrying touched files are read THROUGH their bitmaps: the
         # rewrite materializes the deletes, and the remove+add drops the
         # file's DV in this same commit (round 14 — real Delta's COW-on-
@@ -422,14 +428,50 @@ def _rewrite_commit(
             if transform_with_pv
             else transform(piece)
         )
-        if extra_adds_df is not None and not snap.part_cols:
-            kept = kept.unionByName(extra_adds_df)
-            extra_adds_df = None  # folded into the single group's write
         subdir = f"g{i}" if snap.part_cols else ""
-        n_new_files += _write_piece(kept, subdir, dict(pv_items))
+        return _write_piece(kept, subdir, dict(pv_items))
+
+    if len(ordered_groups) <= 1:
+        for i, (pv_items, rels) in enumerate(ordered_groups):
+            piece = _read_files(spark, table_path, rels, cmio, snap=snap)
+            kept = (
+                transform(piece, _logical_pv(pv_items))
+                if transform_with_pv
+                else transform(piece)
+            )
+            if extra_adds_df is not None and not snap.part_cols:
+                kept = kept.unionByName(extra_adds_df)
+                extra_adds_df = None  # folded into the single group's write
+            subdir = f"g{i}" if snap.part_cols else ""
+            adds = _write_piece(kept, subdir, dict(pv_items))
+            actions.extend(adds)
+            n_new_files += len(adds)
+    else:
+        # Partition groups rewrite to DISJOINT subdirs with no shared
+        # state — submit them from a small driver thread pool so group
+        # k+1's tasks back-fill executors while group k's tail finishes
+        # (guide §2.6; r17: multi-partition COW DML paid one ~1 s
+        # mostly-fixed-overhead job per group, serialized).  extra_adds
+        # folding never reaches this branch: >1 group implies a
+        # partitioned table, whose inserts go through the hive-layout
+        # write below.  pool.map preserves group order, so the commit's
+        # action sequence is identical to the sequential form.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(4, len(ordered_groups))
+        ) as pool:
+            for adds in pool.map(
+                lambda t: _rewrite_group(t[0], *t[1]),
+                enumerate(ordered_groups),
+            ):
+                actions.extend(adds)
+                n_new_files += len(adds)
     if extra_adds_df is not None and not snap.part_cols:
         # no touched files (pure-insert MERGE on an unpartitioned table)
-        n_new_files += _write_piece(extra_adds_df, "", {})
+        adds = _write_piece(extra_adds_df, "", {})
+        actions.extend(adds)
+        n_new_files += len(adds)
     elif extra_adds_df is not None:
         # partitioned inserts (MERGE): hive-layout write inside the
         # commit dir, partitionValues harvested from the dir segments —

@@ -599,11 +599,21 @@ def purge_delta(spark: SparkSession, table_path: str) -> dict[str, int]:
     for rel in sorted(dv_adds):
         actions.append({"remove": {"path": rel, "dataChange": False}})
     n_added = 0
-    for i, (pv_items, group) in enumerate(sorted(groups.items())):
+
+    # Partition groups are INDEPENDENT rewrite jobs writing to disjoint
+    # subdirs — run them from a small driver thread pool so the next
+    # group's tasks back-fill executors freed by the current group's
+    # tail (guide §2.6; r17: a 5-partition purge paid 5 sequential
+    # ~1 s jobs of mostly fixed overhead).  Actions are collected per
+    # group and extended in group order, so the commit JSON is
+    # byte-stable vs the sequential form; any group failure propagates
+    # out of pool.map before the commit is attempted.
+    def _purge_group(i: int, pv_items, group) -> list[dict[str, Any]]:
         cleaned = read_files_minus_dv(spark, table_path, group, schema)
         subdir = f"g{i}" if snap.part_cols else ""
         out_dir = os.path.join(data_dir, subdir) if subdir else data_dir
         cleaned.write.mode("error").parquet(out_dir)
+        adds: list[dict[str, Any]] = []
         for name in sorted(os.listdir(out_dir)):
             if name.endswith(".parquet"):
                 rel = (
@@ -611,7 +621,7 @@ def purge_delta(spark: SparkSession, table_path: str) -> dict[str, int]:
                     if subdir
                     else f"{commit_dir}/{name}"
                 )
-                actions.append(
+                adds.append(
                     {
                         "add": {
                             "path": rel,
@@ -624,7 +634,26 @@ def purge_delta(spark: SparkSession, table_path: str) -> dict[str, int]:
                         }
                     }
                 )
-                n_added += 1
+        return adds
+
+    ordered = sorted(groups.items())
+    if len(ordered) == 1:
+        group_adds = [_purge_group(0, *ordered[0])]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(4, len(ordered))
+        ) as pool:
+            group_adds = list(
+                pool.map(
+                    lambda t: _purge_group(t[0], *t[1]),
+                    enumerate(ordered),
+                )
+            )
+    for adds in group_adds:
+        actions.extend(adds)
+        n_added += len(adds)
     actions.append(
         {"commitInfo": {"operation": "REORG PURGE",
                         "engineInfo": "deltalite-dv"}}

@@ -18,6 +18,8 @@ stays inside whole-stage codegen.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -55,6 +57,77 @@ def _ensure_engine_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+#: Input-layout repair threshold (r17, guide §2.5 "input skew: one huge
+#: unsplittable file … repartition immediately after the read"): EVERY
+#: committed testdata file — and the generated sf1 scale files — carries
+#: exactly ONE parquet row group, so Spark's split math
+#: (maxSplitBytes = min(maxPartitionBytes, max(openCost, bytes/minPartitionNum)))
+#: produces splits that all collapse onto the single row group: every
+#: scan stage, and the partial aggregation / projection work fused into
+#: it, ran as ONE task regardless of core count.  This was measured as
+#: the engine-wide serial chokepoint behind the flat 8-vs-32-core
+#: ratios the r16 driver flagged (q01 at sf1: 7.5 s on local[32] ≈ one
+#: core's decimal-agg throughput).  Tables at or above this many bytes
+#: are hash-repartitioned to the session's default parallelism on a
+#: deterministic key (the table's leading column — the PK-ish column in
+#: every testdata schema), which needs no pre-shuffle sort (unlike
+#: round-robin) and is retry-safe.  Below the threshold the shuffle
+#: would cost more than the serial scan.  Self-disabling at real
+#: layouts: inputs that already scan with >= parallelism/2 tasks are
+#: left untouched, so this never fires on properly laid-out data.
+#: Tune/disable via env (0 disables).
+SCAN_PARALLEL_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SCAN_PARALLEL_MIN_BYTES", str(6 * 1024 * 1024))
+)
+
+
+def _path_bytes(path: str) -> int:
+    """Total data bytes under a parquet file-or-directory path."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+#: (path, mtime) -> total parquet row groups; metadata-footer reads are
+#: milliseconds but load_table is called per query, so cache them.
+_RG_CACHE: dict[tuple[str, float], int] = {}
+
+
+def _row_groups(path: str) -> int:
+    """Total parquet row groups under ``path`` — the TRUE upper bound on
+    scan parallelism.  Spark's split count is size/maxSplitBytes, but
+    splits that contain no row-group midpoint read zero rows, so a big
+    single-row-group file plans ~20 splits and still executes on ONE
+    task; only the footer metadata reveals that."""
+    key = (path, os.path.getmtime(path))
+    if key in _RG_CACHE:
+        return _RG_CACHE[key]
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = [
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    total = 0
+    for f in files:
+        try:
+            total += pq.ParquetFile(f).metadata.num_row_groups
+        except Exception:  # noqa: BLE001 - unreadable piece: assume 1
+            total += 1
+    _RG_CACHE[key] = total
+    return total
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
@@ -83,6 +156,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    # Single-row-group input repair (see SCAN_PARALLEL_MIN_BYTES): only
+    # tables big enough that a serial scan+fused-work stage dominates,
+    # and only when the scan really is under-parallel.  Results are
+    # partitioning-independent by the engine's own conventions (exact
+    # decimal/integer aggregation, window frames define their own fold
+    # order, banded float verdicts) — re-proven by the full 4-SF parity
+    # matrix + fuzz sweep at round close.
+    if SCAN_PARALLEL_MIN_BYTES > 0:
+        path = f"{sf_dir}/{name}.parquet"
+        if _path_bytes(path) >= SCAN_PARALLEL_MIN_BYTES:
+            target = spark.sparkContext.defaultParallelism
+            # row groups, not Spark's split count: splits without a
+            # row-group midpoint execute empty, so split count wildly
+            # overstates the real scan parallelism on these files
+            if _row_groups(path) < max(2, target // 2):
+                df = df.repartition(target, F.col(df.columns[0]))
     return df
 
 

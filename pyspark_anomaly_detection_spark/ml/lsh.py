@@ -110,7 +110,13 @@ def _minhash_model_and_feats(docs: DataFrame, seed: int):
         binary=True,
         vocabSize=MINHASH_VOCAB,
     ).fit(shingled)
-    feats = (
+    # persist the VECTORIZED frame too (r17): approxSimilarityJoin
+    # references feats on BOTH sides of its self-join and MLlib's
+    # transform adds the hash signatures on top, so unpersisted the
+    # CountVectorizer transform (a 4M-entry vocab lookup per doc) ran
+    # once per side — 11.4 s → 9.6 s at sf0.1 (3-rep isolated A/B).
+    # cachepool releases it at the next registry invocation.
+    feats = tracked_persist(
         cv.transform(shingled)
         .select("doc_id", "features")
         # defensive: all-zero vectors crash MinHashLSH ("at least 1

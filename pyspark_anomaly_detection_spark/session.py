@@ -96,6 +96,17 @@ def get_spark_session(
             "NUMEXPR_NUM_THREADS",
         ):
             builder = builder.config(f"spark.executorEnv.{var}", blas_threads)
+    # Deployment-tunable confs via env (r17): semicolon-separated k=v
+    # pairs, e.g. SPARK_GRAFT_EXTRA_CONF="spark.sql.join.preferSortMergeJoin=false;
+    # spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=64m".
+    # Keeps scale-dependent settings parameterised instead of hard-coded
+    # for one host (round rules); the bench harness itself never sets it,
+    # so driver comparisons stay apples-to-apples.  Explicit extra_conf
+    # from callers wins over the env.
+    for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
+        key, _, value = pair.partition("=")
+        if key.strip() and value:
+            builder = builder.config(key.strip(), value.strip())
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()

@@ -1369,16 +1369,16 @@ def dup_run_profile(
     and shuffles (hash, doc, pos) longs only, never text), one
     doc-keyed containment join between span sets (a handful of rows per
     doc), and a final broadcast-sized per-doc aggregate join."""
-    # Persist both span frames (r16, the q149 edge-list lesson): each
-    # feeds TWO legs (its aggregate + the containment join), so without
-    # the persist the whole explode+hash+window span pipeline ran twice
-    # per granularity — PLAN_AUDIT showed documents×5.  Together with
-    # the tokenize-once fix: 3.95 s → 2.74 s at sf0.1 (bench --only,
-    # 3-rep trimmed mean).
-    fine = tracked_persist(dup_span_intervals(docs, w_fine, text_col, id_col))
-    coarse = tracked_persist(
-        dup_span_intervals(docs, w_coarse, text_col, id_col)
-    )
+    # r16 persisted both span frames (each feeds two legs); r17's clean
+    # 5-rep isolated A/B (VERDICT r16 item 9) measured the persists
+    # SLOWER — 2.98 s persisted vs 2.05 s recomputed at sf0.1 — because
+    # the r16 tokenize-once fix made the span pipeline cheap enough that
+    # re-running it beats materializing + scanning the cache (the exact
+    # q196 lesson, which r16 already reverted for the lab frame).
+    # Reverted to recompute; at cluster scale revisit only with a
+    # measured win on real data.
+    fine = dup_span_intervals(docs, w_fine, text_col, id_col)
+    coarse = dup_span_intervals(docs, w_coarse, text_col, id_col)
     run = (F.col("e") - F.col("s") + 1).cast("long")
     fine_agg = fine.groupBy(id_col).agg(
         F.max(run).alias("max_run_fine"),

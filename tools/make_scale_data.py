@@ -43,8 +43,22 @@ SCALE_DIR = os.path.join(REPO, ".scaledata", "sf1.0")
 COPIES = 10
 MARKER = "_SCALE_MANIFEST.json"
 #: bump to invalidate previously built scale dirs when the construction
-#: changes (2 = r16 l_suppkey decorrelation)
-CONSTRUCTION_VERSION = 2
+#: changes (2 = r16 l_suppkey decorrelation; 3 = r17 multi-file layout —
+#: every table wrote ONE parquet row group, so every sf1 scan stage ran
+#: as one task regardless of core count, serializing the scale audit's
+#: scan+fused work and flattening the 8-vs-32-core ratios the driver
+#: probes.  Row VALUES are unchanged: the same frame is hash-
+#: repartitioned on its leading key before the write, guide §6 file
+#: layout / §2.5 unsplittable-input)
+CONSTRUCTION_VERSION = 3
+
+#: output files per big table (≥ the audit hosts' parallelism/2 so the
+#: row-group-starved repartition repair in io/readers never fires on
+#: scale data); small dimension tables stay single-file.
+N_OUTPUT_FILES = 16
+MULTI_FILE_TABLES = {
+    "customer", "orders", "lineitem", "events", "documents", "embeddings",
+}
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -164,6 +178,10 @@ def build(spark, source: str = SOURCE, out_dir: str = SCALE_DIR) -> dict:
             if table == "documents":
                 out = out.withColumn("n_chars", F.length("text"))
         path = os.path.join(out_dir, f"{table}.parquet")
+        if table in MULTI_FILE_TABLES:
+            # deterministic hash split on the leading (PK-ish) column:
+            # identical rows, a real multi-file/multi-row-group layout
+            out = out.repartition(N_OUTPUT_FILES, F.col(out.columns[0]))
         out.write.mode("overwrite").parquet(path)
         manifest["tables"][table] = spark.read.parquet(path).count()
     with open(os.path.join(out_dir, MARKER), "w") as f:
