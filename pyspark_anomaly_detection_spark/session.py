@@ -63,6 +63,21 @@ def get_spark_session(
         # inject Bloom pre-filters on the big side of selective shuffle
         # joins (fact rows that can't match are dropped before the shuffle)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Shuffled-hash over sort-merge when the per-partition build side
+        # fits (guide §3.1/§9).  Adopted r17 on the sf1 A/B the r16
+        # round deferred for lack of evidence: 5-rep isolated means at
+        # sf1/local[32] — q107 1.83→1.72 s, q03 1.62→1.50 s, q02 flat;
+        # no effect at sf0.1 where every eligible join broadcasts
+        # (PLAN_AUDIT).  The AQE threshold below also lets runtime stats
+        # rewrite SMJ→SHJ per partition.  OOM caveat at cluster scale: a
+        # skewed build-side partition must fit executor memory — AQE
+        # skew-split handles join skew, and SPARK_GRAFT_EXTRA_CONF can
+        # flip either setting back per deployment.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "67108864",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # events.parquet is timestamp[ns]; read as long, convert exactly in reader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -80,3 +80,39 @@ def test_keep_longest_elects_longest_not_min_id(spark):
     assert out[3].rep_id == 2 and not out[3].keep
     assert out[1].cluster_size == 3
     assert out[9].component == 9 and out[9].keep and out[9].cluster_size == 1
+
+
+def test_components_fused_rounds_on_long_chain(spark):
+    """r17 internals change: connected_components materializes every
+    SECOND propagation round (self-loop edges + two fused joins per
+    localCheckpoint).  A path graph needs diameter rounds to converge —
+    odd diameters exercise the half-fused tail, and the labels must be
+    the min node id of each component exactly as before."""
+    edges = spark.createDataFrame(
+        # path 10-11-...-17 (diameter 7, odd) + isolated pair (30, 31)
+        [(i, i + 1) for i in range(10, 17)] + [(30, 31)],
+        "src long, dst long",
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(edges).collect()
+    }
+    assert {comp[n] for n in range(10, 18)} == {10}
+    assert comp[30] == comp[31] == 30
+
+
+def test_pagerank_halved_checkpoints_keep_mass(spark):
+    """r17: pagerank checkpoints every second iteration; the float fold
+    per node is unchanged, so total mass still equals the node count to
+    fp noise (the same invariant the property test pins) on a graph
+    whose iteration count is odd vs even."""
+    from pyspark_anomaly_detection_spark.text.clusters import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long"
+    )
+    for iters in (3, 4):
+        ranks = pagerank(edges, iterations=iters)
+        rows = ranks.collect()
+        assert len(rows) == 4
+        assert abs(sum(r.rank for r in rows) - 4.0) < 1e-9

@@ -73,12 +73,14 @@ def test_q216_census_under_non_arrow_session(spark, sf_dir):
     """End-to-end driver-shaped replay: the exact round-9 failure was
     q216 in a session WITHOUT Arrow.  The census must produce the
     '__corrupt__' row (NULL bigint columns) without raising."""
-    from pyspark_anomaly_detection_spark.registry import REGISTRY
+    # all_queries(), not bare REGISTRY: the dict fills on module import,
+    # so a standalone run of this file found it empty (order-dependent)
+    from pyspark_anomaly_detection_spark.registry import all_queries
 
     prev = spark.conf.get(ARROW_CONF)
     spark.conf.set(ARROW_CONF, "false")
     try:
-        out = REGISTRY["q216_jsonl_source_census"].fn(spark, sf_dir)
+        out = all_queries()["q216_jsonl_source_census"].fn(spark, sf_dir)
         rows = {r.lang: r for r in out.collect()}
     finally:
         spark.conf.set(ARROW_CONF, prev)
@@ -86,3 +88,39 @@ def test_q216_census_under_non_arrow_session(spark, sf_dir):
     assert corrupt.n_docs == 3
     assert corrupt.text_bytes is None
     assert corrupt.min_doc is None and corrupt.max_doc is None
+
+
+# ----------------------------------------------------- local_rows_df (r17)
+
+
+def test_local_rows_df_plans_jvm_local_scan(spark, arrow_mode):
+    """The tuple-form createDataFrame plans a Python-RDD scan that pays a
+    Python worker round trip PER ACTION (r17: this dominated the
+    streaming replays); local_rows_df must plan a JVM LocalTableScan in
+    both Arrow and non-Arrow sessions."""
+    from pyspark_anomaly_detection_spark.io.detach import local_rows_df
+
+    df = local_rows_df(
+        spark,
+        [(1, "a", [1.0, 2.0]), (2, None, None)],
+        "id long, s string, v array<double>",
+    )
+    assert not plans.has_python_eval(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    got = {r.id: (r.s, r.v) for r in df.collect()}
+    assert got == {1: ("a", [1.0, 2.0]), 2: (None, None)}
+
+
+def test_local_rows_df_empty_and_struct_schema(spark, arrow_mode):
+    from pyspark_anomaly_detection_spark.io.detach import local_rows_df
+
+    empty = local_rows_df(spark, [], "id long, s string")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "s"]
+    typed = local_rows_df(
+        spark, [("x", True)], StructType(
+            [StructField("name", StringType()), StructField("ok", __import__("pyspark").sql.types.BooleanType())]
+        )
+    )
+    assert typed.collect()[0].ok is True
