@@ -94,6 +94,15 @@ def _extract_round(path: str) -> dict:
 def build(repo: str = REPO) -> dict:
     rounds = []
     for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
+        # canonical per-round artifacts ONLY: the driver also drops
+        # variant probes next to them (``BENCH_r16_c8.json`` — the
+        # 8-core scaling probe, r17), which the bare glob matched and
+        # which then OVERWROTE round 16's history row with the low-core
+        # numbers (two round-16 entries, committed-vs-rederived drift).
+        if not re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(path)):
+            print(f"skipping {path}: variant probe, not a round artifact",
+                  file=sys.stderr)
+            continue
         row = _extract_round(path)
         if row["round"] is None:
             # an artifact without a round number can't be ordered into the

@@ -49,16 +49,21 @@ MARKER = "_SCALE_MANIFEST.json"
 #: scan+fused work and flattening the 8-vs-32-core ratios the driver
 #: probes.  Row VALUES are unchanged: the same frame is hash-
 #: repartitioned on its leading key before the write, guide §6 file
-#: layout / §2.5 unsplittable-input)
-CONSTRUCTION_VERSION = 3
+#: layout / §2.5 unsplittable-input.  4 = multi-file restricted to the
+#: tables that actually cross io/readers' repair byte threshold: v3
+#: also split the ~1 MB embeddings table, which changed MLlib BRP's
+#: approxQuantile-based candidate threshold — approxQuantile merges
+#: per-partition summaries, so its estimate is partitioning-sensitive —
+#: and dropped q177's probe recall below its 0.8 band at sf1; small
+#: tables keep the single-file layout their consumers were audited on)
+CONSTRUCTION_VERSION = 4
 
 #: output files per big table (≥ the audit hosts' parallelism/2 so the
 #: row-group-starved repartition repair in io/readers never fires on
-#: scale data); small dimension tables stay single-file.
+#: scale data); small tables — everything below the repair threshold,
+#: notably embeddings/customer — stay single-file.
 N_OUTPUT_FILES = 16
-MULTI_FILE_TABLES = {
-    "customer", "orders", "lineitem", "events", "documents", "embeddings",
-}
+MULTI_FILE_TABLES = {"orders", "lineitem", "events", "documents"}
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
